@@ -1,0 +1,146 @@
+package graft.hll
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SPI: anything that can install functions into a session (reference:
+ * alchemy/src/main/scala/com/swoop/alchemy/spark/expressions/FunctionRegistration.scala:5-7). */
+trait FunctionRegistration {
+  def registerFunctions(spark: SparkSession): Unit
+}
+
+/**
+ * Registers the nine sketch operators into a session's FunctionRegistry so
+ * they are callable from SparkSQL (and therefore from PySpark) exactly like
+ * built-ins.
+ *
+ * Unlike the reference's reflective constructor scan (reference:
+ * NativeFunctionRegistration.scala:29-70), builders here are explicit
+ * pattern matches per SQL arity — no reflection, and arity errors surface
+ * with precise messages at analysis time.
+ */
+object HllFunctionRegistry extends FunctionRegistration {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def usage(text: String): String = text
+
+  private def sd(e: Expression): Double = HyperLogLogPlusPlus.validateDoubleLiteral(e)
+
+  private def fmt(e: Expression, position: String): HllFormat = e match {
+    case Literal(s, _: StringType) if s != null => HllFormat.byName(s.toString)
+    case _ => throw new IllegalArgumentException(
+      s"The $position must be a string literal (${HllFormat.Names.mkString("/")}) " +
+        "designating one of the implementation options.")
+  }
+
+  private def wrongArity(name: String, got: Int): Nothing =
+    throw new IllegalArgumentException(s"Invalid number of arguments for function $name: $got")
+
+  /** (name, usage, builder) for each SQL function. */
+  val entries: Seq[(String, String, Builder)] = Seq(
+    ("hll_init",
+      usage("_FUNC_(expr[, relativeSD[, implName]]) - Per row: returns a composable HLL sketch of the value."),
+      {
+        case Seq(e) => HllInitSimple(e)
+        case Seq(e, r) => HllInitSimple(e, sd(r))
+        case Seq(e, r, i) => HllInitSimple(e, sd(r), fmt(i, "third argument"))
+        case args => wrongArity("hll_init", args.size)
+      }),
+    ("hll_init_collection",
+      usage("_FUNC_(arrayOrMap[, relativeSD[, implName]]) - Per row: returns an HLL sketch of the collection's members."),
+      {
+        case Seq(e) => HllInitCollection(e)
+        case Seq(e, r) => HllInitCollection(e, sd(r))
+        case Seq(e, r, i) => HllInitCollection(e, sd(r), fmt(i, "third argument"))
+        case args => wrongArity("hll_init_collection", args.size)
+      }),
+    ("hll_init_agg",
+      usage("_FUNC_(expr[, relativeSD[, implName]]) - Per group: returns an HLL sketch of all non-null values."),
+      {
+        case Seq(e) => HllInitSimpleAgg(e)
+        case Seq(e, r) => HllInitSimpleAgg(e, sd(r))
+        case Seq(e, r, i) => HllInitSimpleAgg(e, sd(r), fmt(i, "third argument"))
+        case args => wrongArity("hll_init_agg", args.size)
+      }),
+    ("hll_init_collection_agg",
+      usage("_FUNC_(arrayOrMap[, relativeSD[, implName]]) - Per group: returns an HLL sketch of all collection members."),
+      {
+        case Seq(e) => HllInitCollectionAgg(e)
+        case Seq(e, r) => HllInitCollectionAgg(e, sd(r))
+        case Seq(e, r, i) => HllInitCollectionAgg(e, sd(r), fmt(i, "third argument"))
+        case args => wrongArity("hll_init_collection_agg", args.size)
+      }),
+    ("hll_merge",
+      usage("_FUNC_(sketch[, implName]) - Per group: unions HLL sketches into one (re-aggregation)."),
+      {
+        case Seq(e) => HllMerge(e)
+        case Seq(e, i) => HllMerge(e, fmt(i, "second argument"))
+        case args => wrongArity("hll_merge", args.size)
+      }),
+    ("hll_row_merge",
+      usage("_FUNC_(sketch1, ..., sketchN[, implName]) - Unions N sketch columns within one row."),
+      {
+        // A trailing string literal is the implName (there is no other way to
+        // distinguish it from a sketch column in a vararg SQL signature).
+        case args if args.nonEmpty => args.last match {
+          case Literal(s, _: StringType) if s != null =>
+            HllRowMerge(args.init, HllFormat.byName(s.toString))
+          case _ => HllRowMerge(args)
+        }
+        case args => wrongArity("hll_row_merge", args.size)
+      }),
+    ("hll_cardinality",
+      usage("_FUNC_(sketch[, implName]) - Returns the estimated cardinality of an HLL sketch."),
+      {
+        case Seq(e) => HllCardinality(e)
+        case Seq(e, i) => HllCardinality(e, fmt(i, "second argument"))
+        case args => wrongArity("hll_cardinality", args.size)
+      }),
+    ("hll_intersect_cardinality",
+      usage("_FUNC_(sketchL, sketchR[, implName]) - Estimates |L ∩ R| via inclusion-exclusion over merged sketches."),
+      {
+        case Seq(l, r) => HllIntersectCardinality(l, r)
+        case Seq(l, r, i) => HllIntersectCardinality(l, r, fmt(i, "third argument"))
+        case args => wrongArity("hll_intersect_cardinality", args.size)
+      }),
+    ("hll_convert",
+      usage("_FUNC_(sketch, implNameFrom, implNameTo) - Transcodes sketch bytes between wire formats."),
+      {
+        case Seq(e, from, to) =>
+          HllConvert(e, fmt(from, "second argument"), fmt(to, "third argument"))
+        case args => wrongArity("hll_convert", args.size)
+      })
+  )
+
+  private def info(name: String, usageText: String): ExpressionInfo =
+    new ExpressionInfo(classOf[HllInitSimple].getPackage.getName, null, name, usageText, "")
+
+  /** Install into an existing session (reference-style entry point). */
+  override def registerFunctions(spark: SparkSession): Unit = {
+    val registry = GraftSqlBridge.functionRegistry(spark)
+    entries.foreach { case (name, usageText, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+    }
+  }
+}
+
+/**
+ * Spark-4-idiomatic installation path:
+ * `SparkSession.builder().withExtensions(new GraftSparkExtensions)` or
+ * `--conf spark.sql.extensions=graft.hll.GraftSparkExtensions`.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    HllFunctionRegistry.entries.foreach { case (name, usageText, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[HllInitSimple].getPackage.getName, null, name, usageText, ""),
+        builder))
+    }
+  }
+}

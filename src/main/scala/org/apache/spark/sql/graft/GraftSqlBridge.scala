@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Minimal bridge into `private[sql]` Spark API. Spark 4 removed
+ * `new Column(Expression)` from the public surface (Column is
+ * expression-tree-free in spark-sql-api); the supported conversion lives in
+ * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]`.
+ *
+ * This is the narrowest possible analogue of the reference's
+ * `EncapsulationViolator` (reference:
+ * alchemy/src/main/scala/org/apache/spark/sql/EncapsulationViolator.scala:8-49)
+ * — only Column↔Expression and the session FunctionRegistry, nothing else.
+ */
+object GraftSqlBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+}
