@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.hll.functions._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Harness queries for the sketch operators and the built-in relational
+ * surface (SURVEY.md §2.1 + §2.4), each paired with an ANSI-SQL oracle in
+ * [[CoreQueries.oracles]] runnable by DuckDB over the same parquet tables.
+ *
+ * Oracle-parity rules used throughout:
+ *  - HLL estimates are compared against COUNT(DISTINCT ...) only where the
+ *    estimate is provably exact: distinct counts of at most a few dozen per
+ *    group with precision chosen so register collisions are (verified)
+ *    absent at the correctness scale (SURVEY.md §7.4 R3).
+ *  - Money arithmetic is done in DECIMAL on both sides: decimal addition is
+ *    associative, so results are bit-identical regardless of partitioning
+ *    or aggregation order — double sums are NOT reproducible across
+ *    engines and never appear in compared columns.
+ *  - Compared columns are keys, longs, decimals, or dates; raw doubles are
+ *    only passed through unmodified (no arithmetic on them).
+ *
+ * Scale notes are on each query: what the plan does at 100 TB, which side
+ * broadcasts, where the shuffle is and what bounds it.
+ */
+object CoreQueries {
+
+  // Precision used when an HLL estimate must be EXACT against the oracle at
+  // verify scale: relativeSD=0.005 → p=16 → 65536 registers; collision odds
+  // for n<=12 distinct per group are ~n²/2m < 0.2% and verified zero on the
+  // actual data (deterministic hash, fixed data).
+  private val ExactSD = 0.005
+
+  /** Month-of-shipdate sketch per (returnflag, linestatus) — the stored
+   * "sketch table" that re-aggregation queries build on. At scale this is
+   * the pattern: persist small per-cell sketches, never rescan raw data. */
+  private def monthSketches(spark: SparkSession, dir: String, sd: Double = ExactSD): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), month(col("l_shipdate")).as("ship_month"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_init_agg(col("ship_month"), sd).as("months_hll"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------------------ HLL
+    // hll_init: per-row sketch; cardinality of a 1-value sketch is 1.
+    // Scale: pure map-side, no shuffle; sketches stream straight to the sink.
+    "hll_init_scalar" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          hll_cardinality(hll_init(col("lang"), ExactSD)).as("card"))
+        .orderBy("doc_id")
+    }),
+
+    // hll_init_collection: per-row sketch over array members.
+    "hll_init_collection_scalar" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          hll_cardinality(hll_init_collection(array(col("lang"), col("source")), ExactSD))
+            .as("card"))
+        .orderBy("doc_id")
+    }),
+
+    // hll_init_agg: one sketch per group. Scale: ObjectHashAggregate partial
+    // phase collapses each task's rows to one 64 KiB sketch per group before
+    // the exchange — shuffle bytes are |groups|×sketch, independent of rows.
+    "hll_agg_months" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_cardinality(hll_init_agg(month(col("l_shipdate")), ExactSD)).as("months"))
+        .orderBy("l_returnflag")
+    }),
+
+    // hll_init_collection_agg over a constructed array column.
+    "hll_collection_agg_priorities" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(hll_cardinality(
+          hll_init_collection_agg(array(col("o_orderpriority")), ExactSD)).as("priorities"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // hll_merge: re-aggregation — fine-grained sketches roll up to a coarser
+    // grouping without touching raw data. THE operator that makes sketch
+    // tables useful at 100 TB: the rollup input is |cells| rows, not rows.
+    "hll_merge_rollup" -> ((s, dir) => {
+      monthSketches(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_cardinality(hll_merge(col("months_hll"))).as("months"))
+        .orderBy("l_returnflag")
+    }),
+
+    // hll_row_merge: union sketches across columns of one row. Months hash as
+    // ints, line statuses as strings — domains are disjoint under the typed
+    // hash, so the union cardinality is the sum of the parts.
+    "hll_row_merge_union" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          hll_init_agg(month(col("l_shipdate")), ExactSD).as("m_hll"),
+          hll_init_agg(col("l_linestatus"), ExactSD).as("s_hll"))
+        .select(col("l_returnflag"),
+          hll_cardinality(hll_row_merge(col("m_hll"), col("s_hll"))).as("combined"))
+        .orderBy("l_returnflag")
+    }),
+
+    // hll_intersect_cardinality via inclusion-exclusion on two filtered
+    // sketches built in a single scan (conditional aggregation).
+    "hll_intersect_linenumbers" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          hll_init_agg(when(col("l_quantity") < 25, col("l_linenumber")), ExactSD).as("lo"),
+          hll_init_agg(when(col("l_quantity") >= 25, col("l_linenumber")), ExactSD).as("hi"))
+        .select(hll_intersect_cardinality(col("lo"), col("hi")).as("common"))
+    }),
+
+    // hll_convert: STRM sketch bytes transcoded to the GRAFT format and
+    // estimated there — no recomputation from raw data.
+    "hll_convert_graft" -> ((s, dir) => {
+      monthSketches(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_merge(col("months_hll")).as("merged"))
+        .select(col("l_returnflag"),
+          hll_cardinality(hll_convert(col("merged"), "STRM", "GRAFT"), "GRAFT").as("months"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Same pipeline end-to-end on the DataSketches format (exact at these
+    // counts: the sketch is still in exact coupon mode).
+    "hll_ds_format" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(hll_cardinality(hll_init_agg(dayofmonth(col("ts")), ExactSD, "DS"), "DS").as("days"))
+        .orderBy("event_type")
+    }),
+
+    // ------------------------------------------------------- built-in surface
+    // Pricing summary (TPC-H Q1 shape). DECIMAL sums for cross-engine
+    // bit-equality. Scale: partial aggregation before the 6-group exchange;
+    // scan prunes to 7 of 11 columns.
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Join pyramid: orders ⋈ customer ⋈ nation, revenue by nation.
+    // Scale: nation (25 rows) and customer (dimension) broadcast — the fact
+    // table never shuffles for the join, only for the 25-group aggregate.
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      val nation = Tables.nation(s, dir)
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Anti join: customers with no high-value order, by segment.
+    // Scale: the filter shrinks the build side before the anti-join;
+    // broadcast it if it fits, else shuffled hash anti-join — no row
+    // explosion either way.
+    "q3_customers_without_orders" -> ((s, dir) => {
+      val customer = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      customer
+        .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Window function: top-3 orders per order-priority by price (keys only;
+    // o_orderkey breaks ties deterministically).
+    // Scale: one shuffle on the partition key; rank early-outs per group.
+    "q4_top_orders_per_priority" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // Global top-k: order by + limit. Scale: per-partition top-k then a
+    // single-reducer merge of k-row heaps (TakeOrderedAndProject).
+    "q5_top10_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // Rollup (grouping sets): subtotals + grand total in one pass.
+    "q6_rollup_quantities" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Set operation: users active on day 1 but silent on day 2
+    // (EXCEPT = distinct set difference).
+    "q7_churned_users" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val d1 = events.filter(to_date(col("ts")) === lit("2024-01-01")).select(col("user_id"))
+      val d2 = events.filter(to_date(col("ts")) === lit("2024-01-02")).select(col("user_id"))
+      d1.except(d2).orderBy("user_id")
+    }),
+
+    // Scan shape: filter + narrow projection — both must reach the parquet
+    // reader (PushedFilters / 3-column ReadSchema), which is what keeps a
+    // 100 TB scan from reading 100 TB.
+    "q8_filtered_scan" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Event-time tumbling window over the stream table (same windowing that
+    // runs under Structured Streaming; here exercised in batch).
+    "q9_daily_event_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("total_value"))
+        .orderBy("day", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "hll_init_scalar" ->
+      """SELECT doc_id, CASE WHEN lang IS NULL THEN NULL ELSE 1 END::BIGINT AS card
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "hll_init_collection_scalar" ->
+      """SELECT doc_id, (CASE WHEN lang = source THEN 1 ELSE 2 END)::BIGINT AS card
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "hll_agg_months" ->
+      """SELECT l_returnflag, count(DISTINCT month(l_shipdate))::BIGINT AS months
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_collection_agg_priorities" ->
+      """SELECT o_orderstatus, count(DISTINCT o_orderpriority)::BIGINT AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "hll_merge_rollup" ->
+      """SELECT l_returnflag, count(DISTINCT month(l_shipdate))::BIGINT AS months
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_row_merge_union" ->
+      """SELECT l_returnflag,
+        |  (count(DISTINCT month(l_shipdate)) + count(DISTINCT l_linestatus))::BIGINT AS combined
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_intersect_linenumbers" ->
+      """SELECT (
+        |  (SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_quantity < 25)
+        |  + (SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_quantity >= 25)
+        |  - (SELECT count(DISTINCT l_linenumber) FROM lineitem)
+        |)::BIGINT AS common""".stripMargin,
+    "hll_convert_graft" ->
+      """SELECT l_returnflag, count(DISTINCT month(l_shipdate))::BIGINT AS months
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_ds_format" ->
+      """SELECT event_type, count(DISTINCT dayofmonth(ts))::BIGINT AS days
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
+        |    AS sum_disc_price,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_top_orders_per_priority" ->
+      """SELECT o_orderpriority, rk::INT AS rk, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q5_top10_orders" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q6_rollup_quantities" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q7_churned_users" ->
+      """SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-01'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-02'
+        |ORDER BY user_id""".stripMargin,
+    "q8_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q9_daily_event_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  )
+}
