@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Single-pass sketch kernels for near-duplicate detection.
+ *
+ * Why custom expressions: composing these from `transform`/`filter`/
+ * `array_min` higher-order functions costs one interpreted expression
+ * evaluation per (element × hash function) — 128 string hashes per shingle
+ * for MinHash — which measured ~800 s for 5k docs. These expressions hash
+ * each element ONCE and derive the k values with multiply-mix arithmetic in
+ * a tight JVM loop: O(elements) string hashes + O(elements × k) long ops.
+ * `CodegenFallback` is fine — the per-row eval is a plain Scala loop, so
+ * there is no per-element interpretation overhead to eliminate.
+ */
+object SketchHashing {
+  /** splitmix64 — used to derive fixed per-function multipliers/addends. */
+  def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Base 64-bit hash of a UTF8 string element (xxHash64, Spark's seed). */
+  def baseHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+}
+
+/**
+ * `char_shingles(string, n)` → array<string>: the DISTINCT character
+ * n-grams of the input, lowercased. Texts shorter than n yield the whole
+ * (lowercased) text as the single shingle. Single pass over the string with
+ * a hash-set dedup — the higher-order-function equivalent
+ * (`array_distinct(transform(sequence(...), substring(...)))`) costs one
+ * interpreted expression eval per character.
+ */
+case class CharShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0, "shingle width must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
+    val len = text.numChars()
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      seen.add(text.substring(i, math.min(i + n, len)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def prettyName: String = "char_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `minhash_signature(array<string>, k)` → array<bigint> of length k:
+ * element-wise minimum of k pairwise-independent hash functions
+ * `h_i(x) = a_i·xxhash64(x) + b_i` (mod 2^64; a_i odd so the map is a
+ * bijection). Null elements are skipped; an all-null/empty array yields the
+ * identity signature (Long.MaxValue everywhere), which never collides with
+ * real content in band hashing.
+ */
+case class MinHashSignature(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(k > 0, "minhash signature length must be positive")
+
+  private val mulA: Array[Long] = Array.tabulate(k)(i => SketchHashing.mix64(2L * i) | 1L)
+  private val addB: Array[Long] = Array.tabulate(k)(i => SketchHashing.mix64(2L * i + 1))
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val base = SketchHashing.baseHash(arr.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val h = mulA(i) * base + addB(i)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `simhash64(array<string>)` → bigint: each token's xxhash64 votes its 64
+ * bits up/down; bit b of the result is set iff strictly more than half the
+ * tokens have bit b set. Empty input → 0.
+ */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var count = 0
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = SketchHashing.baseHash(arr.getUTF8String(j))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        count += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2 > count) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

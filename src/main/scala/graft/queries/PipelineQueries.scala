@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.sources.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Harness queries for the training-data pipeline layer: text analysis,
+ * deduplication, similarity search, multimodal plumbing. Oracle rules as in
+ * [[CoreQueries]]; additionally every similarity/dedup threshold is an
+ * integer rational and float scores never appear in compared output.
+ */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-document integer quality signals — one projection, no shuffle.
+    "q10_text_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val signals = TextAnalysis.qualitySignals(col("text")).map { case (n, c) => c.as(n) }
+      docs.select((col("doc_id") +: signals): _*).orderBy("doc_id")
+    }),
+
+    // Stopword-evidence language guess vs the labeled lang column.
+    "q11_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("labeled"),
+          TextAnalysis.languageGuess(col("text")).as("guessed"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprints (md5 of normalized text) — the dedup key.
+    "q12_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup groups over fingerprints.
+    "q13_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDupGroups(Tables.documents(s, dir)).orderBy("fp")
+    }),
+
+    // Near-dup pairs: MinHash(128) → 64-band LSH → exact Jaccard >= 2/5.
+    // Only integer intersection/union sizes in the output.
+    "q14_dedup_minhash" -> ((s, dir) => {
+      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), thresholdNum = 2, thresholdDen = 5)
+    }),
+
+    // SimHash near-dup pairs (Hamming <= 3 via complete 4-chunk banding).
+    // No portable SQL equivalent (xxhash64) — rows-only check.
+    "q15_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir))
+    }),
+
+    // Embedding near-duplicates: exact half-cartesian with the fused cosine
+    // kernel; ids only. (LSH candidate path exists for higher thresholds —
+    // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
+    "q16_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+    }),
+
+    // ANN baseline: exact top-5 cosine neighbors for the first 10 vectors.
+    "q17_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal: binary payload -> per-partition stub decode -> typed meta.
+    "q18_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(s, Multimodal.withPayload(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private val enHits = hitsSql(graft.text.Stopwords.English)
+  private val deHits = hitsSql(graft.text.Stopwords.German)
+  private val esHits = hitsSql(graft.text.Stopwords.Spanish)
+  private val frHits = hitsSql(graft.text.Stopwords.French)
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(length(text) - 4, 1) + 1),
+      |  i -> substr(lower(text), i::INT, 5)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q10_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text)::INT AS n_chars,
+         |  len($tokensSql)::INT AS n_tokens,
+         |  len(list_distinct($tokensSql))::INT AS n_distinct_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_subtokens,
+         |  length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::INT AS n_alpha_chars,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::INT AS n_punct_chars,
+         |  $enHits::INT AS n_stopword_tokens,
+         |  list_max(list_transform($tokensSql, t -> length(t)))::INT AS max_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q11_text_langid" ->
+      s"""SELECT doc_id, lang AS labeled,
+         |  CASE
+         |    WHEN $enHits >= $deHits AND $enHits >= $esHits AND $enHits >= $frHits THEN 'en'
+         |    WHEN $deHits >= $esHits AND $deHits >= $frHits THEN 'de'
+         |    WHEN $esHits >= $frHits THEN 'es'
+         |    ELSE 'fr'
+         |  END AS guessed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    "q13_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q14_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1)
+         |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
+         |FROM pair_inter
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q16_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q17_ann_topk" ->
+      """SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q18_multimodal_meta" ->
+      """SELECT doc_id, 'image/stub' AS media_type,
+        |  octet_length(encode(text))::INT AS n_bytes,
+        |  (64 + octet_length(encode(text)) % 512)::INT AS width,
+        |  (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
+        |  3::INT AS channels,
+        |  list_sum(list_transform(string_split_regex(encode(text)::VARCHAR, ''), c -> ord(c)))::BIGINT AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column builders for large-scale corpus curation: token
+ * statistics, quality signals, language scoring, and fingerprinting.
+ *
+ * Everything here composes Spark built-ins (codegen'd, no UDFs), is a pure
+ * per-row projection (no shuffle — scales linearly with the scan), and is
+ * deliberately expressible in portable SQL so results can be audited by any
+ * engine reading the same files.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-style subword segment count: runs of letters, runs of digits, and
+   * individual non-alphanumeric marks each count as one segment — a cheap,
+   * deterministic proxy for tokenizer load. */
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** How many tokens appear in `words` (multiset count, not distinct). */
+  def tokenHits(text: Column, words: Seq[String]): Column = {
+    val set = words.map(lit(_))
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  /** Count of ASCII letters in the lowercased text. */
+  def alphaCharCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", ""))
+
+  /** Count of punctuation marks. */
+  def punctCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+
+  /** Integer quality signals for downstream filtering. Ratios are left to
+   * the consumer: integers compare exactly across engines, floats don't. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text),
+    "n_tokens" -> tokenCount(text),
+    "n_distinct_tokens" -> size(array_distinct(tokens(text))),
+    "n_subtokens" -> subtokenCount(text),
+    "n_alpha_chars" -> alphaCharCount(text),
+    "n_punct_chars" -> punctCharCount(text),
+    "n_stopword_tokens" -> tokenHits(text, Stopwords.English),
+    "max_token_len" -> array_max(transform(tokens(text), t => length(t)))
+  )
+
+  /** Content fingerprint: MD5 of whitespace-normalized, lowercased text.
+   * Stable across engines (DuckDB, Trino, Postgres all agree on md5-of-utf8),
+   * which makes fingerprint-based dedup auditable off-Spark. */
+  def fingerprint(text: Column): Column =
+    md5(normalized(text).cast("binary"))
+
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Best-guess language by stopword evidence: the language whose stopword
+   * list hits the most tokens; earlier entry wins ties. Heuristic n-gram /
+   * stopword language ID — cheap enough to run over every document. */
+  def languageGuess(text: Column): Column = {
+    val scored = Stopwords.ByLanguage.map { case (lang, words) =>
+      struct(tokenHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, preference order): array_max on structs compares
+    // fields in order, so put hits first and break ties by reverse position.
+    val withPref = Stopwords.ByLanguage.zipWithIndex.map { case ((lang, words), i) =>
+      struct(tokenHits(text, words).as("hits"),
+        lit(Stopwords.ByLanguage.size - i).as("pref"), lit(lang).as("lang"))
+    }
+    array_max(array(withPref: _*)).getField("lang")
+  }
+}
+
+object Stopwords {
+  val English: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val German: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit")
+  val Spanish: Seq[String] = Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que")
+  val French: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "que")
+
+  /** Preference order breaks ties (first wins). */
+  val ByLanguage: Seq[(String, Seq[String])] = Seq(
+    "en" -> English, "de" -> German, "es" -> Spanish, "fr" -> French)
+}
