@@ -48,13 +48,28 @@ case class CharShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
-    val len = text.numChars()
-    val count = math.max(len - n + 1, 1)
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](count * 2)
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = text.getBytes
+    // One pass to find every character's byte offset. UTF8String.substring
+    // rescans from byte 0 per call (O(len) each, O(len^2) per document);
+    // slicing through this offset table keeps shingling linear.
+    var nChars = 0
+    var off = 0
+    val offsets = new Array[Int](bytes.length + 1)
+    while (off < bytes.length) {
+      offsets(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    offsets(nChars) = bytes.length
+    val count = math.max(nChars - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     var i = 0
     while (i < count) {
-      seen.add(text.substring(i, math.min(i + n, len)))
+      val start = offsets(i)
+      val end = offsets(math.min(i + n, nChars))
+      seen.add(UTF8String.fromBytes(bytes, start, end - start))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

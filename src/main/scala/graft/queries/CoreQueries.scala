@@ -48,18 +48,24 @@ object CoreQueries {
     // ------------------------------------------------------------------ HLL
     // hll_init: per-row sketch; cardinality of a 1-value sketch is 1.
     // Scale: pure map-side, no shuffle; sketches stream straight to the sink.
+    // Per-row sketches use the DS format: DataSketches stays in exact coupon
+    // (sparse) mode at tiny cardinalities, so each row carries ~40 bytes
+    // instead of the 48 KiB a dense p=16 STRM sketch serializes to — the
+    // dense format is for merge-heavy rollup tables, not row-grain output.
     "hll_init_scalar" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          hll_cardinality(hll_init(col("lang"), ExactSD)).as("card"))
+          hll_cardinality(hll_init(col("lang"), ExactSD, "DS"), "DS").as("card"))
         .orderBy("doc_id")
     }),
 
-    // hll_init_collection: per-row sketch over array members.
+    // hll_init_collection: per-row sketch over array members (DS format for
+    // the same row-grain reason as hll_init_scalar).
     "hll_init_collection_scalar" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          hll_cardinality(hll_init_collection(array(col("lang"), col("source")), ExactSD))
+          hll_cardinality(
+            hll_init_collection(array(col("lang"), col("source")), ExactSD, "DS"), "DS")
             .as("card"))
         .orderBy("doc_id")
     }),
