@@ -51,9 +51,11 @@ object Dedup {
   def minhashSignature(elements: Column, k: Int = 128): Column =
     GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(elements), k))
 
-  /** 64-bit SimHash of a string array (single-pass kernel). */
-  def simhash64(elements: Column): Column =
-    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(elements)))
+  /** 64-bit SimHash of a string array (single-pass kernel). With
+   * `auditable = true`, tokens hash via MD5 so any engine with `md5()` can
+   * recompute the same simhash — see [[SimHash64]]. */
+  def simhash64(elements: Column, auditable: Boolean = false): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(elements), auditable))
 
   /**
    * Near-duplicate pairs by MinHash LSH + exact Jaccard verification.
@@ -137,10 +139,11 @@ object Dedup {
    * sim) — 32 bytes/row — so the candidate join is shuffle-light.
    */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      auditable: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is complete only for Hamming <= 3")
     val withSim = docs.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+      simhash64(TextAnalysis.tokens(col(textCol)), auditable).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "value")))

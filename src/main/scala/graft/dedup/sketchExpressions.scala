@@ -125,11 +125,19 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 /**
- * `simhash64(array<string>)` → bigint: each token's xxhash64 votes its 64
+ * `simhash64(array<string>)` → bigint: each token's 64-bit hash votes its
  * bits up/down; bit b of the result is set iff strictly more than half the
  * tokens have bit b set. Empty input → 0.
+ *
+ * With `auditable = false` (default) tokens hash with xxHash64 — the fast
+ * path. With `auditable = true` they hash with the first 8 bytes of
+ * MD5(UTF-8 bytes), big-endian: unlike xxHash64, that value is computable
+ * in one expression by DuckDB/Postgres/Trino (`md5()` is everywhere), so
+ * the entire near-dup result can be re-derived and audited off-Spark. For
+ * SimHash the hash IS the semantics — two engines only agree on the pairs
+ * if they agree on the token hash.
  */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, auditable: Boolean = false)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
@@ -143,7 +151,8 @@ case class SimHash64(child: Expression)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = SketchHashing.baseHash(arr.getUTF8String(j))
+        val s = arr.getUTF8String(j)
+        val h = if (auditable) SimHash64.md5Hash64(s) else SketchHashing.baseHash(s)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1
@@ -165,4 +174,26 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(UTF-8 bytes), big-endian — the bit pattern of
+   * `('0x' || substr(md5(t), 1, 16))::UBIGINT` in DuckDB. */
+  def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      h = (h << 8) | (bytes(i) & 0xFFL)
+      i += 1
+    }
+    h
+  }
 }

@@ -59,10 +59,13 @@ object PipelineQueries {
         thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
-    // SimHash near-dup pairs (Hamming <= 3 via complete 4-chunk banding).
-    // No portable SQL equivalent (xxhash64) — rows-only check.
+    // SimHash near-dup pairs (Hamming <= 3 via complete 4-chunk banding),
+    // with the auditable MD5 token hash so the oracle can recompute every
+    // simhash bit-for-bit and re-derive the same pairs by all-pairs Hamming
+    // (the 4-chunk banding is exact for Hamming <= 3, so candidate
+    // generation loses nothing vs the oracle's exhaustive join).
     "q15_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDupPairs(Tables.documents(s, dir))
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), auditable = true)
     }),
 
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
@@ -148,6 +151,36 @@ object PipelineQueries {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Recompute every simhash from scratch: md5-derived 64-bit token hashes
+    // vote per bit (strict majority), then exhaustive all-pairs Hamming.
+    // Unsigned vs signed 64-bit makes no difference — xor/bit_count act on
+    // the bit pattern, which the Spark kernel shares byte-for-byte.
+    "q15_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+        |  FROM documents
+        |),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(((h >> b.b) & 1)::INT)::INT AS votes, count(*)::INT AS n
+        |  FROM h, (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY 1, 2
+        |),
+        |sim AS (
+        |  SELECT d.doc_id,
+        |    coalesce(s.sim, 0::UBIGINT) AS sim
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
+        |    FROM bits GROUP BY 1) s USING (doc_id)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sim, b.sim))::INT AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q16_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
