@@ -3,7 +3,6 @@ package graft.dedup
 import graft.text.TextAnalysis
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -164,11 +163,8 @@ object Dedup {
    * appears as the greater member of a qualifying pair maps to the smallest
    * id it pairs with (single-link one-hop; full transitive closure is an
    * iterative join left to the caller when needed). */
-  def canonicalAssignment(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id_b"))
-    pairs.select(col("id_b").as("id"), col("id_a"))
-      .withColumn("canonical_id", min(col("id_a")).over(w))
-      .select(col("id"), col("canonical_id"))
-      .distinct()
-  }
+  def canonicalAssignment(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("canonical_id"))
 }

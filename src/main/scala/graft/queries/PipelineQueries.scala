@@ -87,6 +87,24 @@ object PipelineQueries {
       Multimodal.decodeMeta(s, Multimodal.withPayload(Tables.documents(s, dir)))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // IVF ANN: 16 deterministic coarse cells, probe the 4 nearest per query,
+    // exact re-rank inside probed cells. Same query set as q17 so the two
+    // results document the exact-vs-IVF trade directly.
+    "q19_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Canonical assignment: collapse the q14 near-dup pairs — every doc that
+    // is the greater member of a pair maps to the smallest doc it pairs with.
+    "q20_dedup_canonical" -> ((s, dir) => {
+      Dedup.canonicalAssignment(
+        Dedup.jaccardNearDupPairs(Tables.documents(s, dir),
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+        .orderBy("id")
     })
   )
 
@@ -196,6 +214,57 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
+    // id), same nearest-cell assignment (ties to lower cid), same 4-probe
+    // re-rank. Approximate ANN is still deterministic, so it oracles.
+    "q19_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY vec_id LIMIT 16
+        |),
+        |assign AS (
+        |  SELECT id, vec, cid FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e, cent c)
+        |  WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT query_id, q_vec, cid FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q, cent c WHERE q.vec_id < 10)
+        |  WHERE rn <= 4
+        |)
+        |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_vec, a.vec) DESC, a.id ASC) AS rank
+        |  FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.id <> p.query_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Same pair derivation as q14, then min-partner per greater member.
+    "q20_dedup_canonical" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM pair_inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
+         |)
+         |SELECT id_b AS id, min(id_a) AS canonical_id
+         |FROM pairs GROUP BY id_b ORDER BY id""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.
