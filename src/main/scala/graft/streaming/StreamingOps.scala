@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.hll.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (the `events` table's streaming shape). */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Running per-user session summary maintained by [[StreamingOps.sessionSummaries]]. */
+case class SessionSummary(
+    user_id: Long,
+    first_ts: java.sql.Timestamp,
+    last_ts: java.sql.Timestamp,
+    n_events: Long)
+
+/**
+ * Structured Streaming surface. The reference library has no streaming code
+ * (SURVEY.md §2.4), but its core data structure is the part of it that IS
+ * streaming-native: an HLL sketch is mergeable state, so per-window sketches
+ * computed incrementally can be unioned later across windows, streams, and
+ * batch tables with the same `hll_merge` used everywhere else.
+ *
+ * Scale contract: streaming aggregation state per (window, group) is one
+ * sketch (~2^p registers), independent of event volume; the watermark bounds
+ * how many windows stay open, so state size is |open windows| × |groups| ×
+ * sketch bytes. The same TypedImperativeAggregate drives batch and
+ * streaming — no separate code path.
+ */
+object StreamingOps {
+
+  /**
+   * Watermarked tumbling-window distinct-user sketches.
+   *
+   * Emits one row per closed window: (window_start, window_end, users_hll,
+   * n_events). The sketch column is a first-class output, not just an
+   * estimate — downstream consumers re-aggregate it with `hll_merge`
+   * (e.g. daily windows → monthly uniques) without touching raw events.
+   */
+  def windowedUserSketches(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours", relativeSD: Double = 0.02,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(
+        hll_init_agg(col(userCol), relativeSD).as("users_hll"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("users_hll"),
+        col("n_events"))
+
+  /** [[windowedUserSketches]] plus the estimate, for sinks that want a
+   * human-readable column next to the mergeable sketch. */
+  def windowedUserCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours", relativeSD: Double = 0.02): DataFrame =
+    windowedUserSketches(events, windowLength, watermark, relativeSD)
+      .withColumn("distinct_users", hll_cardinality(col("users_hll")))
+
+  /**
+   * Per-user running session summaries via `mapGroupsWithState` — the
+   * custom-state path for semantics windows can't express. State per key is
+   * one [[SessionSummary]]; each micro-batch emits the updated summary for
+   * every key it touched (update output mode).
+   */
+  def sessionSummaries(spark: SparkSession, events: Dataset[UserEvent]): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
+          var summary = state.getOption.getOrElse(
+            SessionSummary(userId, null, null, 0L))
+          batch.foreach { e =>
+            val first =
+              if (summary.first_ts == null || e.ts.before(summary.first_ts)) e.ts
+              else summary.first_ts
+            val last =
+              if (summary.last_ts == null || e.ts.after(summary.last_ts)) e.ts
+              else summary.last_ts
+            summary = SessionSummary(userId, first, last, summary.n_events + 1)
+          }
+          state.update(summary)
+          summary
+      }
+  }
+
+  /** Update-mode memory-sink runner for tests/demos: starts the query,
+   * processes everything currently available, and returns the sink table
+   * name to read with `spark.table(name)`. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): String = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    name
+  }
+}

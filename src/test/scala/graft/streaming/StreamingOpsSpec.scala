@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.hll.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming semantics with deterministic MemoryStream micro-batches. */
+class StreamingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed sketches estimate distinct users per hour and re-merge across windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    // Hour 10: users 1,2,3 (user 1 twice). Hour 11: users 2,4.
+    input.addData(
+      UserEvent(1L, ts(10, 5)), UserEvent(2L, ts(10, 10)),
+      UserEvent(1L, ts(10, 20)), UserEvent(3L, ts(10, 40)),
+      UserEvent(2L, ts(11, 15)), UserEvent(4L, ts(11, 30)))
+
+    val table = StreamingOps.runToMemory(
+      StreamingOps.windowedUserCounts(input.toDF(), "1 hour", "2 hours"),
+      "windowed_users", OutputMode.Update())
+
+    val byWindow = spark.table(table)
+      .select(col("window_start"), col("distinct_users"), col("n_events"))
+      .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byWindow(ts(10)) === ((3L, 4L)))
+    assert(byWindow(ts(11)) === ((2L, 2L)))
+
+    // The sketch column is mergeable state: union of the two windows = 4
+    // distinct users, computed from the emitted sketches alone.
+    val total = spark.table(table)
+      .agg(hll_cardinality(hll_merge(col("users_hll"))))
+      .head().getLong(0)
+    assert(total === 4L)
+  }
+
+  test("windowed sketches accumulate across micro-batches (update mode re-emits)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = StreamingOps.windowedUserCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("acc_users").outputMode(OutputMode.Update())
+      .start()
+
+    input.addData(UserEvent(1L, ts(10, 5)), UserEvent(2L, ts(10, 6)))
+    query.processAllAvailable()
+    input.addData(UserEvent(3L, ts(10, 7)), UserEvent(1L, ts(10, 8)))
+    query.processAllAvailable()
+    query.stop()
+
+    // Update mode appends one row per (trigger, touched window); the last
+    // row for the hour-10 window reflects all four events / three users.
+    val last = spark.table("acc_users")
+      .filter(col("window_start") === lit(ts(10)))
+      .orderBy(col("n_events").desc)
+      .select(col("distinct_users"), col("n_events"))
+      .head()
+    assert(last.getLong(0) === 3L)
+    assert(last.getLong(1) === 4L)
+  }
+
+  test("sessionSummaries keeps one evolving summary per user across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = StreamingOps.sessionSummaries(spark, input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Update())
+      .start()
+
+    input.addData(UserEvent(7L, ts(9, 0)), UserEvent(7L, ts(9, 30)), UserEvent(8L, ts(9, 10)))
+    query.processAllAvailable()
+    input.addData(UserEvent(7L, ts(8, 45))) // out-of-order arrival extends the span backwards
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sessions")
+      .orderBy(col("n_events").desc)
+      .collect()
+      .groupBy(_.getLong(0))
+    val u7 = rows(7L).head // highest n_events row = latest state for user 7
+    assert(u7.getTimestamp(1) === ts(8, 45))
+    assert(u7.getTimestamp(2) === ts(9, 30))
+    assert(u7.getLong(3) === 3L)
+    val u8 = rows(8L).head
+    assert(u8.getLong(3) === 1L)
+  }
+}
