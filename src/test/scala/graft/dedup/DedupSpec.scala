@@ -1,0 +1,152 @@
+package graft.dedup
+
+import graft.dedup.Dedup._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val t = text.toLowerCase
+    if (t.length < n) Set(t)
+    else (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
+  }
+
+  // ------------------------------------------------------------ CharShingles
+
+  test("shingles: distinct n-grams, lowercased, in first-occurrence order semantics") {
+    val out = docs(1L -> "abcabc")
+      .select(shingles(col("text"), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(out.toSet === Set("abc", "bca", "cab"))
+    assert(out.toSet === shingleSet("abcabc", 3))
+  }
+
+  test("shingles: text shorter than width yields the whole text") {
+    val out = docs(1L -> "Ab").select(shingles(col("text"), 5)).head().getSeq[String](0)
+    assert(out === Seq("ab"))
+  }
+
+  test("shingles: multi-byte characters slice on char boundaries") {
+    val out = docs(1L -> "héllo wörld")
+      .select(shingles(col("text"), 4).as("sh"))
+      .head().getSeq[String](0)
+    assert(out.toSet === shingleSet("héllo wörld", 4))
+    assert(out.contains("héll"))
+  }
+
+  test("shingles: empty string yields one empty shingle") {
+    val out = docs(1L -> "").select(shingles(col("text"), 5)).head().getSeq[String](0)
+    assert(out === Seq(""))
+  }
+
+  // -------------------------------------------------------- MinHashSignature
+
+  test("minhash: deterministic, length k, identical sets agree") {
+    val df = docs(1L -> "the quick brown fox", 2L -> "the quick brown fox")
+      .select(col("doc_id"), minhashSignature(shingles(col("text"), 5), 64).as("sig"))
+    val sigs = df.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0).length === 64)
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("minhash: signature agreement rate tracks Jaccard similarity") {
+    // Two near-identical texts (high J) vs two unrelated texts (low J).
+    val near = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again!")
+    val far = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "completely different content with no overlap whatsoever here")
+    def agreement(df: DataFrame): Double = {
+      val sigs = df.select(minhashSignature(shingles(col("text"), 5), 128))
+        .collect().map(_.getSeq[Long](0))
+      sigs(0).zip(sigs(1)).count { case (a, b) => a == b } / 128.0
+    }
+    assert(agreement(near) > 0.8)
+    assert(agreement(far) < 0.2)
+  }
+
+  // ------------------------------------------------------- jaccard near-dups
+
+  test("jaccardNearDupPairs finds planted near-duplicates and verifies exactly") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(
+      1L -> base,
+      2L -> (base + "EXTRA TAIL."), // near-dup of 1
+      3L -> ("totally unrelated document about spark catalyst optimizer rules " * 3),
+      4L -> base) // exact dup of 1
+    val pairs = jaccardNearDupPairs(corpus, thresholdNum = 3, thresholdDen = 4,
+      rows = 4, shingleWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // Exact-dup pair: intersection == union.
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L)).get
+    assert(exact._3 === exact._4)
+    // Verified Jaccard on every returned pair actually clears the threshold.
+    pairs.foreach(p => assert(4 * p._3 >= 3 * p._4))
+  }
+
+  test("exactDupGroups groups identical normalized content") {
+    val corpus = docs(
+      10L -> "Hello   World", 11L -> "hello world", 12L -> "different")
+    val groups = exactDupGroups(corpus).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups === Set((10L, 2L), (12L, 1L)))
+  }
+
+  test("canonicalAssignment maps each greater member to its smallest partner") {
+    import spark.implicits._
+    val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
+    val canon = canonicalAssignment(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon === Map(3L -> 1L, 5L -> 1L))
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  test("simhash banding is complete: pairs equal brute-force at Hamming <= 3") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = docs(
+      1L -> base,
+      2L -> (base + "lambda"),
+      3L -> (base + "lambda mu"),
+      4L -> ("unrelated words entirely disjoint vocabulary set " * 5))
+    for (auditable <- Seq(false, true)) {
+      val banded = simhashNearDupPairs(corpus, maxHamming = 3, auditable = auditable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sims = corpus
+        .select(col("doc_id"), simhash64(graft.text.TextAnalysis.tokens(col("text")), auditable))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+      } yield (a, b)).toSet
+      assert(banded === brute, s"auditable=$auditable")
+    }
+  }
+
+  test("auditable simhash token hash matches md5 first 8 bytes big-endian") {
+    val h = SimHash64.md5Hash64(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8"))
+    val expected = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+    assert(h === expected)
+    // Cross-checked against DuckDB: ('0x'||substr(md5('hello'),1,16))::UBIGINT
+    assert(h === 6719722671305337462L)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multimodal-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("stub decoder derives metadata from bytes, including non-ASCII payloads") {
+    val ascii = MediaPayload(1L, "image/stub", "abc".getBytes("UTF-8"))
+    val m = new StubDecoder().decode(ascii)
+    assert(m === MediaMeta(1L, "image/stub", 3, 64 + 3, 64 + 1, 3, 'a' + 'b' + 'c'))
+
+    // ü is 2 UTF-8 bytes (0xC3 0xBC): checksum sums UNSIGNED byte values.
+    val unicode = MediaPayload(2L, "image/stub", "ü".getBytes("UTF-8"))
+    val mu = new StubDecoder().decode(unicode)
+    assert(mu.n_bytes === 2)
+    assert(mu.checksum === 0xC3 + 0xBC)
+  }
+
+  test("decodeMeta runs the per-partition decode end-to-end with the typed schema") {
+    import spark.implicits._
+    val docs = Seq((10L, "hello"), (11L, "wörld")).toDF("doc_id", "text")
+    val out = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "channels", "checksum"))
+    val rows = out.collect().map(m => m.doc_id -> m).toMap
+    assert(rows(10L).n_bytes === 5)
+    assert(rows(10L).checksum === "hello".getBytes("UTF-8").map(_ & 0xFF).sum.toLong)
+    assert(rows(11L).n_bytes === 6) // ö is two bytes
+    assert(rows(11L).checksum === "wörld".getBytes("UTF-8").map(_ & 0xFF).sum.toLong)
+  }
+}

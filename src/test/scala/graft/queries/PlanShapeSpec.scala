@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the physical-plan properties the 100 TB design depends on. These are
+ * the claims made in query scaladoc — if a refactor silently turns a
+ * broadcast join into a sort-merge join or stops filters reaching the scan,
+ * this suite fails even though results stay correct.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filtered scan pushes predicates and prunes columns at the parquet source") {
+    val df = CoreQueries.queries("q8_filtered_scan")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(!scan.contains("PushedFilters: []"), "pushed filter list is empty")
+    // Projection must reach the reader: lineitem has 16 columns, the query
+    // reads far fewer — the scan schema must not contain unused ones.
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"scan reads unused column: $readSchema")
+  }
+
+  test("revenue-by-nation broadcasts both dimension sides") {
+    val p = plan(CoreQueries.queries("q2_revenue_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dimension join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join for dimensions")
+  }
+
+  test("sketch aggregation plans as two-phase ObjectHashAggregate (partial before shuffle)") {
+    val p = plan(CoreQueries.queries("hll_agg_months")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), "sketch agg not ObjectHashAggregate")
+    // Partial aggregation must appear below the exchange: map-side sketches
+    // are the whole scale story (shuffle |groups| x sketch, not raw rows).
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val firstPartial = p.indexOf("ObjectHashAggregate(keys=[l_returnflag")
+    assert(firstExchange >= 0 && firstPartial >= 0)
+    assert(p.substring(firstExchange).contains("ObjectHashAggregate"),
+      "no partial aggregate below the shuffle")
+  }
+
+  test("minhash LSH never materializes a cartesian product") {
+    val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q14 plans a nested-loop join")
+  }
+
+  test("brute-force ANN broadcasts the query side, never the corpus") {
+    val df = PipelineQueries.queries("q17_ann_topk")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side not broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+  }
+
+  test("whole-stage codegen covers the text-analysis projection") {
+    val df = PipelineQueries.queries("q10_text_stats")(spark, sf)
+    df.collect() // AQE only renders codegen spans in the final executed plan
+    val p = plan(df)
+    // toString renders WholeStageCodegen subtrees with a "*(stageId)" prefix.
+    assert(p.contains("*("), "text stats fell out of whole-stage codegen")
+  }
+}

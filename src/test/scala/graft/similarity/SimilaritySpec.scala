@@ -1,0 +1,110 @@
+package graft.similarity
+
+import graft.similarity.Similarity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-similarity-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine kernel matches a hand computation and handles zero vectors") {
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(1f, 1f, 0f),
+      3L -> Seq(0f, 0f, 0f))
+    val a = df.filter(col("vec_id") === 1).select(col("embedding").as("a"))
+    val out = a.crossJoin(df.select(col("vec_id"), col("embedding").as("b")))
+      .select(col("vec_id"), cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(out(3L) === 0.0) // zero vector: similarity defined as 0, not NaN
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic id tie-breaks") {
+    val df = vecs(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(1f, 0f),   // identical to 1 (tie at score 1.0)
+      3L -> Seq(0.9f, 0.1f),
+      4L -> Seq(0f, 1f))
+    val out = bruteForceTopK(df.filter(col("vec_id") === 1), df, k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out === Array((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("ivfTopK with nProbe = nCentroids equals exact brute-force search") {
+    // 40 deterministic pseudo-random 8-dim vectors.
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    val queries = df.filter(col("vec_id") < 5)
+    val exact = bruteForceTopK(queries, df, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivfAll = ivfTopK(queries, df, k = 4, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivfAll === exact)
+  }
+
+  test("ivfTopK with partial probing returns k ranked in-cell neighbors") {
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    val out = ivfTopK(df.filter(col("vec_id") < 3), df, k = 4, nCentroids = 8, nProbe = 2)
+      .collect()
+    assert(out.length === 12) // 3 queries x 4 neighbors
+    // Ranks are 1..4 per query and neighbors never include the query itself.
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted === Array(1, 2, 3, 4))
+      assert(!rs.map(_.getLong(2)).contains(qid))
+    }
+  }
+
+  test("cosineNearDupPairs exact path returns exactly the above-threshold pairs") {
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0.99f, 0.1f, 0f),  // ~0.995 vs 1
+      3L -> Seq(0f, 1f, 0f),
+      4L -> Seq(0f, 0.99f, 0.1f))  // ~0.995 vs 3
+    val pairs = cosineNearDupPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("LSH candidate path verifies exactly: output pairs all clear the threshold") {
+    val rows = (0L until 64L).map { i =>
+      i -> (0 until 64).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    } ++ Seq(
+      100L -> (0 until 64).map(d => (Similarity.hyperplaneWeight(7, d) * 2 - 1 + 0.001).toFloat))
+    val df = vecs(rows: _*)
+    val exact = cosineNearDupPairs(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = cosineNearDupPairs(df, threshold = 0.95, lshBits = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are a subset of all pairs; after exact verification the
+    // planted near-identical pair must survive, and nothing below-threshold.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((7L, 100L)))
+  }
+
+  test("LSH signature rejects vectors of the wrong dimensionality loudly") {
+    val df = vecs(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f))
+    val e = intercept[Exception] {
+      cosineNearDupPairs(df, threshold = 0.5, lshBits = 4, dims = 64).collect()
+    }
+    assert(e.getMessage.contains("64-dim"))
+  }
+}
