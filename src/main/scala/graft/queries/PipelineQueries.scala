@@ -18,18 +18,37 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Per-document integer quality signals — one projection, no shuffle.
+    // Per-document integer quality signals — one fused kernel pass, no
+    // shuffle. The two-step select keeps the kernel at one eval per row
+    // (CollapseProject refuses to duplicate non-cheap expressions).
     "q10_text_stats" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val signals = TextAnalysis.qualitySignals(col("text")).map { case (n, c) => c.as(n) }
-      docs.select((col("doc_id") +: signals): _*).orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.textStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_chars").as("n_chars"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct_tokens").as("n_distinct_tokens"),
+          col("st.n_subtokens").as("n_subtokens"),
+          col("st.n_alpha_chars").as("n_alpha_chars"),
+          col("st.n_punct_chars").as("n_punct_chars"),
+          col("st.stopword_hits").getItem(0).as("n_stopword_tokens"),
+          col("st.max_token_len").as("max_token_len"))
+        .orderBy("doc_id")
     }),
 
-    // Stopword-evidence language guess vs the labeled lang column.
+    // Stopword-evidence language guess vs the labeled lang column: the same
+    // fused kernel scores all four languages in one tokenization.
     "q11_text_langid" -> ((s, dir) => {
+      val langs = graft.text.Stopwords.ByLanguage
+      val hits = TextAnalysis.textStats(col("text"), langs.map(_._2)).getField("stopword_hits")
+      val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+        struct(col("hits").getItem(i).as("hits"),
+          lit(langs.size - i).as("pref"), lit(lang).as("lang"))
+      }
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang").as("labeled"),
-          TextAnalysis.languageGuess(col("text")).as("guessed"))
+        .select(col("doc_id"), col("lang").as("labeled"), hits.as("hits"))
+        .select(col("doc_id"), col("labeled"),
+          array_max(array(scored: _*)).getField("lang").as("guessed"))
         .orderBy("doc_id")
     }),
 

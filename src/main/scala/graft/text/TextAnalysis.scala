@@ -54,6 +54,15 @@ object TextAnalysis {
     "max_token_len" -> array_max(transform(tokens(text), t => length(t)))
   )
 
+  /** All of [[qualitySignals]] (plus per-language stopword hits) in ONE
+   * kernel pass — see [[TextStats]]. Returns a struct column; select fields
+   * in a SEPARATE projection step so the kernel evaluates once (Catalyst's
+   * CollapseProject will not duplicate a non-cheap expression). */
+  def textStats(text: Column,
+      stopwordLists: Seq[Seq[String]] = Seq(Stopwords.English)): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      TextStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), stopwordLists))
+
   /** Content fingerprint: MD5 of whitespace-normalized, lowercased text.
    * Stable across engines (DuckDB, Trino, Postgres all agree on md5-of-utf8),
    * which makes fingerprint-based dedup auditable off-Spark. */

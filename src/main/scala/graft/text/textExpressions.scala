@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * `text_stats(string)` → struct of all per-document text signals in ONE pass.
+ *
+ * The composed column builders in [[TextAnalysis]] are correct and portable,
+ * but each signal re-tokenizes: `qualitySignals` costs five `split` calls
+ * plus three regex scans per document, and `languageGuess` another four — at
+ * corpus scale that is the dominant cost of the text-analysis stage. This
+ * kernel computes the same values with two linear scans (one over the
+ * lowercased text, one implicit in tokenization) and zero regexes.
+ *
+ * Semantics match the builders exactly (the spec asserts equivalence on a
+ * real corpus):
+ *  - tokens = maximal runs of non-`\s` chars of the lowercased text
+ *    (`\s` = space, \t, \n, \x0B, \f, \r — the Java regex class, NOT
+ *    `Character.isWhitespace`);
+ *  - subtokens = runs of [a-z] / runs of [0-9] / single other non-`\s` char;
+ *  - alpha chars = [a-z] count; punct = `.,;:!?'"()-` count;
+ *  - lengths count Unicode code points (Spark `length()` semantics);
+ *  - `stopword_hits[i]` = multiset hits of `stopwordLists(i)`;
+ *  - `max_token_len` is null for a token-free document.
+ */
+case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false),
+    StructField("n_subtokens", IntegerType, nullable = false),
+    StructField("n_alpha_chars", IntegerType, nullable = false),
+    StructField("n_punct_chars", IntegerType, nullable = false),
+    StructField("max_token_len", IntegerType, nullable = true),
+    StructField("stopword_hits", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  @transient private lazy val stopwordSets: Array[java.util.HashSet[String]] =
+    stopwordLists.map { words =>
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach(w => s.add(w))
+      s
+    }.toArray
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '-' => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val original = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val lower = original.toLowerCase.toString
+    val len = lower.length // UTF-16 units; code points counted separately
+
+    var nTokens = 0
+    var nSubtokens = 0
+    var nAlpha = 0
+    var nPunct = 0
+    var maxTokenLen = -1
+    val hits = new Array[Int](stopwordSets.length)
+    val distinct = new java.util.HashSet[String]()
+
+    var i = 0
+    var tokenStart = -1
+    var tokenCp = 0 // code points in the current token
+    var runKind = 0 // current subtoken run: 0 none, 1 letters, 2 digits
+
+    def closeToken(end: Int): Unit = {
+      if (tokenStart >= 0) {
+        nTokens += 1
+        if (tokenCp > maxTokenLen) maxTokenLen = tokenCp
+        val tok = lower.substring(tokenStart, end)
+        distinct.add(tok)
+        var s = 0
+        while (s < hits.length) {
+          if (stopwordSets(s).contains(tok)) hits(s) += 1
+          s += 1
+        }
+        tokenStart = -1
+        tokenCp = 0
+      }
+    }
+
+    while (i < len) {
+      val c = lower.charAt(i)
+      if (isWs(c)) {
+        closeToken(i)
+        runKind = 0
+      } else {
+        if (tokenStart < 0) tokenStart = i
+        if (!Character.isLowSurrogate(c)) tokenCp += 1
+        if (c >= 'a' && c <= 'z') {
+          nAlpha += 1
+          if (runKind != 1) { nSubtokens += 1; runKind = 1 }
+        } else if (c >= '0' && c <= '9') {
+          if (runKind != 2) { nSubtokens += 1; runKind = 2 }
+        } else {
+          // every other non-whitespace char is its own subtoken; surrogate
+          // pairs form one code point = one subtoken
+          if (!Character.isLowSurrogate(c)) nSubtokens += 1
+          runKind = 0
+        }
+        if (isPunct(c)) nPunct += 1
+      }
+      i += 1
+    }
+    closeToken(len)
+
+    val nChars = original.numChars()
+    new GenericInternalRow(Array[Any](
+      nChars, nTokens, distinct.size(), nSubtokens, nAlpha, nPunct,
+      if (maxTokenLen < 0) null else maxTokenLen,
+      new GenericArrayData(hits.map(h => h: Any))))
+  }
+
+  override def prettyName: String = "text_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

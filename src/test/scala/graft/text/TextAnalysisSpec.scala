@@ -71,4 +71,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = one("  a   b\t\nc  ").select(tokenCount(col("text"))).head().getInt(0)
     assert(out === 3)
   }
+
+  test("fused TextStats kernel equals the composed builders on corpus + edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "\t\n", "a", "abc123!?", "héllo wörld héllo",
+      "  the   the the  ", "123 456 123", "ümlaut ÜMLAUT", "a-b a-b c.d",
+      "x" * 500, "the quick brown fox! 42 times.").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val langs = Stopwords.ByLanguage
+      val composed = df.select(
+        (qualitySignals(col("text")).map { case (n, c) => c.as(n) } :+
+          languageGuess(col("text")).as("guessed")): _*)
+      val fused = df
+        .select(textStats(col("text"), langs.map(_._2)).as("st"))
+        .select(
+          col("st.n_chars").as("n_chars"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct_tokens").as("n_distinct_tokens"),
+          col("st.n_subtokens").as("n_subtokens"),
+          col("st.n_alpha_chars").as("n_alpha_chars"),
+          col("st.n_punct_chars").as("n_punct_chars"),
+          col("st.stopword_hits").getItem(0).as("n_stopword_tokens"),
+          col("st.max_token_len").as("max_token_len"),
+          col("st.stopword_hits").as("hits"))
+        .select(col("*"),
+          array_max(array(langs.zipWithIndex.map { case ((lang, _), i) =>
+            struct(col("hits").getItem(i).as("hits"),
+              lit(langs.size - i).as("pref"), lit(lang).as("lang"))
+          }: _*)).getField("lang").as("guessed"))
+        .drop("hits")
+      val a = composed.collect().map(_.toSeq).toSeq
+      val b = fused.collect().map(_.toSeq).toSeq
+      assert(a === b)
+    }
+  }
 }
