@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.hll.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SaltingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-salting-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def skewed() = {
+    import spark.implicits._
+    // Key "hot" holds 90% of rows; "cold1"/"cold2" the rest.
+    val rows = (1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => ("cold1", i.toLong)) ++
+      (1 to 50).map(i => ("cold2", (i + 25).toLong))
+    rows.toDF("key", "v")
+  }
+
+  test("salted algebraic aggregation equals direct aggregation") {
+    val df = skewed()
+    val direct = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val salted = Salting.saltedAgg(df, Seq("key"), saltBuckets = 8,
+      saltSource = Seq(col("v")),
+      aggs = Seq(("n", "count", lit(1)), ("s", "sum", col("v")),
+        ("lo", "min", col("v")), ("hi", "max", col("v"))))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(salted === direct)
+  }
+
+  test("salted sketch distinct-count equals unsalted sketch distinct-count") {
+    val df = skewed()
+    val direct = df.groupBy("key")
+      .agg(hll_init_agg(col("v"), 0.02).as("h"))
+      .select(col("key"), hll_cardinality(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salting.saltedDistinctSketch(df, Seq("key"), col("v"),
+        saltBuckets = 8, relativeSD = 0.02)
+      .select(col("key"), hll_cardinality(col("value_hll")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct) // the real claim: salting changes nothing
+    assert(math.abs(salted("hot") - 900L) <= 18L) // within 2% at sd=0.02
+    assert(salted("cold1") === 50L) // exact at tiny cardinality
+  }
+
+  test("phase-1 state is bounded: every (key, salt) cell stays under the hot-key volume") {
+    val df = skewed().withColumn("__salt", Salting.salt(8, col("v")))
+    val maxCell = df.groupBy("key", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell < 900 / 4, s"salting failed to split the hot key (max cell = $maxCell)")
+  }
+
+  test("non-algebraic aggregate kinds are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedAgg(skewed(), Seq("key"), 4, Seq(col("v")),
+        Seq(("m", "median", col("v"))))
+    }
+    assert(e.getMessage.contains("median"))
+  }
+}

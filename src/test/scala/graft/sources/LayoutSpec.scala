@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-layout-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .getOrCreate()
+
+  test("joins between co-bucketed tables plan without an exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    // A fresh in-memory catalog forgets tables from earlier sessions but
+    // their directories survive in the warehouse; clear both sides so
+    // saveAsTable never trips LOCATION_ALREADY_EXISTS.
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(warehouse, t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Layout.writeBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", Seq("o_custkey"), 4)
+    Layout.writeBucketed(customer.select("c_custkey", "c_name"),
+      "customer_b", Seq("c_custkey"), 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+
+      // Control: the same join over plain parquet shuffles both sides.
+      val unbucketed = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      unbucketed.collect()
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+
+      // Same results either way.
+      assert(joined.count() === unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
