@@ -255,6 +255,28 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
         .orderBy("day", "event_type")
+    }),
+
+    // JSON functions: extract a typed field from the semi-structured props
+    // column and aggregate it. Scale: get_json_object is codegen'd and
+    // per-row; the scan prunes to (event_type, props).
+    "q21_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+        .orderBy("event_type")
+    }),
+
+    // Set operation: users active on BOTH days (INTERSECT = distinct set
+    // intersection; q7 covers EXCEPT). Scale: both sides pre-aggregate to
+    // distinct user ids before the equi-shuffle.
+    "q22_retained_users" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val d1 = events.filter(to_date(col("ts")) === lit("2024-01-01")).select(col("user_id"))
+      val d2 = events.filter(to_date(col("ts")) === lit("2024-01-02")).select(col("user_id"))
+      d1.intersect(d2).orderBy("user_id")
     })
   )
 
@@ -345,6 +367,16 @@ object CoreQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*)::BIGINT AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q21_json_props" ->
+      """SELECT event_type,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  count(json_extract_string(props, '$.k'))::BIGINT AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q22_retained_users" ->
+      """SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-01'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-02'
+        |ORDER BY user_id""".stripMargin
   )
 }
