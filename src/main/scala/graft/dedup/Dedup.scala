@@ -161,10 +161,59 @@ object Dedup {
 
   /** Collapse near-dup pairs into canonical assignments: every id that
    * appears as the greater member of a qualifying pair maps to the smallest
-   * id it pairs with (single-link one-hop; full transitive closure is an
-   * iterative join left to the caller when needed). */
+   * id it pairs with (single-link one-hop; [[connectedComponents]] gives the
+   * full transitive closure when chains matter). */
   def canonicalAssignment(pairs: DataFrame): DataFrame =
     pairs
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("canonical_id"))
+
+  /**
+   * Full transitive dedup clustering: connected components over the
+   * near-dup pair graph by iterative min-label propagation. Returns
+   * (id, component_id) for every id appearing in `pairs`, where
+   * component_id is the smallest id reachable through any chain of pairs
+   * (A~B, B~C ⇒ A,B,C share one component even if A~C was never emitted).
+   *
+   * Scale contract: each iteration is one equi-join of the current label
+   * table against the (undirected) edge list plus a min-aggregation — all
+   * hash-partitioned by id, no broadcast of anything proportional to the
+   * graph. Iterations needed = graph diameter (near-dup graphs are unions
+   * of small cliques and short chains, so 2-3 in practice);
+   * convergence is detected by counting label changes, and each round
+   * caches its label table and unpersists the previous one so the lineage
+   * does not grow unboundedly.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .cache()
+    labels.count() // materialize before the loop
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Candidate label for each node: min over its own label and its
+      // neighbours' labels.
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component_id"))
+  }
 }

@@ -142,5 +142,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[HllInitSimple].getPackage.getName, null, name, usageText, ""),
         builder))
     }
+    graft.kll.KllFunctionRegistry.inject(extensions)
   }
 }

@@ -124,6 +124,15 @@ object PipelineQueries {
         Dedup.jaccardNearDupPairs(Tables.documents(s, dir),
           thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
         .orderBy("id")
+    }),
+
+    // Full transitive dedup clustering: connected components over the q14
+    // pair graph (A~B, B~C ⇒ one cluster even when A~C was never emitted).
+    "q23_dedup_components" -> ((s, dir) => {
+      Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(Tables.documents(s, dir),
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+        .orderBy("id")
     })
   )
 
@@ -284,6 +293,33 @@ object PipelineQueries {
          |)
          |SELECT id_b AS id, min(id_a) AS canonical_id
          |FROM pairs GROUP BY id_b ORDER BY id""".stripMargin,
+    // Transitive closure via recursive CTE: u's component = min id reachable
+    // over the undirected pair graph (same pairs derivation as q14/q20).
+    "q23_dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM pair_inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
+         |),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |)
+         |SELECT u AS id, min(r) AS component_id FROM reach
+         |GROUP BY u ORDER BY id""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.

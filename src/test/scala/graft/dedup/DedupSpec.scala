@@ -109,6 +109,31 @@ class DedupSpec extends AnyFunSuite {
     assert(groups === Set((10L, 2L), (12L, 1L)))
   }
 
+  test("connectedComponents closes chains transitively, one-hop canonical does not") {
+    import spark.implicits._
+    // Chain 1-3, 3-7 (1~7 never emitted) plus a separate pair 2-5 and a
+    // triangle 10-11, 10-12, 11-12.
+    val pairs = Seq((1L, 3L), (3L, 7L), (2L, 5L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val comp = connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(
+      1L -> 1L, 3L -> 1L, 7L -> 1L, // chain collapses through the hop
+      2L -> 2L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // One-hop canonical assignment leaves 7 pointing at 3, not 1.
+    val canon = canonicalAssignment(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon(7L) === 3L)
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    import spark.implicits._
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(comp === Array(0L))
+  }
+
   test("canonicalAssignment maps each greater member to its smallest partner") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
