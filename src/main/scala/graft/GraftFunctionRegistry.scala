@@ -1,0 +1,97 @@
+package graft
+
+import graft.dedup.{CharShingles, MinHashSignature, SimHash64}
+import graft.hll.FunctionRegistration
+import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct}
+import graft.text.TextStats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+
+/**
+ * SQL registration for the pipeline kernels (dedup, similarity, text) so
+ * the WHOLE library — not just the sketch families — is callable from
+ * SparkSQL and PySpark:
+ *
+ *   SELECT simhash64(tokens, true), char_shingles(text, 5) FROM docs
+ *
+ * Same mechanism the reference uses for its HLL functions: native Catalyst
+ * expressions registered like built-ins, no ScalaUDF serialization.
+ */
+object GraftFunctionRegistry extends FunctionRegistration {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def intOf(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, LongType) => l.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  private def boolOf(e: Expression, what: String): Boolean = e match {
+    case Literal(b: Boolean, BooleanType) => b
+    case _ => throw new IllegalArgumentException(s"$what must be a boolean literal")
+  }
+
+  private def wrongArity(name: String, got: Int): Nothing =
+    throw new IllegalArgumentException(s"Invalid number of arguments for function $name: $got")
+
+  val entries: Seq[(String, String, Builder)] = Seq(
+    ("char_shingles",
+      "_FUNC_(text, n) - Distinct lowercased character n-gram shingles of text.",
+      {
+        case Seq(t, n) => CharShingles(t, intOf(n, "the shingle width"))
+        case args => wrongArity("char_shingles", args.size)
+      }),
+    ("minhash_signature",
+      "_FUNC_(elements, k) - k-element MinHash signature of a string array.",
+      {
+        case Seq(e, k) => MinHashSignature(e, intOf(k, "the signature length"))
+        case args => wrongArity("minhash_signature", args.size)
+      }),
+    ("simhash64",
+      "_FUNC_(elements[, auditable]) - 64-bit SimHash; auditable=true hashes tokens with MD5 so other engines can reproduce it.",
+      {
+        case Seq(e) => SimHash64(e)
+        case Seq(e, a) => SimHash64(e, boolOf(a, "the auditable flag"))
+        case args => wrongArity("simhash64", args.size)
+      }),
+    ("text_stats",
+      "_FUNC_(text) - Single-pass text quality signals struct (English stopword hits).",
+      {
+        case Seq(t) => TextStats(t, Seq(graft.text.Stopwords.English))
+        case args => wrongArity("text_stats", args.size)
+      }),
+    ("cosine_similarity",
+      "_FUNC_(a, b) - Cosine similarity of two float arrays (0.0 for zero vectors).",
+      {
+        case Seq(a, b) => ArrayCosineSimilarity(a, b)
+        case args => wrongArity("cosine_similarity", args.size)
+      }),
+    ("dot_product",
+      "_FUNC_(a, b) - Dot product of two float arrays.",
+      {
+        case Seq(a, b) => ArrayDotProduct(a, b)
+        case args => wrongArity("dot_product", args.size)
+      })
+  )
+
+  private def info(name: String, usageText: String): ExpressionInfo =
+    new ExpressionInfo(classOf[CharShingles].getPackage.getName, null, name, usageText, "")
+
+  override def registerFunctions(spark: SparkSession): Unit = {
+    val registry = GraftSqlBridge.functionRegistry(spark)
+    entries.foreach { case (name, usageText, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+    }
+  }
+
+  /** For injection alongside HLL/KLL in GraftSparkExtensions. */
+  def inject(extensions: SparkSessionExtensions): Unit =
+    entries.foreach { case (name, usageText, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name), info(name, usageText), builder))
+    }
+}

@@ -185,14 +185,25 @@ object Dedup {
    * does not grow unboundedly.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) on everything the loop rebuilds from:
+    // each iteration references `labels` twice, so without lineage
+    // truncation the logical plan DOUBLES per iteration — a 15-hop chain
+    // builds a 2^15-node plan and analysis itself runs out of memory.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
-      .cache()
-    labels.count() // materialize before the loop
+      .localCheckpoint(true)
 
+    // Convergence check: labels only ever decrease (least of old label and
+    // neighbor min), so the total label sum strictly decreases iff any node
+    // changed — one aggregate instead of a join-and-count per iteration.
+    // decimal(38,0) so the sum cannot overflow however large the ids are.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -205,12 +216,12 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+        .localCheckpoint(true) // truncate lineage; see note above
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

@@ -143,5 +143,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     graft.kll.KllFunctionRegistry.inject(extensions)
+    graft.GraftFunctionRegistry.inject(extensions)
   }
 }

@@ -39,5 +39,25 @@ class ExtensionsSpec extends AnyFunSuite {
     // DESCRIBE FUNCTION surfaces the usage doc like a built-in.
     val desc = spark.sql("DESCRIBE FUNCTION hll_init").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("hll_init"))
+
+    // The KLL family and the pipeline kernels ride the same extensions.
+    Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
+      "char_shingles", "minhash_signature", "simhash64", "text_stats",
+      "cosine_similarity", "dot_product").foreach { n =>
+      assert(spark.catalog.functionExists(n), s"$n missing from catalog")
+    }
+    val pipeline = spark.sql(
+      """SELECT size(char_shingles('hello world', 5)) AS n_sh,
+        |  size(minhash_signature(array('a','b'), 32)) AS n_sig,
+        |  simhash64(array('x'), true) <> 0 AS has_sim,
+        |  text_stats('the quick fox').n_tokens AS n_tok,
+        |  round(cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)), 9) AS cos,
+        |  dot_product(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS dot""".stripMargin).head()
+    assert(pipeline.getInt(0) === 7)
+    assert(pipeline.getInt(1) === 32)
+    assert(pipeline.getBoolean(2))
+    assert(pipeline.getInt(3) === 3)
+    assert(pipeline.getDouble(4) === 1.0)
+    assert(pipeline.getDouble(5) === 23.0)
   }
 }
