@@ -51,7 +51,33 @@ object Multimodal {
       batch.map(decoder.decode)
     }
   }
+
+  /**
+   * Feature extraction over media payloads: a 16-bin byte-value histogram
+   * per document — the stand-in for a real embedding/feature step (same
+   * batch shape: per-partition extractor, bounded fixed-width output, media
+   * bytes dropped immediately after). Being integer-exact it is
+   * oracle-verifiable byte-for-byte, and the histogram vector can feed the
+   * similarity stack downstream like any other vector column.
+   */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { batch =>
+      batch.map { p =>
+        val hist = new Array[Int](16)
+        var i = 0
+        while (i < p.payload.length) {
+          hist((p.payload(i) & 0xFF) >>> 4) += 1
+          i += 1
+        }
+        MediaFeatures(p.doc_id, hist)
+      }
+    }
+  }
 }
+
+/** (id, 16-bin byte-value histogram) — the feature-extract stage output. */
+case class MediaFeatures(doc_id: Long, hist: Array[Int])
 
 /**
  * Deterministic fake decoder. A real implementation would parse the payload

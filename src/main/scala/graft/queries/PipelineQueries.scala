@@ -108,6 +108,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Multimodal feature extraction: per-partition 16-bin byte histograms,
+    // exploded to (doc_id, bin, n) rows so the compare is all scalars.
+    "q26_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(s, Multimodal.withPayload(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "n")))
+        .orderBy("doc_id", "bin")
+    }),
+
     // IVF ANN: 16 deterministic coarse cells, probe the 4 nearest per query,
     // exact re-rank inside probed cells. Same query set as q17 so the two
     // results document the exact-vs-IVF trade directly.
@@ -242,6 +251,26 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // A byte's high nibble IS its first hex digit, so the bin of byte i is
+    // the hex char at position 2i-1 of the blob's hex encoding.
+    "q26_multimodal_features" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, unnest(range(1, octet_length(encode(text)) + 1)) AS i,
+        |         hex(encode(text)) AS h
+        |  FROM documents
+        |),
+        |bins AS (
+        |  SELECT doc_id,
+        |    (ord(substr(h, (2*i-1)::INT, 1)) -
+        |     CASE WHEN substr(h, (2*i-1)::INT, 1) <= '9' THEN 48 ELSE 55 END) AS bin
+        |  FROM bytes
+        |)
+        |SELECT d.doc_id AS doc_id, b.bin::INT AS bin, coalesce(c.n, 0)::INT AS n
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+        |LEFT JOIN (SELECT doc_id, bin, count(*) AS n FROM bins GROUP BY 1, 2) c
+        |  ON d.doc_id = c.doc_id AND b.bin = c.bin
+        |ORDER BY d.doc_id, b.bin""".stripMargin,
     // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.

@@ -24,6 +24,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mu.checksum === 0xC3 + 0xBC)
   }
 
+  test("extractFeatures builds exact 16-bin byte histograms") {
+    import spark.implicits._
+    val docs = Seq((1L, "AB"), (2L, "")).toDF("doc_id", "text") // 'A'=0x41, 'B'=0x42
+    val rows = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
+      .collect().map(f => f.doc_id -> f.hist).toMap
+    assert(rows(1L).toSeq === Seq(0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(rows(2L).sum === 0)
+  }
+
   test("decodeMeta runs the per-partition decode end-to-end with the typed schema") {
     import spark.implicits._
     val docs = Seq((10L, "hello"), (11L, "wörld")).toDF("doc_id", "text")
