@@ -52,6 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial aggregate below the shuffle")
   }
 
+  test("KLL sketch aggregation also plans two-phase ObjectHashAggregate") {
+    val p = plan(CoreQueries.queries("q24_quantile_sketch")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), "kll agg not ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0 &&
+      p.substring(firstExchange).contains("ObjectHashAggregate"),
+      "no partial KLL aggregate below the shuffle")
+  }
+
   test("minhash LSH never materializes a cartesian product") {
     val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
