@@ -143,6 +143,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     graft.kll.KllFunctionRegistry.inject(extensions)
+    graft.theta.ThetaFunctionRegistry.inject(extensions)
     graft.GraftFunctionRegistry.inject(extensions)
   }
 }

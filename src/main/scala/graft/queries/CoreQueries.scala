@@ -295,6 +295,27 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // Theta sketches: set ALGEBRA on sketches — suppliers shipping in both
+    // halves of 1995, only H1, only H2, and either, all derived from two
+    // sketches built in ONE scan (conditional aggregation). HLL cannot do
+    // this: intersection via inclusion-exclusion compounds error, while a
+    // theta intersection is itself a sketch that composes further. Exact
+    // here (distinct suppliers << 2^12 nominal entries at verify scale).
+    "q27_theta_supplier_sets" -> ((s, dir) => {
+      import graft.theta.functions._
+      val y = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1995)
+      y.agg(
+        theta_init_agg(when(month(col("l_shipdate")) <= 6, col("l_suppkey"))).as("h1"),
+        theta_init_agg(when(month(col("l_shipdate")) > 6, col("l_suppkey"))).as("h2"))
+        .select(
+          theta_estimate(col("h1")).as("n_h1"),
+          theta_estimate(col("h2")).as("n_h2"),
+          theta_estimate(theta_intersect(col("h1"), col("h2"))).as("n_both"),
+          theta_estimate(theta_a_not_b(col("h1"), col("h2"))).as("n_only_h1"),
+          theta_estimate(theta_a_not_b(col("h2"), col("h1"))).as("n_only_h2"))
+    }),
+
     // KLL re-aggregation: the per-type sketches merge into one global
     // sketch — percentiles over all events without rescanning them. THE
     // reason quantile sketches beat exact percentile jobs at scale.
@@ -408,6 +429,17 @@ object CoreQueries {
         |INTERSECT
         |SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-02'
         |ORDER BY user_id""".stripMargin,
+    "q27_theta_supplier_sets" ->
+      """WITH h1 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |            WHERE year(l_shipdate) = 1995 AND month(l_shipdate) <= 6),
+        |h2 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |       WHERE year(l_shipdate) = 1995 AND month(l_shipdate) > 6)
+        |SELECT
+        |  (SELECT count(*) FROM h1)::BIGINT AS n_h1,
+        |  (SELECT count(*) FROM h2)::BIGINT AS n_h2,
+        |  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))::BIGINT AS n_both,
+        |  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))::BIGINT AS n_only_h1,
+        |  (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1))::BIGINT AS n_only_h2""".stripMargin,
     "q24_quantile_sketch" ->
       """SELECT event_type, count(value)::BIGINT AS n,
         |  quantile_disc(value, 0.5) AS p50,
