@@ -111,9 +111,10 @@ object Dedup {
     // (a semi-join keeps the shingle kernel off the non-candidate corpus —
     // at 100 TB candidates are a sliver of the corpus, and recomputing a few
     // shingle sets is far cheaper than materializing all of them twice).
+    // No .distinct() here: the left-semi join dedups its build side anyway,
+    // and dropping it saves a whole shuffle.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
-      .distinct()
     val candShingled = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col("txt"), shingleWidth).as("sh"))

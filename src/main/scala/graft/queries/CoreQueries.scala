@@ -316,6 +316,18 @@ object CoreQueries {
           theta_estimate(theta_a_not_b(col("h2"), col("h1"))).as("n_only_h2"))
     }),
 
+    // Skew-safe distinct counting: the salted two-phase sketch aggregation
+    // (sketch per (key, salt), hll_merge to finish). Identical results to
+    // unsalted by construction; at scale no reducer ever sees a hot key's
+    // full volume. ExactSD keeps the estimate exact at verify cardinalities.
+    "q28_salted_distinct" -> ((s, dir) => {
+      graft.operators.Salting.saltedDistinctSketch(
+        Tables.events(s, dir), Seq("event_type"), col("user_id"),
+        saltBuckets = 16, relativeSD = ExactSD)
+        .select(col("event_type"), hll_cardinality(col("value_hll")).as("users"))
+        .orderBy("event_type")
+    }),
+
     // KLL re-aggregation: the per-type sketches merge into one global
     // sketch — percentiles over all events without rescanning them. THE
     // reason quantile sketches beat exact percentile jobs at scale.
@@ -429,6 +441,9 @@ object CoreQueries {
         |INTERSECT
         |SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-02'
         |ORDER BY user_id""".stripMargin,
+    "q28_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q27_theta_supplier_sets" ->
       """WITH h1 AS (SELECT DISTINCT l_suppkey FROM lineitem
         |            WHERE year(l_shipdate) = 1995 AND month(l_shipdate) <= 6),
