@@ -328,6 +328,21 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // As-of join (composition: union + keyed window, one shuffle, no range
+    // blow-up): for each purchase event, the user's most recent click at or
+    // before it — classic attribution.
+    "q29_asof_attribution" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOf.joinPrior(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = col("event_id"), payloadAlias = "click")
+        .select(col("purchase_id"), col("user_id"), col("asof_click").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
     // KLL re-aggregation: the per-type sketches merge into one global
     // sketch — percentiles over all events without rescanning them. THE
     // reason quantile sketches beat exact percentile jobs at scale.
@@ -444,6 +459,21 @@ object CoreQueries {
     "q28_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Latest click at-or-before each purchase; ties broken by larger click
+    // id — mirrors the window ordering of AsOf.joinPrior exactly.
+    "q29_asof_attribution" ->
+      """WITH purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, click_id FROM (
+        |  SELECT p.purchase_id, p.user_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM purchases p LEFT JOIN clicks c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "q27_theta_supplier_sets" ->
       """WITH h1 AS (SELECT DISTINCT l_suppkey FROM lineitem
         |            WHERE year(l_shipdate) = 1995 AND month(l_shipdate) <= 6),
