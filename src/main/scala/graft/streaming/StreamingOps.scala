@@ -88,6 +88,22 @@ object StreamingOps {
       }
   }
 
+  /**
+   * Streaming exact dedup for document ingest: drop any document whose
+   * normalized-content fingerprint was already seen within the watermark
+   * horizon. State is one (fingerprint, timestamp) entry per distinct
+   * document inside the horizon — `dropDuplicatesWithinWatermark` lets the
+   * state store evict entries older than the watermark, so state is
+   * bounded by the duplicate-arrival window, not the stream's lifetime
+   * (plain `dropDuplicates` state grows forever).
+   */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour",
+      tsCol: String = "ts", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Update-mode memory-sink runner for tests/demos: starts the query,
    * processes everything currently available, and returns the sink table
    * name to read with `spark.table(name)`. */

@@ -78,6 +78,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last.getLong(1) === 4L)
   }
 
+  test("streaming dedup drops same-fingerprint documents across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingOps.dedupDocStream(docs, "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("deduped").outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(10), "Hello  World"), (2L, ts(10, 5), "other text"))
+    query.processAllAvailable()
+    // Batch 2: doc 3 is a normalized duplicate of doc 1 -> dropped; doc 4 new.
+    input.addData((3L, ts(10, 30), "hello world"), (4L, ts(10, 31), "fresh content"))
+    query.processAllAvailable()
+    query.stop()
+
+    val kept = spark.table("deduped").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
   test("sessionSummaries keeps one evolving summary per user across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
