@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.dedup.SimHash64
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `md5_hash64(string)` → first 8 bytes of MD5, big-endian, as a long —
+ * the same auditable hash the SimHash family uses, exposed as a scalar so
+ * sampling decisions can be re-derived by any engine with `md5()`. */
+case class Md5Hash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.md5Hash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def prettyName: String = "md5_hash64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Deterministic sampling and dataset splits for training pipelines.
+ *
+ * Random sampling (`df.sample`) gives a DIFFERENT subset every run and
+ * engine, which is poison for reproducible training sets. These helpers
+ * decide membership from a hash of a stable key instead: the same row
+ * lands in the same split on every run, on every engine, and membership
+ * is auditable off-Spark (`md5()` + integer compare — see the q30
+ * oracle). Purely map-side: no shuffle, no state, scales with the scan.
+ *
+ * Mechanics: the top 63 bits of md5_hash64(key) are uniform on
+ * [0, 2^63); a fraction `num/den` keeps rows with
+ * `hash >>> 1 < floor(num·2^63/den)`.
+ */
+object Sampling {
+
+  def md5Hash64(c: Column): Column =
+    GraftSqlBridge.column(Md5Hash64(GraftSqlBridge.expression(c)))
+
+  private def threshold(num: Long, den: Long): Long =
+    ((BigInt(num) << 63) / BigInt(den)).toLong
+
+  /** Uniform deterministic sample: keeps ~num/den of rows, stable by key. */
+  def deterministicSample(df: DataFrame, keyCol: Column, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+    df.filter(shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1) < lit(threshold(num, den)))
+  }
+
+  /**
+   * Deterministic train/validation/test split column. `fractions` are
+   * (label, numerator) pairs over a common `den`; they must sum to `den`
+   * so every row gets exactly one label. Rows label by which cumulative
+   * threshold their key hash falls under.
+   */
+  def splitColumn(keyCol: Column, fractions: Seq[(String, Long)], den: Long): Column = {
+    require(fractions.map(_._2).sum == den,
+      s"fractions ${fractions.map(_._2)} must sum to den=$den")
+    val h = shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1)
+    val cumulative = fractions.scanLeft(0L) { case (acc, (_, n)) => acc + n }.tail
+    val cases = fractions.map(_._1).zip(cumulative)
+    cases.init.foldRight(lit(cases.last._1)) { case ((label, cum), elseCol) =>
+      when(h < lit(threshold(cum, den)), label).otherwise(elseCol)
+    }
+  }
+}

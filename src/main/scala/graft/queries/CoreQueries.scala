@@ -343,6 +343,18 @@ object CoreQueries {
         .orderBy("purchase_id")
     }),
 
+    // Deterministic 80/10/10 train/val/test split — membership is a pure
+    // function of md5(doc_id), so the same document lands in the same
+    // split on every run and every engine (the oracle re-derives every
+    // assignment). No shuffle: the split is a map-side column.
+    "q30_dataset_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), 10L).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // KLL re-aggregation: the per-type sketches merge into one global
     // sketch — percentiles over all events without rescanning them. THE
     // reason quantile sketches beat exact percentile jobs at scale.
@@ -459,6 +471,15 @@ object CoreQueries {
     "q28_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Thresholds are floor(num * 2^63 / den) for cumulative 8/10 and 9/10.
+    "q30_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+        |         < 7378697629483820646::UBIGINT THEN 'train'
+        |       WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+        |         < 8301034833169298227::UBIGINT THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Latest click at-or-before each purchase; ties broken by larger click
     // id — mirrors the window ordering of AsOf.joinPrior exactly.
     "q29_asof_attribution" ->
