@@ -65,6 +65,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
         case Seq(t) => TextStats(t, Seq(graft.text.Stopwords.English))
         case args => wrongArity("text_stats", args.size)
       }),
+    ("md5_hash64",
+      "_FUNC_(text) - First 8 bytes of MD5 as a signed 64-bit value (auditable cross-engine hash).",
+      {
+        case Seq(t) => graft.operators.Md5Hash64(t)
+        case args => wrongArity("md5_hash64", args.size)
+      }),
     ("cosine_similarity",
       "_FUNC_(a, b) - Cosine similarity of two float arrays (0.0 for zero vectors).",
       {

@@ -42,8 +42,9 @@ class ExtensionsSpec extends AnyFunSuite {
 
     // The KLL family and the pipeline kernels ride the same extensions.
     Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
-      "char_shingles", "minhash_signature", "simhash64", "text_stats",
-      "cosine_similarity", "dot_product").foreach { n =>
+      "theta_init_agg", "theta_union", "theta_intersect", "theta_a_not_b",
+      "theta_estimate", "char_shingles", "minhash_signature", "simhash64",
+      "text_stats", "md5_hash64", "cosine_similarity", "dot_product").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
     val pipeline = spark.sql(
