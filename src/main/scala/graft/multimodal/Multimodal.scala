@@ -60,6 +60,30 @@ object Multimodal {
    * oracle-verifiable byte-for-byte, and the histogram vector can feed the
    * similarity stack downstream like any other vector column.
    */
+  /**
+   * Frame sampling over media payloads: treat the payload as a sequence of
+   * fixed-size frames and emit every `stride`-th one — the one-to-many
+   * stage of a video pipeline (a real codec would decode GOPs; the frame
+   * geometry and sampling plumbing here are the real thing). Emits only
+   * (offset, length) coordinates — sampling never copies or widens the
+   * media bytes; downstream stages slice lazily from storage.
+   */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    payloads.as[MediaPayload].mapPartitions { batch =>
+      batch.flatMap { p =>
+        val n = p.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val off = f * frameBytes
+          MediaFrame(p.doc_id, f, off, math.min(frameBytes, n - off))
+        }
+      }
+    }
+  }
+
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { batch =>
@@ -78,6 +102,9 @@ object Multimodal {
 
 /** (id, 16-bin byte-value histogram) — the feature-extract stage output. */
 case class MediaFeatures(doc_id: Long, hist: Array[Int])
+
+/** One sampled frame's location inside a media payload. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
 
 /**
  * Deterministic fake decoder. A real implementation would parse the payload

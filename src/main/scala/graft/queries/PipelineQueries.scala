@@ -117,6 +117,15 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
+    // Frame sampling: every 3rd 1 KiB frame of each payload — one-to-many
+    // typed output carrying only coordinates, never the media bytes.
+    "q31_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(s, Multimodal.withPayload(Tables.documents(s, dir)),
+        frameBytes = 1024, stride = 3)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVF ANN: 16 deterministic coarse cells, probe the 4 nearest per query,
     // exact re-rank inside probed cells. Same query set as q17 so the two
     // results document the exact-vs-IVF trade directly.
@@ -271,6 +280,13 @@ object PipelineQueries {
         |LEFT JOIN (SELECT doc_id, bin, count(*) AS n FROM bins GROUP BY 1, 2) c
         |  ON d.doc_id = c.doc_id AND b.bin = c.bin
         |ORDER BY d.doc_id, b.bin""".stripMargin,
+    // Frame geometry is pure arithmetic over the payload byte length.
+    "q31_multimodal_frames" ->
+      """SELECT doc_id, f.f::INT AS frame_idx, (f.f * 1024)::INT AS frame_offset,
+        |  least(1024, octet_length(encode(text)) - f.f * 1024)::INT AS frame_len
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) + 1023) // 1024), 3)) AS f) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.

@@ -69,6 +69,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(normalized(text).cast("binary"))
 
+  /** Rolling (Rabin–Karp) fingerprint of the normalized text — chunk
+   * fingerprints compose into whole-document fingerprints without
+   * re-reading; see [[RollingHash64]]. */
+  def rollingFingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      RollingHash64(org.apache.spark.sql.graft.GraftSqlBridge.expression(normalized(text))))
+
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 

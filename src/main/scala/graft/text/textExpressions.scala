@@ -127,3 +127,60 @@ case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `rolling_hash64(string)` → Rabin–Karp polynomial fingerprint of the
+ * UTF-8 bytes: `h = Σ byte_i · B^(n-1-i)` in wrapping 64-bit arithmetic
+ * with base B = 257.
+ *
+ * Unlike MD5, a polynomial fingerprint COMPOSES: `h(a ++ b) =
+ * h(a)·B^|b| + h(b)`, so fingerprints of chunks combine into the
+ * fingerprint of the whole document without re-reading it — the property
+ * content-defined chunking and incremental re-fingerprinting need at
+ * 100 TB ([[RollingHash64.combine]] implements it and the spec pins it).
+ */
+case class RollingHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash64.hashBytes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def prettyName: String = "rolling_hash64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  val Base: Long = 257L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * Base + (bytes(i) & 0xFF)
+      i += 1
+    }
+    h
+  }
+
+  /** B^e in wrapping 64-bit arithmetic (square-and-multiply). */
+  def pow(e: Long): Long = {
+    var result = 1L
+    var base = Base
+    var exp = e
+    while (exp > 0) {
+      if ((exp & 1L) == 1L) result *= base
+      base *= base
+      exp >>= 1
+    }
+    result
+  }
+
+  /** Fingerprint of `a ++ b` from the parts: h(a)·B^|b| + h(b). */
+  def combine(hashA: Long, hashB: Long, lenB: Long): Long =
+    hashA * pow(lenB) + hashB
+}

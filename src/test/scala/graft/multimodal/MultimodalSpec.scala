@@ -33,6 +33,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2L).sum === 0)
   }
 
+  test("sampleFrames emits every stride-th frame with exact coordinates") {
+    import spark.implicits._
+    // 2500-byte payload, 1 KiB frames -> frames 0,1,2; stride 2 keeps 0,2.
+    val docs = Seq((5L, "x" * 2500)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.withPayload(docs),
+        frameBytes = 1024, stride = 2)
+      .collect().map(f => (f.frame_idx, f.frame_offset, f.frame_len)).sorted
+    assert(frames.toSeq === Seq((0, 0, 1024), (2, 2048, 452)))
+  }
+
   test("decodeMeta runs the per-partition decode end-to-end with the typed schema") {
     import spark.implicits._
     val docs = Seq((10L, "hello"), (11L, "wörld")).toDF("doc_id", "text")

@@ -72,6 +72,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === 3)
   }
 
+  test("rolling fingerprint: reference values, composition, and normalization") {
+    import spark.implicits._
+    // Matches a by-hand Horner evaluation over UTF-8 bytes.
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 257L + (b & 0xFF))
+    val out = Seq("abc", "héllo wörld", "").toDF("text")
+      .select(rollingFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(out(0) === ref("abc"))
+    assert(out(1) === ref("héllo wörld"))
+    assert(out(2) === 0L)
+
+    // Whitespace/case normalization folds like the md5 fingerprint.
+    val same = Seq("Hello   World", "hello world").toDF("text")
+      .select(rollingFingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(same(0) === same(1))
+
+    // Chunk fingerprints compose: h(a ++ b) = h(a) * B^|b| + h(b).
+    val a = "the quick brown fox "
+    val b = "jumps over the lazy dog"
+    val whole = ref(a + b)
+    val combined = RollingHash64.combine(ref(a), ref(b), b.getBytes("UTF-8").length.toLong)
+    assert(combined === whole)
+  }
+
   test("fused TextStats kernel equals the composed builders on corpus + edge cases") {
     import spark.implicits._
     val edge = Seq(
