@@ -67,6 +67,20 @@ class DslSurfaceSpec extends AnyFunSuite {
     aggRuns(hll_init_collection_agg("arr", 0.05, "STRM"))
   }
 
+  test("sketch aggregates work inside window specs (running distinct counts)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq((1, 1, 10), (1, 2, 20), (1, 3, 10), (2, 1, 30)).toDF("g", "ord", "v")
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df
+      .withColumn("run_distinct", hll_cardinality(hll_init_agg(col("v"), 0.02).over(w)))
+      .orderBy("g", "ord")
+      .collect().map(_.getLong(3))
+    // group 1 sees 10, {10,20}, {10,20,10}; group 2 sees 30.
+    assert(out.toSeq === Seq(1L, 2L, 2L, 1L))
+  }
+
   test("merge, row_merge, cardinality, intersect, convert overloads") {
     import spark.implicits._
     val sketches = df.agg(hll_init_agg(col("v")).as("a"), hll_init_agg(col("v")).as("b"))
