@@ -16,11 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    estimate is provably exact: distinct counts of at most a few dozen per
  *    group with precision chosen so register collisions are (verified)
  *    absent at the correctness scale (SURVEY.md §7.4 R3).
- *  - Money arithmetic is done in DECIMAL on both sides: decimal addition is
- *    associative, so results are bit-identical regardless of partitioning
- *    or aggregation order — double sums are NOT reproducible across
- *    engines and never appear in compared columns.
- *  - Compared columns are keys, longs, decimals, or dates; raw doubles are
+ *  - Money arithmetic is done in INTEGER units (cents / basis points /
+ *    micro-dollars as BIGINT): `floor(x*100 + 0.5)` on an IEEE double is
+ *    bit-deterministic in every engine, and long addition is associative,
+ *    so results are identical regardless of partitioning or aggregation
+ *    order. Double sums are NOT reproducible across engines, and DECIMAL
+ *    cells normalize differently across hashers — neither ever appears in
+ *    a compared column.
+ *  - Compared columns are keys, longs, dates, or strings; raw doubles are
  *    only passed through unmodified (no arithmetic on them).
  *
  * Scale notes are on each query: what the plan does at 100 TB, which side
@@ -144,23 +147,27 @@ object CoreQueries {
     }),
 
     // ------------------------------------------------------- built-in surface
-    // Pricing summary (TPC-H Q1 shape). DECIMAL sums for cross-engine
-    // bit-equality. Scale: partial aggregation before the 6-group exchange;
-    // scan prunes to 7 of 11 columns.
+    // Pricing summary (TPC-H Q1 shape). Money is compared in INTEGER units
+    // (cents / micro-dollars as BIGINT): the raw columns are IEEE doubles, so
+    // `floor(x*100 + 0.5)` produces the same long from the same bits in
+    // every engine, and long addition is associative — no decimal widening
+    // or rounding-mode divergence can enter the compared schema. Scale:
+    // partial aggregation before the 6-group exchange; scan prunes to 7 of
+    // 11 columns, and the per-row arithmetic is pure codegen'd long math.
     "q1_pricing_summary" -> ((s, dir) => {
+      val qtyCents = floor(col("l_quantity") * 100d + 0.5d).cast("long")
+      val priceCents = floor(col("l_extendedprice") * 100d + 0.5d).cast("long")
+      val discBp = floor(col("l_discount") * 10000d + 0.5d).cast("long")
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // Final sums are pinned to DECIMAL(38,x): engines widen decimal sums
-          // differently (Spark → 28,x; DuckDB → 38,x) and the harness hashes
-          // serialized values, so both sides must agree on the exact type.
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)")
-            .as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          sum(qtyCents).as("sum_qty_cents"),
+          sum(priceCents).as("sum_base_price_cents"),
+          // cents × (1 - discount in basis points) = micro-dollars; exact
+          // integer product per row, summed as BIGINT (sf0.1 total ≈ 6e16,
+          // well inside Long range).
+          sum(priceCents * (lit(10000L) - discBp)).as("sum_disc_price_micros"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -177,7 +184,7 @@ object CoreQueries {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
+          sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
@@ -218,11 +225,12 @@ object CoreQueries {
         .select(col("o_orderkey"), col("o_custkey"))
     }),
 
-    // Rollup (grouping sets): subtotals + grand total in one pass.
+    // Rollup (grouping sets): subtotals + grand total in one pass. Money in
+    // integer cents (see q1) so the compared schema carries no DECIMAL.
     "q6_rollup_quantities" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum(floor(col("l_quantity") * 100d + 0.5d).cast("long")).as("sum_qty_cents"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -248,12 +256,14 @@ object CoreQueries {
 
     // Event-time tumbling window over the stream table (same windowing that
     // runs under Structured Streaming; here exercised in batch).
+    // Values compared at 1e-4 resolution as BIGINT (see q1 for the
+    // IEEE-deterministic integer-unit rule).
     "q9_daily_event_counts" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+          sum(floor(col("value") * 10000d + 0.5d).cast("long")).as("total_value_e4"))
         .orderBy("day", "event_type")
     }),
 
@@ -404,11 +414,11 @@ object CoreQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
-        |    AS DECIMAL(38,4)) AS sum_disc_price,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_price_cents,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))::BIGINT
+        |    AS sum_disc_price_micros,
         |  count(*)::BIGINT AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -416,7 +426,7 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_revenue_by_nation" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
         |  count(*)::BIGINT AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -439,7 +449,7 @@ object CoreQueries {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q6_rollup_quantities" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,
         |  count(*)::BIGINT AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -456,7 +466,7 @@ object CoreQueries {
     "q9_daily_event_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*)::BIGINT AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q21_json_props" ->
       """SELECT event_type,
