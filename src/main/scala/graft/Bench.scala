@@ -24,15 +24,23 @@ object Bench {
     // Untimed warmup at the smallest scale factor: same query shapes, so
     // JIT, catalyst rule batches, and the codegen cache are hot before the
     // first measurement (standard JMH discipline; the first timed query
-    // otherwise absorbs ~5 s of one-time session setup).
-    val warmDir = "/root/testdata/sf0.001"
-    queries.foreach { case (_, fn) =>
-      try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+    // otherwise absorbs ~5 s of one-time session setup). The warmup dir is
+    // overridable and falls back to the benched dir itself — a silently
+    // skipped warmup would hand that setup cost to the first timed query.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Option("/root/testdata/sf0.001").filter(d => new java.io.File(d).isDirectory))
+      .getOrElse(sfDir)
+    queries.foreach { case (name, fn) =>
+      try exec(fn(spark, warmDir)) catch {
+        case t: Throwable => System.err.println(s"WARN warmup failed for $name: $t")
+      }
     }
 
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch {
+        case t: Throwable => System.err.println(s"WARN bench query $name failed: $t")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

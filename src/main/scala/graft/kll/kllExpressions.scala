@@ -65,8 +65,17 @@ sealed abstract class KllAgg extends TypedImperativeAggregate[Option[KllDoublesS
   override def serialize(buffer: Option[KllDoublesSketch]): Array[Byte] =
     buffer.map(_.toByteArray).orNull
 
+  // Convention (matches ThetaAgg.deserialize and KllMergeAgg.update): a
+  // buffer that will RECEIVE merges is always a sketch this class
+  // constructed via newSketch; heapified bytes are merged into one, never
+  // used as the receiver directly. Keeps every merge() receiver writable
+  // regardless of which DataSketches path produced the incoming bytes.
   override def deserialize(storageFormat: Array[Byte]): Option[KllDoublesSketch] =
-    Option(storageFormat).map(b => KllDoublesSketch.heapify(Memory.wrap(b)))
+    Option(storageFormat).map { b =>
+      val sk = newSketch
+      sk.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      sk
+    }
 }
 
 /** `kll_init_agg(expr[, k])` → one binary KLL sketch per group over the

@@ -47,10 +47,15 @@ object Sampling {
   private def threshold(num: Long, den: Long): Long =
     ((BigInt(num) << 63) / BigInt(den)).toLong
 
-  /** Uniform deterministic sample: keeps ~num/den of rows, stable by key. */
+  /** Uniform deterministic sample: keeps ~num/den of rows, stable by key.
+   * The full fraction (num == den) keeps every row — the hash comparison
+   * cannot express it (2^63 overflows the signed threshold), so it
+   * short-circuits to the unfiltered frame. */
   def deterministicSample(df: DataFrame, keyCol: Column, num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
-    df.filter(shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1) < lit(threshold(num, den)))
+    if (num == den) df
+    else df.filter(
+      shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1) < lit(threshold(num, den)))
   }
 
   /**

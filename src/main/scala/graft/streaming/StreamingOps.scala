@@ -65,26 +65,40 @@ object StreamingOps {
    * custom-state path for semantics windows can't express. State per key is
    * one [[SessionSummary]]; each micro-batch emits the updated summary for
    * every key it touched (update output mode).
+   *
+   * Retention: per-user state is evicted after `idleTimeout` of processing
+   * time with no new events for that user (the final summary is emitted
+   * once more as the state retires). Without eviction the state store
+   * grows with the lifetime-distinct user count — unbounded on a
+   * long-running stream, which breaks this file's bounded-state contract.
    */
-  def sessionSummaries(spark: SparkSession, events: Dataset[UserEvent]): Dataset[SessionSummary] = {
+  def sessionSummaries(spark: SparkSession, events: Dataset[UserEvent],
+      idleTimeout: String = "30 minutes"): Dataset[SessionSummary] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
-          var summary = state.getOption.getOrElse(
-            SessionSummary(userId, null, null, 0L))
-          batch.foreach { e =>
-            val first =
-              if (summary.first_ts == null || e.ts.before(summary.first_ts)) e.ts
-              else summary.first_ts
-            val last =
-              if (summary.last_ts == null || e.ts.after(summary.last_ts)) e.ts
-              else summary.last_ts
-            summary = SessionSummary(userId, first, last, summary.n_events + 1)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            var summary = state.getOption.getOrElse(
+              SessionSummary(userId, null, null, 0L))
+            batch.foreach { e =>
+              val first =
+                if (summary.first_ts == null || e.ts.before(summary.first_ts)) e.ts
+                else summary.first_ts
+              val last =
+                if (summary.last_ts == null || e.ts.after(summary.last_ts)) e.ts
+                else summary.last_ts
+              summary = SessionSummary(userId, first, last, summary.n_events + 1)
+            }
+            state.update(summary)
+            state.setTimeoutDuration(idleTimeout)
+            summary
           }
-          state.update(summary)
-          summary
       }
   }
 

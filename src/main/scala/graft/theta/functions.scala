@@ -33,10 +33,25 @@ object functions {
   def theta_estimate(e: Column): Column = toColumn(ThetaEstimate(expr(e)))
 }
 
-/** SQL registration for the theta operators. */
+/** SQL registration for the theta operators.
+ *
+ * Spark 4.1 ships its own theta-sketch SQL functions (`theta_union`,
+ * `theta_sketch_agg`, ...) with different shapes — the built-in
+ * `theta_union(a, b)` is a two-sketch scalar, while graft's
+ * `theta_union(sketch[, lgK])` is a grouping aggregate. Overriding a
+ * built-in would silently break existing SQL, so any graft name that
+ * collides with a built-in registers under a `graft_` prefix instead
+ * (`graft_theta_union`); non-colliding names keep their plain form. */
 object ThetaFunctionRegistry extends FunctionRegistration {
 
   type Builder = Seq[Expression] => Expression
+
+  /** The SQL name an entry registers under: `graft_`-prefixed when Spark
+   * already ships a built-in of that name, the plain name otherwise. */
+  def sqlName(name: String): String = {
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    if (builtin.functionExists(FunctionIdentifier(name))) s"graft_$name" else name
+  }
 
   private def lgkOf(e: Expression): Int = e match {
     case Literal(i: Int, IntegerType) => i
@@ -88,12 +103,14 @@ object ThetaFunctionRegistry extends FunctionRegistration {
   override def registerFunctions(spark: SparkSession): Unit = {
     val registry = GraftSqlBridge.functionRegistry(spark)
     entries.foreach { case (name, usageText, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+      val n = sqlName(name)
+      registry.registerFunction(FunctionIdentifier(n), info(n, usageText), builder)
     }
   }
 
   def inject(extensions: SparkSessionExtensions): Unit =
     entries.foreach { case (name, usageText, builder) =>
-      extensions.injectFunction((FunctionIdentifier(name), info(name, usageText), builder))
+      val n = sqlName(name)
+      extensions.injectFunction((FunctionIdentifier(n), info(n, usageText), builder))
     }
 }

@@ -41,12 +41,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(desc.contains("hll_init"))
 
     // The KLL family and the pipeline kernels ride the same extensions.
+    // graft_theta_union: Spark 4.1 ships a built-in theta_union (two-sketch
+    // scalar), so graft's union AGGREGATE registers under the graft_ prefix
+    // instead of shadowing it.
     Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
-      "theta_init_agg", "theta_union", "theta_intersect", "theta_a_not_b",
+      "theta_init_agg", "graft_theta_union", "theta_intersect", "theta_a_not_b",
       "theta_estimate", "char_shingles", "minhash_signature", "simhash64",
       "text_stats", "md5_hash64", "cosine_similarity", "dot_product").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
+
+    // The graft union aggregate works under its prefixed name, and the
+    // built-in theta_union keeps its native two-sketch-scalar semantics.
+    val thetaMerged = spark.sql(
+      """SELECT theta_estimate(graft_theta_union(sk)) AS n FROM
+        |  (SELECT theta_init_agg(id % 7) AS sk FROM range(100) GROUP BY id % 4)
+        |""".stripMargin).head().getLong(0)
+    assert(thetaMerged === 7L)
+    val builtinUnion = spark.sql(
+      """SELECT theta_sketch_estimate(
+        |  theta_union(theta_sketch_agg(a), theta_sketch_agg(b))) AS n
+        |FROM VALUES (1, 10), (2, 20), (3, 10) AS t(a, b)""".stripMargin).head().getLong(0)
+    assert(builtinUnion === 5L)
     val pipeline = spark.sql(
       """SELECT size(char_shingles('hello world', 5)) AS n_sh,
         |  size(minhash_signature(array('a','b'), 32)) AS n_sig,

@@ -60,6 +60,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(trainViaSplit === trainViaSample)
   }
 
+  test("the full fraction num == den keeps every row") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("id")
+    assert(Sampling.deterministicSample(df, col("id"), 5, 5).count() === 1000L)
+    assert(Sampling.deterministicSample(df, col("id"), 1, 1).count() === 1000L)
+    assert(Sampling.deterministicSample(df, col("id"), 0, 5).count() === 0L)
+  }
+
   test("fractions must sum to the denominator") {
     val e = intercept[IllegalArgumentException] {
       Sampling.splitColumn(col("id"), Seq("a" -> 5L, "b" -> 4L), 10L)
