@@ -73,34 +73,43 @@ object Dedup {
    *              threshold is ≳0.9; below J≈0.85 it silently drops pairs
    *              (p(0.75) ≈ 0.82), so prefer lowering the threshold rational
    *              over raising `rows`.
+   * @param maxBucketSize hard cap on LSH bucket size. A degenerate bucket —
+   *              every doc sharing one template shingle — would otherwise
+   *              expand |bucket|² candidate structs inside ONE task and OOM
+   *              the executor at corpus scale. Buckets larger than the cap
+   *              are SKIPPED, never partially sampled: a near-dup pair a
+   *              hot bucket would have caught still surfaces through any of
+   *              the other `bands-1` bands (detection probability for a
+   *              J≥threshold pair stays ≈1 unless nearly all its bands
+   *              overflow, which means the pair is template spam, not a
+   *              near-dup). The skip is NOT silent: every overflowing
+   *              bucket logs an executor-side warning (the aggregate itself
+   *              emits it, so no optimizer rewrite can drop it), and
+   *              [[lshBucketStats]] quantifies drops for the same
+   *              parameters as a one-aggregate diagnostic query.
    * @return (id_a, id_b, inter, uni) for qualifying pairs — integer columns
    *         only, so the result is bit-comparable across engines.
    */
   def jaccardNearDupPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
+      maxBucketSize: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bands = k / rows
-    require(k % rows == 0, s"signature length $k must be divisible by rows-per-band $rows")
-    // Shingled once for signatures; candidates re-shingle only their docs.
-    val shingled = docs.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleWidth).as("sh"))
-
-    // (band, bucket, id) rows only — the LSH shuffle never carries content.
-    val banded = shingled
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
-          .as(Seq("band", "bucket")))
+    val banded = lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
 
     // Pairs come from grouping each bucket and expanding in-bucket
     // combinations — ONE aggregation over the banded rows, instead of a
     // self-join that would re-evaluate the signature subtree per side.
+    // The capped collector bounds per-bucket aggregation state at
+    // `maxBucketSize` values while still counting the true bucket size, so
+    // a hot bucket can be detected and skipped instead of OOMing (see
+    // the `maxBucketSize` scaladoc above).
     val candidates = banded
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(GraftSqlBridge.column(CollectListCapped(
+        GraftSqlBridge.expression(col("id")), maxBucketSize)
+        .toAggregateExpression()).as("cl"))
+      .filter(col("cl.total") > 1 && col("cl.total") <= maxBucketSize)
+      .select(col("cl.ids").as("ids"))
       .select(explode(flatten(transform(col("ids"), a =>
         transform(col("ids"), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .filter(col("p.id_a") < col("p.id_b"))
@@ -129,6 +138,44 @@ object Dedup {
       .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
       .orderBy("id_a", "id_b")
   }
+
+  /** (band, bucket, id) rows only — the LSH shuffle never carries content.
+   * Shingled once for signatures; candidates re-shingle only their docs. */
+  private def lshBanded(docs: DataFrame, k: Int, rows: Int, shingleWidth: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val bands = k / rows
+    require(k % rows == 0, s"signature length $k must be divisible by rows-per-band $rows")
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Diagnostic companion to [[jaccardNearDupPairs]]: one row summarizing the
+   * LSH bucket-size distribution for the same parameters —
+   * `(n_buckets, buckets_dropped, largest_bucket)` where `buckets_dropped`
+   * counts buckets the pair expansion would skip at `maxBucketSize`.
+   *
+   * A separate query on purpose: per-run accounting lives in the executor
+   * warn log (see [[CollectListCapped]]); this gives the exact counts when a
+   * corpus trips the cap and an operator needs to size a fix (bigger cap,
+   * wider shingles, template stripping). Cost: the shingle+signature pass
+   * and one two-level aggregation — no pair expansion, no joins.
+   */
+  def lshBucketStats(docs: DataFrame, maxBucketSize: Int = 4096,
+      k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)).as("buckets_dropped"),
+        max(col("n")).as("largest_bucket"))
 
   // ----------------------------------------------------------------- simhash
 

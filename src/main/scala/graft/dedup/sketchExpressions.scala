@@ -1,7 +1,10 @@
 package graft.dedup
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, UnsafeProjection, UnsafeRow, XXH64}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -174,6 +177,107 @@ case class SimHash64(child: Expression, auditable: Boolean = false)
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Mutable buffer for [[CollectListCapped]]: the exact group size plus at
+ * most `cap` retained values. */
+final class CappedListBuffer(
+    var total: Long,
+    val values: scala.collection.mutable.ArrayBuffer[Any])
+
+/**
+ * `collect_list_capped(expr, cap)` → struct<total: bigint, ids: array>:
+ * like `collect_list`, but NEVER retains more than `cap` elements per group —
+ * `total` always carries the true group size so callers can tell a complete
+ * list (`total <= cap`) from a truncated one (`total > cap`).
+ *
+ * This is the memory-safety primitive for LSH candidate generation: a
+ * degenerate bucket (every document sharing one hot shingle) makes plain
+ * `collect_list` build an unbounded in-memory array in ONE aggregation state
+ * and the downstream pair expansion square it. With the cap, per-group state
+ * is O(cap) no matter how skewed the corpus, and oversized buckets are
+ * detectable (and countable) instead of fatal.
+ */
+case class CollectListCapped(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedListBuffer] with UnaryLike[Expression] {
+
+  require(cap > 0, "cap must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("ids", ArrayType(child.dataType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CappedListBuffer =
+    new CappedListBuffer(0L, scala.collection.mutable.ArrayBuffer.empty)
+
+  override def update(buffer: CappedListBuffer, input: InternalRow): CappedListBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.total += 1
+      if (buffer.values.size < cap) buffer.values += InternalRow.copyValue(v)
+    }
+    buffer
+  }
+
+  override def merge(a: CappedListBuffer, b: CappedListBuffer): CappedListBuffer = {
+    a.total += b.total
+    val room = cap - a.values.size
+    if (room > 0) a.values ++= b.values.take(room)
+    a
+  }
+
+  override def eval(buffer: CappedListBuffer): Any = {
+    if (buffer.total > cap) {
+      // Executor-side accounting that survives every optimizer rewrite: the
+      // observed-metrics route (Dedup attaches one) is invisible when AQE
+      // collapses an empty downstream plan, but this log line always fires.
+      CollectListCapped.log.warn(
+        s"collect_list_capped: group of ${buffer.total} values exceeded cap $cap; " +
+          s"retained the first $cap")
+    }
+    new GenericInternalRow(Array[Any](
+      buffer.total, new GenericArrayData(buffer.values.toArray)))
+  }
+
+  @transient private lazy val projector =
+    UnsafeProjection.create(Array[DataType](
+      LongType, ArrayType(child.dataType, containsNull = false)))
+
+  override def serialize(buffer: CappedListBuffer): Array[Byte] =
+    projector(new GenericInternalRow(Array[Any](
+      buffer.total, new GenericArrayData(buffer.values.toArray)))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): CappedListBuffer = {
+    val row = new UnsafeRow(2)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(1)
+    val et = child.dataType
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < arr.numElements()) {
+      // copy out of the backing byte array so the buffer owns its values
+      values += InternalRow.copyValue(arr.get(i, et))
+      i += 1
+    }
+    new CappedListBuffer(row.getLong(0), values)
+  }
+
+  override def prettyName: String = "collect_list_capped"
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectListCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectListCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CollectListCapped {
+  private[dedup] val log = org.slf4j.LoggerFactory.getLogger(classOf[CollectListCapped])
 }
 
 object SimHash64 {

@@ -165,6 +165,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- hot-bucket cap
+
+  test("jaccardNearDupPairs survives an adversarial hot bucket and counts the drops") {
+    // 200 identical template documents: all 32 bands put ALL of them in one
+    // bucket each — the degenerate case that used to build an unbounded list
+    // and square it. Three near-dup docs of a different text ride along so
+    // the healthy part of the corpus still produces pairs.
+    val n = 200
+    val template = (1L to n.toLong).map(i => i -> ("identical template text repeated " * 8))
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(template ++ Seq(501L -> base, 502L -> base, 503L -> (base + "TAIL.")): _*)
+    val capped = jaccardNearDupPairs(corpus, thresholdNum = 3, thresholdDen = 4,
+      rows = 4, shingleWidth = 10, maxBucketSize = 50)
+    val out = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hot buckets skipped → template pairs gone; healthy near-dups survive.
+    assert(out === Set((501L, 502L), (501L, 503L), (502L, 503L)))
+    // The skip is accounted: the stats query quantifies exactly what dropped.
+    val stats = lshBucketStats(corpus, maxBucketSize = 50, shingleWidth = 10).head()
+    assert(stats.getAs[Long]("buckets_dropped") === 32L) // every band's template bucket
+    assert(stats.getAs[Long]("largest_bucket") === n.toLong)
+  }
+
+  test("bucket cap does not change results when no bucket overflows") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(
+      1L -> base, 2L -> (base + "EXTRA TAIL."), 3L -> base,
+      4L -> ("some completely different text about query optimizers " * 3))
+    def run(cap: Int) = jaccardNearDupPairs(corpus, thresholdNum = 3, thresholdDen = 4,
+      rows = 4, shingleWidth = 10, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(run(4096) === run(10))
+    assert(run(4096).map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("collect_list_capped keeps true total while bounding retained values") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+      .agg(org.apache.spark.sql.graft.GraftSqlBridge.column(
+        CollectListCapped(org.apache.spark.sql.graft.GraftSqlBridge.expression(col("v")), 7)
+          .toAggregateExpression()).as("cl"))
+      .select(col("cl.total"), size(col("cl.ids")))
+    val r = df.head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getInt(1) === 7)
+  }
+
   test("auditable simhash token hash matches md5 first 8 bytes big-endian") {
     val h = SimHash64.md5Hash64(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
     val md = java.security.MessageDigest.getInstance("MD5")
