@@ -180,23 +180,40 @@ object Dedup {
   // ----------------------------------------------------------------- simhash
 
   /**
-   * Near-duplicate pairs by SimHash: candidates share at least one of four
-   * 16-bit chunks (complete for Hamming distance <= 3 by pigeonhole),
-   * verified by exact Hamming distance. Chunk rows carry (chunk, value, id,
-   * sim) — 32 bytes/row — so the candidate join is shuffle-light.
+   * Near-duplicate pairs by SimHash: the 64-bit simhash splits into eight
+   * 8-bit chunks and candidates share at least one of the C(8,4) = 70
+   * 4-chunk subsets (each packed into one 32-bit band key), verified by
+   * exact Hamming distance.
+   *
+   * Why 4-of-8 instead of the classic 1-of-4 16-bit chunks: completeness is
+   * the same — `maxHamming` ≤ 3 flipped bits damage at most 3 chunks, so at
+   * least 5 of 8 chunks are intact and with them C(5,4) = 5 of the 70
+   * subsets — but the band-key space grows from 2^16 to 2^32. With 16-bit
+   * chunks the candidate count is Θ(n²/2^16) BY CONSTRUCTION (65,536
+   * buckets per chunk can't keep n=10^9 docs apart: ~10^13 background
+   * collisions); 32-bit keys push the same corpus to ~10^10 — the
+   * difference between a dead stage and a heavy-but-finishing one. The
+   * price is banding fan-out 70 vs 4 rows/doc, each row 32 bytes — shuffle
+   * stays ~2 KB/doc, far below the document payloads that never ride this
+   * shuffle at all.
    */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       auditable: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming <= 3, "4-chunk banding is complete only for Hamming <= 3")
+    require(maxHamming <= 3, "4-of-8-chunk banding is complete only for Hamming <= 3")
     val withSim = docs.select(col(idCol).as("id"),
       simhash64(TextAnalysis.tokens(col(textCol)), auditable).as("sim"))
+    val chunk = (c: Int) => shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)
+    val bandKeys = (0 until 8).combinations(4).toSeq.map { s =>
+      s.zipWithIndex.map { case (c, pos) =>
+        shiftleft(chunk(c), (3 - pos) * 8)
+      }.reduce(_ bitwiseOR _)
+    }
     val banded = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "value")))
-    val l = banded.select(col("chunk"), col("value"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("chunk"), col("value"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("chunk", "value"))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
+    val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("band", "value"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
