@@ -67,6 +67,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q14 plans a nested-loop join")
   }
 
+  test("exact embedding near-dup distributes via the block grid, no cartesian") {
+    val p = plan(PipelineQueries.queries("q16_embed_neardup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "q16 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q16 plans a nested-loop join")
+  }
+
   test("brute-force ANN broadcasts the query side, never the corpus") {
     val df = PipelineQueries.queries("q17_ann_topk")(spark, sf)
     val p = plan(df)

@@ -100,6 +100,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.contains((7L, 100L)))
   }
 
+  test("block-grid exact path covers every pair exactly once, any block count") {
+    // Pseudo-random corpus big enough that every grid cell is populated.
+    val rows = (0L until 100L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    // nBlocks = 1 degenerates to the full half-cartesian in one cell — the
+    // ground truth; larger grids must produce the identical pair set (a
+    // missed cell loses pairs, a double-covered cell duplicates them).
+    def run(b: Int) = cosineNearDupPairs(df, threshold = 0.3, nBlocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baseline = run(1)
+    assert(baseline.length === baseline.distinct.length)
+    assert(baseline.nonEmpty)
+    for (b <- Seq(4, 16, 17)) {
+      val grid = run(b)
+      assert(grid.length === grid.distinct.length, s"duplicate pairs at nBlocks=$b")
+      assert(grid.toSet === baseline.toSet, s"pair set mismatch at nBlocks=$b")
+    }
+  }
+
   test("LSH signature rejects vectors of the wrong dimensionality loudly") {
     val df = vecs(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f))
     val e = intercept[Exception] {
