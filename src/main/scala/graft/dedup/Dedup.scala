@@ -250,6 +250,25 @@ object Dedup {
    * does not grow unboundedly.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Convergence check: labels only ever decrease (least of old label and
+    // neighbor min), so the total label sum strictly decreases iff any node
+    // changed. The sum rides the SAME job that materializes each round's
+    // label table: an `observe` aggregate collected during the eager
+    // localCheckpoint — one job per iteration total, no separate
+    // convergence scan. decimal(38,0) so the sum cannot overflow however
+    // large the ids are; an empty graph observes null → zero.
+    def observedSum(df: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ckpt = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
+        .localCheckpoint(true)
+      (ckpt, () => obs.get("label_sum") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+      })
+    }
+
     // localCheckpoint (not cache) on everything the loop rebuilds from:
     // each iteration references `labels` twice, so without lineage
     // truncation the logical plan DOUBLES per iteration — a 15-hop chain
@@ -257,18 +276,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
-    var labels = edges.groupBy(col("u").as("id"))
-      .agg(least(min(col("v")), col("u")).as("label"))
-      .localCheckpoint(true)
-
-    // Convergence check: labels only ever decrease (least of old label and
-    // neighbor min), so the total label sum strictly decreases iff any node
-    // changed — one aggregate instead of a join-and-count per iteration.
-    // decimal(38,0) so the sum cannot overflow however large the ids are.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-
-    var prevSum = labelSum(labels)
+    val (labels0, sum0) = observedSum(
+      edges.groupBy(col("u").as("id"))
+        .agg(least(min(col("v")), col("u")).as("label")))
+    var labels = labels0
+    var prevSum = sum0()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -278,11 +290,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // truncate lineage; see note above
-      val nextSum = labelSum(next)
+      val (next, nextSumF) = observedSum(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      val nextSum = nextSumF()
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

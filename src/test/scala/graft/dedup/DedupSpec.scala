@@ -134,6 +134,12 @@ class DedupSpec extends AnyFunSuite {
     assert(comp === Array(0L))
   }
 
+  test("connectedComponents of an empty pair graph is empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(connectedComponents(empty).collect().isEmpty)
+  }
+
   test("canonicalAssignment maps each greater member to its smallest partner") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
