@@ -348,3 +348,72 @@ case class HllConvert(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `hll_init_hashed_agg(hash64[, relativeSD[, implName]])` — one sketch per
+ * group from PRE-HASHED 64-bit values: each non-null long is offered to the
+ * sketch as-is, bypassing [[SketchHash]].
+ *
+ * This is the bring-your-own-hash seam for cross-engine pipelines: any
+ * system that can produce the same 64-bit hash (e.g. the first 8 bytes of
+ * `md5()`, computable in DuckDB/Postgres/Trino as much as in Spark via
+ * `md5_hash64`) can build, merge, or independently re-derive the very same
+ * registers. The caller owns hash quality — a biased hash gives a biased
+ * estimate. */
+case class HllInitHashedAgg(
+    child: Expression,
+    relativeSD: Double = 0.05,
+    format: HllFormat = HllFormat.resolve(null),
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg {
+
+  private val precision: Int = Precision.forError(relativeSD)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName only supports pre-hashed BIGINT input")
+  }
+
+  override def update(buffer: Option[HllInstance], input: InternalRow): Option[HllInstance] =
+    child.eval(input) match {
+      case null => buffer
+      case h: Long => Some(buffer.getOrElse(format.create(precision)).offer(h))
+      case other =>
+        throw new IllegalStateException(s"$prettyName only supports Long, got $other")
+    }
+
+  override def prettyName: String = "hll_init_hashed_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllInitHashedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllInitHashedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hll_registers(graftSketch)` → array<int>: the dense HLL register values
+ * of a GRAFT v1 sketch, in index order (2^p elements).
+ *
+ * The point of the GRAFT format is that its bytes are readable OUTSIDE this
+ * library (header 'G', version, p, then one byte per register — see
+ * [[GraftHllInstance.serialize]]); this expression is the in-Spark decoder,
+ * and the harness pairs it with a pure-SQL DuckDB decoder of the same rows
+ * to prove the claim engine-independently. */
+case class HllRegisters(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val g = GraftHll.deserialize(input.asInstanceOf[Array[Byte]])
+      .asInstanceOf[GraftHllInstance]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      g.registers.map(r => (r.toInt): Any))
+  }
+
+  override def prettyName: String = "hll_registers"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

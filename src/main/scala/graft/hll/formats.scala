@@ -241,6 +241,22 @@ case object GraftHll extends HllFormat {
  * Byte-level sketch transcoding between wire formats, without touching the
  * original data (capability parity with the reference's STRM→AGKN converter,
  * reference: hll/package.scala:19-61; same constraints: dense encoding only).
+ *
+ * Why there is no STRM→DS conversion: register transplantation requires
+ * both formats to derive (index, rank) from the SAME bits of the same
+ * 64-bit input hash. STRM and GRAFT both use the HLL++ dense scheme — index
+ * = top p bits, rank = leading zeros of the remainder — so their registers
+ * copy across losslessly. DataSketches' HllSketch instead RE-HASHES every
+ * `update(long)` with its own internal murmur-based mix before deriving
+ * index/rank, and its union path couples registers to that internal hash
+ * (plus HIP accumulators updated per-offer). There are no bytes in a STRM
+ * sketch from which DS registers could be reconstructed — the conversion is
+ * information-theoretically impossible, not merely unimplemented. The
+ * cross-system story for DS bytes is DataSketches' own: the same wire
+ * format is readable by the DataSketches bindings in Hive/Druid/Postgres.
+ * For engines with no sketch library at all, GRAFT is the exit ramp: 3
+ * header bytes + 2^p plain register bytes, decodable in pure SQL (the
+ * harness's hll_graft_registers query pins a DuckDB decoder against it).
  */
 object SketchConvert {
 

@@ -93,6 +93,23 @@ trait HllFunctions extends Serializable {
   def hll_init_collection_agg(columnName: String): Column =
     hll_init_collection_agg(F.col(columnName))
 
+  // hll_init_hashed_agg --------------------------------------------------------
+
+  def hll_init_hashed_agg(e: Column, relativeSD: Double, implName: String = null): Column =
+    toColumn(HllInitHashedAgg(expr(e), relativeSD, resolved(implName)))
+
+  def hll_init_hashed_agg(columnName: String, relativeSD: Double): Column =
+    hll_init_hashed_agg(F.col(columnName), relativeSD)
+
+  def hll_init_hashed_agg(columnName: String, relativeSD: Double, implName: String): Column =
+    hll_init_hashed_agg(F.col(columnName), relativeSD, implName)
+
+  def hll_init_hashed_agg(e: Column): Column =
+    toColumn(HllInitHashedAgg(expr(e), format = resolved(null)))
+
+  def hll_init_hashed_agg(columnName: String): Column =
+    hll_init_hashed_agg(F.col(columnName))
+
   // hll_merge ------------------------------------------------------------------
 
   def hll_merge(e: Column, implName: String = null): Column =
@@ -140,6 +157,12 @@ trait HllFunctions extends Serializable {
 
   def hll_convert(columnName: String, from: String, to: String): Column =
     hll_convert(F.col(columnName), from, to)
+
+  // hll_registers --------------------------------------------------------------
+
+  def hll_registers(e: Column): Column = toColumn(HllRegisters(expr(e)))
+
+  def hll_registers(columnName: String): Column = hll_registers(F.col(columnName))
 }
 
 /** The default DSL entry point: `import graft.hll.functions._`. */

@@ -114,6 +114,20 @@ object HllFunctionRegistry extends FunctionRegistration {
         case Seq(e, from, to) =>
           HllConvert(e, fmt(from, "second argument"), fmt(to, "third argument"))
         case args => wrongArity("hll_convert", args.size)
+      }),
+    ("hll_init_hashed_agg",
+      usage("_FUNC_(hash64[, relativeSD[, implName]]) - Per group: returns an HLL sketch built from pre-hashed 64-bit values."),
+      {
+        case Seq(e) => HllInitHashedAgg(e)
+        case Seq(e, r) => HllInitHashedAgg(e, sd(r))
+        case Seq(e, r, i) => HllInitHashedAgg(e, sd(r), fmt(i, "third argument"))
+        case args => wrongArity("hll_init_hashed_agg", args.size)
+      }),
+    ("hll_registers",
+      usage("_FUNC_(graftSketch) - Returns the dense register array of a GRAFT v1 sketch."),
+      {
+        case Seq(e) => HllRegisters(e)
+        case args => wrongArity("hll_registers", args.size)
       })
   )
 

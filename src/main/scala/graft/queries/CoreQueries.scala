@@ -137,6 +137,29 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // The external-readability proof for the GRAFT wire format, register by
+    // register: per-priority sketches are built in STRM from PRE-HASHED
+    // values (md5_hash64 — reproducible in any engine with md5()),
+    // transcoded to GRAFT by hll_convert, and decoded back to their dense
+    // register array. The oracle recomputes every register from the raw
+    // rows in PURE DuckDB SQL — same md5-derived hash, same top-8-bit
+    // index, same leading-zero rank — so a single differing register byte
+    // anywhere in hash, ingest, serialization, transcoding, or decoding
+    // fails the compare. Output is (group, idx, reg) integers only.
+    "hll_graft_registers" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        // relativeSD=0.07 → p=8 → 256 registers per group: big enough to be
+        // a real sketch, small enough that the compared output stays tiny.
+        .agg(hll_init_hashed_agg(
+          graft.operators.Sampling.md5Hash64(col("o_custkey").cast("string")),
+          0.07, "STRM").as("sk"))
+        .select(col("o_orderpriority"),
+          posexplode(hll_registers(hll_convert(col("sk"), "STRM", "GRAFT")))
+            .as(Seq("idx", "reg")))
+        .orderBy("o_orderpriority", "idx")
+    }),
+
     // Same pipeline end-to-end on the DataSketches format (exact at these
     // counts: the sketch is still in exact coupon mode).
     "hll_ds_format" -> ((s, dir) => {
@@ -412,6 +435,30 @@ object CoreQueries {
     "hll_ds_format" ->
       """SELECT event_type, count(DISTINCT dayofmonth(ts))::BIGINT AS days
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // A complete HLL implementation in DuckDB SQL, register-compatible with
+    // GRAFT v1 bytes (p=8): hash = first 8 bytes of md5 as uint64, register
+    // index = top 8 bits, rank = 1 + leading zeros of the remaining 56 bits
+    // (57 when they are all zero — the sketch's stop-bit semantics).
+    "hll_graft_registers" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT AS h
+        |  FROM orders
+        |),
+        |r AS (
+        |  SELECT o_orderpriority, (h >> 56)::INT AS idx,
+        |    (CASE WHEN (h & 72057594037927935::UBIGINT) = 0 THEN 57
+        |          ELSE 57 - length(ltrim(bin(h & 72057594037927935::UBIGINT), '0'))
+        |     END) AS rank
+        |  FROM h
+        |),
+        |m AS (SELECT o_orderpriority, idx, max(rank) AS reg FROM r GROUP BY 1, 2)
+        |SELECT g.o_orderpriority AS o_orderpriority, i.idx::INT AS idx,
+        |  coalesce(m.reg, 0)::INT AS reg
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) g
+        |CROSS JOIN (SELECT unnest(range(256)) AS idx) i
+        |LEFT JOIN m ON m.o_orderpriority = g.o_orderpriority AND m.idx = i.idx
+        |ORDER BY o_orderpriority, idx""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,

@@ -24,10 +24,21 @@ class ExtensionsSpec extends AnyFunSuite {
 
     val names = Seq("hll_init", "hll_init_collection", "hll_init_agg",
       "hll_init_collection_agg", "hll_merge", "hll_row_merge",
-      "hll_cardinality", "hll_intersect_cardinality", "hll_convert")
+      "hll_cardinality", "hll_intersect_cardinality", "hll_convert",
+      "hll_init_hashed_agg", "hll_registers")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
+
+    // The bring-your-own-hash aggregate and the GRAFT register decoder
+    // compose in pure SQL: md5-hashed values → STRM sketch → GRAFT bytes →
+    // dense register array. 256 registers at p=8, at least one non-zero.
+    val regs = spark.sql(
+      """SELECT hll_registers(hll_convert(sk, 'STRM', 'GRAFT')) AS regs FROM
+        |  (SELECT hll_init_hashed_agg(md5_hash64(CAST(id AS STRING)), 0.07D, 'STRM') AS sk
+        |   FROM range(50))""".stripMargin).head().getSeq[Int](0)
+    assert(regs.length === 256)
+    assert(regs.exists(_ > 0))
 
     // End-to-end through the SQL parser/analyzer with no manual registration.
     val card = spark.sql(
