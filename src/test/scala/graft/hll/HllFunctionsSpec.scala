@@ -115,6 +115,47 @@ class HllFunctionsSpec extends AnyFunSuite {
       }
     }
 
+    test(s"[$label] row merge skips nulls, all-null row yields null") {
+      withFormatConf(conf) {
+        import spark.implicits._
+        val df = spark.createDataset(Seq(
+          Row3("a", "a", "a"),
+          Row3("a", "b", "c"),
+          Row3("a", "b", null),
+          Row3("a", null, null),
+          Row3(null, null, null)
+        ))
+        val result = df
+          .select(hll_init(col("c1")).as("s1"), hll_init(col("c2")).as("s2"),
+            hll_init(col("c3")).as("s3"))
+          .select(hll_cardinality(hll_row_merge(col("s1"), col("s2"), col("s3"))))
+          .na.fill(-1L)
+          .as[Long]
+          .collect()
+          .toSeq
+        assert(result == Seq(1L, 3L, 2L, 1L, -1L))
+      }
+    }
+
+    test(s"[$label] scalar init edge values: nulls, empty string, arrays as atoms vs collections") {
+      withFormatConf(conf) {
+        val a123 = array(lit(1), lit(2), lit(3))
+        val simple = Seq(
+          lit(null).cast(IntegerType),
+          lit(""),
+          a123
+        ).map(c => hll_init(c))
+        val collections = Seq(
+          lit(null).cast(ArrayType(IntegerType)),
+          array(),
+          map(),
+          a123
+        ).map(c => hll_init_collection(c))
+        val result = cardinalitiesOf(spark.range(1).select((simple ++ collections): _*))
+        assert(result == Seq(-1L, 1L, 1L, -1L, 0L, 0L, 3L))
+      }
+    }
+
     test(s"[$label] intersection: overlap, disjoint, and null handling") {
       withFormatConf(conf) {
         import spark.implicits._
@@ -146,43 +187,6 @@ class HllFunctionsSpec extends AnyFunSuite {
         assert(row.isNullAt(1)) // both null → null
       }
     }
-  }
-
-  test("row merge skips nulls, all-null row yields null") {
-    import spark.implicits._
-    val df = spark.createDataset(Seq(
-      Row3("a", "a", "a"),
-      Row3("a", "b", "c"),
-      Row3("a", "b", null),
-      Row3("a", null, null),
-      Row3(null, null, null)
-    ))
-    val result = df
-      .select(hll_init(col("c1")).as("s1"), hll_init(col("c2")).as("s2"),
-        hll_init(col("c3")).as("s3"))
-      .select(hll_cardinality(hll_row_merge(col("s1"), col("s2"), col("s3"))))
-      .na.fill(-1L)
-      .as[Long]
-      .collect()
-      .toSeq
-    assert(result == Seq(1L, 3L, 2L, 1L, -1L))
-  }
-
-  test("scalar init edge values: nulls, empty string, arrays as atoms vs collections") {
-    val a123 = array(lit(1), lit(2), lit(3))
-    val simple = Seq(
-      lit(null).cast(IntegerType),
-      lit(""),
-      a123
-    ).map(c => hll_init(c))
-    val collections = Seq(
-      lit(null).cast(ArrayType(IntegerType)),
-      array(),
-      map(),
-      a123
-    ).map(c => hll_init_collection(c))
-    val result = cardinalitiesOf(spark.range(1).select((simple ++ collections): _*))
-    assert(result == Seq(-1L, 1L, 1L, -1L, 0L, 0L, 3L))
   }
 
   test("relativeSD above 39% is rejected") {
