@@ -100,6 +100,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.contains((7L, 100L)))
   }
 
+  test("kmeans centroids: deterministic across runs, full probing stays exact, partial probing recalls") {
+    val rows = (0L until 200L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val corpus = vecs(rows: _*)
+    val queries = corpus.filter(col("vec_id") < 10)
+
+    // Bit-identical centroids on repeated runs (decimal sums make the means
+    // independent of partition/reduction order).
+    def cents() = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val c1 = cents()
+    assert(c1.map(_._1).toSeq === (0 until 8))
+    assert(c1.toSeq === cents().toSeq)
+
+    val centroids = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // Probing every cell is exact search, whatever the centroids are.
+    val full = flat(Similarity.ivfTopK(queries, corpus, k = 5,
+      nCentroids = 8, nProbe = 8, centroids = centroids))
+    val brute = flat(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    assert(full === brute)
+
+    // Partial probing trades recall for work; with half the cells probed the
+    // overlap with exact top-5 must stay substantial.
+    val partial = flat(Similarity.ivfTopK(queries, corpus, k = 5,
+      nCentroids = 8, nProbe = 4, centroids = centroids))
+    val partialIds = partial.map(t => (t._1, t._3))
+    val bruteIds = brute.map(t => (t._1, t._3))
+    val recall = partialIds.intersect(bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"recall $recall below 0.5 at nProbe=4/8")
+  }
+
   test("block-grid exact path covers every pair exactly once, any block count") {
     // Pseudo-random corpus big enough that every grid cell is populated.
     val rows = (0L until 100L).map { i =>
