@@ -66,18 +66,31 @@ object StreamingOps {
    * one [[SessionSummary]]; each micro-batch emits the updated summary for
    * every key it touched (update output mode).
    *
-   * Retention: per-user state is evicted after `idleTimeout` of processing
-   * time with no new events for that user (the final summary is emitted
-   * once more as the state retires). Without eviction the state store
-   * grows with the lifetime-distinct user count — unbounded on a
+   * Retention: per-user state is evicted once the EVENT-TIME watermark
+   * passes `idleTimeout` beyond the user's latest event (the final summary
+   * is emitted once more as the state retires). Without eviction the state
+   * store grows with the lifetime-distinct user count — unbounded on a
    * long-running stream, which breaks this file's bounded-state contract.
+   *
+   * Event-time (not processing-time) timeout on purpose: a pending
+   * processing-time timeout makes the micro-batch engine schedule batch
+   * after empty batch to poll the wall clock — with the default
+   * zero-interval trigger that is a BUSY SPIN burning a core on an idle
+   * stream. Event-time timeouts only fire when new data advances the
+   * watermark, so an idle stream schedules nothing; retention is also
+   * replay-deterministic, because eviction depends on the data, not on
+   * how fast the cluster happened to process it. The price: `watermark`
+   * bounds how out-of-order an event may arrive and still join its
+   * session — later than that and it starts a fresh summary (or is
+   * dropped late, per watermark semantics).
    */
   def sessionSummaries(spark: SparkSession, events: Dataset[UserEvent],
-      idleTimeout: String = "30 minutes"): Dataset[SessionSummary] = {
+      idleTimeout: String = "30 minutes", watermark: String = "2 hours"): Dataset[SessionSummary] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionSummary]) =>
           if (state.hasTimedOut) {
             val last = state.get
@@ -96,7 +109,18 @@ object StreamingOps {
               summary = SessionSummary(userId, first, last, summary.n_events + 1)
             }
             state.update(summary)
-            state.setTimeoutDuration(idleTimeout)
+            // Evict when the watermark passes last_ts + idleTimeout. The
+            // watermark can already be past that point for a late-arriving
+            // group — setTimeoutTimestamp rejects timestamps at or before
+            // the watermark, so clamp just above it (the state then retires
+            // on the next watermark advance).
+            val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+              org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+            val idleMs =
+              iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+            val target = summary.last_ts.getTime + idleMs
+            val floor = state.getCurrentWatermarkMs() + 1L
+            state.setTimeoutTimestamp(math.max(target, floor))
             summary
           }
       }
