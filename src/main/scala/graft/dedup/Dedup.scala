@@ -201,23 +201,37 @@ object Dedup {
       auditable: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4-of-8-chunk banding is complete only for Hamming <= 3")
-    val withSim = docs.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol)), auditable).as("sim"))
+    def simOf(df: DataFrame): DataFrame = df.select(col("id"),
+      simhash64(TextAnalysis.tokens(col("txt")), auditable).as("sim"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val chunk = (c: Int) => shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)
     val bandKeys = (0 until 8).combinations(4).toSeq.map { s =>
       s.zipWithIndex.map { case (c, pos) =>
         shiftleft(chunk(c), (3 - pos) * 8)
       }.reduce(_ bitwiseOR _)
     }
-    val banded = withSim.select(col("id"), col("sim"),
+    // Banded rows carry ONLY (band, value, id) — 24 bytes; the 8-byte sim
+    // would otherwise ride the 70-way fan-out shuffle 70 times per doc.
+    val banded = simOf(base).select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
-    val l = banded.select(col("band"), col("value"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("band"), col("value"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("band", "value"))
+    val l = banded.select(col("band"), col("value"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("value"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "value"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Verification joins each side against a recomputed (id, sim) table.
+    // Unlike the jaccard verifier there is no candidate semi-join on the
+    // documents here, deliberately: a semi-join would shuffle TEXT payloads
+    // to save re-running a map-side kernel, but sims are 8 bytes — at any
+    // scale, shuffling n×16-byte (id, sim) rows beats shuffling n×(text)
+    // ones, and the kernel re-evaluation costs no shuffle at all.
+    val sims = simOf(base)
+    candidates
+      .join(sims.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
