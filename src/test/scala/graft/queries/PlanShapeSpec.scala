@@ -67,6 +67,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q14 plans a nested-loop join")
   }
 
+  test("simhash banding joins on band keys, no cartesian, payload-free shuffle") {
+    val df = PipelineQueries.queries("q15_dedup_simhash")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "q15 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q15 plans a nested-loop join")
+    // The banding self-join must never carry document text: no Exchange
+    // below the band join hashes a 'txt'/'text' column.
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(l => l.contains("txt") || l.contains("text")),
+      s"document text rides a shuffle:\n${exchangeLines.mkString("\n")}")
+  }
+
   test("exact embedding near-dup distributes via the block grid, no cartesian") {
     val p = plan(PipelineQueries.queries("q16_embed_neardup")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q16 plans a cartesian join")
