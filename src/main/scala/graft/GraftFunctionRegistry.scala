@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.{CharShingles, MinHashSignature, SimHash64}
 import graft.hll.FunctionRegistration
-import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct}
+import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct, Int8DotProduct, QuantizeInt8}
 import graft.text.TextStats
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -82,6 +82,18 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(a, b) => ArrayDotProduct(a, b)
         case args => wrongArity("dot_product", args.size)
+      }),
+    ("quantize_int8",
+      "_FUNC_(vec) - Symmetric absmax int8 quantization of a float array: struct(scale, q).",
+      {
+        case Seq(v) => QuantizeInt8(v)
+        case args => wrongArity("quantize_int8", args.size)
+      }),
+    ("int8_dot",
+      "_FUNC_(qa, qb) - Exact integer dot product of two int8 code arrays.",
+      {
+        case Seq(a, b) => Int8DotProduct(a, b)
+        case args => wrongArity("int8_dot", args.size)
       })
   )
 

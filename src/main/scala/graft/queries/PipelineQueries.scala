@@ -126,6 +126,28 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Symmetric absmax int8 quantization of every embedding, exploded to
+    // (vec_id, dim, q) integer rows. Every arithmetic step is IEEE-double
+    // exact (widen, divide, floor(x+0.5)), so the oracle recomputes each
+    // code bit-for-bit in DuckDB.
+    "q32_embed_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(Similarity.quantizeInt8(col("embedding")).getField("q"))
+            .as(Seq("dim", "qv")))
+        .select(col("vec_id"), col("dim"), col("qv").cast("int").as("q"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // Quantized ANN: top-5 by integer int8 dot (4x smaller scoring pass).
+    // Integer scores + id tie-breaks make the approximate ranking exactly
+    // reproducible, so it oracles value-for-value like the float paths.
+    "q33_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF ANN: 16 deterministic coarse cells, probe the 4 nearest per query,
     // exact re-rank inside probed cells. Same query set as q17 so the two
     // results document the exact-vs-IVF trade directly.
@@ -287,6 +309,41 @@ object PipelineQueries {
         |FROM documents,
         |  LATERAL (SELECT unnest(range(0, ((octet_length(encode(text)) + 1023) // 1024), 3)) AS f) f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Recomputes the absmax int8 quantization in pure SQL: scale = amax/127,
+    // code = floor(x/scale + 0.5) clamped — all IEEE-double ops, so codes
+    // match the Spark kernel bit-for-bit.
+    "q32_embed_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, i.i::INT AS dim,
+        |  (CASE WHEN amax = 0 THEN 0
+        |        ELSE CAST(least(greatest(
+        |          floor(embedding[(i.i + 1)::INT]::DOUBLE / (amax / 127) + 0.5),
+        |          -127.0), 127.0) AS INT)
+        |   END) AS q
+        |FROM base, LATERAL (SELECT unnest(range(len(embedding))) AS i) i
+        |ORDER BY vec_id, dim""".stripMargin,
+    "q33_quantized_topk" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding, x ->
+        |           least(greatest(floor(x::DOUBLE / (amax / 127) + 0.5), -127.0), 127.0))
+        |    END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |        FROM embeddings)
+        |)
+        |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_dot_product(a.q, b.q) DESC, b.vec_id ASC) AS rank
+        |  FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.

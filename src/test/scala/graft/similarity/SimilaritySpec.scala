@@ -100,6 +100,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.contains((7L, 100L)))
   }
 
+  test("int8 quantization: known codes, zero vector, and exact integer dots") {
+    val df = vecs(
+      1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      2L -> Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    val rows = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale"), col("z.q"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    // amax=1.0 → scale=1/127; codes floor(x*127+0.5): 127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32, 0
+    assert(rows(1L)._1 === 1.0 / 127.0)
+    assert(rows(1L)._2 === Seq[Byte](127, -63, 32, 0))
+    assert(rows(2L)._1 === 0.0)
+    assert(rows(2L)._2 === Seq[Byte](0, 0, 0, 0))
+
+    val dot = df.filter(col("vec_id") === 1L)
+      .select(Similarity.int8Dot(
+        Similarity.quantizeInt8(col("embedding")).getField("q"),
+        Similarity.quantizeInt8(col("embedding")).getField("q")))
+      .head().getLong(0)
+    assert(dot === 127L * 127 + 63L * 63 + 32L * 32)
+  }
+
+  test("quantized top-k tracks the float ranking on a real corpus") {
+    val rows = (0L until 120L).map { i =>
+      i -> (0 until 16).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val corpus = vecs(rows: _*)
+    val queries = corpus.filter(col("vec_id") < 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = ids(Similarity.quantizedTopK(queries, corpus, k = 5))
+    val exactDot = ids({
+      // float-dot ranking (not cosine): quantization approximates the dot
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("neighbor_id").asc)
+      c.crossJoin(broadcast(q)).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("qv"), col("cv")).as("s"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    })
+    val overlap = quant.intersect(exactDot).size.toDouble / exactDot.size
+    assert(overlap >= 0.8, s"int8 ranking overlap $overlap below 0.8")
+  }
+
   test("kmeans centroids: deterministic across runs, full probing stays exact, partial probing recalls") {
     val rows = (0L until 200L).map { i =>
       i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
