@@ -174,8 +174,11 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .agg(
         count(lit(1)).as("n_buckets"),
-        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)).as("buckets_dropped"),
-        max(col("n")).as("largest_bucket"))
+        // coalesce: sum/max over an empty corpus are null, and "one row
+        // summarizing" should mean zeros, not NPEs in Long getters
+        coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+          .as("buckets_dropped"),
+        coalesce(max(col("n")), lit(0L)).as("largest_bucket"))
 
   // ----------------------------------------------------------------- simhash
 

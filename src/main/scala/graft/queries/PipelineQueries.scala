@@ -328,7 +328,7 @@ object PipelineQueries {
         |ORDER BY vec_id, dim""".stripMargin,
     "q33_quantized_topk" ->
       """WITH qz AS (
-        |  SELECT vec_id,
+        |  SELECT vec_id, amax,
         |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0.0)
         |         ELSE list_transform(embedding, x ->
         |           least(greatest(floor(x::DOUBLE / (amax / 127) + 0.5), -127.0), 127.0))
@@ -340,7 +340,9 @@ object PipelineQueries {
         |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_dot_product(a.q, b.q) DESC, b.vec_id ASC) AS rank
+        |      ORDER BY list_dot_product(a.q, b.q)
+        |                 * (CASE WHEN b.amax = 0 THEN 0 ELSE b.amax / 127 END) DESC,
+        |               b.vec_id ASC) AS rank
         |  FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 10)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

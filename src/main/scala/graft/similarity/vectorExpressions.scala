@@ -19,9 +19,13 @@ abstract class FloatVectorBinaryOp extends BinaryExpression with ExpectsInputTyp
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
 
-  /** Java source for the per-call combine; sees `a`, `b` (ArrayData), `n`
-   * (min length) and must assign the result to `${ev}`. */
-  protected def genLoop(ev: String, a: String, b: String): String
+  /** Java source for the per-call combine; sees `a`, `b` (ArrayData) and
+   * must assign the result to `${ev}`. Local variable names MUST come from
+   * `ctx.freshName` — with non-nullable inputs the generated snippet is
+   * inlined into the surrounding scope without braces, so two calls in one
+   * projection would otherwise declare duplicate Java locals and knock the
+   * whole stage out of codegen. */
+  protected def genLoop(ctx: CodegenContext, ev: String, a: String, b: String): String
 
   protected def evalVectors(a: ArrayData, b: ArrayData): Double
 
@@ -29,7 +33,7 @@ abstract class FloatVectorBinaryOp extends BinaryExpression with ExpectsInputTyp
     evalVectors(left.asInstanceOf[ArrayData], right.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(ev.value.toString, a, b))
+    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(ctx, ev.value.toString, a, b))
 }
 
 /** `dot(a, b)` — inner product in double precision, sequential order. */
@@ -46,15 +50,19 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends FloatVec
     acc
   }
 
-  override protected def genLoop(result: String, a: String, b: String): String =
+  override protected def genLoop(ctx: CodegenContext, result: String, a: String, b: String): String = {
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$result = acc;
+       |$result = $acc;
      """.stripMargin
+  }
 
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -82,17 +90,23 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression) extends Fl
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  override protected def genLoop(result: String, a: String, b: String): String =
+  override protected def genLoop(ctx: CodegenContext, result: String, a: String, b: String): String = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double) $a.getFloat(i);
-       |  double y = (double) $b.getFloat(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double x = (double) $a.getFloat($i);
+       |  double y = (double) $b.getFloat($i);
+       |  $dot += x * y; $na += x * x; $nb += y * y;
        |}
-       |$result = (na == 0.0 || nb == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(na * nb);
+       |$result = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
      """.stripMargin
+  }
 
   override def prettyName: String = "vec_cosine"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -179,15 +193,21 @@ case class Int8DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: with non-nullable inputs this snippet inlines unbraced
+      // into the surrounding scope; fixed names would collide across calls.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (long) $a.getByte(i) * (long) $b.getByte(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override def prettyName: String = "int8_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -87,6 +87,12 @@ object StreamingOps {
   def sessionSummaries(spark: SparkSession, events: Dataset[UserEvent],
       idleTimeout: String = "30 minutes", watermark: String = "2 hours"): Dataset[SessionSummary] = {
     import spark.implicits._
+    // Parsed ONCE here; the closure below runs per group per micro-batch
+    // on executors and must only capture the resulting long.
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val idleMs =
+      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -114,10 +120,6 @@ object StreamingOps {
             // group — setTimeoutTimestamp rejects timestamps at or before
             // the watermark, so clamp just above it (the state then retires
             // on the next watermark advance).
-            val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-              org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
-            val idleMs =
-              iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
             val target = summary.last_ts.getTime + idleMs
             val floor = state.getCurrentWatermarkMs() + 1L
             state.setTimeoutTimestamp(math.max(target, floor))

@@ -193,6 +193,14 @@ class DedupSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("largest_bucket") === n.toLong)
   }
 
+  test("lshBucketStats on an empty corpus reports zeros, not nulls") {
+    import spark.implicits._
+    val stats = lshBucketStats(Seq.empty[(Long, String)].toDF("doc_id", "text")).head()
+    assert(stats.getAs[Long]("n_buckets") === 0L)
+    assert(stats.getAs[Long]("buckets_dropped") === 0L)
+    assert(stats.getAs[Long]("largest_bucket") === 0L)
+  }
+
   test("bucket cap does not change results when no bucket overflows") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
     val corpus = docs(

@@ -122,6 +122,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dot === 127L * 127 + 63L * 63 + 32L * 32)
   }
 
+  test("repeated fused kernels in one non-nullable projection compile in codegen") {
+    // Non-nullable inputs inline the kernel snippets unbraced into one Java
+    // scope — duplicate local names would break compilation. fallback=false
+    // turns a silent interpreted fallback into a test failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = spark.range(1).select(
+        Similarity.dot(array(lit(1f), lit(2f)), array(lit(3f), lit(4f))).as("d1"),
+        Similarity.dot(array(lit(5f), lit(6f)), array(lit(7f), lit(8f))).as("d2"),
+        Similarity.cosine(array(lit(1f), lit(0f)), array(lit(1f), lit(0f))).as("c1"),
+        Similarity.cosine(array(lit(0f), lit(1f)), array(lit(0f), lit(1f))).as("c2"),
+        Similarity.int8Dot(array(lit(2.toByte)), array(lit(3.toByte))).as("i1"),
+        Similarity.int8Dot(array(lit(4.toByte)), array(lit(5.toByte))).as("i2")).head()
+      assert(row.getDouble(0) === 11.0)
+      assert(row.getDouble(1) === 83.0)
+      assert(row.getDouble(2) === 1.0)
+      assert(row.getDouble(3) === 1.0)
+      assert(row.getLong(4) === 6L)
+      assert(row.getLong(5) === 20L)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("quantized ranking corrects for per-vector scale") {
+    // v1 has 10x the magnitude of v2; both quantize to similar codes, so an
+    // uncorrected integer ranking would tie them and let the id break it.
+    val df = vecs(
+      1L -> Seq(10f, 0f),   // true dot vs q: 10
+      2L -> Seq(1f, 0.9f),  // true dot vs q: 1
+      9L -> Seq(1f, 0f))    // the query
+    val ranked = Similarity.quantizedTopK(df.filter(col("vec_id") === 9L), df, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(ranked(1) === 1L, "high-magnitude neighbor must rank first")
+    assert(ranked(2) === 2L)
+  }
+
   test("quantized top-k tracks the float ranking on a real corpus") {
     val rows = (0L until 120L).map { i =>
       i -> (0 until 16).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
