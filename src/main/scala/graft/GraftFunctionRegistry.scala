@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{CharShingles, MinHashSignature, SimHash64}
 import graft.hll.FunctionRegistration
 import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct, Int8DotProduct, QuantizeInt8}
-import graft.text.TextStats
+import graft.text.{RepetitionStats, TextStats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -64,6 +64,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t) => TextStats(t, Seq(graft.text.Stopwords.English))
         case args => wrongArity("text_stats", args.size)
+      }),
+    ("repetition_stats",
+      "_FUNC_(text) - Within-document repetition signals struct (duplicate lines, top bigram).",
+      {
+        case Seq(t) => RepetitionStats(t)
+        case args => wrongArity("repetition_stats", args.size)
       }),
     ("md5_hash64",
       "_FUNC_(text) - First 8 bytes of MD5 as a signed 64-bit value (auditable cross-engine hash).",

@@ -52,6 +52,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition signals per document — the boilerplate/degenerate-text
+    // filter inputs (duplicate-line counts, top bigram). Integer outputs;
+    // two-step select so the kernel evaluates once per row.
+    "q34_text_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_lines").as("n_lines"),
+          col("r.dup_lines").as("dup_lines"),
+          col("r.dup_line_chars").as("dup_line_chars"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.top_bigram").as("top_bigram"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -218,6 +233,40 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    // Lines = '\n' fields (string_split keeps empties, matching the kernel);
+    // bigrams = adjacent lowercase tokens joined with one space.
+    "q34_text_repetition" ->
+      s"""WITH lines AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+         |),
+         |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+         |line_stats AS (
+         |  SELECT doc_id,
+         |    sum(c)::INT AS n_lines,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_lines,
+         |    sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)::INT AS dup_line_chars
+         |  FROM lc GROUP BY 1
+         |),
+         |toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
+         |),
+         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bg_stats AS (
+         |  SELECT doc_id, sum(c)::INT AS n_bigrams, max(c)::INT AS top_bigram
+         |  FROM bgc GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_lines, 0)::INT AS n_lines,
+         |  coalesce(dup_lines, 0)::INT AS dup_lines,
+         |  coalesce(dup_line_chars, 0)::INT AS dup_line_chars,
+         |  coalesce(n_bigrams, 0)::INT AS n_bigrams,
+         |  coalesce(top_bigram, 0)::INT AS top_bigram
+         |FROM documents d
+         |LEFT JOIN line_stats USING (doc_id)
+         |LEFT JOIN bg_stats USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q13_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

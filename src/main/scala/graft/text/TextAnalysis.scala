@@ -63,6 +63,14 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftSqlBridge.column(
       TextStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), stopwordLists))
 
+  /** Within-document repetition signals (duplicate-line and top-bigram
+   * counts) for boilerplate/degenerate-text filtering — see
+   * [[RepetitionStats]]. Integer struct fields; derive fractions (e.g.
+   * `dup_line_chars / n_chars`) downstream. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      RepetitionStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
+
   /** Content fingerprint: MD5 of whitespace-normalized, lowercased text.
    * Stable across engines (DuckDB, Trino, Postgres all agree on md5-of-utf8),
    * which makes fingerprint-based dedup auditable off-Spark. */

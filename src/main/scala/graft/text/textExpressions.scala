@@ -129,6 +129,99 @@ case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
 }
 
 /**
+ * `repetition_stats(string)` → struct of within-document repetition
+ * signals, the standard corpus-quality filters (duplicate-line fraction,
+ * top-bigram fraction) used to strip boilerplate and degenerate text from
+ * training corpora. One pass, integer outputs only — callers derive the
+ * fractions, so results compare exactly across engines:
+ *
+ *  - `n_lines` — '\n'-separated fields of the RAW text, every field
+ *    counted including empty ones ("a\n" has 2 lines: "a" and "");
+ *  - `dup_lines` — total occurrences of any line value appearing >= 2
+ *    times; `dup_line_chars` — their code-point lengths summed per
+ *    occurrence;
+ *  - `n_bigrams` — adjacent lowercase-token pairs (tokens as in
+ *    [[TextStats]]: maximal non-`\s` runs); `top_bigram` — the highest
+ *    single bigram count (0 when there are no bigrams).
+ */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_lines", IntegerType, nullable = false),
+    StructField("dup_line_chars", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val original = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val raw = original.toString
+
+    // Lines: every '\n'-separated field, trailing empties included (the
+    // cross-engine convention — SQL string_split keeps them; Java's
+    // split("\n") would drop them).
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var n_lines = 0
+    var start = 0
+    var i = 0
+    while (i <= raw.length) {
+      if (i == raw.length || raw.charAt(i) == '\n') {
+        val line = raw.substring(start, i)
+        lineCounts.merge(line, 1, Integer.sum)
+        n_lines += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var dupLines = 0
+    var dupLineChars = 0
+    lineCounts.forEach { (line, c) =>
+      if (c >= 2) {
+        dupLines += c
+        dupLineChars += c * line.codePointCount(0, line.length)
+      }
+    }
+
+    // Bigrams over lowercase whitespace tokens.
+    val lower = original.toLowerCase.toString
+    val bigramCounts = new java.util.HashMap[String, Int]()
+    var nBigrams = 0
+    var prev: String = null
+    var tokenStart = -1
+    i = 0
+    while (i <= lower.length) {
+      val atEnd = i == lower.length
+      if (!atEnd && !isWs(lower.charAt(i))) {
+        if (tokenStart < 0) tokenStart = i
+      } else if (tokenStart >= 0) {
+        val tok = lower.substring(tokenStart, i)
+        if (prev != null) {
+          bigramCounts.merge(prev + " " + tok, 1, Integer.sum)
+          nBigrams += 1
+        }
+        prev = tok
+        tokenStart = -1
+      }
+      i += 1
+    }
+    var topBigram = 0
+    bigramCounts.forEach { (_, c) => if (c > topBigram) topBigram = c }
+
+    new GenericInternalRow(Array[Any](n_lines, dupLines, dupLineChars, nBigrams, topBigram))
+  }
+
+  override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `rolling_hash64(string)` → Rabin–Karp polynomial fingerprint of the
  * UTF-8 bytes: `h = Σ byte_i · B^(n-1-i)` in wrapping 64-bit arithmetic
  * with base B = 257.

@@ -19,6 +19,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     Seq(text).toDF("text")
   }
 
+  test("repetition stats on a crafted document") {
+    // 5 lines: "ab cd", "ab cd", "", "xy", "" → "ab cd" dup (2 occ, 10 chars),
+    // "" dup (2 occ, 0 chars). Tokens: ab cd ab cd xy → bigrams:
+    // "ab cd"×2, "cd ab"×1, "cd xy"×1 → 4 bigrams, top 2.
+    val text = "ab cd\nab cd\n\nxy\n"
+    val r = one(text)
+      .select(repetitionStats(col("text")).as("r")).select(col("r.*")).head()
+    assert(r.getInt(0) === 5)  // n_lines (trailing empty field counts)
+    assert(r.getInt(1) === 4)  // dup_lines: 2×"ab cd" + 2×""
+    assert(r.getInt(2) === 10) // dup_line_chars
+    assert(r.getInt(3) === 4)  // n_bigrams
+    assert(r.getInt(4) === 2)  // top_bigram
+  }
+
+  test("repetition stats edge cases: empty text, single token") {
+    val empty = one("").select(repetitionStats(col("text")).as("r")).select(col("r.*")).head()
+    assert(empty.getInt(0) === 1) // one empty line
+    assert(empty.getInt(1) === 0)
+    assert(empty.getInt(3) === 0)
+    assert(empty.getInt(4) === 0)
+    val single = one("word").select(repetitionStats(col("text")).as("r")).select(col("r.*")).head()
+    assert(single.getInt(0) === 1)
+    assert(single.getInt(3) === 0) // no bigram from one token
+  }
+
   test("quality signals on a crafted sentence") {
     val text = "The quick brown fox, the lazy dog! The fox."
     val row: Row = one(text)
