@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.{CharShingles, MinHashSignature, SimHash64}
+import graft.dedup.{CharShingles, MinHashSignature, SimHash64, WordShingles}
 import graft.hll.FunctionRegistration
 import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct, Int8DotProduct, QuantizeInt8}
 import graft.text.{RepetitionStats, TextStats}
@@ -45,6 +45,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t, n) => CharShingles(t, intOf(n, "the shingle width"))
         case args => wrongArity("char_shingles", args.size)
+      }),
+    ("word_shingles",
+      "_FUNC_(tokens, n) - Distinct n-token shingles of a token array, space-joined.",
+      {
+        case Seq(t, n) => WordShingles(t, intOf(n, "the shingle width"))
+        case args => wrongArity("word_shingles", args.size)
       }),
     ("minhash_signature",
       "_FUNC_(elements, k) - k-element MinHash signature of a string array.",

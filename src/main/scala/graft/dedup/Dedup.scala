@@ -239,6 +239,39 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Distinct word n-gram shingle array of a token array ([[WordShingles]]). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+
+  /**
+   * Benchmark decontamination: for every document sharing at least one
+   * word n-gram with the benchmark set, the number of distinct shared
+   * n-grams. The standard pre-training hygiene step — eval questions that
+   * leak into the corpus surface as long-n-gram collisions.
+   *
+   * Scale contract: the benchmark's distinct grams are hashed to 8-byte
+   * keys (auditable md5_hash64, so the overlap is recomputable off-Spark)
+   * and BROADCAST — eval sets are tiny next to a training corpus, so the
+   * corpus-side gram stream joins map-side, no shuffle of corpus grams.
+   * Only (id, gram-hash) pairs exist after the projection; text never
+   * leaves its scan. Output: (doc_id, n_contaminated), docs with zero
+   * overlap omitted.
+   */
+  def ngramContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(wordShingles(TextAnalysis.tokens(col(textCol)), n)).as("g"): _*)
+        .withColumn("gh", graft.operators.Sampling.md5Hash64(col("g")))
+        .drop("g")
+    val bench = grams(benchmark).select(col("gh")).distinct()
+    grams(docs, col(idCol).as("id"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("gh")).as("n_contaminated"))
+  }
+
   // ------------------------------------------------------------- canonical
 
   /** Collapse near-dup pairs into canonical assignments: every id that

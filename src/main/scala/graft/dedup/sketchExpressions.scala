@@ -84,6 +84,50 @@ case class CharShingles(child: Expression, n: Int)
 }
 
 /**
+ * `word_shingles(array<string>, n)` → array<string>: the DISTINCT
+ * n-token shingles of a token array, each joined with a single space.
+ * Fewer than n tokens yield an empty array (a document shorter than the
+ * shingle width cannot contain one — unlike [[CharShingles]], which falls
+ * back to whole-text, word shingles feed overlap tests where a partial
+ * gram would be a false positive). Null tokens are skipped.
+ */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0, "shingle width must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val toks = new java.util.ArrayList[UTF8String](arr.numElements())
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) toks.add(arr.getUTF8String(j))
+      j += 1
+    }
+    val count = toks.size() - n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(count, 0) * 2)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = toks.get(i + k); k += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `minhash_signature(array<string>, k)` → array<bigint> of length k:
  * element-wise minimum of k pairwise-independent hash functions
  * `h_i(x) = a_i·xxhash64(x) + b_i` (mod 2^64; a_i odd so the map is a

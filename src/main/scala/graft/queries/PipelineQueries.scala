@@ -67,6 +67,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: docs sharing any 8-token gram with the
+    // held-out set (source = src0 plays the eval set). Broadcast hashed
+    // benchmark grams, map-side join — integer overlap counts out.
+    "q35_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 8)
+        .orderBy("id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -233,6 +244,23 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    // 8-token grams on both sides; count distinct shared grams per doc.
+    "q35_decontamination" -> {
+      val gram8 = (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokensSql AS ts FROM documents
+         |),
+         |bg AS (
+         |  SELECT doc_id, source, $gram8 AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |),
+         |bench AS (SELECT DISTINCT g FROM bg WHERE source = 'src0')
+         |SELECT doc_id AS id, count(DISTINCT d.g)::BIGINT AS n_contaminated
+         |FROM (SELECT doc_id, g FROM bg WHERE source <> 'src0') d
+         |JOIN bench USING (g)
+         |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
     // Lines = '\n' fields (string_split keeps empties, matching the kernel);
     // bigrams = adjacent lowercase tokens joined with one space.
     "q34_text_repetition" ->

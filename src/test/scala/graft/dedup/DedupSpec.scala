@@ -171,6 +171,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- decontamination
+
+  test("wordShingles: distinct space-joined n-grams; short inputs yield none") {
+    import spark.implicits._
+    val toks = Seq(Seq("a", "b", "c", "b", "c")).toDF("ts")
+    val grams = toks.select(wordShingles(col("ts"), 2)).head().getSeq[String](0)
+    assert(grams.toSet === Set("a b", "b c", "c b"))
+    val short = Seq(Seq("only")).toDF("ts")
+      .select(wordShingles(col("ts"), 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("ngramContamination counts distinct shared grams, omits clean docs") {
+    val bench = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    val corpus = docs(
+      1L -> "intro text then the quick brown fox jumps over the lazy dog and more",
+      2L -> "completely unrelated content with no benchmark overlap at all here",
+      3L -> "the quick brown fox jumps over the lazy dog")
+    val hits = ngramContamination(corpus, bench, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bench has two 8-grams: "the..dog" window 1-8 and 2-9.
+    assert(hits === Map(1L -> 2L, 3L -> 2L))
+  }
+
   // ---------------------------------------------------------- hot-bucket cap
 
   test("jaccardNearDupPairs survives an adversarial hot bucket and counts the drops") {

@@ -57,7 +57,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // instead of shadowing it.
     Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
       "theta_init_agg", "graft_theta_union", "theta_intersect", "theta_a_not_b",
-      "theta_estimate", "char_shingles", "minhash_signature", "simhash64",
+      "theta_estimate", "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
