@@ -78,6 +78,43 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // The capstone: a complete training-data pipeline in ONE query —
+    // exact dedup (keep canonical ids) → benchmark decontamination (drop
+    // docs sharing an 8-gram with the src0 eval set) → quality filtering
+    // (length bounds, distinct-token ratio >= 30%, duplicate-line and
+    // top-bigram caps, all integer rationals) → deterministic 90/10
+    // train/val split. Everything composes from the individually-verified
+    // operators, and the whole result still oracles value-for-value.
+    "q36_pipeline_end2end" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val canonicalIds = Dedup.exactDupGroups(corpus)
+        .select(col("canonical_id").as("doc_id"))
+      val contaminated = Dedup.ngramContamination(corpus, bench, n = 8)
+        .select(col("id").as("doc_id"))
+      val signals = corpus
+        .join(canonicalIds, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.textStats(col("text")).as("t"),
+          TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("t.n_tokens").as("n_tokens"),
+          col("t.n_distinct_tokens").as("n_distinct"),
+          col("r.n_lines").as("n_lines"), col("r.dup_lines").as("dup_lines"),
+          col("r.n_bigrams").as("n_bigrams"), col("r.top_bigram").as("top_bigram"))
+      signals
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          col("n_distinct") * 10 >= col("n_tokens") * 3 &&
+          col("dup_lines") * 5 <= col("n_lines") &&
+          col("top_bigram") * 5 <= greatest(col("n_bigrams"), lit(1)))
+        .select(col("doc_id"),
+          graft.operators.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 9L, "val" -> 1L), 10L).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -244,6 +281,61 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    // Replicates the full pipeline: canonical ids per fingerprint group,
+    // 8-gram contamination against src0, the integer quality rationals,
+    // then the md5-threshold split (9/10 cumulative = floor(9*2^63/10)).
+    "q36_pipeline_end2end" -> {
+      val gram8 = (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+         |norm AS (SELECT doc_id, md5($normSql) AS fp FROM corpus),
+         |canonical AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp),
+         |toksall AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |bg8 AS (
+         |  SELECT doc_id, source, $gram8 AS g
+         |  FROM toksall, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |),
+         |bench AS (SELECT DISTINCT g FROM bg8 WHERE source = 'src0'),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM bg8 JOIN bench USING (g) WHERE source <> 'src0'
+         |),
+         |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+         |line_stats AS (
+         |  SELECT doc_id, sum(c) AS n_lines,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines
+         |  FROM lc GROUP BY 1
+         |),
+         |bg2 AS (
+         |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
+         |  FROM (SELECT doc_id, ts FROM toksall WHERE source <> 'src0') t,
+         |       LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
+         |),
+         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY 1, 2),
+         |bg_stats AS (
+         |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram FROM bgc GROUP BY 1
+         |),
+         |sig AS (
+         |  SELECT t.doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+         |    coalesce(ls.n_lines, 0) AS n_lines, coalesce(ls.dup_lines, 0) AS dup_lines,
+         |    coalesce(bs.n_bigrams, 0) AS n_bigrams, coalesce(bs.top_bigram, 0) AS top_bigram
+         |  FROM (SELECT doc_id, ts FROM toksall WHERE source <> 'src0') t
+         |  LEFT JOIN line_stats ls ON t.doc_id = ls.doc_id
+         |  LEFT JOIN bg_stats bs ON t.doc_id = bs.doc_id
+         |  WHERE t.doc_id IN (SELECT doc_id FROM canonical)
+         |    AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+         |         < 8301034833169298227::UBIGINT THEN 'train'
+         |       ELSE 'val' END AS split
+         |FROM sig
+         |WHERE n_tokens >= 10 AND n_tokens <= 5000
+         |  AND n_distinct * 10 >= n_tokens * 3
+         |  AND dup_lines * 5 <= n_lines
+         |  AND top_bigram * 5 <= greatest(n_bigrams, 1)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" -> {
       val gram8 = (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
