@@ -86,6 +86,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q16 plans a nested-loop join")
   }
 
+  test("decontamination broadcasts the benchmark grams, corpus joins map-side") {
+    val p = plan(PipelineQueries.queries("q35_decontamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "benchmark gram join is not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("end-to-end pipeline query plans without any cartesian") {
+    val p = plan(PipelineQueries.queries("q36_pipeline_end2end")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("brute-force ANN broadcasts the query side, never the corpus") {
     val df = PipelineQueries.queries("q17_ann_topk")(spark, sf)
     val p = plan(df)
