@@ -256,7 +256,7 @@ object Dedup {
    * and BROADCAST — eval sets are tiny next to a training corpus, so the
    * corpus-side gram stream joins map-side, no shuffle of corpus grams.
    * Only (id, gram-hash) pairs exist after the projection; text never
-   * leaves its scan. Output: (doc_id, n_contaminated), docs with zero
+   * leaves its scan. Output: (`idCol`, n_contaminated), docs with zero
    * overlap omitted.
    */
   def ngramContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
@@ -268,8 +268,12 @@ object Dedup {
     val bench = grams(benchmark).select(col("gh")).distinct()
     grams(docs, col(idCol).as("id"))
       .join(broadcast(bench), "gh")
-      .groupBy(col("id"))
-      .agg(count_distinct(col("gh")).as("n_contaminated"))
+      .groupBy(col("id").as(idCol))
+      // plain count: WordShingles dedups grams per doc and bench is
+      // distinct, so join rows are already unique per (id, gh) — a
+      // count_distinct would drag dedup state through the shuffle for
+      // nothing.
+      .agg(count(lit(1)).as("n_contaminated"))
   }
 
   // ------------------------------------------------------------- canonical

@@ -89,7 +89,10 @@ case class CharShingles(child: Expression, n: Int)
  * Fewer than n tokens yield an empty array (a document shorter than the
  * shingle width cannot contain one — unlike [[CharShingles]], which falls
  * back to whole-text, word shingles feed overlap tests where a partial
- * gram would be a false positive). Null tokens are skipped.
+ * gram would be a false positive). A null token BREAKS the gram sequence —
+ * no shingle spans it: silently bridging two non-adjacent tokens would
+ * fabricate a gram the document never contained, the same false-positive
+ * class.
  */
 case class WordShingles(child: Expression, n: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -102,21 +105,20 @@ case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.unsafe.types.UTF8String
     val arr = input.asInstanceOf[ArrayData]
-    val toks = new java.util.ArrayList[UTF8String](arr.numElements())
-    var j = 0
-    while (j < arr.numElements()) {
-      if (!arr.isNullAt(j)) toks.add(arr.getUTF8String(j))
-      j += 1
-    }
-    val count = toks.size() - n + 1
-    val seen = new java.util.LinkedHashSet[UTF8String](math.max(count, 0) * 2)
+    val total = arr.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(total - n + 1, 0) * 2)
     val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
     var i = 0
-    while (i < count) {
-      val parts = new Array[UTF8String](n)
+    while (i + n <= total) {
+      // A window is a gram only if all n tokens are non-null (contiguous).
       var k = 0
-      while (k < n) { parts(k) = toks.get(i + k); k += 1 }
-      seen.add(UTF8String.concatWs(space, parts: _*))
+      var ok = true
+      while (ok && k < n) {
+        if (arr.isNullAt(i + k)) { ok = false; i = i + k } // skip past the null
+        else { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      }
+      if (ok) seen.add(UTF8String.concatWs(space, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

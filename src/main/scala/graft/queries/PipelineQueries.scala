@@ -75,7 +75,7 @@ object PipelineQueries {
       Dedup.ngramContamination(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), n = 8)
-        .orderBy("id")
+        .orderBy("doc_id")
     }),
 
     // The capstone: a complete training-data pipeline in ONE query —
@@ -92,16 +92,16 @@ object PipelineQueries {
       val canonicalIds = Dedup.exactDupGroups(corpus)
         .select(col("canonical_id").as("doc_id"))
       val contaminated = Dedup.ngramContamination(corpus, bench, n = 8)
-        .select(col("id").as("doc_id"))
+        .select(col("doc_id"))
+      // One kernel pass: RepetitionStats carries the token counts too, so
+      // the filter never lowercases/tokenizes a document twice.
       val signals = corpus
         .join(canonicalIds, Seq("doc_id"), "left_semi")
         .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
         .select(col("doc_id"),
-          TextAnalysis.textStats(col("text")).as("t"),
-          TextAnalysis.repetitionStats(col("text")).as("r"))
-        .select(col("doc_id"),
-          col("t.n_tokens").as("n_tokens"),
-          col("t.n_distinct_tokens").as("n_distinct"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct_tokens").as("n_distinct"),
           col("r.n_lines").as("n_lines"), col("r.dup_lines").as("dup_lines"),
           col("r.n_bigrams").as("n_bigrams"), col("r.top_bigram").as("top_bigram"))
       signals
@@ -258,6 +258,37 @@ object PipelineQueries {
       |  range(1, greatest(length(text) - 9, 1) + 1),
       |  i -> substr(lower(text), i::INT, 10)))""".stripMargin
 
+  /** 8-token gram at 1-based window start i.i — shared by q35/q36 so the
+   * contamination semantics cannot drift between the two oracles. */
+  private val gram8Sql =
+    (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
+
+  /** Per-doc duplicate-line stats CTE chain over a relation named `corpus`
+   * — shared q34/q36 (q34 aliases documents as corpus). */
+  private val lineStatsSql =
+    """lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+      |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+      |line_stats AS (
+      |  SELECT doc_id,
+      |    sum(c)::INT AS n_lines,
+      |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_lines,
+      |    sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)::INT AS dup_line_chars
+      |  FROM lc GROUP BY 1
+      |)""".stripMargin
+
+  /** Per-doc bigram stats CTE chain over a token relation `toks(doc_id, ts)`
+   * — shared q34/q36. */
+  private val bigramStatsSql =
+    """bg2 AS (
+      |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
+      |),
+      |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY 1, 2),
+      |bg_stats AS (
+      |  SELECT doc_id, sum(c)::INT AS n_bigrams, max(c)::INT AS top_bigram
+      |  FROM bgc GROUP BY 1
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q10_text_stats" ->
       s"""SELECT doc_id,
@@ -284,41 +315,27 @@ object PipelineQueries {
     // Replicates the full pipeline: canonical ids per fingerprint group,
     // 8-gram contamination against src0, the integer quality rationals,
     // then the md5-threshold split (9/10 cumulative = floor(9*2^63/10)).
-    "q36_pipeline_end2end" -> {
-      val gram8 = (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
+    "q36_pipeline_end2end" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
          |norm AS (SELECT doc_id, md5($normSql) AS fp FROM corpus),
          |canonical AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp),
          |toksall AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |toks AS (SELECT doc_id, ts FROM toksall WHERE source <> 'src0'),
          |bg8 AS (
-         |  SELECT doc_id, source, $gram8 AS g
+         |  SELECT doc_id, source, $gram8Sql AS g
          |  FROM toksall, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
          |),
          |bench AS (SELECT DISTINCT g FROM bg8 WHERE source = 'src0'),
          |contaminated AS (
          |  SELECT DISTINCT doc_id FROM bg8 JOIN bench USING (g) WHERE source <> 'src0'
          |),
-         |lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
-         |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
-         |line_stats AS (
-         |  SELECT doc_id, sum(c) AS n_lines,
-         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines
-         |  FROM lc GROUP BY 1
-         |),
-         |bg2 AS (
-         |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
-         |  FROM (SELECT doc_id, ts FROM toksall WHERE source <> 'src0') t,
-         |       LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
-         |),
-         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY 1, 2),
-         |bg_stats AS (
-         |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram FROM bgc GROUP BY 1
-         |),
+         |$lineStatsSql,
+         |$bigramStatsSql,
          |sig AS (
          |  SELECT t.doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
          |    coalesce(ls.n_lines, 0) AS n_lines, coalesce(ls.dup_lines, 0) AS dup_lines,
          |    coalesce(bs.n_bigrams, 0) AS n_bigrams, coalesce(bs.top_bigram, 0) AS top_bigram
-         |  FROM (SELECT doc_id, ts FROM toksall WHERE source <> 'src0') t
+         |  FROM toks t
          |  LEFT JOIN line_stats ls ON t.doc_id = ls.doc_id
          |  LEFT JOIN bg_stats bs ON t.doc_id = bs.doc_id
          |  WHERE t.doc_id IN (SELECT doc_id FROM canonical)
@@ -333,50 +350,30 @@ object PipelineQueries {
          |  AND n_distinct * 10 >= n_tokens * 3
          |  AND dup_lines * 5 <= n_lines
          |  AND top_bigram * 5 <= greatest(n_bigrams, 1)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
-    "q35_decontamination" -> {
-      val gram8 = (0 until 8).map(k => s"ts[(i.i + $k)::INT]").mkString(" || ' ' || ")
+    "q35_decontamination" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, $tokensSql AS ts FROM documents
          |),
          |bg AS (
-         |  SELECT doc_id, source, $gram8 AS g
+         |  SELECT doc_id, source, $gram8Sql AS g
          |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
          |),
          |bench AS (SELECT DISTINCT g FROM bg WHERE source = 'src0')
-         |SELECT doc_id AS id, count(DISTINCT d.g)::BIGINT AS n_contaminated
+         |SELECT doc_id, count(DISTINCT d.g)::BIGINT AS n_contaminated
          |FROM (SELECT doc_id, g FROM bg WHERE source <> 'src0') d
          |JOIN bench USING (g)
-         |GROUP BY 1 ORDER BY id""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Lines = '\n' fields (string_split keeps empties, matching the kernel);
     // bigrams = adjacent lowercase tokens joined with one space.
     "q34_text_repetition" ->
-      s"""WITH lines AS (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
-         |),
-         |lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
-         |line_stats AS (
-         |  SELECT doc_id,
-         |    sum(c)::INT AS n_lines,
-         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_lines,
-         |    sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)::INT AS dup_line_chars
-         |  FROM lc GROUP BY 1
-         |),
+      s"""WITH corpus AS (SELECT * FROM documents),
+         |$lineStatsSql,
          |toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         |bg AS (
-         |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
-         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
-         |),
-         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-         |bg_stats AS (
-         |  SELECT doc_id, sum(c)::INT AS n_bigrams, max(c)::INT AS top_bigram
-         |  FROM bgc GROUP BY 1
-         |)
+         |$bigramStatsSql
          |SELECT d.doc_id,
          |  coalesce(n_lines, 0)::INT AS n_lines,
          |  coalesce(dup_lines, 0)::INT AS dup_lines,

@@ -154,7 +154,12 @@ case class RepetitionStats(child: Expression)
     StructField("dup_lines", IntegerType, nullable = false),
     StructField("dup_line_chars", IntegerType, nullable = false),
     StructField("n_bigrams", IntegerType, nullable = false),
-    StructField("top_bigram", IntegerType, nullable = false)))
+    StructField("top_bigram", IntegerType, nullable = false),
+    // token counts ride along for free (the bigram pass already walks every
+    // token), so a filter needing repetition AND token-ratio rules — like
+    // the q36 pipeline — runs ONE kernel instead of this plus TextStats
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false)))
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -188,10 +193,12 @@ case class RepetitionStats(child: Expression)
       }
     }
 
-    // Bigrams over lowercase whitespace tokens.
+    // Bigrams + token counts over lowercase whitespace tokens, one walk.
     val lower = original.toLowerCase.toString
     val bigramCounts = new java.util.HashMap[String, Int]()
+    val distinctToks = new java.util.HashSet[String]()
     var nBigrams = 0
+    var nTokens = 0
     var prev: String = null
     var tokenStart = -1
     i = 0
@@ -201,6 +208,8 @@ case class RepetitionStats(child: Expression)
         if (tokenStart < 0) tokenStart = i
       } else if (tokenStart >= 0) {
         val tok = lower.substring(tokenStart, i)
+        nTokens += 1
+        distinctToks.add(tok)
         if (prev != null) {
           bigramCounts.merge(prev + " " + tok, 1, Integer.sum)
           nBigrams += 1
@@ -213,7 +222,9 @@ case class RepetitionStats(child: Expression)
     var topBigram = 0
     bigramCounts.forEach { (_, c) => if (c > topBigram) topBigram = c }
 
-    new GenericInternalRow(Array[Any](n_lines, dupLines, dupLineChars, nBigrams, topBigram))
+    new GenericInternalRow(Array[Any](
+      n_lines, dupLines, dupLineChars, nBigrams, topBigram,
+      nTokens, distinctToks.size()))
   }
 
   override def prettyName: String = "repetition_stats"

@@ -181,6 +181,11 @@ class DedupSpec extends AnyFunSuite {
     val short = Seq(Seq("only")).toDF("ts")
       .select(wordShingles(col("ts"), 2)).head().getSeq[String](0)
     assert(short.isEmpty)
+    // A null token breaks the sequence: no gram may bridge non-adjacent
+    // tokens (that would fabricate a gram the document never contained).
+    val withNull = Seq(Seq(Some("a"), Some("b"), None, Some("c"), Some("d"))).toDF("ts")
+      .select(wordShingles(col("ts"), 2)).head().getSeq[String](0)
+    assert(withNull.toSet === Set("a b", "c d"))
   }
 
   test("ngramContamination counts distinct shared grams, omits clean docs") {

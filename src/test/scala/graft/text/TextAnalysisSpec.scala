@@ -31,6 +31,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(2) === 10) // dup_line_chars
     assert(r.getInt(3) === 4)  // n_bigrams
     assert(r.getInt(4) === 2)  // top_bigram
+    assert(r.getInt(5) === 5)  // n_tokens: ab cd ab cd xy
+    assert(r.getInt(6) === 3)  // n_distinct_tokens: ab, cd, xy
   }
 
   test("repetition stats edge cases: empty text, single token") {
