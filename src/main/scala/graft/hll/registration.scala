@@ -158,6 +158,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     }
     graft.kll.KllFunctionRegistry.inject(extensions)
     graft.theta.ThetaFunctionRegistry.inject(extensions)
+    graft.freq.FreqFunctionRegistry.inject(extensions)
     graft.GraftFunctionRegistry.inject(extensions)
   }
 }

@@ -115,6 +115,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-wide heavy-hitter bigrams via ONE frequent-items sketch —
+    // boilerplate/template detection without a token-level groupBy: each
+    // partition ships a bounded counter map (<= 2048 entries) instead of
+    // shuffling every distinct gram, and the support threshold is
+    // scale-free (1500 ppm of the bigram stream). The 2048-slot map holds
+    // this corpus's whole bigram vocabulary, so freq_max_error = 0 and
+    // every reported count is exact — which is what lets DuckDB's exact
+    // GROUP BY serve as the oracle.
+    "q37_freq_heavyhitters" -> ((s, dir) => {
+      import graft.freq.functions._
+      val ts = TextAnalysis.tokens(col("text"))
+      val bigrams = when(size(ts) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      Tables.documents(s, dir)
+        .select(explode(bigrams).as("bg"))
+        .agg(freq_init_agg(col("bg"), 2048).as("sk"))
+        .select(explode(freq_items_by_support(col("sk"), 1500L)).as("hh"))
+        .select(col("hh.item").as("item"), col("hh.cnt").as("cnt"))
+        .orderBy("item")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -351,6 +374,20 @@ object PipelineQueries {
          |  AND dup_lines * 5 <= n_lines
          |  AND top_bigram * 5 <= greatest(n_bigrams, 1)
          |ORDER BY doc_id""".stripMargin,
+
+    // Exact GROUP BY replica of the sketch query: the sketch is in exact
+    // mode (vocabulary << map), so counts match value-for-value, and the
+    // ppm filter is the same integer arithmetic (cnt >= ceil(n*ppm/1e6)
+    // ⇔ cnt*1e6 >= n*ppm for integer cnt).
+    "q37_freq_heavyhitters" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |bg AS (SELECT ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
+         |       FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+         |tot AS (SELECT count(*) AS n FROM bg)
+         |SELECT b AS item, count(*)::BIGINT AS cnt
+         |FROM bg, tot GROUP BY b, n
+         |HAVING count(*) * 1000000 >= n * 1500
+         |ORDER BY item""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->

@@ -57,11 +57,19 @@ class ExtensionsSpec extends AnyFunSuite {
     // instead of shadowing it.
     Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
       "theta_init_agg", "graft_theta_union", "theta_intersect", "theta_a_not_b",
-      "theta_estimate", "char_shingles", "word_shingles", "minhash_signature", "simhash64",
+      "theta_estimate", "freq_init_agg", "freq_merge", "freq_items",
+      "freq_items_by_support", "freq_estimate", "freq_stream_length", "freq_max_error",
+      "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
+
+    // Heavy-hitters through SQL: 0 appears 34 times in range(100) % 3.
+    val freqTop = spark.sql(
+      """SELECT freq_items(freq_init_agg(CAST(id % 3 AS STRING)), 34L) AS hh
+        |FROM range(100)""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(freqTop.map(r => (r.getString(0), r.getLong(1))) === Seq(("0", 34L)))
 
     // The graft union aggregate works under its prefixed name, and the
     // built-in theta_union keeps its native two-sketch-scalar semantics.

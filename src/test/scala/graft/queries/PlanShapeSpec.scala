@@ -61,6 +61,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial KLL aggregate below the shuffle")
   }
 
+  test("freq heavy-hitters aggregates partial sketches before the single-partition exchange") {
+    val p = plan(PipelineQueries.queries("q37_freq_heavyhitters")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), "freq agg not ObjectHashAggregate")
+    // Global (no-key) aggregate: each partition must reduce its grams to one
+    // bounded counter map BEFORE the exchange — the shuffle then carries one
+    // sketch per partition, never the token stream.
+    val firstExchange = p.indexOf("Exchange SinglePartition")
+    assert(firstExchange >= 0, "no single-partition exchange for the global sketch")
+    assert(p.substring(firstExchange).contains("partial_freq_init_agg"),
+      "no partial freq aggregate below the shuffle")
+  }
+
   test("minhash LSH never materializes a cartesian product") {
     val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
