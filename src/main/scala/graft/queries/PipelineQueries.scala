@@ -138,6 +138,32 @@ object PipelineQueries {
         .orderBy("item")
     }),
 
+    // Per-source quota: at most 10 docs per source, chosen by the engine-
+    // neutral (md5(id), id) order. Runs the skew-safe two-phase plan
+    // (16-way salted pre-cap, then the bounded per-key re-rank) — on this
+    // corpus both phases are cheap; at 100 TB phase 1 is what keeps a
+    // mega-domain from serializing through one task.
+    "q38_source_quota" -> ((s, dir) => {
+      graft.operators.Quota.quotaCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        keyCol = col("source"), idCol = col("doc_id"), n = 10)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: per-source concat-then-chunk into 512-token bins.
+    // Token counts come from the same fused TextStats kernel as q10, the
+    // stream order is the auditable (md5(id), id), and the bin math is
+    // exact integer div/mod — so DuckDB re-derives every assignment.
+    "q39_sequence_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.textStats(col("text")).getField("n_tokens").cast("long").as("n_tokens"))
+      graft.operators.Packing.packByBudget(docs,
+        partCol = col("source"), idCol = col("doc_id"),
+        tokensCol = col("n_tokens"), budget = 512L)
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -388,6 +414,35 @@ object PipelineQueries {
          |FROM bg, tot GROUP BY b, n
          |HAVING count(*) * 1000000 >= n * 1500
          |ORDER BY item""".stripMargin,
+
+    // The two-phase salted plan keeps exactly the rows the single-window
+    // rank keeps (ranking order is identical in both phases), so one
+    // row_number is the complete oracle.
+    "q38_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // Same stream order, token counts, and integer bin math as the Spark
+    // side: prefix-sum of tokens before each doc, then div/mod 512.
+    "q39_sequence_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, len($tokensSql)::BIGINT AS n_tokens FROM documents
+         |),
+         |ord AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  (start // 512)::BIGINT AS pack_id,
+         |  (start % 512)::BIGINT AS pack_offset
+         |FROM ord ORDER BY doc_id""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->
