@@ -59,6 +59,33 @@ object Sampling {
   }
 
   /**
+   * Deterministic corpus mixing — sample each key (source/domain) at its
+   * own rate, the "mix domains at specified ratios" step of training-data
+   * assembly. `weights` maps key → fraction (num, den); keys absent from
+   * the spec are DROPPED (a mixture spec is a whitelist). Membership uses
+   * the same md5-threshold rule as [[deterministicSample]], so the subset
+   * is identical on every run and engine, and rows of one key keep their
+   * membership when its rate goes up (nested samples — a 1/4 mix is a
+   * subset of the same key's 2/4 mix). The per-key thresholds ride a
+   * broadcast join: |weights| rows against the corpus, never a shuffle.
+   */
+  def weightedMix(df: DataFrame, keyCol: Column, idCol: Column,
+      weights: Seq[(String, (Long, Long))]): DataFrame = {
+    weights.foreach { case (k, (num, den)) =>
+      require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den for key $k")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights
+      .map { case (k, (num, den)) => (k, threshold(num, den), num == den) }
+      .toDF("__mix_key", "__mix_thr", "__mix_all")
+    df.join(broadcast(wdf), keyCol === col("__mix_key"))
+      .filter(col("__mix_all") ||
+        shiftrightunsigned(md5Hash64(idCol.cast("string")), 1) < col("__mix_thr"))
+      .drop("__mix_key", "__mix_thr", "__mix_all")
+  }
+
+  /**
    * Deterministic train/validation/test split column. `fractions` are
    * (label, numerator) pairs over a common `den`; they must sum to `den`
    * so every row gets exactly one label. Rows label by which cumulative

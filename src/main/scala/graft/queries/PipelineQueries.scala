@@ -164,6 +164,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus mixing: re-weight twelve sources at 1/4..4/4 rates through
+    // ONE broadcast of the mixture spec. Unlisted sources drop (whitelist
+    // semantics); kept rows are the engine-neutral md5-threshold sample,
+    // nested across rate changes.
+    "q41_corpus_mix" -> ((s, dir) => {
+      val weights = (1 to 12).map(i => s"src$i" -> (((i - 1) % 4 + 1).toLong, 4L))
+      graft.operators.Sampling.weightedMix(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        keyCol = col("source"), idCol = col("doc_id"), weights = weights)
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -443,6 +455,23 @@ object PipelineQueries {
          |  (start // 512)::BIGINT AS pack_id,
          |  (start % 512)::BIGINT AS pack_offset
          |FROM ord ORDER BY doc_id""".stripMargin,
+
+    // Thresholds are floor(num·2^63/4): 1/4 → 2^61, 2/4 → 2^62,
+    // 3/4 → 3·2^61; 4/4 keeps everything (the threshold rule cannot
+    // express it, matching weightedMix's num == den bypass).
+    "q41_corpus_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source IN ('src4', 'src8', 'src12')
+        |   OR (source IN ('src1', 'src5', 'src9') AND
+        |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+        |         < 2305843009213693952)
+        |   OR (source IN ('src2', 'src6', 'src10') AND
+        |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+        |         < 4611686018427387904)
+        |   OR (source IN ('src3', 'src7', 'src11') AND
+        |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+        |         < 6917529027641081856)
+        |ORDER BY doc_id""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->

@@ -74,4 +74,33 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must sum"))
   }
+
+  test("weightedMix samples each key at its own rate, per-key equal to deterministicSample") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
+    val mixed = Sampling.weightedMix(df, col("k"), col("id"),
+      Seq("k0" -> (1L, 4L), "k1" -> (4L, 4L)))
+    // k2 absent from the spec → dropped entirely.
+    assert(mixed.filter(col("k") === "k2").count() === 0L)
+    // k1 at the full fraction keeps every row.
+    assert(mixed.filter(col("k") === "k1").count() === 1000L)
+    // k0's subset is EXACTLY deterministicSample(1/4) of k0's rows.
+    val viaMix = mixed.filter(col("k") === "k0").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val viaSample = Sampling.deterministicSample(
+      df.filter(col("k") === "k0"), col("id"), 1, 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaMix === viaSample)
+  }
+
+  test("weightedMix memberships nest as a key's rate increases") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => ("k", i.toLong)).toDF("k", "id")
+    val at1 = Sampling.weightedMix(df, col("k"), col("id"), Seq("k" -> (1L, 4L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val at3 = Sampling.weightedMix(df, col("k"), col("id"), Seq("k" -> (3L, 4L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(at1.subsetOf(at3))
+    assert(at1.size < at3.size)
+  }
 }

@@ -73,6 +73,42 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial freq aggregate below the shuffle")
   }
 
+  test("quota cap runs the salted pre-rank before the per-key window") {
+    val p = plan(PipelineQueries.queries("q38_source_quota")(spark, sf))
+    // Phase 1 partitions by (key, salt): a hot key spreads over cells; the
+    // per-key window only ever sees the <= n*salts survivors.
+    assert(p.contains("__q_salt"), "no salted pre-cap phase in the plan")
+    assert(!p.contains("CartesianProduct"))
+    val firstWindow = p.indexOf("Window")
+    assert(firstWindow >= 0 && p.substring(firstWindow + 6).contains("Window"),
+      "expected both window phases in the plan")
+  }
+
+  test("sequence packing is one hash-partitioned window sort, no global order") {
+    val df = PipelineQueries.queries("q39_sequence_packing")(spark, sf)
+    // Drop the harness's presentation orderBy: the operator itself must
+    // not introduce any global sort.
+    val core = graft.operators.Packing.packByBudget(
+      graft.sources.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.lit(5L).as("n_tokens")),
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_tokens"), 512L)
+    val p = plan(core)
+    assert(p.contains("Window"), "packing lost its window")
+    assert(!p.contains("Exchange rangepartitioning"), "packing plans a global sort")
+    assert(plan(df).contains("Window"))
+  }
+
+  test("corpus mix broadcasts the mixture spec, never shuffles the corpus") {
+    val p = plan(PipelineQueries.queries("q41_corpus_mix")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "mixture spec not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      "corpus shuffled for the mixture join")
+  }
+
   test("minhash LSH never materializes a cartesian product") {
     val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
