@@ -61,6 +61,32 @@ object StreamingOps {
       .withColumn("distinct_users", hll_cardinality(col("users_hll")))
 
   /**
+   * Watermarked tumbling-window heavy-hitter sketches — "which grams/
+   * domains are flooding the stream this hour?". Same state contract as
+   * [[windowedUserSketches]]: one bounded counter map (≤ maxMapSize
+   * entries) per open window regardless of stream volume, and the emitted
+   * sketch column re-aggregates across windows/streams/batch with
+   * `freq_merge` — trending-gram detection over a day of hourly windows
+   * without re-reading events.
+   */
+  def windowedHeavyHitters(items: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours", maxMapSize: Int = graft.freq.FreqDefaults.MaxMapSize,
+      tsCol: String = "ts", itemCol: String = "item"): DataFrame = {
+    import graft.freq.functions._
+    items
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(
+        freq_init_agg(col(itemCol), maxMapSize).as("items_freq"),
+        count(lit(1)).as("n_items"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("items_freq"),
+        col("n_items"))
+  }
+
+  /**
    * Per-user running session summaries via `mapGroupsWithState` — the
    * custom-state path for semantics windows can't express. State per key is
    * one [[SessionSummary]]; each micro-batch emits the updated summary for

@@ -52,6 +52,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(total === 4L)
   }
 
+  test("windowed heavy hitters count per hour and re-merge across windows") {
+    import graft.freq.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    // Hour 10: "the" x3, "a" x1. Hour 11: "the" x1, "b" x2.
+    input.addData(
+      (ts(10, 1), "the"), (ts(10, 2), "the"), (ts(10, 3), "the"), (ts(10, 4), "a"),
+      (ts(11, 1), "the"), (ts(11, 2), "b"), (ts(11, 3), "b"))
+
+    val table = StreamingOps.runToMemory(
+      StreamingOps.windowedHeavyHitters(
+        input.toDF().toDF("ts", "item"), "1 hour", "2 hours", maxMapSize = 64),
+      "windowed_hh", OutputMode.Update())
+
+    val byWindow = spark.table(table)
+      .select(col("window_start"),
+        freq_estimate(col("items_freq"), lit("the")).as("the_n"),
+        col("n_items"))
+      .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byWindow(ts(10)) === ((3L, 4L)))
+    assert(byWindow(ts(11)) === ((1L, 3L)))
+
+    // The sketch column re-aggregates: day-level counts from the hourly
+    // sketches alone, exact (freq_max_error 0 at this vocabulary).
+    val day = spark.table(table)
+      .agg(freq_merge(col("items_freq"), 64).as("sk"))
+      .select(
+        freq_max_error(col("sk")),
+        freq_estimate(col("sk"), lit("the")),
+        freq_estimate(col("sk"), lit("b"))).head()
+    assert(day.getLong(0) === 0L)
+    assert(day.getLong(1) === 4L)
+    assert(day.getLong(2) === 2L)
+  }
+
   test("windowed sketches accumulate across micro-batches (update mode re-emits)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
