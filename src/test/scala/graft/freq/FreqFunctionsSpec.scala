@@ -103,6 +103,38 @@ class FreqFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("power of 2"))
   }
 
+  test("sketches survive the parquet store -> reload -> re-merge round trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("freq_roundtrip").toString
+    val df = (0 until 4000).map(i => (i % 8, s"g${i % 40}")).toDF("g", "v")
+    df.groupBy("g").agg(freq_init_agg(col("v"), 128).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .agg(freq_merge(col("sk"), 128).as("sk"))
+      .select(freq_items(col("sk"), 1L)).head().getSeq[Row](0)
+    val direct = df.agg(freq_init_agg(col("v"), 128).as("sk"))
+      .select(freq_items(col("sk"), 1L)).head().getSeq[Row](0)
+    assert(items(reloaded) === items(direct))
+    assert(items(direct).size === 40)
+  }
+
+  test("freq aggregates work inside window specs (running heavy hitters)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = Seq((0, 1, "a"), (0, 2, "a"), (0, 3, "b"), (1, 1, "c"))
+      .toDF("g", "ord", "v")
+    val out = df
+      .withColumn("sk", freq_init_agg(col("v"), 16).over(w))
+      .select(col("g"), col("ord"), freq_estimate(col("sk"), lit("a")).as("a_n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((0, 1)) === 1L)
+    assert(out((0, 2)) === 2L)
+    assert(out((0, 3)) === 2L)
+    assert(out((1, 1)) === 0L)
+  }
+
   test("SQL registration: registerFunctions installs the freq family") {
     FreqFunctionRegistry.registerFunctions(spark)
     spark.range(300).createOrReplaceTempView("freq_sql_in")
