@@ -182,39 +182,56 @@ object Dedup {
 
   // ----------------------------------------------------------------- simhash
 
+  /** The 14 blocks of the Steiner quadruple system SQS(8), realized as the
+   * planes of AG(3,2): chunk indices 0..7 read as GF(2)^3 points, one
+   * block per affine equation a·x = b (7 nonzero functionals × 2 cosets).
+   * Every 3-subset of chunks lies in exactly one block, and blocks are
+   * closed under complement — so any ≤ 3 damaged chunks leave at least one
+   * block fully intact (the complement of the block containing them). */
+  private[dedup] val Sqs8Blocks: Seq[Seq[Int]] =
+    for (a <- 1 to 7; b <- 0 to 1)
+      yield (0 to 7).filter(x => Integer.bitCount(a & x) % 2 == b)
+
   /**
    * Near-duplicate pairs by SimHash: the 64-bit simhash splits into eight
-   * 8-bit chunks and candidates share at least one of the C(8,4) = 70
-   * 4-chunk subsets (each packed into one 32-bit band key), verified by
-   * exact Hamming distance.
+   * 8-bit chunks and candidates share at least one of 14 chosen 4-chunk
+   * bands (each packed into one 32-bit band key), verified by exact
+   * Hamming distance.
    *
-   * Why 4-of-8 instead of the classic 1-of-4 16-bit chunks: completeness is
-   * the same — `maxHamming` ≤ 3 flipped bits damage at most 3 chunks, so at
-   * least 5 of 8 chunks are intact and with them C(5,4) = 5 of the 70
-   * subsets — but the band-key space grows from 2^16 to 2^32. With 16-bit
-   * chunks the candidate count is Θ(n²/2^16) BY CONSTRUCTION (65,536
-   * buckets per chunk can't keep n=10^9 docs apart: ~10^13 background
-   * collisions); 32-bit keys push the same corpus to ~10^10 — the
-   * difference between a dead stage and a heavy-but-finishing one. The
-   * price is banding fan-out 70 vs 4 rows/doc, each row 32 bytes — shuffle
-   * stays ~2 KB/doc, far below the document payloads that never ride this
-   * shuffle at all.
+   * Why 4-chunk bands instead of the classic 1-of-4 16-bit chunks:
+   * completeness is the same — `maxHamming` ≤ 3 flipped bits damage at
+   * most 3 chunks, leaving a fully intact band (see below) — but the
+   * band-key space grows from 2^16 to 2^32. With 16-bit chunks the
+   * candidate count is Θ(n²/2^16) BY CONSTRUCTION (65,536 buckets per
+   * chunk can't keep n=10^9 docs apart: ~10^13 background collisions);
+   * 32-bit keys push the same corpus to ~10^10 — the difference between a
+   * dead stage and a heavy-but-finishing one.
+   *
+   * Why exactly 14 bands and not all C(8,4) = 70 4-subsets: the 14 blocks
+   * of the Steiner quadruple system SQS(8) — the planes of AG(3,2),
+   * [[Sqs8Blocks]] — already cover every damage pattern. Any ≤ 3 flipped
+   * chunks extend to a triple, SQS puts that triple inside exactly one
+   * block, and that block's complement is itself a block sharing no chunk
+   * with the damage — an intact band. Same Hamming ≤ 3 completeness at
+   * 1/5 the banding fan-out: 14 rows × 24 bytes ≈ 0.3 KB/doc on the
+   * shuffle (the covering property is asserted exhaustively in DedupSpec;
+   * document payloads never ride this shuffle at all).
    */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       auditable: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming <= 3, "4-of-8-chunk banding is complete only for Hamming <= 3")
+    require(maxHamming <= 3, "SQS(8) 4-chunk banding is complete only for Hamming <= 3")
     def simOf(df: DataFrame): DataFrame = df.select(col("id"),
       simhash64(TextAnalysis.tokens(col("txt")), auditable).as("sim"))
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val chunk = (c: Int) => shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)
-    val bandKeys = (0 until 8).combinations(4).toSeq.map { s =>
+    val bandKeys = Sqs8Blocks.map { s =>
       s.zipWithIndex.map { case (c, pos) =>
         shiftleft(chunk(c), (3 - pos) * 8)
       }.reduce(_ bitwiseOR _)
     }
     // Banded rows carry ONLY (band, value, id) — 24 bytes; the 8-byte sim
-    // would otherwise ride the 70-way fan-out shuffle 70 times per doc.
+    // would otherwise ride the 14-way fan-out shuffle 14 times per doc.
     val banded = simOf(base).select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
     val l = banded.select(col("band"), col("value"), col("id").as("id_a"))

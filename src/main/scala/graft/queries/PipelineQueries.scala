@@ -202,7 +202,7 @@ object PipelineQueries {
         thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
-    // SimHash near-dup pairs (Hamming <= 3 via complete 4-of-8-chunk
+    // SimHash near-dup pairs (Hamming <= 3 via complete SQS(8) 4-chunk
     // banding, 32-bit band keys), with the auditable MD5 token hash so the
     // oracle can recompute every simhash bit-for-bit and re-derive the same
     // pairs by all-pairs Hamming (the banding is exact for Hamming <= 3, so

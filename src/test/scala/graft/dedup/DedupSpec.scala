@@ -171,6 +171,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SQS(8) banding blocks exhaustively cover every <= 3-chunk damage pattern") {
+    val blocks = Dedup.Sqs8Blocks
+    assert(blocks.size === 14)
+    assert(blocks.forall(_.size === 4))
+    assert(blocks.map(_.toSet).distinct.size === 14)
+    // The completeness certificate the banding relies on: for EVERY set of
+    // at most 3 damaged chunks, at least one block avoids all of them. The
+    // 70 -> 14 band reduction is only sound because this holds exhaustively.
+    for (r <- 0 to 3; damaged <- (0 until 8).combinations(r)) {
+      assert(blocks.exists(b => b.forall(c => !damaged.contains(c))),
+        s"no intact block for damaged chunks ${damaged.mkString(",")}")
+    }
+    // Sharpness: some 4-chunk damage pattern (beyond the contract) breaks
+    // every block — the Hamming <= 3 bound is not slack.
+    assert((0 until 8).combinations(4).exists(d =>
+      blocks.forall(b => b.exists(d.contains))))
+  }
+
   // --------------------------------------------------------- decontamination
 
   test("wordShingles: distinct space-joined n-grams; short inputs yield none") {
