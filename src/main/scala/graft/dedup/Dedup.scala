@@ -293,6 +293,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /**
+   * [[ngramContamination]] with a bloom-filter pre-prune — same exact
+   * output, different memory shape for BIG eval sets. The broadcast
+   * variant ships every distinct bench gram hash (8+ bytes each: ~1 GB of
+   * executor memory at 10^8 grams); here executors get a bloom filter at
+   * ~`fppPpm` bits-per-item scale (~15 MB for the same set at 1%), the
+   * corpus gram stream is pruned MAP-SIDE at the scan, and only the tiny
+   * surviving candidate stream reaches the exact verification join — which
+   * removes the filter's false positives, so the result matches
+   * [[ngramContamination]] row-for-row (q42 oracles against the same SQL
+   * as q35).
+   *
+   * The filter is built by one Spark aggregate and collected to the driver
+   * — the same move as collecting IVF centroids: a sketch is MEANT to be
+   * the small artifact that travels. It then rides the probe expression as
+   * a literal (evaluated bytes are reference-identical per task, so the
+   * probe heapifies once per task, not per row). The verification join is
+   * deliberately NOT hinted broadcast: survivors are few, so the planner's
+   * choice (broadcast at small sizes, shuffle at huge ones) is right
+   * either way.
+   */
+  def ngramContaminationBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      expectedGrams: Long = 1L << 20, fppPpm: Long = graft.bloom.BloomDefaults.FppPpm,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.bloom.functions._
+    def gramsOf(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(wordShingles(TextAnalysis.tokens(col(textCol)), n)).as("g"): _*)
+    val benchGrams = gramsOf(benchmark)
+    val filterBytes = benchGrams
+      .agg(bloom_init_agg(col("g"), expectedGrams, fppPpm))
+      .head().getAs[Array[Byte]](0)
+    if (filterBytes == null) {
+      // No benchmark grams -> nothing can be contaminated.
+      return docs.select(col(idCol), lit(0L).as("n_contaminated")).limit(0)
+    }
+    val bf = GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        filterBytes, org.apache.spark.sql.types.BinaryType))
+    val benchHashes = benchGrams
+      .select(graft.operators.Sampling.md5Hash64(col("g")).as("gh")).distinct()
+    gramsOf(docs, col(idCol).as("id"))
+      .filter(bloom_might_contain(bf, col("g")))
+      .select(col("id"), graft.operators.Sampling.md5Hash64(col("g")).as("gh"))
+      .join(benchHashes, "gh")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   // ------------------------------------------------------------- canonical
 
   /** Collapse near-dup pairs into canonical assignments: every id that

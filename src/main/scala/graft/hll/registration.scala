@@ -159,6 +159,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     graft.kll.KllFunctionRegistry.inject(extensions)
     graft.theta.ThetaFunctionRegistry.inject(extensions)
     graft.freq.FreqFunctionRegistry.inject(extensions)
+    graft.bloom.BloomFunctionRegistry.inject(extensions)
     graft.GraftFunctionRegistry.inject(extensions)
   }
 }

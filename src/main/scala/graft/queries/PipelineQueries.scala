@@ -176,6 +176,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination again, through the bloom membership path: the bench
+    // grams become ONE collected bloom filter, the corpus gram stream is
+    // pruned map-side, and exact verification of the tiny survivor stream
+    // removes the filter's false positives — so this oracles against the
+    // SAME SQL as q35, proving prune-then-verify loses nothing.
+    "q42_bloom_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 8, expectedGrams = 4096L)
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -472,6 +485,22 @@ object PipelineQueries {
         |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
         |         < 6917529027641081856)
         |ORDER BY doc_id""".stripMargin,
+
+    // Bloom prune + exact verify returns exactly the exact-join result, so
+    // the oracle is the same computation as q35's.
+    "q42_bloom_decontamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokensSql AS ts FROM documents
+         |),
+         |bg AS (
+         |  SELECT doc_id, source, $gram8Sql AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |),
+         |bench AS (SELECT DISTINCT g FROM bg WHERE source = 'src0')
+         |SELECT doc_id, count(DISTINCT d.g)::BIGINT AS n_contaminated
+         |FROM (SELECT doc_id, g FROM bg WHERE source <> 'src0') d
+         |JOIN bench USING (g)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->

@@ -206,6 +206,25 @@ class DedupSpec extends AnyFunSuite {
     assert(withNull.toSet === Set("a b", "c d"))
   }
 
+  test("bloom-pruned decontamination returns exactly the exact-join result") {
+    import spark.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs(
+      1L -> (phrase + " with extra trailing words here"),
+      2L -> "completely different content nothing shared at all between these documents",
+      3L -> (phrase + " " + phrase))
+    val bench = docs(100L -> phrase)
+    val exact = Dedup.ngramContamination(corpus, bench, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.ngramContaminationBloom(corpus, bench, n = 8, expectedGrams = 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+    // Empty benchmark: nothing is contaminated, no NPE from a null filter.
+    val none = Dedup.ngramContaminationBloom(corpus, docs(), n = 8)
+    assert(none.count() === 0L)
+  }
+
   test("ngramContamination counts distinct shared grams, omits clean docs") {
     val bench = docs(100L -> "the quick brown fox jumps over the lazy dog")
     val corpus = docs(

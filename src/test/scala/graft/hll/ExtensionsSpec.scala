@@ -59,6 +59,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "theta_init_agg", "graft_theta_union", "theta_intersect", "theta_a_not_b",
       "theta_estimate", "freq_init_agg", "freq_merge", "freq_items",
       "freq_items_by_support", "freq_estimate", "freq_stream_length", "freq_max_error",
+      "bloom_init_agg", "bloom_merge", "bloom_might_contain", "bloom_fill_fraction",
       "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot").foreach { n =>
