@@ -290,6 +290,43 @@ object CoreQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Funnel analysis: users whose FIRST signup precedes their first click
+    // precedes their first purchase. One shuffle to user_id with map-side
+    // partial mins (conditional aggregation — no self-joins, no window);
+    // timestamps leave as epoch micros so the compare is integer.
+    "q43_funnel_signup_purchase" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .filter(col("first_signup") < col("first_click") &&
+          col("first_click") < col("first_purchase"))
+        .select(col("user_id"),
+          unix_micros(col("first_signup")).as("signup_us"),
+          unix_micros(col("first_click")).as("click_us"),
+          unix_micros(col("first_purchase")).as("purchase_us"))
+        .orderBy("user_id")
+    }),
+
+    // Event-time sessionization via Spark's native session_window: events
+    // of one user merge while gaps stay under 2 hours. The oracle
+    // re-derives the same sessions with the classic gaps-and-islands SQL
+    // (lag + running break-sum), pinning Spark's merge semantics (a gap of
+    // EXACTLY the timeout starts a new session) against an engine-neutral
+    // definition. Scale: one shuffle by user; session merging is local to
+    // each group, no self-join.
+    "q44_session_windows" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // JSON functions: extract a typed field from the semi-structured props
     // column and aggregate it. Scale: get_json_object is codegen'd and
     // per-row; the scan prunes to (event_type, props).
@@ -520,6 +557,40 @@ object CoreQueries {
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |  count(json_extract_string(props, '$.k'))::BIGINT AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ts::TIMESTAMP truncates nanos to micros exactly like the Spark
+    // loader's `ts div 1000`, so epoch_us values match bit-for-bit.
+    "q43_funnel_signup_purchase" ->
+      """SELECT user_id,
+        |  epoch_us(s) AS signup_us, epoch_us(c) AS click_us, epoch_us(p) AS purchase_us
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS s,
+        |    min(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS p
+        |  FROM events GROUP BY 1)
+        |WHERE s < c AND c < p
+        |ORDER BY user_id""".stripMargin,
+    // Gaps-and-islands replica of session_window's merge rule: a gap of
+    // exactly 2 hours breaks the session (Spark merges only overlapping
+    // [ts, ts+gap) intervals), hence `>= INTERVAL 2 HOUR` starts an island.
+    "q44_session_windows" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+        |d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               >= INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q22_retained_users" ->
       """SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-01'
         |INTERSECT
