@@ -189,6 +189,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus overlap matrix: vocabulary Jaccard ingredients for every
+    // source pair, from ONE theta sketch per source — the "how much do my
+    // crawls overlap?" diagnostic. Tokens shuffle once into 20 sketches;
+    // the 190-pair comparison then runs on kilobyte sketches, never
+    // re-touching the corpus (set intersections are exact in exact mode,
+    // so the whole matrix oracles).
+    "q45_source_vocab_overlap" -> ((s, dir) => {
+      import graft.theta.functions._
+      val sketches = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("source").agg(theta_init_agg(col("t")).as("sk"))
+      val a = sketches.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sketches.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          theta_estimate(col("sk_a")).as("vocab_a"),
+          theta_estimate(col("sk_b")).as("vocab_b"),
+          theta_estimate(theta_intersect(col("sk_a"), col("sk_b"))).as("vocab_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -501,6 +522,28 @@ object PipelineQueries {
          |FROM (SELECT doc_id, g FROM bg WHERE source <> 'src0') d
          |JOIN bench USING (g)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Exact distinct-token sets per source replicate the exact-mode theta
+    // estimates; all pairs kept (zero-overlap pairs coalesce to 0).
+    "q45_source_vocab_overlap" ->
+      s"""WITH v AS (SELECT source, unnest($tokensSql) AS t FROM documents),
+         |d AS (SELECT DISTINCT source, t FROM v),
+         |vocab AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM vocab a, vocab b WHERE a.source < b.source),
+         |sh AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |  FROM d a JOIN d b ON a.t = b.t AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b,
+         |  va.n::BIGINT AS vocab_a, vb.n::BIGINT AS vocab_b,
+         |  coalesce(sh.shared, 0)::BIGINT AS vocab_shared
+         |FROM pairs p
+         |JOIN vocab va ON p.src_a = va.source
+         |JOIN vocab vb ON p.src_b = vb.source
+         |LEFT JOIN sh ON p.src_a = sh.src_a AND p.src_b = sh.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->
