@@ -109,6 +109,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus shuffled for the mixture join")
   }
 
+  test("bloom decontamination probes map-side, before any exchange") {
+    val p = plan(PipelineQueries.queries("q42_bloom_decontamination")(spark, sf))
+    val probe = p.indexOf("bloom_might_contain")
+    assert(probe >= 0, "no bloom probe in the plan")
+    // The probe must sit in the corpus SCAN stage: between the probe
+    // filter and its FileScan leaf there is no exchange, so grams are
+    // pruned before anything shuffles.
+    val scanBelow = p.indexOf("FileScan", probe)
+    assert(scanBelow >= 0, "no scan under the bloom probe")
+    assert(!p.substring(probe, scanBelow).contains("Exchange"),
+      "exchange between bloom probe and corpus scan — grams shuffled unpruned")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel aggregates conditional mins partially below the user shuffle") {
+    val p = plan(CoreQueries.queries("q43_funnel_signup_purchase")(spark, sf))
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0)
+    assert(p.substring(firstExchange).contains("partial_min"),
+      "no partial min below the shuffle — raw events would shuffle whole")
+    assert(!p.contains("Join"), "funnel should be one aggregation, not self-joins")
+  }
+
   test("minhash LSH never materializes a cartesian product") {
     val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
