@@ -31,6 +31,12 @@ object functions {
     toColumn(KllRank(expr(sketch), Literal(value)))
 
   def kll_n(sketch: Column): Column = toColumn(KllCount(expr(sketch)))
+
+  def kll_cdf(sketch: Column, splitPoints: Seq[Double]): Column =
+    toColumn(KllCdf(expr(sketch), expr(F.array(splitPoints.map(F.lit): _*))))
+
+  def kll_pmf(sketch: Column, splitPoints: Seq[Double]): Column =
+    toColumn(KllPmf(expr(sketch), expr(F.array(splitPoints.map(F.lit): _*))))
 }
 
 /** SQL registration for the KLL operators (same pattern as the HLL family). */
@@ -80,6 +86,18 @@ object KllFunctionRegistry extends FunctionRegistration {
       {
         case Seq(s) => KllCount(s)
         case args => wrongArity("kll_n", args.size)
+      }),
+    ("kll_cdf",
+      "_FUNC_(sketch, splitPoints) - Inclusive CDF at each split point plus a final 1.0.",
+      {
+        case Seq(s, sp) => KllCdf(s, sp)
+        case args => wrongArity("kll_cdf", args.size)
+      }),
+    ("kll_pmf",
+      "_FUNC_(sketch, splitPoints) - Probability mass between consecutive split points.",
+      {
+        case Seq(s, sp) => KllPmf(s, sp)
+        case args => wrongArity("kll_pmf", args.size)
       })
   )
 

@@ -196,6 +196,58 @@ case class KllRank(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `kll_cdf(sketch, splitPoints)` → INCLUSIVE cumulative distribution at
+ * each of n ascending split points, plus a final 1.0 — array<double> of
+ * length n+1. In exact mode each value is count(v <= sp)/n, a single IEEE
+ * division, so results are engine-checkable bit-for-bit. Empty/null
+ * sketch → null. */
+case class KllCdf(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(sketchBytes: Any, splits: Any): Any = {
+    val sk = KllEval.sketch(sketchBytes)
+    if (sk.isEmpty) null
+    else {
+      val sp = splits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sk.getCDF(sp, QuantileSearchCriteria.INCLUSIVE))
+    }
+  }
+
+  override def prettyName: String = "kll_cdf"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_pmf(sketch, splitPoints)` → probability mass between consecutive
+ * split points (INCLUSIVE semantics, n+1 buckets for n points). Unlike
+ * [[KllCdf]], masses are DIFFERENCES of rank fractions, so they carry
+ * ±1 ulp floating-point error even in exact mode — use `kll_cdf` where
+ * bit-exact cross-engine comparison matters. */
+case class KllPmf(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(sketchBytes: Any, splits: Any): Any = {
+    val sk = KllEval.sketch(sketchBytes)
+    if (sk.isEmpty) null
+    else {
+      val sp = splits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sk.getPMF(sp, QuantileSearchCriteria.INCLUSIVE))
+    }
+  }
+
+  override def prettyName: String = "kll_pmf"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `kll_n(sketch)` → number of values the sketch has absorbed. */
 case class KllCount(child: Expression)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {

@@ -437,6 +437,25 @@ object CoreQueries {
         .select(kll_n(col("merged")).as("n"),
           kll_quantile(col("merged"), 0.5).as("p50"),
           kll_quantile(col("merged"), 0.99).as("p99"))
+    }),
+
+    // Distribution profiling: per-type value histograms as sketch CDFs.
+    // k=32768 keeps every group exact at harness scale, so each CDF value
+    // is count(v <= split)/n — one IEEE division the oracle replays
+    // bit-for-bit (compared as e9-scaled integers). At cluster scale the
+    // same query degrades gracefully to bounded-rank-error estimates
+    // instead of failing; the two-phase sketch plan is unchanged.
+    "q46_value_histogram" -> ((s, dir) => {
+      import graft.kll.functions._
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(kll_init_agg(col("value"), 32768).as("sk"))
+        .select(col("event_type"),
+          posexplode(kll_cdf(col("sk"), Seq(1.0, 5.0, 10.0, 50.0, 100.0, 200.0)))
+            .as(Seq("bucket", "cdf")))
+        .select(col("event_type"), col("bucket"),
+          floor(col("cdf") * 1e9d + 0.5d).cast("long").as("cdf_e9"))
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -643,6 +662,24 @@ object CoreQueries {
       """SELECT count(value)::BIGINT AS n,
         |  quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.99) AS p99
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // Exact-mode CDF replica: count(v <= sp)/n per split point (same IEEE
+    // long/long division), bucket 6 is the sketch's trailing 1.0.
+    "q46_value_histogram" ->
+      """WITH sp AS (SELECT * FROM (VALUES (0, 1.0), (1, 5.0), (2, 10.0),
+        |  (3, 50.0), (4, 100.0), (5, 200.0)) t(bucket, sp)),
+        |cnt AS (
+        |  SELECT e.event_type, s.bucket,
+        |    sum(CASE WHEN e.value <= s.sp THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    count(*)::BIGINT AS n
+        |  FROM events e CROSS JOIN sp s
+        |  GROUP BY 1, 2)
+        |SELECT event_type, bucket::INT AS bucket,
+        |  CAST(floor((c::DOUBLE / n) * 1000000000 + 0.5) AS BIGINT) AS cdf_e9
+        |FROM cnt
+        |UNION ALL
+        |SELECT DISTINCT event_type, 6 AS bucket, 1000000000::BIGINT AS cdf_e9
+        |FROM events
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

@@ -56,6 +56,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // scalar), so graft's union AGGREGATE registers under the graft_ prefix
     // instead of shadowing it.
     Seq("kll_init_agg", "kll_merge", "kll_quantile", "kll_rank", "kll_n",
+      "kll_cdf", "kll_pmf",
       "theta_init_agg", "graft_theta_union", "theta_intersect", "theta_a_not_b",
       "theta_estimate", "freq_init_agg", "freq_merge", "freq_items",
       "freq_items_by_support", "freq_estimate", "freq_stream_length", "freq_max_error",

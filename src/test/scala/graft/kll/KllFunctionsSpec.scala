@@ -86,4 +86,25 @@ class KllFunctionsSpec extends AnyFunSuite {
     val sk = (1 to 9).toDF("v").agg(kll_init_agg(col("v"), 64).as("sk"))
     assert(sk.select(kll_quantile(col("sk"), 0.5)).head().getDouble(0) === 5.0)
   }
+
+  test("cdf and pmf are exact count fractions in exact mode") {
+    import spark.implicits._
+    val sk = (1 to 100).map(_.toDouble).toDF("v")
+      .agg(kll_init_agg(col("v"), 256).as("sk"))
+    val cdf = sk.select(kll_cdf(col("sk"), Seq(10.0, 50.0, 90.0)))
+      .head().getSeq[Double](0)
+    assert(cdf === Seq(0.10, 0.50, 0.90, 1.0))
+    // PMF masses are differences of rank fractions — exact counts, but
+    // ±ulp float error (the scaladoc points bit-exact users at kll_cdf).
+    val pmf = sk.select(kll_pmf(col("sk"), Seq(10.0, 50.0, 90.0)))
+      .head().getSeq[Double](0)
+    Seq(0.10, 0.40, 0.40, 0.10).zip(pmf).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 1e-12)
+    }
+    // Empty sketch -> null, matching the quantile/rank convention.
+    val empty = Seq[Option[Double]](None).toDF("v")
+      .agg(kll_init_agg(col("v")).as("sk"))
+      .select(kll_cdf(col("sk"), Seq(1.0))).head().get(0)
+    assert(empty == null)
+  }
 }
