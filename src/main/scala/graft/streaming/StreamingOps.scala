@@ -87,6 +87,30 @@ object StreamingOps {
   }
 
   /**
+   * Watermarked tumbling-window quantile sketches — per-window value
+   * percentiles (the latency-dashboard primitive). Bounded state like the
+   * other windowed sketches (one KLL sketch per open window, ~3 KB at
+   * k=200), and the emitted sketch column re-aggregates: hourly sketches
+   * roll into daily percentiles with `kll_merge`, never re-reading events.
+   */
+  def windowedQuantileSketches(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours", k: Int = graft.kll.KllDefaults.K,
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import graft.kll.functions._
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(
+        kll_init_agg(col(valueCol), k).as("values_kll"),
+        count(lit(1)).as("n_values"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("values_kll"),
+        col("n_values"))
+  }
+
+  /**
    * Per-user running session summaries via `mapGroupsWithState` — the
    * custom-state path for semantics windows can't express. State per key is
    * one [[SessionSummary]]; each micro-batch emits the updated summary for

@@ -89,6 +89,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(day.getLong(2) === 2L)
   }
 
+  test("windowed quantile sketches give per-window percentiles and re-merge to daily") {
+    import graft.kll.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Double)]
+    // Hour 10: values 1..100. Hour 11: values 101..200.
+    input.addData(
+      (1 to 100).map(i => (ts(10, i % 60), i.toDouble)) ++
+        (1 to 100).map(i => (ts(11, i % 60), 100.0 + i)): _*)
+
+    val table = StreamingOps.runToMemory(
+      StreamingOps.windowedQuantileSketches(
+        input.toDF().toDF("ts", "value"), "1 hour", "2 hours", k = 256),
+      "windowed_kll", OutputMode.Update())
+
+    val byWindow = spark.table(table)
+      .select(col("window_start"),
+        kll_quantile(col("values_kll"), 0.5).as("p50"), col("n_values"))
+      .collect().map(r => r.getTimestamp(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(byWindow(ts(10)) === ((50.0, 100L)))
+    assert(byWindow(ts(11)) === ((150.0, 100L)))
+
+    // Hourly sketches roll into the day's exact median without raw events.
+    val day = spark.table(table)
+      .agg(kll_merge(col("values_kll"), 256).as("sk"))
+      .select(kll_n(col("sk")), kll_quantile(col("sk"), 0.5)).head()
+    assert(day.getLong(0) === 200L)
+    assert(day.getDouble(1) === 100.0)
+  }
+
   test("windowed sketches accumulate across micro-batches (update mode re-emits)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
