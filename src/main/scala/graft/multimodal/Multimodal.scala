@@ -84,6 +84,39 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize over media payloads — the remaining stage of the classic
+   * decode / feature-extract / RESIZE / frame-sample quartet. Target
+   * geometry is exact integer arithmetic (aspect-preserving scale to a
+   * bounding box, floor division, 1-pixel floor), and the "resized pixels"
+   * are a nearest-neighbor byte subsample of the payload (index
+   * i·n div m), so the stage is oracle-verifiable byte-for-byte like the
+   * decode. Same batch shape as a real resampler: per-partition worker,
+   * fixed-width typed output, media bytes dropped at the projection.
+   */
+  def resizeStub(spark: SparkSession, payloads: DataFrame, maxDim: Int): Dataset[MediaResize] = {
+    import spark.implicits._
+    require(maxDim > 0, "maxDim must be positive")
+    payloads.as[MediaPayload].mapPartitions { batch =>
+      val decoder = new StubDecoder
+      batch.map { p =>
+        val meta = decoder.decode(p)
+        val mx = math.max(meta.width, meta.height)
+        val outW = math.max(1, meta.width * maxDim / mx)
+        val outH = math.max(1, meta.height * maxDim / mx)
+        val n = p.payload.length
+        val m = math.min(n, outW)
+        var sum = 0L
+        var i = 0
+        while (i < m) {
+          sum += (p.payload(((i.toLong * n) / m).toInt) & 0xFF)
+          i += 1
+        }
+        MediaResize(p.doc_id, meta.width, meta.height, outW, outH, sum)
+      }
+    }
+  }
+
   def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     payloads.as[MediaPayload].mapPartitions { batch =>
@@ -105,6 +138,11 @@ case class MediaFeatures(doc_id: Long, hist: Array[Int])
 
 /** One sampled frame's location inside a media payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
+
+/** Resize-stage output: source + target geometry and the deterministic
+ * checksum of the nearest-neighbor byte subsample. */
+case class MediaResize(doc_id: Long, src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int, sample_checksum: Long)
 
 /**
  * Deterministic fake decoder. A real implementation would parse the payload

@@ -275,6 +275,15 @@ object PipelineQueries {
         .orderBy("doc_id", "bin")
     }),
 
+    // Resize: aspect-preserving scale into a 64px box with a deterministic
+    // nearest-neighbor byte-subsample checksum — all integer arithmetic,
+    // so the oracle re-derives geometry and samples from the raw bytes.
+    "q47_multimodal_resize" -> ((s, dir) => {
+      Multimodal.resizeStub(s, Multimodal.withPayload(Tables.documents(s, dir)), maxDim = 64)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: every 3rd 1 KiB frame of each payload — one-to-many
     // typed output carrying only coordinates, never the media bytes.
     "q31_multimodal_frames" -> ((s, dir) => {
@@ -661,6 +670,34 @@ object PipelineQueries {
         |LEFT JOIN (SELECT doc_id, bin, count(*) AS n FROM bins GROUP BY 1, 2) c
         |  ON d.doc_id = c.doc_id AND b.bin = c.bin
         |ORDER BY d.doc_id, b.bin""".stripMargin,
+    // Stub-decode geometry (w/h from byte length) scaled into a 64px box
+    // with floor division; sampled byte j = (i*n)//m (0-based) read out of
+    // the blob's hex encoding like q18/q26.
+    "q47_multimodal_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+        |         hex(encode(text)) AS hx,
+        |         (64 + octet_length(encode(text)) % 512)::BIGINT AS w,
+        |         (64 + (octet_length(encode(text)) // 2) % 512)::BIGINT AS h
+        |  FROM documents
+        |),
+        |geo AS (
+        |  SELECT doc_id, n, hx, w, h,
+        |    greatest(1, (w * 64) // greatest(w, h)) AS out_w,
+        |    greatest(1, (h * 64) // greatest(w, h)) AS out_h
+        |  FROM base
+        |)
+        |SELECT doc_id, w::INT AS src_w, h::INT AS src_h,
+        |  out_w::INT AS out_w, out_h::INT AS out_h,
+        |  coalesce(list_sum(list_transform(range(least(n, out_w)),
+        |    i -> 16 * (ord(substr(hx, (2 * ((i * n) // least(n, out_w)) + 1)::INT, 1)) -
+        |           CASE WHEN substr(hx, (2 * ((i * n) // least(n, out_w)) + 1)::INT, 1) <= '9'
+        |                THEN 48 ELSE 55 END)
+        |       + (ord(substr(hx, (2 * ((i * n) // least(n, out_w)) + 2)::INT, 1)) -
+        |           CASE WHEN substr(hx, (2 * ((i * n) // least(n, out_w)) + 2)::INT, 1) <= '9'
+        |                THEN 48 ELSE 55 END))), 0)::BIGINT AS sample_checksum
+        |FROM geo ORDER BY doc_id""".stripMargin,
+
     // Frame geometry is pure arithmetic over the payload byte length.
     "q31_multimodal_frames" ->
       """SELECT doc_id, f.f::INT AS frame_idx, (f.f * 1024)::INT AS frame_offset,

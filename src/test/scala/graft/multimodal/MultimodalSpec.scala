@@ -43,6 +43,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((0, 0, 1024), (2, 2048, 452)))
   }
 
+  test("resizeStub scales into the bounding box and checksums the byte subsample") {
+    import spark.implicits._
+    // "abcd": n=4 -> w=68, h=66 -> out 64x62 (aspect floor-preserved);
+    // m = min(4, 64) = 4 samples at indices 0,1,2,3 -> full sum.
+    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.resizeStub(spark, Multimodal.withPayload(docs), maxDim = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    val r1 = rows(1L)
+    assert((r1.src_w, r1.src_h) === (68, 66))
+    assert((r1.out_w, r1.out_h) === (64, 66 * 64 / 68))
+    assert(r1.sample_checksum === "abcd".getBytes("UTF-8").map(_ & 0xFF).sum.toLong)
+    // Empty payload: geometry from n=0 (64x64 -> 64x64), zero checksum.
+    val r2 = rows(2L)
+    assert((r2.out_w, r2.out_h) === (64, 64))
+    assert(r2.sample_checksum === 0L)
+    // Subsampling: m < n takes every (n/m)-th byte, nearest-neighbor.
+    val wide = Seq((3L, "x" * 600)).toDF("doc_id", "text")
+    val r3 = Multimodal.resizeStub(spark, Multimodal.withPayload(wide), maxDim = 64)
+      .collect().head
+    val m = math.min(600, r3.out_w)
+    assert(r3.sample_checksum === m.toLong * 'x')
+  }
+
   test("decodeMeta runs the per-partition decode end-to-end with the typed schema") {
     import spark.implicits._
     val docs = Seq((10L, "hello"), (11L, "wörld")).toDF("doc_id", "text")
