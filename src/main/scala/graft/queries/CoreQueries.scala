@@ -327,6 +327,23 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Keyless range join: every purchase within 5 minutes after ANY error
+    // (ops correlation — no user key to hash on). The banded plan turns
+    // the pure range predicate into a hash equi-join on 5-minute time
+    // bands (left fans out to 2 bands, right to 1, each pair found exactly
+    // once) instead of the BroadcastNestedLoopJoin Spark would pick.
+    "q48_range_join_correlation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      graft.operators.RangeJoin.joinWithin(errors, purchases,
+        leftTs = "error_ts", rightTs = "purchase_ts", windowSeconds = 300L)
+        .select(col("error_id"), col("purchase_id"))
+        .orderBy("error_id", "purchase_id")
+    }),
+
     // JSON functions: extract a typed field from the semi-structured props
     // column and aggregate it. Scale: get_json_object is codegen'd and
     // per-row; the scan prunes to (event_type, props).
@@ -589,6 +606,13 @@ object CoreQueries {
         |  FROM events GROUP BY 1)
         |WHERE s < c AND c < p
         |ORDER BY user_id""".stripMargin,
+    "q48_range_join_correlation" ->
+      """SELECT a.event_id AS error_id, b.event_id AS purchase_id
+        |FROM events a, events b
+        |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+        |  AND epoch_us(b.ts::TIMESTAMP) >= epoch_us(a.ts::TIMESTAMP)
+        |  AND epoch_us(b.ts::TIMESTAMP) < epoch_us(a.ts::TIMESTAMP) + 300000000
+        |ORDER BY error_id, purchase_id""".stripMargin,
     // Gaps-and-islands replica of session_window's merge rule: a gap of
     // exactly 2 hours breaks the session (Spark merges only overlapping
     // [ts, ts+gap) intervals), hence `>= INTERVAL 2 HOUR` starts an island.
