@@ -71,4 +71,27 @@ object Salting {
       .agg(hll_init_agg(valueCol, relativeSD).as("partial_hll"))
       .groupBy(keyCols.map(col): _*)
       .agg(hll_merge(col("partial_hll")).as("value_hll"))
+
+  /**
+   * Skew-safe inner equi-join for the case broadcast can't cover: the
+   * build side is too big to broadcast, and a handful of hot keys would
+   * drag the probe side's heaviest partitions through single reducers in
+   * a sort-merge join. Each probe row takes a deterministic salt (hashed
+   * from its whole row, so a hot KEY's rows spread evenly); the build side
+   * replicates across all `saltBuckets` salts. Every probe row then meets
+   * each matching build row exactly once — at the probe row's own salt —
+   * so the result multiset is identical to the plain join, while the hot
+   * key's probe rows land on `saltBuckets` reducers instead of one.
+   * Cost: |build| × saltBuckets replication — size saltBuckets to the
+   * observed skew, not higher.
+   */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keyCols: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val probeSalted = probe.withColumn("__salt",
+      salt(saltBuckets, probe.columns.map(col).toSeq: _*))
+    val buildReplicated = build.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    probeSalted.join(buildReplicated, keyCols :+ "__salt").drop("__salt")
+  }
 }

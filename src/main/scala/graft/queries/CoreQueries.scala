@@ -327,6 +327,24 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Skew-safe salted join: lineitem (probe) joins orders (build) with
+    // the build side replicated over 8 salts — the plan for a hot join
+    // key when the build side is too big to broadcast. The result multiset
+    // is provably identical to the plain join (each probe row meets each
+    // matching build row exactly once, at its own salt), so the oracle is
+    // just the plain SQL join. Money in integer cents.
+    "q49_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("price_c"))
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Salting.saltedJoin(li, ords, Seq("l_orderkey"), saltBuckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("price_c")).as("revenue_cents"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Keyless range join: every purchase within 5 minutes after ANY error
     // (ops correlation — no user key to hash on). The banded plan turns
     // the pure range predicate into a hash equi-join on 5-minute time
@@ -606,6 +624,12 @@ object CoreQueries {
         |  FROM events GROUP BY 1)
         |WHERE s < c AND c < p
         |ORDER BY user_id""".stripMargin,
+    "q49_salted_join" ->
+      """SELECT o_orderpriority,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_range_join_correlation" ->
       """SELECT a.event_id AS error_id, b.event_id AS purchase_id
         |FROM events a, events b

@@ -59,6 +59,23 @@ class SaltingSpec extends AnyFunSuite {
     assert(maxCell < 900 / 4, s"salting failed to split the hot key (max cell = $maxCell)")
   }
 
+  test("salted join equals the plain join, duplicates and hot keys included") {
+    import spark.implicits._
+    // Hot key 7 holds half the probe rows; build has duplicate key rows
+    // (two rows for key 7) to prove multiset semantics survive.
+    val probe = ((1 to 500).map(i => (7L, i)) ++ (1 to 500).map(i => (i.toLong % 50, -i)))
+      .toDF("k", "pv").repartition(4)
+    val build = (Seq((7L, "a"), (7L, "b")) ++ (0L until 50L).map(k => (k, s"v$k")))
+      .toDF("k", "bv").repartition(4)
+    val salted = graft.operators.Salting.saltedJoin(probe, build, Seq("k"), 8)
+      .select("k", "pv", "bv").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val plain = probe.join(build, "k")
+      .select("k", "pv", "bv").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(salted.sorted.toSeq === plain.sorted.toSeq)
+    // 510 probe rows for key 7 (500 hot + 10 from i%50==7) x (a, b, v7).
+    assert(plain.count(_._1 == 7L) === 510 * 3)
+  }
+
   test("non-algebraic aggregate kinds are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       Salting.saltedAgg(skewed(), Seq("key"), 4, Seq(col("v")),
