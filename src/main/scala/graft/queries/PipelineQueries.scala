@@ -210,6 +210,29 @@ object PipelineQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Retrieval-style chunking: overlapping token-window spans per
+    // document (512-token chunks, 64-token overlap). Like frame sampling,
+    // only COORDINATES are emitted — (chunk_idx, start_token, len) from
+    // pure integer arithmetic over the token count; slicing happens lazily
+    // downstream. Map-side one-to-many, no shuffle, and the whole span
+    // table oracles from n_tokens alone.
+    "q50_chunk_spans" -> ((s, dir) => {
+      val step = 448 // 512 - 64 overlap
+      val n = TextAnalysis.textStats(col("text")).getField("n_tokens")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0), floor((col("n_tokens") - 1) / step).cast("int")))
+            .as("chunk_idx"))
+        .select(col("doc_id"),
+          col("chunk_idx"),
+          (col("chunk_idx") * step).cast("long").as("start_token"),
+          least(lit(512L), col("n_tokens").cast("long") - col("chunk_idx") * step)
+            .as("len_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -553,6 +576,15 @@ object PipelineQueries {
          |JOIN vocab vb ON p.src_b = vb.source
          |LEFT JOIN sh ON p.src_a = sh.src_a AND p.src_b = sh.src_b
          |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    // Chunk arithmetic replica: starts at 0, 448, 896, ... while < n.
+    "q50_chunk_spans" ->
+      s"""WITH toks AS (SELECT doc_id, len($tokensSql)::BIGINT AS n FROM documents)
+         |SELECT doc_id, i.i::INT AS chunk_idx, (i.i * 448)::BIGINT AS start_token,
+         |  least(512, n - i.i * 448)::BIGINT AS len_tokens
+         |FROM toks, LATERAL (SELECT unnest(range((n + 447) // 448)) AS i) i
+         |WHERE n > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->
