@@ -298,7 +298,7 @@ object Dedup {
    * output, different memory shape for BIG eval sets. The broadcast
    * variant ships every distinct bench gram hash (8+ bytes each: ~1 GB of
    * executor memory at 10^8 grams); here executors get a bloom filter at
-   * ~`fppPpm` bits-per-item scale (~15 MB for the same set at 1%), the
+   * ~9.6-bits-per-item scale (~120 MB for the same set at 1% fpp), the
    * corpus gram stream is pruned MAP-SIDE at the scan, and only the tiny
    * surviving candidate stream reaches the exact verification join — which
    * removes the filter's false positives, so the result matches

@@ -35,8 +35,14 @@ object Packing {
     val rank = md5(idCol.cast("string"))
     val w = Window.partitionBy(partCol).orderBy(rank.asc, idCol.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // A negative count would make a later row's prefix sum negative, and
+    // div (truncates toward 0) + pmod (positive remainder) then emit a
+    // self-INCONSISTENT (pack_id, pack_offset) pair — fail loudly instead.
+    val toks = when(tokensCol < 0, raise_error(concat(
+      lit("packByBudget: negative token count for id "), idCol.cast("string"))))
+      .otherwise(tokensCol.cast("long"))
     df
-      .withColumn("__p_start", coalesce(sum(tokensCol.cast("long")).over(w), lit(0L)))
+      .withColumn("__p_start", coalesce(sum(toks).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"__p_start div ${budget}L"))
       .withColumn("pack_offset", pmod(col("__p_start"), lit(budget)))
       .drop("__p_start")

@@ -74,6 +74,10 @@ object Sampling {
     weights.foreach { case (k, (num, den)) =>
       require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den for key $k")
     }
+    // A duplicated key would JOIN-multiply its rows (every row matches each
+    // spec entry) — silent duplication in a deterministic-sampling API.
+    val dup = weights.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"duplicate keys in mixture spec: ${dup.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights

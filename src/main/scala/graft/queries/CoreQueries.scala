@@ -712,22 +712,25 @@ object CoreQueries {
         |  quantile_disc(value, 0.99) AS p99
         |FROM events""".stripMargin,
     // Exact-mode CDF replica: count(v <= sp)/n per split point (same IEEE
-    // long/long division), bucket 6 is the sketch's trailing 1.0.
+    // long/long division), bucket 6 is the sketch's trailing 1.0. NULL
+    // values are excluded throughout, mirroring the sketch (kll_init_agg
+    // skips nulls; an all-null type yields a null sketch -> no rows).
     "q46_value_histogram" ->
       """WITH sp AS (SELECT * FROM (VALUES (0, 1.0), (1, 5.0), (2, 10.0),
         |  (3, 50.0), (4, 100.0), (5, 200.0)) t(bucket, sp)),
+        |ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
         |cnt AS (
         |  SELECT e.event_type, s.bucket,
         |    sum(CASE WHEN e.value <= s.sp THEN 1 ELSE 0 END)::BIGINT AS c,
         |    count(*)::BIGINT AS n
-        |  FROM events e CROSS JOIN sp s
+        |  FROM ev e CROSS JOIN sp s
         |  GROUP BY 1, 2)
         |SELECT event_type, bucket::INT AS bucket,
         |  CAST(floor((c::DOUBLE / n) * 1000000000 + 0.5) AS BIGINT) AS cdf_e9
         |FROM cnt
         |UNION ALL
         |SELECT DISTINCT event_type, 6 AS bucket, 1000000000::BIGINT AS cdf_e9
-        |FROM events
+        |FROM ev
         |ORDER BY event_type, bucket""".stripMargin
   )
 }
