@@ -363,6 +363,52 @@ object PipelineQueries {
         Dedup.jaccardNearDupPairs(Tables.documents(s, dir),
           thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
         .orderBy("id")
+    }),
+
+    // PII redaction — pure projection, no shuffle. The corpus is synthetic
+    // (no real PII), so the query plants a deterministic contact blob per
+    // customer and redacts it; the oracle re-runs the identical RE2-safe
+    // patterns in DuckDB, proving the scrub is auditable off-Spark.
+    "q51_pii_redaction" -> ((s, dir) => {
+      val raw = concat(
+        col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com> tel +1 555-"),
+        lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" alt 555-000-1234 from 10."),
+        pmod(col("c_custkey"), lit(256)).cast("string"), lit(".0."),
+        pmod(col("c_nationkey"), lit(256)).cast("string"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"), Cleanup.redactPii(col("raw")).as("redacted"))
+        .orderBy("c_custkey")
+    }),
+
+    // Markup stripping — tags out, whitespace collapsed, projection-only.
+    // Wraps each document in deterministic markup, strips it, and must
+    // recover exactly the whitespace-normalized original text.
+    "q52_html_strip" -> ((s, dir) => {
+      val html = concat(lit("<html><p class=\"d\">"), col("text"),
+        lit("</p>\n<br/><div>src="), col("source"), lit("</div></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Cleanup.stripHtml(html).as("stripped"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC normalization — a decomposed "e"+U+0301 suffix composes
+    // to one code point; char counts and bytes (via md5) must agree with
+    // DuckDB's independent nfc_normalize implementation.
+    "q53_nfc_normalize" -> ((s, dir) => {
+      // " cafe" + COMBINING ACUTE ACCENT (U+0301), decomposed on purpose:
+      // NFC must compose the pair into a single U+00E9 code point.
+      val raw = concat(col("text"), lit(" cafe"), lit("\u0301"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).as("n_chars_raw"),
+          length(Cleanup.nfcNormalize(col("raw"))).as("n_chars_nfc"),
+          md5(Cleanup.nfcNormalize(col("raw")).cast("binary")).as("fp_nfc"))
+        .orderBy("doc_id")
     })
   )
 

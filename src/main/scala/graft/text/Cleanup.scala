@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+
+/**
+ * Text cleanup for corpus curation: PII redaction, markup stripping, and
+ * Unicode normalization — the scrubbing stages that sit between raw ingest
+ * and dedup/quality filtering in a training-data pipeline.
+ *
+ * Everything is a pure per-row projection (no shuffle, scales linearly with
+ * the scan) built on codegen'd Spark built-ins, except [[nfcNormalize]]
+ * which is a one-call custom expression (Spark has no Unicode-normalize
+ * built-in). Every regex here is deliberately restricted to the syntax
+ * subset Java regex and RE2 (DuckDB/Trino/Go) agree on — character
+ * classes, bounded repetition, non-capturing groups, `\b` — so redaction
+ * is auditable off-Spark on the same files with the same patterns.
+ */
+object Cleanup {
+
+  /** RFC-5322-ish address, the pragmatic subset: local part of word chars
+   * plus `._%+-`, domain labels, a 2+ letter TLD. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International prefix form: +CC 555-123-4567 (separator space or dash). */
+  val IntlPhonePattern = "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** Bare NANP-ish form: 555-123-4567, word-bounded so order ids survive. */
+  val BarePhonePattern = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** Dotted-quad IPv4, word-bounded. (Deliberately permissive on octet
+   * range — redaction favors recall; 999.0.0.1 is not worth leaking over.) */
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def redactEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, token)
+
+  def redactPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(regexp_replace(text, IntlPhonePattern, token), BarePhonePattern, token)
+
+  def redactIpv4(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(text, Ipv4Pattern, token)
+
+  /** All redactions, in dependency order: emails first (their domains can
+   * contain dotted quads), then phones (international before bare, so the
+   * +CC prefix is not orphaned), then IPv4. */
+  def redactPii(text: Column): Column =
+    redactIpv4(redactPhones(redactEmails(text)))
+
+  /** Strip markup tags and collapse the leftover whitespace. Not an HTML
+   * parser — `<script>` bodies survive — but the right cost point for
+   * bulk boilerplate removal at corpus scale; a DOM parse is ~100× the
+   * CPU and needs no distributed machinery anyway (wrap one in
+   * [[nfcNormalize]]-style expression if fidelity ever matters more). */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Unicode NFC normalization (composed form): "e" + U+0301 → "é".
+   * Fingerprint-based dedup treats byte-different spellings of the same
+   * text as distinct documents; normalizing first is standard practice. */
+  def nfcNormalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+}
+
+/**
+ * `nfc_normalize(string)` — java.text.Normalizer NFC, as a codegen'd
+ * expression. DuckDB's `nfc_normalize` computes the identical function
+ * (both implement Unicode normalization form C), which is what makes an
+ * exact cross-engine oracle possible for this operator.
+ */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC));
+         |""".stripMargin)
+
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
