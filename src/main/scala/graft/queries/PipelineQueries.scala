@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{Cleanup, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 

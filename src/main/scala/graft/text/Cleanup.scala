@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftSqlBridge
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /**
  * Text cleanup for corpus curation: PII redaction, markup stripping, and
@@ -76,7 +76,7 @@ case class NfcNormalize(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def nullIntolerant: Boolean = true
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any = {
