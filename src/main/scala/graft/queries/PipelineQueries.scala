@@ -914,6 +914,48 @@ object PipelineQueries {
         |       + (ord(substr(hex(encode(text)), (2*i)::INT, 1)) -
         |          CASE WHEN substr(hex(encode(text)), (2*i)::INT, 1) <= '9'
         |               THEN 48 ELSE 55 END)))::BIGINT AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Identical RE2-safe patterns re-run in DuckDB ('g' = global, matching
+    // Spark's replace-all default), same order: email, intl phone, bare
+    // phone, IPv4. The raw blob is rebuilt with the same integer/concat
+    // arithmetic (custkeys are positive, so % == pmod).
+    "q51_pii_redaction" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || lower(regexp_replace(c_name, '#', '.', 'g')) ||
+        |    '@example.com> tel +1 555-' ||
+        |    lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+        |    lpad((c_custkey * 7 % 10000)::VARCHAR, 4, '0') ||
+        |    ' alt 555-000-1234 from 10.' ||
+        |    (c_custkey % 256)::VARCHAR || '.0.' || (c_nationkey % 256)::VARCHAR AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    // Same wrap, same two-regex strip (tags to spaces, whitespace collapse),
+    // same trim. chr(10) is the literal newline in the Spark-side markup.
+    "q52_html_strip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    '<html><p class="d">' || text || '</p>' || chr(10) ||
+        |      '<br/><div>src=' || source || '</div></html>',
+        |    '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's nfc_normalize is the independent Unicode-NFC implementation;
+    // chr(769) is U+0301 COMBINING ACUTE ACCENT. length = code points in
+    // both engines; md5 of the UTF-8 bytes in both engines.
+    "q53_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents)
+        |SELECT doc_id, length(raw)::INT AS n_chars_raw,
+        |  length(nfc_normalize(raw))::INT AS n_chars_nfc,
+        |  md5(nfc_normalize(raw)) AS fp_nfc
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }
