@@ -275,6 +275,17 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
     }),
 
+    // The LSH mode of the same operator: banded random-hyperplane
+    // candidates, exactly verified. Approximate ≠ unverifiable: the
+    // hyperplane weights are deterministic literals baked into the plan,
+    // so the oracle rebuilds the identical signatures and band-collision
+    // predicate in DuckDB and checks the approximate path's exact output —
+    // misses and all.
+    "q54_lsh_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45,
+        lshBits = 16, rowsPerBand = 2)
+    }),
+
     // ANN baseline: exact top-5 cosine neighbors for the first 10 vectors.
     "q17_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -956,6 +967,43 @@ object PipelineQueries {
         |SELECT doc_id, length(raw)::INT AS n_chars_raw,
         |  length(nfc_normalize(raw))::INT AS n_chars_nfc,
         |  md5(nfc_normalize(raw)) AS fp_nfc
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q54_lsh_neardup" -> lshNearDupOracleSql
   )
+
+  /**
+   * Exact oracle for the banded random-hyperplane LSH path. The hyperplane
+   * weights are deterministic doubles ([[Similarity.hyperplaneWeight]])
+   * baked into the Spark plan as literals; `Double.toString` produces the
+   * shortest decimal that round-trips, so DuckDB parses each weight back
+   * to the identical bit pattern. Both engines then widen the float
+   * component to double, multiply, and fold left-to-right in IEEE doubles
+   * — bit-identical projections, hence identical sign bits. Candidates are
+   * pairs agreeing on any 2-bit band slice (band-hash equality in Spark is
+   * slice equality: xxhash64 is injective for our purposes on 2-bit
+   * values), verified with the same cosine/threshold as q16's oracle.
+   */
+  private def lshNearDupOracleSql: String = {
+    val bits = 16; val rowsPerBand = 2; val dims = 64
+    val sigBits = (0 until bits).map { b =>
+      val ws = (0 until dims)
+        .map(d => Similarity.hyperplaneWeight(b, d).toString)
+        .mkString("[", ", ", "]")
+      "CASE WHEN list_reduce(list_transform(range(1, " + (dims + 1) + "), " +
+        s"d -> embedding[d::INT]::DOUBLE * ($ws::DOUBLE[])[d::INT]), " +
+        "(a, x) -> a + x) >= 0 THEN 1 ELSE 0 END"
+    }.mkString("[\n    ", ",\n    ", "]")
+    val bandMatch = (0 until bits / rowsPerBand).map { band =>
+      val lo = band * rowsPerBand + 1
+      val hi = lo + rowsPerBand - 1
+      s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+    }.mkString(" OR ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $sigBits AS sig FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($bandMatch)
+       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
