@@ -157,6 +157,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q16 plans a nested-loop join")
   }
 
+  test("hyperplane LSH banding is payload-free: no embedding rides a band exchange") {
+    val p = plan(PipelineQueries.queries("q54_lsh_neardup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "q54 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q54 plans a nested-loop join")
+    // The band fan-out (posexplode Generate) must emit (band, bucket, id)
+    // only — the vector joins back by id afterwards. Pinning at the
+    // Generate node keeps the test independent of whether the band join
+    // broadcasts (tiny SF) or shuffles (at scale), and any band-keyed
+    // exchange that does appear must be vector-free too.
+    val fanOuts = p.linesIterator
+      .filter(l => l.contains("Generate posexplode")).toSeq
+    assert(fanOuts.nonEmpty, "no posexplode band fan-out found")
+    assert(!fanOuts.exists(l => l.contains("vec") || l.contains("embedding")),
+      s"embedding vector rides the band fan-out:\n${fanOuts.mkString("\n")}")
+    val bandExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band"))
+      .toSeq
+    assert(!bandExchanges.exists(l => l.contains("vec") || l.contains("embedding")),
+      s"embedding vector rides the band shuffle:\n${bandExchanges.mkString("\n")}")
+  }
+
   test("decontamination broadcasts the benchmark grams, corpus joins map-side") {
     val p = plan(PipelineQueries.queries("q35_decontamination")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "benchmark gram join is not broadcast")
