@@ -358,6 +358,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF with the k-means centroid plug-in: the production-quality index
+    // through ivfTopK's `centroids` seam. kmeansCentroids is deterministic
+    // end-to-end (md5-seeded init, exact decimal dimension means, fixed
+    // tie-breaks), so even this two-stage approximate index oracles
+    // value-for-value — DuckDB re-derives the same seeds, the same two
+    // Lloyd iterations, and the same probe-and-rerank.
+    "q55_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nProbe = 3, centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 2))
+        .orderBy("query_id", "rank")
+    }),
+
     // Canonical assignment: collapse the q14 near-dup pairs — every doc that
     // is the greater member of a pair maps to the smallest doc it pairs with.
     "q20_dedup_canonical" -> ((s, dir) => {
@@ -969,8 +982,83 @@ object PipelineQueries {
         |  md5(nfc_normalize(raw)) AS fp_nfc
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "q54_lsh_neardup" -> lshNearDupOracleSql
+    "q54_lsh_neardup" -> lshNearDupOracleSql,
+
+    "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql
   )
+
+  /** One Lloyd iteration in SQL: nearest-centroid assignment (cosine desc,
+   * ties to the lower cid — identical to the Spark window), then exact
+   * DECIMAL(38,16) per-dimension means rounded to float, empty clusters
+   * keeping their previous center. Mirrors [[Similarity.kmeansCentroids]]
+   * step-for-step so the oracle composes iterations by CTE chaining. */
+  private def kmeansIterSql(prev: String, i: Int): String =
+    s"""a$i AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+       |    FROM embeddings e, $prev c)
+       |  WHERE rn = 1
+       |),
+       |m$i AS (
+       |  SELECT cid, d.d AS dim,
+       |    (sum(CAST(vec[(d.d + 1)::INT] AS DECIMAL(38,16))) / count(*))::FLOAT AS m
+       |  FROM a$i, LATERAL (SELECT unnest(range(len(vec))) AS d) d
+       |  GROUP BY 1, 2
+       |),
+       |c$i AS (
+       |  SELECT s.cid, coalesce(u.cvec, s.cvec) AS cvec
+       |  FROM $prev s LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY dim) AS cvec FROM m$i GROUP BY cid) u USING (cid)
+       |)""".stripMargin
+
+  /**
+   * Exact oracle for the k-means-centroid IVF path (q55). The k-means seam
+   * is reproducible by construction — seeding picks the 8 corpus vectors
+   * with the smallest SIGNED md5_hash64(id) (the unsigned DuckDB hash is
+   * xor'd with 2^63, which maps unsigned order onto signed order), and the
+   * decimal dimension means are exact, order-independent arithmetic — so
+   * DuckDB re-derives bit-identical float centroids and therefore the
+   * identical inverted file, probe lists, and final ranking.
+   */
+  private def kmeansIvfOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT vec_id, embedding,
+       |    xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+       |        9223372036854775808::UBIGINT) AS hkey
+       |  FROM embeddings
+       |),
+       |c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY hkey, vec_id) - 1)::INT AS cid,
+       |         embedding AS cvec
+       |  FROM h ORDER BY hkey, vec_id LIMIT 8
+       |),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |assign AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+       |    FROM embeddings e, c2 c)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT query_id, q_vec, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
+       |    FROM embeddings q, c2 c WHERE q.vec_id < 10)
+       |  WHERE rn <= 3
+       |)
+       |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.q_vec, a.vec) DESC, a.id ASC) AS rank
+       |  FROM probes p JOIN assign a USING (cid)
+       |  WHERE a.id <> p.query_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /**
    * Exact oracle for the banded random-hyperplane LSH path. The hyperplane
