@@ -106,6 +106,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(a, b) => Int8DotProduct(a, b)
         case args => wrongArity("int8_dot", args.size)
+      }),
+    ("nfc_normalize",
+      "_FUNC_(text) - Unicode NFC (composed form) normalization of a string.",
+      {
+        case Seq(t) => graft.text.NfcNormalize(t)
+        case args => wrongArity("nfc_normalize", args.size)
       })
   )
 

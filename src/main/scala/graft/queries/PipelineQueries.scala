@@ -79,14 +79,17 @@ object PipelineQueries {
     }),
 
     // The capstone: a complete training-data pipeline in ONE query —
-    // exact dedup (keep canonical ids) → benchmark decontamination (drop
-    // docs sharing an 8-gram with the src0 eval set) → quality filtering
-    // (length bounds, distinct-token ratio >= 30%, duplicate-line and
-    // top-bigram caps, all integer rationals) → deterministic 90/10
-    // train/val split. Everything composes from the individually-verified
-    // operators, and the whole result still oracles value-for-value.
+    // cleanup scrub (NFC-normalize → strip markup where present → PII
+    // redaction, all per-row projections) → exact dedup (keep canonical
+    // ids) → benchmark decontamination (drop docs sharing an 8-gram with
+    // the src0 eval set) → quality filtering (length bounds,
+    // distinct-token ratio >= 30%, duplicate-line and top-bigram caps,
+    // all integer rationals) → deterministic 90/10 train/val split.
+    // Everything composes from the individually-verified operators, and
+    // the whole result still oracles value-for-value.
     "q36_pipeline_end2end" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+        .withColumn("text", Cleanup.scrub(col("text")))
       val corpus = docs.filter(col("source") =!= "src0")
       val bench = docs.filter(col("source") === "src0")
       val canonicalIds = Dedup.exactDupGroups(corpus)
@@ -449,6 +452,20 @@ object PipelineQueries {
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** DuckDB replica of [[Cleanup.scrub]]: same NFC normalize, same
+   * conditional markup strip, same redaction patterns in the same order
+   * ('g' = replace-all, matching Spark's regexp_replace default). */
+  private val scrubSql =
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  CASE WHEN regexp_matches(nfc_normalize(text), '<[^>]*>')
+      |       THEN trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |              '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))
+      |       ELSE nfc_normalize(text) END,
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+      |  '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+      |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')""".stripMargin
+
   /** 10-char shingles — must stay in lockstep with q14's `shingleWidth`. */
   private val shingleSql =
     """list_distinct(list_transform(
@@ -509,14 +526,16 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
-    // Replicates the full pipeline: canonical ids per fingerprint group,
-    // 8-gram contamination against src0, the integer quality rationals,
-    // then the md5-threshold split (9/10 cumulative = floor(9*2^63/10)).
+    // Replicates the full pipeline: the Cleanup.scrub stage, canonical ids
+    // per fingerprint group, 8-gram contamination against src0, the integer
+    // quality rationals, then the md5-threshold split (9/10 cumulative =
+    // floor(9*2^63/10)).
     "q36_pipeline_end2end" ->
-      s"""WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+      s"""WITH cleaned AS (SELECT * REPLACE ($scrubSql AS text) FROM documents),
+         |corpus AS (SELECT * FROM cleaned WHERE source <> 'src0'),
          |norm AS (SELECT doc_id, md5($normSql) AS fp FROM corpus),
          |canonical AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp),
-         |toksall AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |toksall AS (SELECT doc_id, source, $tokensSql AS ts FROM cleaned),
          |toks AS (SELECT doc_id, ts FROM toksall WHERE source <> 'src0'),
          |bg8 AS (
          |  SELECT doc_id, source, $gram8Sql AS g

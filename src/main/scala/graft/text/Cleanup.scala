@@ -64,6 +64,21 @@ object Cleanup {
    * text as distinct documents; normalizing first is standard practice. */
   def nfcNormalize(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+
+  /** [[stripHtml]] only when the document actually contains a tag-shaped
+   * span. Plain-text documents pass through byte-identical — stripHtml
+   * collapses ALL whitespace, which would flatten every document to one
+   * line and erase the duplicate-line quality signals computed downstream
+   * (see PipelineQueries q36). */
+  def stripHtmlIfPresent(text: Column): Column =
+    when(text.rlike("<[^>]*>"), stripHtml(text)).otherwise(text)
+
+  /** The canonical corpus scrub, in real-pipeline stage order: NFC-normalize
+   * (so byte-different spellings can't dodge the patterns), strip markup
+   * where present, then redact PII. Pure per-row projection end to end —
+   * composes in front of fingerprinting/dedup with no extra pass. */
+  def scrub(text: Column): Column =
+    redactPii(stripHtmlIfPresent(nfcNormalize(text)))
 }
 
 /**

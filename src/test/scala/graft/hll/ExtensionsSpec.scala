@@ -51,6 +51,37 @@ class ExtensionsSpec extends AnyFunSuite {
     val desc = spark.sql("DESCRIBE FUNCTION hll_init").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("hll_init"))
 
+    // Registry-completeness sweep: EVERY entry of every registration list
+    // must exist in the catalog under its effective SQL name and DESCRIBE
+    // with a real usage line — the PySpark/SQL path proven for the whole
+    // library by enumeration, not a hand-maintained sample.
+    val allRegistered: Seq[String] =
+      HllFunctionRegistry.entries.map(_._1) ++
+        graft.kll.KllFunctionRegistry.entries.map(_._1) ++
+        graft.theta.ThetaFunctionRegistry.entries.map(e =>
+          graft.theta.ThetaFunctionRegistry.sqlName(e._1)) ++
+        graft.freq.FreqFunctionRegistry.entries.map(_._1) ++
+        graft.bloom.BloomFunctionRegistry.entries.map(_._1) ++
+        graft.GraftFunctionRegistry.entries.map(_._1)
+    assert(allRegistered.size === allRegistered.distinct.size,
+      "duplicate SQL names across registries")
+    allRegistered.foreach { n =>
+      assert(spark.catalog.functionExists(n), s"$n missing from catalog")
+      val d = spark.sql(s"DESCRIBE FUNCTION EXTENDED $n")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(d.contains(n) && d.contains("Usage:"),
+        s"DESCRIBE FUNCTION $n lacks a usage doc:\n$d")
+    }
+
+    // The newest kernel rides the same path: NFC through pure SQL. The
+    // combining acute accent is embedded as a literal (Spark's chr() is
+    // mod-256 ASCII, not a codepoint constructor like DuckDB's); the
+    // decomposed e + U+0301 must compose to the single U+00E9 code point.
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('café') AS s").head().getString(0)
+    assert(nfc === "café")
+    assert(nfc.length === 4)
+
     // The KLL family and the pipeline kernels ride the same extensions.
     // graft_theta_union: Spark 4.1 ships a built-in theta_union (two-sketch
     // scalar), so graft's union AGGREGATE registers under the graft_ prefix
