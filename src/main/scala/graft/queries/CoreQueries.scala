@@ -433,6 +433,27 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // Skew-safe algebraic aggregation: saltedAgg's two-phase plan (pre-agg
+    // per (key, salt), then the bounded per-key finish). count/sum run on
+    // exact integer cents and min/max are order-independent, so the salted
+    // result is identical to the direct GROUP BY the oracle runs — at
+    // scale phase 1 is what keeps a hot key from serializing one reducer.
+    "q57_salted_agg" -> ((s, dir) => {
+      val qtyCents = floor(col("l_quantity") * 100d + 0.5d).cast("long")
+      val priceCents = floor(col("l_extendedprice") * 100d + 0.5d).cast("long")
+      graft.operators.Salting.saltedAgg(
+        Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_orderkey"),
+          qtyCents.as("qty_cents"), priceCents.as("price_cents")),
+        keyCols = Seq("l_returnflag"), saltBuckets = 16,
+        saltSource = Seq(col("l_orderkey")),
+        aggs = Seq(
+          ("n_items", "count", lit(1)),
+          ("sum_qty_cents", "sum", col("qty_cents")),
+          ("min_price_cents", "min", col("price_cents")),
+          ("max_price_cents", "max", col("price_cents"))))
+        .orderBy("l_returnflag")
+    }),
+
     // As-of join (composition: union + keyed window, one shuffle, no range
     // blow-up): for each purchase event, the user's most recent click at or
     // before it — classic attribution.
@@ -666,6 +687,15 @@ object CoreQueries {
     "q28_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The salted two-phase plan must equal the direct GROUP BY exactly:
+    // count/sum over integer cents, order-independent min/max.
+    "q57_salted_agg" ->
+      """SELECT l_returnflag,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,
+        |  min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS min_price_cents,
+        |  max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Thresholds are floor(num * 2^63 / den) for cumulative 8/10 and 9/10.
     "q30_dataset_split" ->
       """SELECT doc_id,

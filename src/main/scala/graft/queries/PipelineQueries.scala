@@ -244,6 +244,20 @@ object PipelineQueries {
     }),
 
     // Exact dedup groups over fingerprints.
+    // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
+    // normalized text and of a 64-char prefix chunk — the composable
+    // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
+    // hashes without re-reading; composition law pinned in TextAnalysisSpec).
+    // Pure per-row projection; the oracle re-folds the identical byte
+    // recurrence in DuckDB, so the fingerprint is auditable off-Spark.
+    "q56_rolling_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(substring(col("text"), 1, 64)).as("fp_head"))
+        .orderBy("doc_id")
+    }),
+
     "q13_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(Tables.documents(s, dir)).orderBy("fp")
     }),
@@ -1003,8 +1017,42 @@ object PipelineQueries {
 
     "q54_lsh_neardup" -> lshNearDupOracleSql,
 
-    "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql
+    "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
+
+    "q56_rolling_fingerprint" -> rollingFingerprintOracleSql
   )
+
+  /** Folds the Rabin–Karp recurrence h = (h·257 + byte) mod 2^64 over the
+   * UTF-8 bytes of a hex dump (`hx`, byte count `nb`) in HUGEINT — DuckDB
+   * integer ops raise on overflow rather than wrap, so the wrap is an
+   * explicit mod. Returns the unsigned HUGEINT value. */
+  private def rollingReduceSql(hx: String, nb: String): String =
+    s"""list_reduce(
+       |    list_prepend(0::HUGEINT, list_transform(range($nb), i ->
+       |      (16 * (ord(substr($hx, (2*i+1)::INT, 1)) -
+       |        CASE WHEN substr($hx, (2*i+1)::INT, 1) <= '9' THEN 48 ELSE 55 END)
+       |       + (ord(substr($hx, (2*i+2)::INT, 1)) -
+       |        CASE WHEN substr($hx, (2*i+2)::INT, 1) <= '9' THEN 48 ELSE 55 END))::HUGEINT)),
+       |    (acc, x) -> (acc * 257 + x) % 18446744073709551616)""".stripMargin
+
+  /** Exact oracle for q56: the same whitespace-normalization as the Spark
+   * side, bytes via the hex dump (the q18/q26 trick), the same base-257
+   * fold, and a final unsigned→signed 2^64 fold back to Spark's long. */
+  private def rollingFingerprintOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |         trim(regexp_replace(lower(substr(text, 1, 64)), '\\s+', ' ', 'g')) AS head
+       |  FROM documents),
+       |b AS (SELECT doc_id, hex(encode(norm)) AS hx, octet_length(encode(norm)) AS nb,
+       |             hex(encode(head)) AS hhx, octet_length(encode(head)) AS hnb FROM n),
+       |u AS (SELECT doc_id, ${rollingReduceSql("hx", "nb")} AS uf,
+       |             ${rollingReduceSql("hhx", "hnb")} AS uh FROM b)
+       |SELECT doc_id,
+       |  CASE WHEN uf >= 9223372036854775808 THEN (uf - 18446744073709551616)::BIGINT
+       |       ELSE uf::BIGINT END AS fp,
+       |  CASE WHEN uh >= 9223372036854775808 THEN (uh - 18446744073709551616)::BIGINT
+       |       ELSE uh::BIGINT END AS fp_head
+       |FROM u ORDER BY doc_id""".stripMargin
 
   /** One Lloyd iteration in SQL: nearest-centroid assignment (cosine desc,
    * ties to the lower cid — identical to the Spark window), then exact
