@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.dedup.SimHash64
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
 
 /** `md5_hash64(string)` → first 8 bytes of MD5, big-endian, as a long —
  * the same auditable hash the SimHash family uses, exposed as a scalar so
- * sampling decisions can be re-derived by any engine with `md5()`. */
+ * sampling decisions can be re-derived by any engine with `md5()`.
+ * Codegen'd (one static call, no row boxing): this expression gates every
+ * row of the corpus in sampling/split/mixing, so it must not be the thing
+ * that breaks the scan stage's whole-stage span. */
 case class Md5Hash64(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
+  override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.md5Hash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.dedup.SimHash64.md5Hash64($c);")
 
   override def prettyName: String = "md5_hash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -244,14 +244,22 @@ case class RepetitionStats(child: Expression)
  * 100 TB ([[RollingHash64.combine]] implements it and the spec pins it).
  */
 case class RollingHash64(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
+  override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
     RollingHash64.hashBytes(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  // Codegen'd as one static call: the byte loop dominates, but staying
+  // inside the whole-stage span avoids per-row boxing on a kernel that
+  // fingerprints every document.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.RollingHash64.hashBytes($c.getBytes());")
 
   override def prettyName: String = "rolling_hash64"
   override protected def withNewChildInternal(newChild: Expression): Expression =

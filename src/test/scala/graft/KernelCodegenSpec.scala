@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins that the scalar hash kernels really generate compilable code.
+ * Under the default FALLBACK factory mode a codegen bug silently degrades
+ * to interpreted eval and every functional test still passes; with
+ * CODEGEN_ONLY (and whole-stage off, so the expression factory — not the
+ * stage fuser — builds the projection) a broken `doGenCode` throws. */
+class KernelCodegenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-codegen-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("md5_hash64 / rolling_hash64 / nfc_normalize compile under CODEGEN_ONLY") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val row = Seq(("abc", "café")).toDF("s", "t")
+        .select(
+          graft.operators.Sampling.md5Hash64(col("s")).as("h"),
+          graft.text.TextAnalysis.rollingFingerprint(col("s")).as("r"),
+          graft.text.Cleanup.nfcNormalize(col("t")).as("n"))
+        .head()
+      // Same values the interpreted eval produces (direct static calls).
+      assert(row.getLong(0) === graft.dedup.SimHash64.md5Hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+      assert(row.getLong(1) === graft.text.RollingHash64.hashBytes(
+        "abc".getBytes("UTF-8")))
+      assert(row.getString(2) === "café")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+}
