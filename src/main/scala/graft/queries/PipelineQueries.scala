@@ -244,6 +244,20 @@ object PipelineQueries {
     }),
 
     // Exact dedup groups over fingerprints.
+    // LLM token budgeting: GPT-2-family pretokenizer piece counts (the
+    // unit sequence-length accounting is denominated in) plus the matched
+    // character mass. Pure projection; the oracle runs the identical
+    // RE2-safe pattern through DuckDB's regexp_extract_all.
+    "q58_bpe_pretokens" -> ((s, dir) => {
+      val pieces = TextAnalysis.bpePieces(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(pieces).as("n_bpe_pieces"),
+          aggregate(transform(pieces, p => length(p)), lit(0), (a, x) => a + x)
+            .as("n_bpe_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
     // normalized text and of a 64-char prefix chunk — the composable
     // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
@@ -1019,7 +1033,17 @@ object PipelineQueries {
 
     "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
 
-    "q56_rolling_fingerprint" -> rollingFingerprintOracleSql
+    "q56_rolling_fingerprint" -> rollingFingerprintOracleSql,
+
+    // Identical pattern, identical leftmost-first alternation in RE2.
+    "q58_bpe_pretokens" -> {
+      val pat = graft.text.TextAnalysis.BpePretokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$pat'))::INT AS n_bpe_pieces,
+         |  coalesce(list_sum(list_transform(regexp_extract_all(text, '$pat'),
+         |    p -> length(p))), 0)::INT AS n_bpe_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Folds the Rabin–Karp recurrence h = (h·257 + byte) mod 2^64 over the

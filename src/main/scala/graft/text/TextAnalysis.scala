@@ -27,6 +27,24 @@ object TextAnalysis {
   def subtokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** GPT-2-family pretokenization pattern, restricted to the regex subset
+   * Java and RE2 share: contraction suffixes, space-prefixed letter runs,
+   * space-prefixed digit runs, space-prefixed punctuation runs, residual
+   * whitespace. The upstream pattern's trailing-space lookahead is dropped
+   * (RE2 has no lookahead) — both engines then split identically, which is
+   * what makes per-document token budgets auditable off-Spark. The subword
+   * merge table is a model artifact; the pretokenizer is what fixes
+   * sequence-length accounting. */
+  val BpePretokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Pretokenizer piece list (the unit LLM token budgets count). */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
+
+  /** Pretokenizer piece count — the training-pipeline "token count". */
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
   /** How many tokens appear in `words` (multiset count, not distinct). */
   def tokenHits(text: Column, words: Seq[String]): Column = {
     val set = words.map(lit(_))

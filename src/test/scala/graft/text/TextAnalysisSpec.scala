@@ -99,6 +99,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === 3)
   }
 
+  test("BPE pretokenizer: contractions, space-prefixed runs, punctuation") {
+    // "don't stop, it's 42 tokens" splits at the contraction boundary,
+    // keeps the leading space on every interior piece (the GPT-2 space-
+    // prefix convention), and groups punctuation runs.
+    val pieces = one("don't stop, it's 42 tokens!!")
+      .select(bpePieces(col("text"))).head().getSeq[String](0)
+    assert(pieces === Seq("don", "'t", " stop", ",", " it", "'s", " 42", " tokens", "!!"))
+    val n = one("don't stop, it's 42 tokens!!")
+      .select(bpePieceCount(col("text"))).head().getInt(0)
+    assert(n === 9)
+    // Pieces partition the text exactly (nothing skipped, nothing doubled):
+    // every character class has an alternative, so concat(pieces) == text.
+    assert(pieces.mkString === "don't stop, it's 42 tokens!!")
+    // Empty text → zero pieces.
+    assert(one("").select(bpePieceCount(col("text"))).head().getInt(0) === 0)
+  }
+
   test("rolling fingerprint: reference values, composition, and normalization") {
     import spark.implicits._
     // Matches a by-hand Horner evaluation over UTF-8 bytes.
