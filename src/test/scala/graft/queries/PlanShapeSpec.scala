@@ -197,6 +197,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
   }
 
+  test("k-means IVF broadcasts centroids on every pass, never the corpus") {
+    val df = PipelineQueries.queries("q55_ann_ivf_kmeans")(spark, sf)
+    val p = plan(df)
+    // Assignment, probing, and re-rank all join against the k·dims centroid
+    // table — each must broadcast; a corpus-side cartesian would be O(n²).
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids not broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+  }
+
+  test("salted algebraic aggregation pre-aggregates under both exchanges") {
+    val df = CoreQueries.queries("q57_salted_agg")(spark, sf)
+    val p = plan(df)
+    // Two-phase shape: a (key, salt) exchange then a key exchange, each fed
+    // by partial_* HashAggregates so no reducer ever sees raw hot-key rows.
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "no map-side partial aggregation")
+    val saltExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    assert(saltExchange, "no (key, salt) exchange — salting collapsed")
+  }
+
+  test("per-row text kernels (fingerprints, pretokens) shuffle nothing but the sort") {
+    for (q <- Seq("q56_rolling_fingerprint", "q58_bpe_pretokens")) {
+      val p = plan(PipelineQueries.queries(q)(spark, sf))
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles beyond the output sort:\n${exchanges.mkString("\n")}")
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis projection") {
     val df = PipelineQueries.queries("q10_text_stats")(spark, sf)
     df.collect() // AQE only renders codegen spans in the final executed plan
