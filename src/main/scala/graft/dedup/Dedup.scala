@@ -36,6 +36,33 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Incremental ingest dedup: the docs of a newly-arrived batch that are
+   * genuinely new — their normalized fingerprint appears neither in the
+   * existing corpus (anti-join) nor earlier in the batch itself (canonical
+   * min id per group). This is the daily-crawl production shape of
+   * [[exactDupGroups]]: dedup the increment against accumulated state
+   * without re-deduping the accumulated corpus.
+   *
+   * Scale contract: both sides reduce to (fingerprint[, id]) BEFORE the
+   * join — document text never shuffles. At 100 TB the corpus side is a
+   * stored fingerprint table (write it with [[graft.sources.Layout]]
+   * bucketed by `fp`) so each increment joins zero-exchange against state
+   * instead of rescanning history.
+   *
+   * @return (doc_id, fp) — one row per surviving batch doc.
+   */
+  def incrementalNewDocs(batch: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batchFp = batch.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val corpusFp = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    batchFp.join(corpusFp, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col("id")).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Distinct character n-gram shingle array (default 5-grams), lowercased.
@@ -179,6 +206,87 @@ object Dedup {
         coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
           .as("buckets_dropped"),
         coalesce(max(col("n")), lit(0L)).as("largest_bucket"))
+
+  // ------------------------------------------------------ exact ngram jaccard
+
+  /**
+   * EXACT word n-gram Jaccard near-duplicate pairs — a set-similarity join
+   * with lossless prefix filtering (the AllPairs/PPJoin family), not an
+   * approximation: every pair with `thresholdDen·|A∩B| >= thresholdNum·|A∪B|`
+   * is guaranteed present, unlike [[jaccardNearDupPairs]] whose MinHash
+   * banding is probabilistic.
+   *
+   * Candidate generation is the prefix filter: order all grams globally by
+   * rarity (document frequency asc, then gram), and let each document keep
+   * only its `|S| - ceil(t·|S|) + 1` rarest grams as its "prefix". Any pair
+   * at Jaccard >= t has `|A∩B| >= t·|A∪B| >= t·max(|A|,|B|)`, so fewer than
+   * `|S| - prefix` grams of either side can avoid the intersection — the
+   * prefixes must share a gram. An equi-join on prefix grams therefore
+   * finds every qualifying pair while never materializing all pairs.
+   *
+   * Scale contract:
+   *  - gram → document-frequency is one vocab-bounded aggregation;
+   *  - the candidate shuffle carries (gram, id) PREFIX rows only — at
+   *    threshold t each doc contributes at most `(1-t)·|S| + 1` rows, so
+   *    tighter thresholds shrink the join superlinearly;
+   *  - rare-first ordering pushes corpus-wide template grams into suffixes,
+   *    so the hottest grams never reach the join;
+   *  - verification re-grams only candidate documents (semi-join), exactly
+   *    like the MinHash path.
+   *
+   * Identity classes are this join's worst case (every member pairs with
+   * every other): run [[exactDupGroups]] first and feed one canonical doc
+   * per class, which is also the semantically right pipeline order.
+   *
+   * @return (id_a, id_b, inter, uni) — integer columns only.
+   */
+  def ngramJaccardPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
+    val gramSets = docs.select(col(idCol).as("id"),
+      wordShingles(TextAnalysis.tokens(col(textCol)), n).as("gs"))
+    val gramDoc = gramSets.select(col("id"), explode(col("gs")).as("g"))
+    val gramDf = gramDoc.groupBy("g").agg(count(lit(1)).as("df"))
+
+    // Rare-first per-doc gram order under the global (df, gram) total order;
+    // prefix length L = |S| - ceil(t|S|) + 1 = floor((den-num)·|S|/den) + 1.
+    // Sizes are positive so the int cast of the double division is floor.
+    val ranked = gramDoc.join(gramDf, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
+    val prefixLen = (size(col("ranked")).cast("long") *
+      (thresholdDen - thresholdNum) / thresholdDen).cast("int") + 1
+    val prefix = ranked.select(col("id"),
+      explode(slice(transform(col("ranked"), r => r.getField("g")),
+        lit(1), prefixLen)).as("g"))
+
+    // Expand per-gram groups instead of self-joining: one aggregation over
+    // the prefix rows, no re-evaluation of the ranking subtree per side.
+    // No cap — this is the exact join; see the identity-class note above.
+    val candidates = prefix
+      .groupBy("g").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(col("ids"), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .filter(col("p.id_a") < col("p.id_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+    val candSets = gramSets.join(candIds, Seq("id"), "left_semi")
+    candidates
+      .join(candSets.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(candSets.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).as("inter"),
+        (size(col("gs_a")) + size(col("gs_b"))).as("sum_sizes"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sum_sizes") - col("inter")).as("uni"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .orderBy("id_a", "id_b")
+  }
 
   // ----------------------------------------------------------------- simhash
 

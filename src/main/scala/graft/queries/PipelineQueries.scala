@@ -317,6 +317,58 @@ object PipelineQueries {
         lshBits = 16, rowsPerBand = 2)
     }),
 
+    // EXACT word-3-gram Jaccard near-dup pairs via the lossless prefix
+    // filter (AllPairs/PPJoin) — the guaranteed-complete complement to
+    // q14's probabilistic MinHash banding. The oracle is the definitional
+    // all-pairs Jaccard in DuckDB; because the prefix filter is lossless
+    // the outputs must match row-for-row, which is the whole point.
+    "q59_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        thresholdNum = 1, thresholdDen = 2, n = 3)
+    }),
+
+    // Per-source salient terms by fixed-point tf·idf: idf is the inverse
+    // document-frequency RATIO in millionths (integer division — no log,
+    // no floats, so the score is bit-identical in any engine), tf the
+    // within-source term count. Top 5 per source under the total order
+    // (score desc, term asc). Two token-level aggregations (tf by
+    // (source, term), df by term — both vocab-bounded), one vocab-sized
+    // join, and a per-source top-k window over the tiny scored table; the
+    // corpus itself is scanned once and never shuffled.
+    "q60_tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("t"), col("doc_id")).distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val total = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("t").asc)
+      tf.join(dfreq, "t")
+        .join(broadcast(total))
+        .withColumn("score",
+          col("tf") * floor(col("n") * lit(1000000L) / col("df")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("t").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("source", "rank")
+    }),
+
+    // Incremental ingest dedup: src11+src12 play the newly-crawled batch,
+    // the other 18 sources the accumulated corpus. Surviving = fingerprint
+    // unseen in the corpus AND first within the batch. Both sides shrink
+    // to fingerprints before the join — the production daily-increment
+    // shape (see Dedup.incrementalNewDocs scaladoc).
+    "q61_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBatch = col("source").isin("src11", "src12")
+      Dedup.incrementalNewDocs(docs.filter(isBatch), docs.filter(!isBatch))
+        .orderBy("doc_id")
+    }),
+
     // ANN baseline: exact top-5 cosine neighbors for the first 10 vectors.
     "q17_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -754,6 +806,56 @@ object PipelineQueries {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // The DEFINITIONAL all-pairs word-3-gram Jaccard — no prefix filter on
+    // the oracle side, so a row-for-row match proves the Spark-side prefix
+    // filtering lossless (its entire contract).
+    "q59_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] || ' ' || ts[(i.i + 2)::INT] AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM g GROUP BY 1)
+         |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
+         |FROM pair_inter
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Same fixed-point arithmetic: `//` on positive BIGINTs is the same
+    // floor division Spark's floor(n*1e6/df) computes.
+    "q60_tfidf_terms" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS t FROM documents),
+         |tf AS (SELECT source, t, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |scored AS (
+         |  SELECT source, t, tf, df, tf * ((n * 1000000) // df) AS score
+         |  FROM tf JOIN dfreq USING (t), tot
+         |)
+         |SELECT source, rank, t AS term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, t) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q61_incremental_dedup" ->
+      s"""WITH bfp AS (
+         |  SELECT doc_id, md5($normSql) AS fp FROM documents
+         |  WHERE source IN ('src11', 'src12')
+         |),
+         |cfp AS (
+         |  SELECT DISTINCT md5($normSql) AS fp FROM documents
+         |  WHERE source NOT IN ('src11', 'src12')
+         |)
+         |SELECT min(doc_id) AS doc_id, fp
+         |FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)
+         |GROUP BY fp ORDER BY doc_id""".stripMargin,
     // Recompute every simhash from scratch: md5-derived 64-bit token hashes
     // vote per bit (strict majority), then exhaustive all-pairs Hamming.
     // Unsigned vs signed 64-bit makes no difference — xor/bit_count act on

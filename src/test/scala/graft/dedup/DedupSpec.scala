@@ -300,4 +300,78 @@ class DedupSpec extends AnyFunSuite {
     // Cross-checked against DuckDB: ('0x'||substr(md5('hello'),1,16))::UBIGINT
     assert(h === 6719722671305337462L)
   }
+
+  // --------------------------------------------------------- ngramJaccardPairs
+
+  /** Definitional all-pairs word n-gram Jaccard, computed in plain Scala. */
+  private def bruteForceJaccard(rows: Seq[(Long, String)], n: Int,
+      num: Int, den: Int): Set[(Long, Long, Int, Int)] = {
+    def grams(text: String): Set[String] = {
+      val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> grams(t) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      if inter * den >= uni * num
+    } yield (ia, ib, inter, uni)).toSet
+  }
+
+  private def runNgramJaccard(rows: Seq[(Long, String)], num: Int, den: Int,
+      n: Int = 3): Set[(Long, Long, Int, Int)] =
+    ngramJaccardPairs(docs(rows: _*), thresholdNum = num, thresholdDen = den, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  test("ngram jaccard: prefix filter is lossless vs brute-force all-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val rows = Seq(
+      1L -> base,
+      2L -> (base + " at dawn"),                       // high-J near-dup of 1
+      3L -> base.replace("lazy", "sleepy"),            // mid-J variant of 1
+      4L -> "completely unrelated text about catalyst query optimizers and shuffles",
+      5L -> "catalyst query optimizers and shuffles in completely unrelated text",
+      6L -> "short doc",                               // < 3 tokens of grams? 2 tokens -> no grams
+      7L -> base)                                      // exact dup of 1
+    for ((num, den) <- Seq((1, 2), (3, 4), (1, 4), (9, 10)))
+      assert(runNgramJaccard(rows, num, den) === bruteForceJaccard(rows, 3, num, den),
+        s"threshold $num/$den")
+  }
+
+  test("ngram jaccard: threshold 1 keeps only identical gram sets") {
+    val rows = Seq(
+      1L -> "a b c d e", 2L -> "a b c d e",
+      3L -> "a b c d f")
+    val out = runNgramJaccard(rows, 1, 1)
+    assert(out === bruteForceJaccard(rows, 3, 1, 1))
+    assert(out.map(p => (p._1, p._2)) === Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: docs with fewer than n tokens never pair") {
+    val rows = Seq(1L -> "one two", 2L -> "one two", 3L -> "")
+    assert(runNgramJaccard(rows, 1, 2) === Set.empty)
+  }
+
+  // --------------------------------------------------------- incremental dedup
+
+  test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
+    // Normalization folds case/whitespace — doc 12 is a disguised copy of
+    // the corpus doc, 13/14 are batch-internal dups (min id 13 survives).
+    val corpus = docs(1L -> "existing corpus document", 2L -> "another one")
+    val batch = docs(
+      11L -> "a genuinely new document",
+      12L -> "  EXISTING   corpus DOCUMENT ",
+      13L -> "fresh but repeated in batch",
+      14L -> "fresh but repeated in batch")
+    val out = incrementalNewDocs(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(11L, 13L))
+  }
+
+  test("incremental dedup: empty corpus keeps one canonical per batch group") {
+    val batch = docs(5L -> "x y", 6L -> "x y", 7L -> "z")
+    val out = incrementalNewDocs(batch, docs())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(5L, 7L))
+  }
 }

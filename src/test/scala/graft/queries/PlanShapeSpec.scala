@@ -178,6 +178,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"embedding vector rides the band shuffle:\n${bandExchanges.mkString("\n")}")
   }
 
+  test("exact ngram-jaccard join: no cartesian, no document text on any exchange") {
+    val p = plan(PipelineQueries.queries("q59_ngram_jaccard")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "q59 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q59 plans a nested-loop join")
+    // The prefix-filter pipeline shuffles (gram, id) and per-doc gram sets
+    // only — raw document text must never ride an exchange.
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text") || l.contains("txt")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("tfidf terms: corpus scanned once per aggregation, text never shuffled") {
+    val p = plan(PipelineQueries.queries("q60_tfidf_terms")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "q60 plans a cartesian corpus join")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("incremental dedup anti-joins fingerprints only — text never shuffles") {
+    val p = plan(PipelineQueries.queries("q61_incremental_dedup")(spark, sf))
+    assert(p.contains("LeftAnti"), "corpus dedup is not an anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("decontamination broadcasts the benchmark grams, corpus joins map-side") {
     val p = plan(PipelineQueries.queries("q35_decontamination")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "benchmark gram join is not broadcast")
