@@ -120,7 +120,8 @@ object Dedup {
   def jaccardNearDupPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
       maxBucketSize: Int = 4096,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      materializeCandidates: Boolean = true): DataFrame = {
     val banded = lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
 
     // Pairs come from grouping each bucket and expanding in-bucket
@@ -130,7 +131,7 @@ object Dedup {
     // `maxBucketSize` values while still counting the true bucket size, so
     // a hot bucket can be detected and skipped instead of OOMing (see
     // the `maxBucketSize` scaladoc above).
-    val candidates = banded
+    val candidatePairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(GraftSqlBridge.column(CollectListCapped(
         GraftSqlBridge.expression(col("id")), maxBucketSize)
@@ -142,6 +143,17 @@ object Dedup {
       .filter(col("p.id_a") < col("p.id_b"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+
+    // The candidate table feeds three consumers (the pair join and both
+    // sides of the verification semi-join); left lazy, Spark re-runs the
+    // whole shingle→signature→banding pipeline per consumer. Candidates
+    // are a bounded ids-only artifact — materialize once (exactly what a
+    // production pipeline does with its pair list). Tests that pin the
+    // banding plan shape pass materializeCandidates = false to keep the
+    // full pipeline visible in one plan.
+    val candidates =
+      if (materializeCandidates) candidatePairs.localCheckpoint()
+      else candidatePairs
 
     // Verification: re-shingle ONLY docs that appear in some candidate pair
     // (a semi-join keeps the shingle kernel off the non-candidate corpus —
@@ -238,14 +250,26 @@ object Dedup {
    * every other): run [[exactDupGroups]] first and feed one canonical doc
    * per class, which is also the semantically right pipeline order.
    *
+   * Gram identity is the auditable 64-bit md5 hash ([[graft.operators.Sampling.md5Hash64]],
+   * the same function q35/q15 audit with): every shuffle key, sort key,
+   * and intersection element is a long, never a gram string — 4-10× less
+   * shuffle payload and numeric compares in the hot loops. Set semantics
+   * are over HASHED distinct grams, so any engine with `md5()` re-derives
+   * the identical counts (collision odds are 2^-64 per gram pair and,
+   * crucially, the same collisions happen in every engine — the oracle is
+   * exact, not approximately-right).
+   *
    * @return (id_a, id_b, inter, uni) — integer columns only.
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
-      n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text",
+      materializeCandidates: Boolean = true): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
     val gramSets = docs.select(col(idCol).as("id"),
-      wordShingles(TextAnalysis.tokens(col(textCol)), n).as("gs"))
+      array_distinct(transform(
+        wordShingles(TextAnalysis.tokens(col(textCol)), n),
+        g => graft.operators.Sampling.md5Hash64(g))).as("gs"))
     val gramDoc = gramSets.select(col("id"), explode(col("gs")).as("g"))
     val gramDf = gramDoc.groupBy("g").agg(count(lit(1)).as("df"))
 
@@ -257,21 +281,47 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
     val prefixLen = (size(col("ranked")).cast("long") *
       (thresholdDen - thresholdNum) / thresholdDen).cast("int") + 1
-    val prefix = ranked.select(col("id"),
-      explode(slice(transform(col("ranked"), r => r.getField("g")),
-        lit(1), prefixLen)).as("g"))
+    // Prefix rows carry (gram, id, pos, sz): pos = 1-based rank of the gram
+    // in the doc's rare-first order, sz = |S| — the inputs of the PPJoin
+    // positional and length filters below.
+    val prefix = ranked.select(col("id"), size(col("ranked")).as("sz"),
+      posexplode(slice(transform(col("ranked"), r => r.getField("g")),
+        lit(1), prefixLen)).as(Seq("pos0", "g")))
+      .select(col("g"),
+        struct(col("id"), (col("pos0") + 1).as("pos"), col("sz")).as("m"))
 
     // Expand per-gram groups instead of self-joining: one aggregation over
     // the prefix rows, no re-evaluation of the ranking subtree per side.
     // No cap — this is the exact join; see the identity-class note above.
-    val candidates = prefix
-      .groupBy("g").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(col("ids"), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .filter(col("p.id_a") < col("p.id_b"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    //
+    // Two further LOSSLESS prunes (PPJoin):
+    //  - length filter: J >= t forces num·max(|A|,|B|) <= den·min(|A|,|B|);
+    //  - positional filter: for the FIRST common gram (positions pa, pb in
+    //    the shared global order) no common gram precedes it in either
+    //    list, so overlap <= 1 + min(|A|-pa, |B|-pb); a qualifying pair
+    //    needs overlap >= ceil(num·(|A|+|B|)/(num+den)). A pair is kept if
+    //    ANY of its collisions passes — the first collision always does
+    //    for a qualifying pair, so nothing true is lost.
+    val candidatePairs = prefix
+      .groupBy("g").agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(col("ms"), b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .filter(col("p.a.id") < col("p.b.id"))
+      .filter(greatest(col("p.a.sz"), col("p.b.sz")) * thresholdNum <=
+        least(col("p.a.sz"), col("p.b.sz")) * thresholdDen)
+      .filter((lit(1) + least(col("p.a.sz") - col("p.a.pos"),
+        col("p.b.sz") - col("p.b.pos"))) * (thresholdNum + thresholdDen) >=
+        (col("p.a.sz") + col("p.b.sz")) * thresholdNum)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .distinct()
+
+    // Ids-only bounded artifact consumed by three joins — materialize once
+    // instead of re-running the gram/df/prefix pipeline per consumer (see
+    // the jaccardNearDupPairs note).
+    val candidates =
+      if (materializeCandidates) candidatePairs.localCheckpoint()
+      else candidatePairs
 
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))

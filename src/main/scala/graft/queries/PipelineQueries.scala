@@ -808,12 +808,15 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     // The DEFINITIONAL all-pairs word-3-gram Jaccard — no prefix filter on
     // the oracle side, so a row-for-row match proves the Spark-side prefix
-    // filtering lossless (its entire contract).
+    // filtering lossless (its entire contract). Gram identity is the same
+    // auditable md5-64 hash the Spark kernel uses (equality is all that
+    // matters, so DuckDB's UBIGINT view of the same 8 bytes is equivalent).
     "q59_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          |g AS (
          |  SELECT DISTINCT doc_id,
-         |    ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] || ' ' || ts[(i.i + 2)::INT] AS g
+         |    ('0x' || substr(md5(ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT]
+         |      || ' ' || ts[(i.i + 2)::INT]), 1, 16))::UBIGINT AS g
          |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
          |),
          |pair_inter AS (

@@ -133,7 +133,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash LSH never materializes a cartesian product") {
-    val p = plan(PipelineQueries.queries("q14_dedup_minhash")(spark, sf))
+    // materializeCandidates = false keeps the whole banding pipeline in ONE
+    // inspectable plan (the default checkpoints the candidate table, which
+    // would hide the banding stage from this assertion).
+    val df = graft.dedup.Dedup.jaccardNearDupPairs(
+      graft.sources.Tables.documents(spark, sf),
+      thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10,
+      materializeCandidates = false)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q14 plans a nested-loop join")
   }
@@ -158,7 +165,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("hyperplane LSH banding is payload-free: no embedding rides a band exchange") {
-    val p = plan(PipelineQueries.queries("q54_lsh_neardup")(spark, sf))
+    // materializeBands = false keeps the banding stage in one inspectable plan.
+    val p = plan(graft.similarity.Similarity.cosineNearDupPairs(
+      graft.sources.Tables.embeddings(spark, sf), threshold = 0.45,
+      lshBits = 16, rowsPerBand = 2, materializeBands = false))
     assert(!p.contains("CartesianProduct"), "q54 plans a cartesian join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q54 plans a nested-loop join")
     // The band fan-out (posexplode Generate) must emit (band, bucket, id)
@@ -179,7 +189,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("exact ngram-jaccard join: no cartesian, no document text on any exchange") {
-    val p = plan(PipelineQueries.queries("q59_ngram_jaccard")(spark, sf))
+    // Un-materialized so the prefix-filter pipeline is in one plan.
+    val p = plan(graft.dedup.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, sf),
+      thresholdNum = 1, thresholdDen = 2, n = 3, materializeCandidates = false))
     assert(!p.contains("CartesianProduct"), "q59 plans a cartesian join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q59 plans a nested-loop join")
     // The prefix-filter pipeline shuffles (gram, id) and per-doc gram sets
