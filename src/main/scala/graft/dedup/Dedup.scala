@@ -121,7 +121,7 @@ object Dedup {
       k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
       maxBucketSize: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text",
-      materializeCandidates: Boolean = true): DataFrame = {
+      materializeCandidates: Boolean = false): DataFrame = {
     val banded = lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
 
     // Pairs come from grouping each bucket and expanding in-bucket
@@ -145,12 +145,12 @@ object Dedup {
       .distinct()
 
     // The candidate table feeds three consumers (the pair join and both
-    // sides of the verification semi-join); left lazy, Spark re-runs the
-    // whole shingle→signature→banding pipeline per consumer. Candidates
-    // are a bounded ids-only artifact — materialize once (exactly what a
-    // production pipeline does with its pair list). Tests that pin the
-    // banding plan shape pass materializeCandidates = false to keep the
-    // full pipeline visible in one plan.
+    // sides of the verification semi-join). Catalyst's ReuseExchange
+    // already runs the pipeline once and shares the shuffled result, so
+    // the default stays lazy (measured: localCheckpoint is pure overhead
+    // here). The materialization knob remains for plans where exchange
+    // reuse cannot apply — e.g. the pair list feeding several SEPARATE
+    // downstream jobs, where a production pipeline would persist it.
     val candidates =
       if (materializeCandidates) candidatePairs.localCheckpoint()
       else candidatePairs
@@ -263,7 +263,7 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text",
-      materializeCandidates: Boolean = true): DataFrame = {
+      materializeCandidates: Boolean = false): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
     val gramSets = docs.select(col(idCol).as("id"),
@@ -316,9 +316,8 @@ object Dedup {
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .distinct()
 
-    // Ids-only bounded artifact consumed by three joins — materialize once
-    // instead of re-running the gram/df/prefix pipeline per consumer (see
-    // the jaccardNearDupPairs note).
+    // Lazy by default — ReuseExchange shares the one shuffled candidate
+    // result across the three consumers (see the jaccardNearDupPairs note).
     val candidates =
       if (materializeCandidates) candidatePairs.localCheckpoint()
       else candidatePairs
