@@ -352,6 +352,24 @@ class DedupSpec extends AnyFunSuite {
     assert(runNgramJaccard(rows, 1, 2) === Set.empty)
   }
 
+  test("ngram jaccard: lossless on generated template-heavy corpora (property)") {
+    // A deliberately tiny vocabulary maximizes gram sharing — the
+    // adversarial case for prefix filtering (every doc collides with many
+    // others; any unsound prune would drop a true pair here first).
+    import org.scalacheck.Gen
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(40)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((num, den) <- Seq((1, 2), (2, 3), (4, 5)))
+      assert(runNgramJaccard(rows, num, den) === bruteForceJaccard(rows, 3, num, den),
+        s"threshold $num/$den over generated corpus")
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
