@@ -290,6 +290,25 @@ object CoreQueries {
         .orderBy("day", "event_type")
     }),
 
+    // Sketches INSIDE a window spec: per-(user, day) event-type sketches,
+    // re-aggregated cumulatively with hll_merge over an expanding frame —
+    // "how many distinct event types has this user touched as of day d"
+    // without ever rescanning history. The window re-merges kilobyte
+    // sketches, so the frame cost is |days| × sketch, independent of event
+    // volume; exact at 5 distinct types (ExactSD). This is §2.4's
+    // "aggregates compose with windows" row as an oracle-checked query.
+    "q62_window_sketch" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          window(col("ts"), "1 day").getField("start").cast("date").as("day"))
+        .agg(hll_init_agg(col("event_type"), ExactSD).as("types_hll"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+        hll_cardinality(hll_merge(col("types_hll")).over(w)).as("cum_types"))
+        .orderBy("user_id", "day")
+    }),
+
     // Funnel analysis: users whose FIRST signup precedes their first click
     // precedes their first purchase. One shuffle to user_id with map-side
     // partial mins (conditional aggregation — no self-joins, no window);
@@ -627,6 +646,19 @@ object CoreQueries {
         |  count(*)::BIGINT AS n,
         |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
+    // user's cumulative set on day d iff its first-seen day <= d.
+    "q62_window_sketch" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(CAST(date_trunc('day', ts) AS DATE)) AS fday
+        |  FROM events GROUP BY 1, 2
+        |),
+        |days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        |)
+        |SELECT d.user_id, d.day, count(*)::BIGINT AS cum_types
+        |FROM days d JOIN f ON d.user_id = f.user_id AND f.fday <= d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q21_json_props" ->
       """SELECT event_type,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
