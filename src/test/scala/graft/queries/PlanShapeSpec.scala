@@ -52,6 +52,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial aggregate below the shuffle")
   }
 
+  test("window sketch re-merge: daily sketches aggregate partially below the user shuffle") {
+    val p = plan(CoreQueries.queries("q62_window_sketch")(spark, sf))
+    assert(p.contains("Window"), "no window operator in the plan")
+    assert(p.contains("ObjectHashAggregate"), "daily sketch agg not ObjectHashAggregate")
+    // The daily pre-aggregation must run below its exchange: the window
+    // re-merges per-(user, day) sketches, never raw events.
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0 &&
+      p.substring(firstExchange).contains("ObjectHashAggregate"),
+      "no partial sketch aggregate below the shuffle")
+  }
+
   test("KLL sketch aggregation also plans two-phase ObjectHashAggregate") {
     val p = plan(CoreQueries.queries("q24_quantile_sketch")(spark, sf))
     assert(p.contains("ObjectHashAggregate"), "kll agg not ObjectHashAggregate")
