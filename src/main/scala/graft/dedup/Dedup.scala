@@ -456,6 +456,44 @@ object Dedup {
   }
 
   /**
+   * Near-containment pairs — the per-pair, ASYMMETRIC complement of
+   * [[ngramContamination]]: for each (corpus doc, benchmark doc) pair,
+   * how much of the BENCHMARK doc's distinct word n-gram set appears in
+   * the corpus doc. `thresholdDen·|A∩B| >= thresholdNum·|B|` keeps a pair
+   * (B the benchmark side), so containment 1.0 = the eval item is quoted
+   * wholesale. This answers "WHICH eval doc leaked WHERE", where
+   * ngramContamination only counts leaked grams per corpus doc.
+   *
+   * Scale contract is q35's: the benchmark's (bench_id, gram-hash) rows
+   * broadcast; the corpus gram stream joins map-side and only matching
+   * grams reach the per-pair aggregation. Gram identity is the auditable
+   * md5-64 hash. Output is integer counts only.
+   *
+   * @return (doc_id, bench_id, inter, bench_grams)
+   */
+  def containmentPairs(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(wordShingles(TextAnalysis.tokens(col(textCol)), n)).as("g"))
+        .withColumn("gh", graft.operators.Sampling.md5Hash64(col("g")))
+        .drop("g")
+    // WordShingles emits each doc's grams deduped, so counts are set sizes.
+    val bench = grams(benchmark, "bench_id")
+    val benchSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
+    grams(docs, "id")
+      .join(broadcast(bench), "gh")
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(benchSizes), "bench_id")
+      .filter(col("inter") * thresholdDen >= col("bench_grams") * thresholdNum)
+      .select(col("id").as(idCol), col("bench_id"), col("inter"), col("bench_grams"))
+  }
+
+  /**
    * [[ngramContamination]] with a bloom-filter pre-prune — same exact
    * output, different memory shape for BIG eval sets. The broadcast
    * variant ships every distinct bench gram hash (8+ bytes each: ~1 GB of

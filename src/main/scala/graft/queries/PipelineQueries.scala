@@ -179,6 +179,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
+    // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
+    // keeps wholesale quotes, not topical overlap). Asymmetric by design —
+    // the denominator is the BENCHMARK side.
+    "q63_containment_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentPairs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 8,
+        thresholdNum = 1, thresholdDen = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Decontamination again, through the bloom membership path: the bench
     // grams become ONE collected bloom filter, the corpus gram stream is
     // pruned map-side, and exact verification of the tiny survivor stream
@@ -847,6 +860,23 @@ object PipelineQueries {
          |    ORDER BY score DESC, t) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q63_containment_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, source, $gram8Sql AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |),
+         |bench AS (SELECT doc_id AS bench_id, g FROM bg WHERE source = 'src0'),
+         |bsz AS (SELECT bench_id, count(*)::BIGINT AS bench_grams FROM bench GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS inter
+         |  FROM (SELECT doc_id, g FROM bg WHERE source <> 'src0') c
+         |  JOIN bench b USING (g) GROUP BY 1, 2
+         |)
+         |SELECT p.doc_id, p.bench_id, p.inter, s.bench_grams
+         |FROM pairs p JOIN bsz s USING (bench_id)
+         |WHERE p.inter * 2 >= s.bench_grams * 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "q61_incremental_dedup" ->
       s"""WITH bfp AS (
          |  SELECT doc_id, md5($normSql) AS fp FROM documents

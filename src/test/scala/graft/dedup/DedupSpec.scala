@@ -370,6 +370,25 @@ class DedupSpec extends AnyFunSuite {
         s"threshold $num/$den over generated corpus")
   }
 
+  // --------------------------------------------------------- containment pairs
+
+  test("containment pairs: benchmark-side denominator, threshold keeps quotes only") {
+    // bench doc 100 has 10 tokens -> 3 distinct 8-grams.
+    val benchText = "a b c d e f g h i j"
+    val bench = docs(100L -> benchText)
+    val corpus = docs(
+      1L -> ("intro words " + benchText + " trailing words"), // full quote: C = 1
+      2L -> "a b c d e f g h x y",                            // 1 of 3 grams: C = 1/3
+      3L -> "completely different content with no overlap at all")
+    val out = containmentPairs(corpus, bench, n = 8, thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 100L, 3L, 3L)))
+    // Lowering the threshold to 1/4 admits the partial overlap too.
+    val loose = containmentPairs(corpus, bench, n = 8, thresholdNum = 1, thresholdDen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(loose === Set((1L, 100L, 3L, 3L), (2L, 100L, 1L, 3L)))
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
