@@ -179,6 +179,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-document repeated spans: every 16-token window (stride 1,
+    // rolling over the whole corpus as md5-64 window hashes) that appears
+    // in MORE THAN ONE document, reported per doc as (count, first
+    // position) — the coordinates a substring-level dedup scrubber
+    // consumes (à la "deduplicating training data", span-level). Only
+    // (doc_id, start, hash) coordinates ever shuffle — text stays in the
+    // scan. Within-doc repetition is deliberately excluded (q34's job);
+    // the distinct-doc count is what makes a span cross-document.
+    "q64_repeated_spans" -> ((s, dir) => {
+      val w = 16
+      val ts = TextAnalysis.tokens(col("text"))
+      val hashes = when(size(ts) >= w, transform(
+        sequence(lit(1), size(ts) - (w - 1)),
+        i => graft.operators.Sampling.md5Hash64(
+          concat_ws(" ", slice(ts, i, lit(w))))))
+        .otherwise(array().cast("array<bigint>"))
+      val spans = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(hashes).as(Seq("pos0", "gh")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("start"), col("gh"))
+      val repeated = spans.groupBy("gh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("gh")
+      spans.join(repeated, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_repeated_spans"),
+          min(col("start")).as("first_repeated_start"))
+        .orderBy("doc_id")
+    }),
+
     // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
     // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
     // keeps wholesale quotes, not topical overlap). Asymmetric by design —
@@ -860,6 +890,21 @@ object PipelineQueries {
          |    ORDER BY score DESC, t) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // Same 16-token windows, same md5-64 hash (DuckDB's UBIGINT view of
+    // the identical 8 bytes — only counts cross the engine boundary).
+    "q64_repeated_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(DISTINCT doc_id) > 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_repeated_spans,
+         |  min(start)::BIGINT AS first_repeated_start
+         |FROM sp JOIN rep USING (gh)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q63_containment_pairs" ->
       s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
          |bg AS (
