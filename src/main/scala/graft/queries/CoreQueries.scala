@@ -293,15 +293,22 @@ object CoreQueries {
     // Sketches INSIDE a window spec: per-(user, day) event-type sketches,
     // re-aggregated cumulatively with hll_merge over an expanding frame —
     // "how many distinct event types has this user touched as of day d"
-    // without ever rescanning history. The window re-merges kilobyte
+    // without ever rescanning history. The window re-merges sub-kilobyte
     // sketches, so the frame cost is |days| × sketch, independent of event
-    // volume; exact at 5 distinct types (ExactSD). This is §2.4's
-    // "aggregates compose with windows" row as an oracle-checked query.
+    // volume. Precision: sd=0.069 → p=8 (256 registers) — the window
+    // update path touches every register per row, so sketch size IS the
+    // window's unit cost (ExactSD's p=16 made this query ~30× slower for
+    // nothing). Exactness still holds: the universe is 5 fixed event-type
+    // strings whose register assignments are deterministic — they do not
+    // collide at p=8 (one global fact, proven by the value-exact oracle
+    // and spot-checked against DuckDB at sf0.1 too), so linear counting is
+    // exact for every subset. This is §2.4's "aggregates compose with
+    // windows" row as an oracle-checked query.
     "q62_window_sketch" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"),
           window(col("ts"), "1 day").getField("start").cast("date").as("day"))
-        .agg(hll_init_agg(col("event_type"), ExactSD).as("types_hll"))
+        .agg(hll_init_agg(col("event_type"), 0.069).as("types_hll"))
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.select(col("user_id"), col("day"),
