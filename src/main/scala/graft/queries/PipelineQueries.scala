@@ -305,6 +305,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer training, step 1: the first BPE merge is the most frequent
+    // adjacent character pair WITHIN pretokenizer pieces (merges never
+    // cross piece boundaries — that is what the pretokenizer is for).
+    // Corpus-wide pair counts from one scan: explode pieces, slide a
+    // 2-char window, count. Top 20 under the total order (count desc,
+    // pair asc) — a deterministic LIMIT. The pieces column binds in its
+    // own projection so the lambda never re-runs the pretokenizer regex
+    // (the q64 lesson).
+    "q65_bpe_merge_candidates" -> ((s, dir) => {
+      val pairs = when(length(col("p")) >= 2, transform(
+        sequence(lit(1), length(col("p")) - 1),
+        i => col("p").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.bpePieces(col("text"))).as("p"))
+        .select(explode(pairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
     // normalized text and of a 64-char prefix chunk — the composable
     // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
@@ -1218,6 +1239,21 @@ object PipelineQueries {
     "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
 
     "q56_rolling_fingerprint" -> rollingFingerprintOracleSql,
+
+    // Same pretokenizer pattern, same 2-char windows, same total order.
+    "q65_bpe_merge_candidates" -> {
+      val pat = graft.text.TextAnalysis.BpePretokenPattern.replace("'", "''")
+      s"""WITH pieces AS (
+         |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p FROM documents
+         |),
+         |pairs AS (
+         |  SELECT substr(p, i.i::INT, 2) AS pair
+         |  FROM pieces, LATERAL (SELECT unnest(range(1, length(p))) AS i) i
+         |  WHERE length(p) >= 2
+         |)
+         |SELECT pair, count(*)::BIGINT AS cnt FROM pairs
+         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    },
 
     // Identical pattern, identical leftmost-first alternation in RE2.
     "q58_bpe_pretokens" -> {
