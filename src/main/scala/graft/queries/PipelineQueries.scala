@@ -444,6 +444,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN evaluation tooling: per-query recall of the IVF path against the
+    // exact baseline — the "is my index good enough" diagnostic, composed
+    // from the two verified operators. hits/k per query; a left join keeps
+    // 0-hit queries visible. The oracle joins the SAME two derivations the
+    // q17/q19 oracles use, so all three stay in lockstep.
+    "q66_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+        .orderBy("query_id")
+    }),
+
     // Multimodal: binary payload -> per-partition stub decode -> typed meta.
     "q18_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(s, Multimodal.withPayload(Tables.documents(s, dir)))
@@ -599,6 +619,48 @@ object PipelineQueries {
   private val frHits = hitsSql(graft.text.Stopwords.French)
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Exact top-5 cosine neighbors for queries vec_id < 10 — shared by the
+   * q17 oracle and the q66 recall join so the derivations cannot drift. */
+  private val annExactSql =
+    """SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |               c.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF top-5 (first-16 centroids, nProbe=4) — shared by q19 and q66. */
+  private val annIvfSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  ORDER BY vec_id LIMIT 16
+      |),
+      |assign AS (
+      |  SELECT id, vec, cid FROM (
+      |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |),
+      |probes AS (
+      |  SELECT query_id, q_vec, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
+      |    FROM embeddings q, cent c WHERE q.vec_id < 10)
+      |  WHERE rn <= 4
+      |)
+      |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+      |  SELECT p.query_id, a.id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(p.q_vec, a.vec) DESC, a.id ASC) AS rank
+      |  FROM probes p JOIN assign a USING (cid)
+      |  WHERE a.id <> p.query_id)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replica of [[Cleanup.scrub]]: same NFC normalize, same
    * conditional markup strip, same redaction patterns in the same order
@@ -995,15 +1057,7 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
-    "q17_ann_topk" ->
-      """SELECT query_id, rank::INT AS rank, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-        |               c.vec_id ASC) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 10)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q17_ann_topk" -> annExactSql,
     // A byte's high nibble IS its first hex digit, so the bin of byte i is
     // the hex char at position 2i-1 of the blob's hex encoding.
     "q26_multimodal_features" ->
@@ -1099,34 +1153,17 @@ object PipelineQueries {
     // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.
-    "q19_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |  ORDER BY vec_id LIMIT 16
-        |),
-        |assign AS (
-        |  SELECT id, vec, cid FROM (
-        |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
-        |    FROM embeddings e, cent c)
-        |  WHERE rn = 1
-        |),
-        |probes AS (
-        |  SELECT query_id, q_vec, cid FROM (
-        |    SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
-        |    FROM embeddings q, cent c WHERE q.vec_id < 10)
-        |  WHERE rn <= 4
-        |)
-        |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
-        |  SELECT p.query_id, a.id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY p.query_id
-        |      ORDER BY list_cosine_similarity(p.q_vec, a.vec) DESC, a.id ASC) AS rank
-        |  FROM probes p JOIN assign a USING (cid)
-        |  WHERE a.id <> p.query_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q19_ann_ivf" -> annIvfSql,
+    // Recall accounting: exact∩IVF per query over the SAME two
+    // derivations q17/q19 oracle — a left join so 0-hit queries appear.
+    "q66_ann_recall" ->
+      s"""WITH exact AS ($annExactSql),
+         |ivf AS ($annIvfSql)
+         |SELECT e.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |  count(*)::BIGINT AS k
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same pair derivation as q14, then min-partner per greater member.
     "q20_dedup_canonical" ->
       s"""WITH sh AS (
