@@ -290,6 +290,26 @@ object CoreQueries {
         .orderBy("day", "event_type")
     }),
 
+    // STREAM/BATCH PARITY, oracle-checked: the q9 daily aggregation run
+    // through the STREAMING engine — file source, event-time window
+    // aggregation, complete output mode, one AvailableNow pass — must
+    // produce exactly what DuckDB computes over the same parquet in batch.
+    // This is the Structured Streaming surface entering the same
+    // value-for-value correctness gate as every batch operator (specs
+    // cover state/watermark behavior; this covers the numbers). At scale
+    // the same query tails a growing directory incrementally.
+    "q67_streaming_daily_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("q67_mem")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q67_mem").orderBy("day", "event_type")
+    }),
+
     // Sketches INSIDE a window spec: per-(user, day) event-type sketches,
     // re-aggregated cumulatively with hll_merge over an expanding frame —
     // "how many distinct event types has this user touched as of day d"
@@ -652,6 +672,12 @@ object CoreQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*)::BIGINT AS n,
         |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // Identical to q9's day/type counts — batch SQL is the parity oracle
+    // for the streaming execution.
+    "q67_streaming_daily_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.

@@ -44,4 +44,16 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** `events` as a bounded STREAM (file source) — same raw-nanos schema
+   * workaround as [[events]]. Drive with `Trigger.AvailableNow` to process
+   * the table once through the streaming engine; useful for proving
+   * stream/batch parity on the same files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // The file stream source insists its base path is a DIRECTORY, and
+    // events.parquet is a single file — point basePath at the parent and
+    // glob the one file.
+    spark.readStream.schema(eventsRawSchema).option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 }
