@@ -310,6 +310,22 @@ object CoreQueries {
       s.table("q67_mem").orderBy("day", "event_type")
     }),
 
+    // Streaming SKETCH state, oracle-checked: per-day distinct event types
+    // via hll_init_agg running INSIDE the streaming engine — the sketch
+    // aggregation buffer must round-trip the state store (serialize on
+    // commit, deserialize on the next update) and still produce the exact
+    // batch answer. p=8 is exact for the 5-type universe (see q62).
+    "q68_streaming_sketch_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"))
+        .agg(hll_cardinality(hll_init_agg(col("event_type"), 0.069)).as("n_types"))
+      val q = agg.writeStream.format("memory").queryName("q68_mem")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q68_mem").orderBy("day")
+    }),
+
     // Sketches INSIDE a window spec: per-(user, day) event-type sketches,
     // re-aggregated cumulatively with hll_merge over an expanding frame —
     // "how many distinct event types has this user touched as of day d"
@@ -679,6 +695,10 @@ object CoreQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q68_streaming_sketch_state" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(DISTINCT event_type)::BIGINT AS n_types
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.
     "q62_window_sketch" ->
