@@ -464,6 +464,38 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // The same recall diagnostic for the int8-quantized scoring pass —
+    // quantifies exactly what the 4× memory saving costs in ranking
+    // fidelity, per query.
+    "q69_quantized_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val quant = Similarity.quantizedTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+        .orderBy("query_id")
+    }),
+
+    // Corpus-health reporting: per-source duplication rate — documents,
+    // distinct normalized fingerprints, and the redundant remainder. The
+    // "which crawl is dirtiest" table every curation run starts from; one
+    // groupBy over (source, fingerprint) pairs, text never shuffles.
+    "q70_source_dup_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - count_distinct(col("fp"))).as("n_redundant"))
+        .orderBy("source")
+    }),
+
     // Multimodal: binary payload -> per-partition stub decode -> typed meta.
     "q18_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(s, Multimodal.withPayload(Tables.documents(s, dir)))
@@ -630,6 +662,29 @@ object PipelineQueries {
       |               c.vec_id ASC) AS rank
       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       |  WHERE q.vec_id < 10)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** int8-quantized top-5 (absmax codes, scale-corrected ranking) — shared
+   * by the q33 oracle and the q69 recall join. */
+  private val annQuantSql =
+    """WITH qz AS (
+      |  SELECT vec_id, amax,
+      |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0.0)
+      |         ELSE list_transform(embedding, x ->
+      |           least(greatest(floor(x::DOUBLE / (amax / 127) + 0.5), -127.0), 127.0))
+      |    END AS q
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+      |        FROM embeddings)
+      |)
+      |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.q, b.q)
+      |                 * (CASE WHEN b.amax = 0 THEN 0 ELSE b.amax / 127 END) DESC,
+      |               b.vec_id ASC) AS rank
+      |  FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** IVF top-5 (first-16 centroids, nProbe=4) — shared by q19 and q66. */
@@ -1009,6 +1064,12 @@ object PipelineQueries {
          |FROM pairs p JOIN bsz s USING (bench_id)
          |WHERE p.inter * 2 >= s.bench_grams * 1
          |ORDER BY doc_id, bench_id""".stripMargin,
+    "q70_source_dup_stats" ->
+      s"""WITH fp AS (SELECT source, md5($normSql) AS fp FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT fp)::BIGINT AS n_distinct,
+         |  (count(*) - count(DISTINCT fp))::BIGINT AS n_redundant
+         |FROM fp GROUP BY 1 ORDER BY source""".stripMargin,
     "q61_incremental_dedup" ->
       s"""WITH bfp AS (
          |  SELECT doc_id, md5($normSql) AS fp FROM documents
@@ -1130,26 +1191,17 @@ object PipelineQueries {
         |   END) AS q
         |FROM base, LATERAL (SELECT unnest(range(len(embedding))) AS i) i
         |ORDER BY vec_id, dim""".stripMargin,
-    "q33_quantized_topk" ->
-      """WITH qz AS (
-        |  SELECT vec_id, amax,
-        |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0.0)
-        |         ELSE list_transform(embedding, x ->
-        |           least(greatest(floor(x::DOUBLE / (amax / 127) + 0.5), -127.0), 127.0))
-        |    END AS q
-        |  FROM (SELECT vec_id, embedding,
-        |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
-        |        FROM embeddings)
-        |)
-        |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_dot_product(a.q, b.q)
-        |                 * (CASE WHEN b.amax = 0 THEN 0 ELSE b.amax / 127 END) DESC,
-        |               b.vec_id ASC) AS rank
-        |  FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 10)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q33_quantized_topk" -> annQuantSql,
+    // Recall of the int8-quantized scoring pass against the exact baseline
+    // — same derivations as the q17/q33 oracles.
+    "q69_quantized_recall" ->
+      s"""WITH exact AS ($annExactSql),
+         |quant AS ($annQuantSql)
+         |SELECT e.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |  count(*)::BIGINT AS k
+         |FROM exact e LEFT JOIN quant i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Replicates ivfTopK exactly: same deterministic centroids (first 16 by
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.
