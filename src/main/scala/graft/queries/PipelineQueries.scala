@@ -482,6 +482,31 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // Sketch-driven JOIN-SIZE ESTIMATION — the query-planning diagnostic:
+    // how many distinct order keys would an (urgent orders ⋈ H2-1995
+    // lineitems) join touch, WITHOUT running the join. One theta sketch
+    // per side (each side scanned once, map-side partials), then the
+    // intersection estimate on two kilobyte sketches. lgK=16 keeps both
+    // sides in exact mode at verify scale, so the estimate equals the true
+    // count and the oracle can check it value-for-value; at larger scale
+    // the same plan returns a bounded-error estimate for the cost of two
+    // scans and no shuffle of keys.
+    "q71_join_size_estimate" -> ((s, dir) => {
+      import graft.theta.functions._
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(theta_init_agg(col("o_orderkey"), 16).as("sk_o"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-07-01").cast("date"))
+        .agg(theta_init_agg(col("l_orderkey"), 16).as("sk_l"))
+      o.join(broadcast(l))
+        .select(
+          theta_estimate(col("sk_o")).as("n_urgent_orders"),
+          theta_estimate(col("sk_l")).as("n_recent_orders"),
+          theta_estimate(theta_intersect(col("sk_o"), col("sk_l")))
+            .as("est_join_keys"))
+    }),
+
     // Corpus-health reporting: per-source duplication rate — documents,
     // distinct normalized fingerprints, and the redundant remainder. The
     // "which crawl is dirtiest" table every curation run starts from; one
@@ -1064,6 +1089,17 @@ object PipelineQueries {
          |FROM pairs p JOIN bsz s USING (bench_id)
          |WHERE p.inter * 2 >= s.bench_grams * 1
          |ORDER BY doc_id, bench_id""".stripMargin,
+    // Exact mode ⇒ the estimates ARE the true distinct counts.
+    "q71_join_size_estimate" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderpriority = '1-URGENT')::BIGINT AS n_urgent_orders,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |   WHERE l_shipdate >= DATE '1995-07-01')::BIGINT AS n_recent_orders,
+        |  (SELECT count(DISTINCT o_orderkey) FROM orders JOIN lineitem
+        |     ON o_orderkey = l_orderkey
+        |   WHERE o_orderpriority = '1-URGENT'
+        |     AND l_shipdate >= DATE '1995-07-01')::BIGINT AS est_join_keys""".stripMargin,
     "q70_source_dup_stats" ->
       s"""WITH fp AS (SELECT source, md5($normSql) AS fp FROM documents)
          |SELECT source, count(*)::BIGINT AS n_docs,
