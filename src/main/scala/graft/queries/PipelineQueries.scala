@@ -507,6 +507,30 @@ object PipelineQueries {
             .as("est_join_keys"))
     }),
 
+    // C4-style cross-document boilerplate detection: line occurrences
+    // whose trimmed content appears in >= 3 DISTINCT documents (nav bars,
+    // license footers, templates). Reported per doc as (total lines,
+    // boilerplate lines) — the inputs of the classic "drop shared lines"
+    // scrub. Lines travel as md5-64 hashes; within-doc repetition is q34's
+    // signal, the distinct-doc threshold is what makes a line boilerplate.
+    "q72_boilerplate_lines" -> ((s, dir) => {
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+        .filter(trim(col("line")) =!= "")
+        .select(col("doc_id"),
+          graft.operators.Sampling.md5Hash64(trim(col("line"))).as("lh"))
+      val hot = lines.groupBy("lh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select("lh")
+      val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      val boiler = lines.join(hot, "lh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boilerplate_lines"))
+      perDoc.join(boiler, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_boilerplate_lines"), lit(0L)).as("n_boilerplate_lines"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-health reporting: per-source duplication rate — documents,
     // distinct normalized fingerprints, and the redundant remainder. The
     // "which crawl is dirtiest" table every curation run starts from; one
@@ -1089,6 +1113,21 @@ object PipelineQueries {
          |FROM pairs p JOIN bsz s USING (bench_id)
          |WHERE p.inter * 2 >= s.bench_grams * 1
          |ORDER BY doc_id, bench_id""".stripMargin,
+    "q72_boilerplate_lines" ->
+      """WITH lines AS (
+        |  SELECT doc_id, ('0x' || substr(md5(trim(line)), 1, 16))::UBIGINT AS lh
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |        FROM documents)
+        |  WHERE trim(line) <> ''
+        |),
+        |hot AS (SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 3),
+        |per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY 1),
+        |boiler AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n FROM lines JOIN hot USING (lh) GROUP BY 1
+        |)
+        |SELECT p.doc_id, p.n_lines, coalesce(b.n, 0)::BIGINT AS n_boilerplate_lines
+        |FROM per_doc p LEFT JOIN boiler b USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     // Exact mode ⇒ the estimates ARE the true distinct counts.
     "q71_join_size_estimate" ->
       """SELECT
