@@ -389,6 +389,20 @@ class DedupSpec extends AnyFunSuite {
     assert(loose === Set((1L, 100L, 3L, 3L), (2L, 100L, 1L, 3L)))
   }
 
+  test("containment pairs: empty benchmark yields no rows") {
+    val out = containmentPairs(docs(1L -> "some corpus doc with words"), docs(), n = 8)
+    assert(out.count() === 0)
+  }
+
+  test("ngram jaccard: unigram sets (n = 1) still equal brute force") {
+    val rows = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta delta",
+      3L -> "gamma beta alpha",   // same unigram SET as 1 -> J = 1
+      4L -> "epsilon zeta")
+    assert(runNgramJaccard(rows, 1, 2, n = 1) === bruteForceJaccard(rows, 1, 1, 2))
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
@@ -410,5 +424,9 @@ class DedupSpec extends AnyFunSuite {
     val out = incrementalNewDocs(batch, docs())
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out === Set(5L, 7L))
+  }
+
+  test("incremental dedup: empty batch yields no rows regardless of corpus") {
+    assert(incrementalNewDocs(docs(), docs(1L -> "anything")).count() === 0)
   }
 }
