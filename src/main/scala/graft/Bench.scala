@@ -46,7 +46,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout, which has been observed to truncate on
+    // long runs (BENCH_r06 lost 26 of 81 per-query rows). Mirror the same
+    // line to files so the artifact is robust to tail truncation.
+    for (path <- Seq("/tmp/bench_out.json", "bench_out.json")) {
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case t: Throwable =>
+        System.err.println(s"WARN could not write $path: $t")
+      }
+    }
     spark.stop()
   }
 }

@@ -247,8 +247,19 @@ object Dedup {
    *    like the MinHash path.
    *
    * Identity classes are this join's worst case (every member pairs with
-   * every other): run [[exactDupGroups]] first and feed one canonical doc
-   * per class, which is also the semantically right pipeline order.
+   * every other). With `collapseIdentical = true` (the default) the join
+   * runs the [[exactDupGroups]] fingerprint collapse FIRST and feeds one
+   * canonical doc per class through the prefix filter, then expands the
+   * canonical pairs back to member pairs at the end — equal fingerprint
+   * means equal normalized text, hence equal token stream and equal gram
+   * set, so the expansion reproduces the uncollapsed result EXACTLY while
+   * the quadratic in-class candidate blowup never reaches the join. (The
+   * within-class pairs come back as `inter = uni = |grams|`, J = 1.)
+   *
+   * Beyond the prefix filter, two further lossless prunes run before
+   * verification (the PPJoin length and positional/suffix filters — see
+   * the inline derivation at the candidate aggregation below), so the
+   * exact gram intersection only runs on pairs that could still qualify.
    *
    * Gram identity is the auditable 64-bit md5 hash ([[graft.operators.Sampling.md5Hash64]],
    * the same function q35/q15 audit with): every shuffle key, sort key,
@@ -263,9 +274,82 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text",
-      materializeCandidates: Boolean = false): DataFrame = {
+      materializeCandidates: Boolean = false,
+      collapseIdentical: Boolean = true): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
+    if (!collapseIdentical) {
+      val st = ppjoinStages(docs, thresholdNum, thresholdDen, n, idCol, textCol)
+      val candidates =
+        if (materializeCandidates) st.candidates.localCheckpoint(eager = false)
+        else st.candidates
+      ppjoinVerify(st.gramSets, candidates, thresholdNum, thresholdDen)
+        .orderBy("id_a", "id_b")
+    } else {
+      // Identity-class pre-collapse: one PPJoin over canonical docs, then
+      // an exact expansion back to member ids (see the scaladoc above for
+      // why this is lossless). memberMap rows are (fp, id, cid, nc) from a
+      // single window pass over (id, fp) — the only thing that ever
+      // shuffles here besides the canonical sliver; text stays in its scan.
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val memberMap = docs
+        .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        .select(col("id"), col("fp"),
+          min(col("id")).over(byFp).as("cid"),
+          count(lit(1)).over(byFp).as("nc"))
+      val canonDocs = docs.select(col(idCol), col(textCol)).join(
+        memberMap.filter(col("id") === col("cid")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+
+      val st = ppjoinStages(canonDocs, thresholdNum, thresholdDen, n, idCol, textCol)
+      val candidates =
+        if (materializeCandidates) st.candidates.localCheckpoint(eager = false)
+        else st.candidates
+      val canonPairs = ppjoinVerify(st.gramSets, candidates, thresholdNum, thresholdDen)
+        .select(col("id_a").as("cid_a"), col("id_b").as("cid_b"),
+          col("inter"), col("uni"))
+
+      // Cross-class expansion: every member of A's class pairs with every
+      // member of B's class at A-B's (inter, uni). Ids re-normalize with
+      // least/greatest — members of the two classes need not preserve the
+      // canonical order.
+      val cross = canonPairs
+        .join(memberMap.select(col("cid").as("cid_a"), col("id").as("ma")), Seq("cid_a"))
+        .join(memberMap.select(col("cid").as("cid_b"), col("id").as("mb")), Seq("cid_b"))
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("inter"), col("uni"))
+
+      // Within-class pairs: J = 1 by construction, inter = uni = |grams|.
+      // Classes whose docs produce NO grams (empty/short/null text) emit
+      // nothing — the uncollapsed join can never surface such docs either
+      // (no gram rows, no candidates), so the expansion must not.
+      val gsz = st.gramSets.select(col("id").as("cid"), size(col("gs")).as("gsz"))
+      val multis = memberMap.filter(col("nc") > 1)
+        .select(col("fp"), col("cid"), col("id"))
+      val within = multis.select(col("fp"), col("cid"), col("id").as("ia"))
+        .join(multis.select(col("fp"), col("id").as("ib")), Seq("fp"))
+        .filter(col("ia") < col("ib"))
+        .join(gsz, Seq("cid"))
+        .filter(col("gsz") > 0)
+        .select(col("ia").as("id_a"), col("ib").as("id_b"),
+          col("gsz").as("inter"), col("gsz").as("uni"))
+
+      cross.union(within).orderBy("id_a", "id_b")
+    }
+  }
+
+  /** Intermediate relations of the PPJoin pipeline — one builder shared by
+   * [[ngramJaccardPairs]] and [[ppjoinCandidateStats]] so the diagnostic
+   * instruments exactly the join that runs, and cannot drift from it. */
+  private final case class PpjoinStages(
+      gramSets: DataFrame,   // (id, gs: array<long>) hashed distinct grams
+      prefix: DataFrame,     // (g, m: struct<id, pos, sz>) prefix rows
+      collisions: DataFrame, // (p: struct<a, b>) ordered prefix collisions
+      lengthPass: Column,    // pair-uniform length-filter predicate over `p`
+      candidates: DataFrame) // (id_a, id_b) surviving every lossless prune
+
+  private def ppjoinStages(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
+      n: Int, idCol: String, textCol: String): PpjoinStages = {
     val gramSets = docs.select(col(idCol).as("id"),
       array_distinct(transform(
         wordShingles(TextAnalysis.tokens(col(textCol)), n),
@@ -298,35 +382,58 @@ object Dedup {
     // Expand per-gram groups instead of self-joining: one aggregation over
     // the prefix rows, no re-evaluation of the ranking subtree per side.
     // No cap — this is the exact join; see the identity-class note above.
-    //
-    // Two further LOSSLESS prunes (PPJoin):
-    //  - length filter: J >= t forces num·max(|A|,|B|) <= den·min(|A|,|B|);
-    //  - positional filter: for the FIRST common gram (positions pa, pb in
-    //    the shared global order) no common gram precedes it in either
-    //    list, so overlap <= 1 + min(|A|-pa, |B|-pb); a qualifying pair
-    //    needs overlap >= ceil(num·(|A|+|B|)/(num+den)). A pair is kept if
-    //    ANY of its collisions passes — the first collision always does
-    //    for a qualifying pair, so nothing true is lost.
-    val candidatePairs = prefix
+    // Each element pairs only with its successors (i, j > i), so exactly
+    // m·(m−1)/2 structs materialize per group — half of the naive m×m
+    // expand-then-filter; ids normalize to (a.id < b.id) inline.
+    val collisions = prefix
       .groupBy("g").agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(col("ms"), b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .filter(col("p.a.id") < col("p.b.id"))
-      .filter(greatest(col("p.a.sz"), col("p.b.sz")) * thresholdNum <=
-        least(col("p.a.sz"), col("p.b.sz")) * thresholdDen)
-      .filter((lit(1) + least(col("p.a.sz") - col("p.a.pos"),
-        col("p.b.sz") - col("p.b.pos"))) * (thresholdNum + thresholdDen) >=
-        (col("p.a.sz") + col("p.b.sz")) * thresholdNum)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
-      .distinct()
+      .select(explode(flatten(transform(col("ms"), (a: Column, i: Column) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), b =>
+          when(a.getField("id") < b.getField("id"), struct(a.as("a"), b.as("b")))
+            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p"))
 
-    // Lazy by default — ReuseExchange shares the one shuffled candidate
-    // result across the three consumers (see the jaccardNearDupPairs note).
-    val candidates =
-      if (materializeCandidates) candidatePairs.localCheckpoint()
-      else candidatePairs
+    // LOSSLESS prune 1 — length filter: J >= t forces
+    // num·max(|A|,|B|) <= den·min(|A|,|B|). Pair-uniform (every collision
+    // of a pair agrees), so applying it BEFORE the per-pair aggregation
+    // below cannot disturb the collision count k. All arithmetic in long:
+    // sz·threshold can overflow Int for very large documents.
+    val lengthPass =
+      greatest(col("p.a.sz"), col("p.b.sz")).cast("long") * thresholdNum <=
+        least(col("p.a.sz"), col("p.b.sz")).cast("long") * thresholdDen
 
+    // LOSSLESS prune 2 — positional/suffix filter, aggregated over ALL of
+    // a pair's prefix collisions (PPJoin). Both gram lists follow the same
+    // global (df, gram) order, so the pair's common grams are monotone in
+    // both lists: every common gram before the LAST colliding prefix gram
+    // (positions pa* = max pa, pb* = max pb — the same gram attains both
+    // maxima) is itself a prefix-prefix collision, hence counted by
+    // k = |collisions|. Common grams after it number at most
+    // min(|A|-pa*, |B|-pb*), giving the exact-overlap bound
+    //   |A∩B| <= k + min(|A|-pa*, |B|-pb*),
+    // while J >= t needs |A∩B|·(num+den) >= (|A|+|B|)·num. Strictly
+    // tighter than the classic first-collision bound (each extra collision
+    // adds 1 to k but shrinks the min term by at least 1 on both sides),
+    // and it replaces the candidate .distinct() with a same-shuffle
+    // aggregation — the verification sliver gets smaller for free.
+    val candidates = collisions
+      .filter(lengthPass)
+      .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      .agg(count(lit(1)).as("k"),
+        max(col("p.a.pos")).as("pa"), max(col("p.b.pos")).as("pb"),
+        first(col("p.a.sz")).as("sza"), first(col("p.b.sz")).as("szb"))
+      .filter((col("k") + least(col("sza").cast("long") - col("pa"),
+          col("szb").cast("long") - col("pb"))) * (thresholdNum + thresholdDen) >=
+        (col("sza").cast("long") + col("szb")) * thresholdNum)
+      .select(col("id_a"), col("id_b"))
+    PpjoinStages(gramSets, prefix, collisions, lengthPass, candidates)
+  }
+
+  /** Exact-verification tail of the PPJoin: re-gram only candidate docs
+   * (semi-join sliver), intersect, and apply the threshold rational.
+   * Unordered — callers sort. */
+  private def ppjoinVerify(gramSets: DataFrame, candidates: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
     val candSets = gramSets.join(candIds, Seq("id"), "left_semi")
@@ -339,7 +446,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sum_sizes") - col("inter")).as("uni"))
       .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
-      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Diagnostic companion to [[ngramJaccardPairs]] (the PPJoin mirror of
+   * [[lshBucketStats]]): one row quantifying candidate volume at every
+   * lossless stage of the prefix-filter pipeline, over the UNCOLLAPSED
+   * corpus —
+   * `(n_docs, n_docs_with_grams, n_gram_rows, n_prefix_rows, n_hot_grams,
+   * largest_group, n_collisions, n_length_pass, n_candidates, n_pairs)`.
+   *
+   * At 100 TB this is the number an operator reads BEFORE running a
+   * q59-shaped join: `largest_group` spots template grams that survived
+   * into prefixes, `n_collisions → n_length_pass → n_candidates` shows
+   * which prune is carrying the load, and `n_candidates / n_pairs` is the
+   * verification hit rate. Cost: the prefix pipeline plus counting
+   * aggregations — no verification join beyond the final `n_pairs` count.
+   */
+  def ppjoinCandidateStats(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
+    val st = ppjoinStages(docs, thresholdNum, thresholdDen, n, idCol, textCol)
+    val docAgg = st.gramSets.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(size(col("gs")) > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_docs_with_grams"),
+      coalesce(sum(greatest(size(col("gs")), lit(0)).cast("long")), lit(0L))
+        .as("n_gram_rows"))
+    // One pass over prefix-group sizes covers rows, hot grams, the largest
+    // group, and the collision count (sum of m·(m−1)/2 — integer `div`, no
+    // doubles).
+    val groupAgg = st.prefix.groupBy("g").agg(count(lit(1)).as("m"))
+      .agg(
+        coalesce(sum(col("m")), lit(0L)).as("n_prefix_rows"),
+        coalesce(sum(when(col("m") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_hot_grams"),
+        coalesce(max(col("m")), lit(0L)).as("largest_group"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("n_collisions"))
+    val collAgg = st.collisions.agg(
+      coalesce(sum(when(st.lengthPass, 1L).otherwise(0L)), lit(0L))
+        .as("n_length_pass"))
+    val candAgg = st.candidates.agg(count(lit(1)).as("n_candidates"))
+    val pairAgg = ppjoinVerify(st.gramSets, st.candidates,
+      thresholdNum, thresholdDen).agg(count(lit(1)).as("n_pairs"))
+    docAgg.crossJoin(groupAgg).crossJoin(collAgg).crossJoin(candAgg)
+      .crossJoin(pairAgg)
   }
 
   // ----------------------------------------------------------------- simhash

@@ -385,13 +385,40 @@ object PipelineQueries {
         lshBits = 16, rowsPerBand = 2)
     }),
 
-    // EXACT word-3-gram Jaccard near-dup pairs via the lossless prefix
-    // filter (AllPairs/PPJoin) — the guaranteed-complete complement to
-    // q14's probabilistic MinHash banding. The oracle is the definitional
-    // all-pairs Jaccard in DuckDB; because the prefix filter is lossless
-    // the outputs must match row-for-row, which is the whole point.
+    // EXACT word-3-gram Jaccard near-dup pairs via the lossless prefix +
+    // length + aggregated positional/suffix filters (AllPairs/PPJoin) —
+    // the guaranteed-complete complement to q14's probabilistic MinHash
+    // banding. The oracle is the definitional all-pairs Jaccard in DuckDB;
+    // because every filter is lossless the outputs must match row-for-row,
+    // which is the whole point. collapseIdentical = false HERE because
+    // this corpus is 99.8% unique (8 exact dups in 5000 docs at sf0.1 —
+    // see q70), so the identity-collapse plumbing is pure overhead; q76
+    // runs the collapsed path of the SAME operator against the SAME
+    // oracle, proving the expansion exact where template spam would make
+    // it the right default.
     "q59_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        thresholdNum = 1, thresholdDen = 2, n = 3, collapseIdentical = false)
+    }),
+
+    // The identity-collapse mode of q59's operator: fingerprint-collapse
+    // classes first, PPJoin one canonical per class, expand pairs back.
+    // SAME definitional oracle as q59 — a row-for-row match proves the
+    // collapse+expansion reproduces the uncollapsed join exactly.
+    "q76_ngram_jaccard_collapsed" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        thresholdNum = 1, thresholdDen = 2, n = 3, collapseIdentical = true)
+    }),
+
+    // PPJoin candidate-volume accounting (the q59 counterpart of q74's
+    // LSH bucket stats): how many prefix rows, hot grams, raw collisions,
+    // and survivors of each lossless prune precede verification — the
+    // numbers an operator reads before launching a q59-shaped join at
+    // corpus scale. DuckDB re-derives every stage (same md5-64 gram
+    // hashes, same (df, gram) global order, same integer prefix-length
+    // and filter arithmetic), so each count matches exactly.
+    "q75_ppjoin_stats" -> ((s, dir) => {
+      Dedup.ppjoinCandidateStats(Tables.documents(s, dir),
         thresholdNum = 1, thresholdDen = 2, n = 3)
     }),
 
@@ -416,8 +443,10 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("t").asc)
       tf.join(dfreq, "t")
         .join(broadcast(total))
-        .withColumn("score",
-          col("tf") * floor(col("n") * lit(1000000L) / col("df")).cast("long"))
+        // `div` keeps the quotient in integer arithmetic end to end; the
+        // double-division floor it replaces only matched DuckDB's `//`
+        // while n·1e6 < 2^53 (~9e9 docs).
+        .withColumn("score", col("tf") * expr("n * 1000000L div df"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("source"), col("rank"), col("t").as("term"),
@@ -700,6 +729,30 @@ object PipelineQueries {
   private val frHits = hitsSql(graft.text.Stopwords.French)
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Definitional all-pairs word-3-gram Jaccard at threshold 1/2 — shared
+   * by q59 (direct PPJoin) and q76 (identity-collapsed PPJoin): both plans
+   * must reproduce it row-for-row. */
+  private lazy val ngramJaccardOracleSql =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT]
+       |      || ' ' || ts[(i.i + 2)::INT]), 1, 16))::UBIGINT AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
+       |),
+       |pair_inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+       |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, count(*)::INT AS n FROM g GROUP BY 1)
+       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
+       |FROM pair_inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact top-5 cosine neighbors for queries vec_id < 10 — shared by the
    * q17 oracle and the q66 recall join so the derivations cannot drift. */
@@ -1045,7 +1098,16 @@ object PipelineQueries {
     // filtering lossless (its entire contract). Gram identity is the same
     // auditable md5-64 hash the Spark kernel uses (equality is all that
     // matters, so DuckDB's UBIGINT view of the same 8 bytes is equivalent).
-    "q59_ngram_jaccard" ->
+    "q59_ngram_jaccard" -> ngramJaccardOracleSql,
+    // The identity-collapsed mode must reproduce the SAME definitional
+    // answer — one oracle string, two Spark plans.
+    "q76_ngram_jaccard_collapsed" -> ngramJaccardOracleSql,
+    // Re-derives every PPJoin stage: same md5-64 gram hashes viewed as
+    // SIGNED 64-bit for ordering (Spark sorts longs; the CASE re-biases
+    // DuckDB's UBIGINT into two's-complement order), same (df, gram)
+    // global rank, same integer prefix length (sz·(den−num))//den + 1,
+    // same length and aggregated positional/suffix filters.
+    "q75_ppjoin_stats" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          |g AS (
          |  SELECT DISTINCT doc_id,
@@ -1053,20 +1115,62 @@ object PipelineQueries {
          |      || ' ' || ts[(i.i + 2)::INT]), 1, 16))::UBIGINT AS g
          |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
          |),
-         |pair_inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
-         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |gs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN g >= 9223372036854775808::UBIGINT
+         |         THEN g::HUGEINT - 18446744073709551616::HUGEINT
+         |         ELSE g::HUGEINT END AS gsig
+         |  FROM g
+         |),
+         |ranked AS (
+         |  SELECT doc_id, gsig, sz,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY df, gsig) AS pos
+         |  FROM (
+         |    SELECT doc_id, gsig,
+         |      count(*) OVER (PARTITION BY gsig) AS df,
+         |      count(*) OVER (PARTITION BY doc_id) AS sz
+         |    FROM gs)
+         |),
+         |prefix AS (SELECT * FROM ranked WHERE pos <= (sz * 1) // 2 + 1),
+         |grp AS (SELECT gsig, count(*) AS m FROM prefix GROUP BY 1),
+         |coll AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+         |         a.sz AS sza, b.sz AS szb
+         |  FROM prefix a JOIN prefix b ON a.gsig = b.gsig AND a.doc_id < b.doc_id
+         |),
+         |cand AS (
+         |  SELECT id_a, id_b, count(*) AS k, max(pa) AS pa, max(pb) AS pb,
+         |         max(sza) AS sza, max(szb) AS szb
+         |  FROM coll
+         |  WHERE greatest(sza, szb) * 1 <= least(sza, szb) * 2
          |  GROUP BY 1, 2
          |),
-         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM g GROUP BY 1)
-         |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
-         |FROM pair_inter
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
-         |ORDER BY id_a, id_b""".stripMargin,
+         |candf AS (SELECT * FROM cand
+         |          WHERE (k + least(sza - pa, szb - pb)) * 3 >= (sza + szb) * 1),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM gs a JOIN gs b ON a.gsig = b.gsig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY 1)
+         |SELECT
+         |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT count(DISTINCT doc_id) FROM gs)::BIGINT AS n_docs_with_grams,
+         |  (SELECT count(*) FROM gs)::BIGINT AS n_gram_rows,
+         |  (SELECT coalesce(sum(m), 0) FROM grp)::BIGINT AS n_prefix_rows,
+         |  (SELECT count(*) FROM grp WHERE m > 1)::BIGINT AS n_hot_grams,
+         |  (SELECT coalesce(max(m), 0) FROM grp)::BIGINT AS largest_group,
+         |  (SELECT coalesce(sum(m * (m - 1) // 2), 0) FROM grp)::BIGINT AS n_collisions,
+         |  (SELECT count(*) FROM coll
+         |   WHERE greatest(sza, szb) * 1 <= least(sza, szb) * 2)::BIGINT AS n_length_pass,
+         |  (SELECT count(*) FROM candf)::BIGINT AS n_candidates,
+         |  (SELECT count(*) FROM pair_inter
+         |   JOIN sizes sa ON id_a = sa.doc_id
+         |   JOIN sizes sb ON id_b = sb.doc_id
+         |   WHERE inter * 2 >= (sa.n + sb.n - inter) * 1)::BIGINT AS n_pairs""".stripMargin,
     // Same fixed-point arithmetic: `//` on positive BIGINTs is the same
-    // floor division Spark's floor(n*1e6/df) computes.
+    // integer division Spark's `div` computes — both engines stay in
+    // integers, no 2^53 double-mantissa bound anywhere.
     "q60_tfidf_terms" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS t FROM documents),
          |tf AS (SELECT source, t, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -1155,7 +1259,7 @@ object PipelineQueries {
          |  WHERE source NOT IN ('src11', 'src12')
          |)
          |SELECT min(doc_id) AS doc_id, fp
-         |FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)
+         |FROM bfp b WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = b.fp)
          |GROUP BY fp ORDER BY doc_id""".stripMargin,
     // Recompute every simhash from scratch: md5-derived 64-bit token hashes
     // vote per bit (strict majority), then exhaustive all-pairs Hamming.

@@ -394,6 +394,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
+  test("ngram jaccard: identity collapse equals direct join on dup-heavy corpus") {
+    // Worst case for the direct join: a 5-member identity class (every
+    // member pairs with every other AND with the near-dup), plus an
+    // identity class of gram-less docs (must expand to NOTHING — the
+    // direct join can never surface docs with no grams), plus whitespace/
+    // case variants that share a fingerprint without byte equality.
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val rows = Seq(
+      1L -> base, 2L -> base, 3L -> (" " + base + "  "), 4L -> base.toUpperCase,
+      5L -> ("THE  quick brown fox jumps over the lazy dog near the river"),
+      6L -> (base + " at dawn"),
+      7L -> "tiny", 8L -> "tiny", // fingerprint class with zero grams
+      9L -> "unrelated words about catalyst optimizer rules and shuffles")
+    for ((num, den) <- Seq((1, 2), (3, 4), (1, 1))) {
+      val direct = ngramJaccardPairs(docs(rows: _*), num, den, n = 3,
+        collapseIdentical = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      val collapsed = ngramJaccardPairs(docs(rows: _*), num, den, n = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      assert(collapsed === direct, s"threshold $num/$den")
+      assert(collapsed === bruteForceJaccard(rows, 3, num, den), s"oracle $num/$den")
+    }
+  }
+
+  test("ppjoin candidate stats: counts are internally consistent and n_pairs exact") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val rows = Seq(1L -> base, 2L -> (base + " at dawn"), 3L -> base,
+      4L -> "alpha beta gamma delta alpha beta", 5L -> "alpha beta gamma delta eps",
+      6L -> "", 7L -> "one two")
+    val st = ppjoinCandidateStats(docs(rows: _*), 1, 2, n = 3).collect().head
+    val get = (c: String) => st.getLong(st.fieldIndex(c))
+    assert(get("n_docs") === 7L)
+    assert(get("n_docs_with_grams") === 5L)
+    // The filter chain can only shrink: collisions >= length-pass rows,
+    // distinct candidate pairs <= length-pass collisions, verified pairs
+    // <= candidates; and the prefix is a subset of the gram rows.
+    assert(get("n_prefix_rows") <= get("n_gram_rows"))
+    assert(get("n_length_pass") <= get("n_collisions"))
+    assert(get("n_candidates") <= get("n_length_pass"))
+    assert(get("n_pairs") <= get("n_candidates"))
+    assert(get("largest_group") >= 2L) // the identity pair 1/3 shares prefixes
+    assert(get("n_pairs") === bruteForceJaccard(rows, 3, 1, 2).size.toLong)
+  }
+
+  test("ppjoin candidate stats: empty corpus yields an all-zero row") {
+    val st = ppjoinCandidateStats(docs(), 1, 2, n = 3).collect().head
+    (0 until st.length).foreach(i => assert(st.getLong(i) === 0L, st.schema(i).name))
+  }
+
   test("ngram jaccard: unigram sets (n = 1) still equal brute force") {
     val rows = Seq(
       1L -> "alpha beta gamma",
