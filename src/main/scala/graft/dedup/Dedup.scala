@@ -208,7 +208,15 @@ object Dedup {
   def lshBucketStats(docs: DataFrame, maxBucketSize: Int = 4096,
       k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
+    bucketStats(
+      lshBanded(docs, k, rows, shingleWidth, idCol, textCol).select("band", "bucket"),
+      maxBucketSize)
+
+  /** Drop-accounting over any (band, bucket) banding — the shared tail of
+   * [[lshBucketStats]] and [[simhashBucketStats]]: bucket-count, how many
+   * buckets the `maxBucketSize` cap would skip, and the largest bucket. */
+  private def bucketStats(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .agg(
@@ -218,6 +226,21 @@ object Dedup {
         coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
           .as("buckets_dropped"),
         coalesce(max(col("n")), lit(0L)).as("largest_bucket"))
+
+  /** [[bucketStats]] over the SQS(8) simhash banding that drives
+   * [[simhashNearDupPairs]] — the AUDITABLE twin of [[lshBucketStats]]:
+   * with `auditable = true` the simhash (and therefore every band key) is
+   * md5-derived, so any engine can re-derive the exact
+   * `(n_buckets, buckets_dropped, largest_bucket)` row off-Spark and audit
+   * the drop accounting itself, not just trust it. Same cost shape as the
+   * minhash variant: one kernel pass, one two-level aggregation. */
+  def simhashBucketStats(docs: DataFrame, maxBucketSize: Int = 4096,
+      auditable: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bucketStats(
+      simhashBanded(docs, auditable, idCol, textCol)
+        .select(col("band"), col("value").as("bucket")),
+      maxBucketSize)
 
   // ------------------------------------------------------ exact ngram jaccard
 
@@ -502,7 +525,7 @@ object Dedup {
    * Every 3-subset of chunks lies in exactly one block, and blocks are
    * closed under complement — so any ≤ 3 damaged chunks leave at least one
    * block fully intact (the complement of the block containing them). */
-  private[dedup] val Sqs8Blocks: Seq[Seq[Int]] =
+  private[graft] val Sqs8Blocks: Seq[Seq[Int]] =
     for (a <- 1 to 7; b <- 0 to 1)
       yield (0 to 7).filter(x => Integer.bitCount(a & x) % 2 == b)
 
@@ -538,16 +561,7 @@ object Dedup {
     def simOf(df: DataFrame): DataFrame = df.select(col("id"),
       simhash64(TextAnalysis.tokens(col("txt")), auditable).as("sim"))
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-    val chunk = (c: Int) => shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)
-    val bandKeys = Sqs8Blocks.map { s =>
-      s.zipWithIndex.map { case (c, pos) =>
-        shiftleft(chunk(c), (3 - pos) * 8)
-      }.reduce(_ bitwiseOR _)
-    }
-    // Banded rows carry ONLY (band, value, id) — 24 bytes; the 8-byte sim
-    // would otherwise ride the 14-way fan-out shuffle 14 times per doc.
-    val banded = simOf(base).select(col("id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
+    val banded = simhashBanded(docs, auditable, idCol, textCol)
     val l = banded.select(col("band"), col("value"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("value"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "value"))
@@ -568,6 +582,25 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+  }
+
+  /** (id, band, value) rows of the SQS(8) simhash banding — 24 bytes per
+   * row, no sim and no text on the fan-out (the 8-byte sim would otherwise
+   * ride the 14-way shuffle 14 times per doc). Shared by
+   * [[simhashNearDupPairs]] (candidate join) and [[simhashBucketStats]]
+   * (drop accounting), so the audited stats describe the exact banding
+   * the join uses. */
+  private def simhashBanded(docs: DataFrame, auditable: Boolean,
+      idCol: String, textCol: String): DataFrame = {
+    val chunk = (c: Int) => shiftright(col("sim"), c * 8).bitwiseAND(0xFFL)
+    val bandKeys = Sqs8Blocks.map { s =>
+      s.zipWithIndex.map { case (c, pos) =>
+        shiftleft(chunk(c), (3 - pos) * 8)
+      }.reduce(_ bitwiseOR _)
+    }
+    docs.select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol)), auditable).as("sim"))
+      .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
   }
 
   // -------------------------------------------------------- decontamination

@@ -310,6 +310,31 @@ object CoreQueries {
       s.table("q67_mem").orderBy("day", "event_type")
     }),
 
+    // WATERMARK + APPEND MODE, oracle-checked: the production streaming
+    // output mode (complete mode re-emits every window each batch and
+    // holds ALL windows in state forever; append emits each window once,
+    // when the watermark closes it, and evicts its state — the only mode
+    // whose state is bounded by |open windows| on an unbounded stream).
+    // With a 36-hour watermark over the finite events file, the final
+    // watermark is max(ts) − 36h, so exactly the day-windows ending at or
+    // before it are emitted — a set DuckDB re-derives in batch SQL from
+    // the same parquet, INCLUDING which trailing windows are withheld.
+    // The 36h delay is deliberately not a multiple of the day width: the
+    // watermark never lands exactly on a window boundary, so the emitted
+    // set is boundary-comparison-proof at any scale factor.
+    "q73_streaming_append_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+      val q = agg.writeStream.format("memory").queryName("q73_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q73_mem").orderBy("day", "event_type")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -699,6 +724,23 @@ object CoreQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(DISTINCT event_type)::BIGINT AS n_types
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // Append-mode parity: batch re-derivation of WHICH day windows the
+    // final watermark (max event time − 36h, millisecond precision — the
+    // engine tracks event-time stats in ms) had closed when the stream
+    // drained; trailing windows past it stay withheld on both sides.
+    "q73_streaming_append_windows" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, n
+        |FROM agg, wm
+        |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
+        |ORDER BY day, event_type""".stripMargin,
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.
     "q62_window_sketch" ->

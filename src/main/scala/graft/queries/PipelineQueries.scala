@@ -367,6 +367,16 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), auditable = true)
     }),
 
+    // Drop accounting for the q15 banding, value-audited: bucket count,
+    // buckets a cap of 3 would skip, and the largest bucket — the numbers
+    // an operator sizes `maxBucketSize` with before a corpus-scale run.
+    // auditable = true makes every band key md5-derived, so DuckDB
+    // re-derives the exact same row (see the q74 oracle).
+    "q74_simhash_bucket_stats" -> ((s, dir) => {
+      Dedup.simhashBucketStats(Tables.documents(s, dir), maxBucketSize = 3,
+        auditable = true)
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -729,6 +739,43 @@ object PipelineQueries {
   private val frHits = hitsSql(graft.text.Stopwords.French)
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Md5-auditable simhash re-derivation CTEs (tok → per-token 64-bit
+   * hash → per-bit majority votes → sim, one UBIGINT per document, 0 for
+   * token-less docs) — shared by the q15 pair oracle and the q74 bucket
+   * accounting so the two cannot drift. */
+  private val simhashCtesSql =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+      |  FROM documents
+      |),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |    sum(((h >> b.b) & 1)::INT)::INT AS votes, count(*)::INT AS n
+      |  FROM h, (SELECT unnest(range(64)) AS b) b
+      |  GROUP BY 1, 2
+      |),
+      |sim AS (
+      |  SELECT d.doc_id,
+      |    coalesce(s.sim, 0::UBIGINT) AS sim
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id,
+      |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
+      |    FROM bits GROUP BY 1) s USING (doc_id)
+      |)""".stripMargin
+
+  /** The 14 SQS(8) band-key projections, generated from the SAME
+   * [[graft.dedup.Dedup.Sqs8Blocks]] the kernel bands with: block
+   * [c0,c1,c2,c3] packs chunk bytes big-endian into one 32-bit key. */
+  private lazy val sqs8BandSelectsSql: String =
+    graft.dedup.Dedup.Sqs8Blocks.zipWithIndex.map { case (blk, band) =>
+      val v = blk.zipWithIndex.map { case (c, pos) =>
+        s"(((sim >> ${c * 8}) & 255) << ${(3 - pos) * 8})"
+      }.mkString(" | ")
+      s"  SELECT $band AS band, $v AS v FROM sim"
+    }.mkString("\n  UNION ALL\n")
 
   /** Definitional all-pairs word-3-gram Jaccard at threshold 1/2 — shared
    * by q59 (direct PPJoin) and q76 (identity-collapsed PPJoin): both plans
@@ -1266,31 +1313,27 @@ object PipelineQueries {
     // Unsigned vs signed 64-bit makes no difference — xor/bit_count act on
     // the bit pattern, which the Spark kernel shares byte-for-byte.
     "q15_dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
-        |  FROM documents
-        |),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
-        |bits AS (
-        |  SELECT doc_id, b.b AS b,
-        |    sum(((h >> b.b) & 1)::INT)::INT AS votes, count(*)::INT AS n
-        |  FROM h, (SELECT unnest(range(64)) AS b) b
-        |  GROUP BY 1, 2
-        |),
-        |sim AS (
-        |  SELECT d.doc_id,
-        |    coalesce(s.sim, 0::UBIGINT) AS sim
-        |  FROM documents d LEFT JOIN (
-        |    SELECT doc_id,
-        |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
-        |    FROM bits GROUP BY 1) s USING (doc_id)
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.sim, b.sim))::INT AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $simhashCtesSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sim, b.sim))::INT AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Re-derives the SAME md5-auditable simhashes, then the 14 SQS(8)
+    // band keys bit-for-bit (the band expressions are GENERATED from
+    // Dedup.Sqs8Blocks, so oracle and kernel cannot disagree about the
+    // block design), groups buckets, and applies the same cap — auditing
+    // the drop ACCOUNTING itself, not just the surviving pairs.
+    "q74_simhash_bucket_stats" ->
+      s"""WITH $simhashCtesSql,
+         |banded AS (
+         |${sqs8BandSelectsSql}
+         |),
+         |grp AS (SELECT band, v, count(*) AS n FROM banded GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_buckets,
+         |  coalesce(sum(CASE WHEN n > 3 THEN 1 ELSE 0 END), 0)::BIGINT AS buckets_dropped,
+         |  coalesce(max(n), 0)::BIGINT AS largest_bucket
+         |FROM grp""".stripMargin,
     "q16_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b

@@ -279,6 +279,25 @@ class DedupSpec extends AnyFunSuite {
     assert(run(4096).map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("simhashBucketStats: identity class overflows every band at cap 3, none at cap 8") {
+    val rows = Seq(
+      1L -> "same text here again", 2L -> "same text here again",
+      3L -> "same text here again", 4L -> "same text here again",
+      5L -> "totally different content words entirely")
+    val tight = simhashBucketStats(docs(rows: _*), maxBucketSize = 3,
+      auditable = true).collect().head
+    // The 4 identical docs share all 14 SQS band keys — one >cap bucket
+    // per band (doc 5 joining a bucket only grows it, never splits it).
+    assert(tight.getAs[Long]("buckets_dropped") === 14L)
+    assert(tight.getAs[Long]("largest_bucket") >= 4L)
+    assert(tight.getAs[Long]("n_buckets") >= 14L && tight.getAs[Long]("n_buckets") <= 28L)
+    val loose = simhashBucketStats(docs(rows: _*), maxBucketSize = 8,
+      auditable = true).collect().head
+    assert(loose.getAs[Long]("buckets_dropped") === 0L)
+    val empty = simhashBucketStats(docs(), maxBucketSize = 3).collect().head
+    assert((0 until empty.length).forall(i => empty.getLong(i) === 0L))
+  }
+
   test("collect_list_capped keeps true total while bounding retained values") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")

@@ -176,6 +176,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q16 plans a nested-loop join")
   }
 
+  test("hyperplane LSH band subtree (production default path) is payload-free") {
+    // The default path lazily checkpoints the band rows, which hides the
+    // banding subtree behind a LogicalRDD in the end-to-end plan — so pin
+    // the invariant on bandedRows itself, the exact subtree the default
+    // wraps: its output must be (id, band, bucket) only, vector-free.
+    val base = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val banded = graft.similarity.Similarity.bandedRows(base, 16, 2, 64)
+    assert(banded.columns.toSeq === Seq("id", "band", "bucket"),
+      s"band rows carry extra payload: ${banded.columns.mkString(",")}")
+    val bp = plan(banded)
+    val gen = bp.linesIterator.filter(_.contains("Generate posexplode")).toSeq
+    assert(gen.nonEmpty, "no posexplode band fan-out in bandedRows")
+    assert(!gen.exists(l => l.contains("vec") || l.contains("embedding")),
+      s"embedding vector survives into the band fan-out:\n${gen.mkString("\n")}")
+  }
+
   test("hyperplane LSH banding is payload-free: no embedding rides a band exchange") {
     // materializeBands = false keeps the banding stage in one inspectable plan.
     val p = plan(graft.similarity.Similarity.cosineNearDupPairs(
