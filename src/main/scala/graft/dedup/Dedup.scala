@@ -745,13 +745,25 @@ object Dedup {
    * (A~B, B~C ⇒ A,B,C share one component even if A~C was never emitted).
    *
    * Scale contract: each iteration is one equi-join of the current label
-   * table against the (undirected) edge list plus a min-aggregation — all
-   * hash-partitioned by id, no broadcast of anything proportional to the
-   * graph. Iterations needed = graph diameter (near-dup graphs are unions
-   * of small cliques and short chains, so 2-3 in practice);
-   * convergence is detected by counting label changes, and each round
-   * caches its label table and unpersists the previous one so the lineage
-   * does not grow unboundedly.
+   * table against the (undirected) edge list plus a min-aggregation, then
+   * one POINTER-JUMPING join (label′ = label(label)) — all hash-partitioned
+   * by id, no broadcast of anything proportional to the graph. The jump is
+   * the classic Shiloach–Vishkin doubling step: a label is itself a node
+   * id, so looking up the label OF the label halves the remaining distance
+   * to the component minimum every round. Rounds needed are therefore
+   * O(log diameter), not O(diameter): near-dup graphs are unions of small
+   * cliques and short chains (2-3 rounds in practice), but even an
+   * adversarial 10,000-hop path converges in ~15 rounds — the default
+   * `maxIter = 20` covers any diameter a real corpus can produce
+   * (DedupSpec proves a 120-hop path converges in ≤ 10 rounds, far under
+   * the hop-propagation bound). Convergence is detected by the observed
+   * label-sum fixpoint riding each round's materialization job; each round
+   * checkpoints its label table and unpersists the previous one so the
+   * lineage does not grow unboundedly. If `maxIter` rounds pass without a
+   * fixpoint the labels are a valid PARTIAL merge (every label is some
+   * reachable id, components may remain split) — callers needing a hard
+   * guarantee should raise `maxIter`; the log-depth jump makes 30 rounds
+   * enough for any graph that fits in any cluster (2^30 diameter).
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Convergence check: labels only ever decrease (least of old label and
@@ -794,10 +806,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      val hop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // Pointer jumping: a label is a node id, so label(label) is a valid
+      // (and never larger) label in the same component — compressing two
+      // hops into one round turns diameter-many rounds into log-many.
+      // `hop` is referenced twice but `labels` was checkpointed last
+      // round, so the doubled subtree is one round deep, not compounding.
       val (next, nextSumF) = observedSum(
-        labels.join(neighborMin, Seq("id"), "left")
+        hop.join(
+            hop.select(col("id").as("lid"), col("label").as("llabel")),
+            col("label") === col("lid"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("llabel"), col("label"))).as("label")))
       val nextSum = nextSumF()
       labels.unpersist()
       labels = next

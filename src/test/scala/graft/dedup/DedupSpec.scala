@@ -134,6 +134,30 @@ class DedupSpec extends AnyFunSuite {
     assert(comp === Array(0L))
   }
 
+  test("connectedComponents converges at adversarial diameter via pointer jumping") {
+    import spark.implicits._
+    // A 120-hop path is far beyond anything a near-dup graph produces and
+    // 12x the round budget below: hop-only min propagation would need 120
+    // rounds, so converging within maxIter = 10 proves the doubling step
+    // actually compresses distance (2^10 >> 120), not just the scaladoc.
+    // Descending ids make the minimum sit at the FAR end of the path —
+    // the worst case for label propagation.
+    val path = (0L until 120L).map(i => (120L - i, 119L - i)).toDF("id_a", "id_b")
+    val comp = connectedComponents(path, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length === 121)
+    assert(comp.map(_._2).distinct === Array(0L), "path did not collapse to one component")
+    // Two adversarial paths plus a clique, same budget: components stay
+    // separate and each collapses to its own minimum.
+    val multi = ((0L until 60L).map(i => (i, i + 1)) ++
+      (1000L until 1050L).map(i => (i, i + 1)) ++
+      Seq((2000L, 2001L), (2000L, 2002L), (2001L, 2002L))).toDF("id_a", "id_b")
+    val byComp = connectedComponents(multi, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    assert(byComp.keySet === Set(0L, 1000L, 2000L))
+    assert(byComp(0L).length === 61 && byComp(1000L).length === 51 && byComp(2000L).length === 3)
+  }
+
   test("connectedComponents of an empty pair graph is empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -20,7 +20,7 @@ object HllFunctionsSpec {
  * vectors are ported from the reference's test oracle
  * (reference: HLLFunctionsTest.scala:92-155, 263-281, 296-337 — exact small
  * integers because HLL is exact at tiny cardinalities). */
-class HllFunctionsSpec extends AnyFunSuite {
+class HllFunctionsSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
 
   import HllFunctionsSpec._
 

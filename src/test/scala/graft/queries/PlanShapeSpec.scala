@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * broadcast join into a sort-merge join or stops filters reaching the scan,
  * this suite fails even though results stay correct.
  */
-class PlanShapeSpec extends AnyFunSuite {
+class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class LayoutSpec extends AnyFunSuite {
+class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class TextAnalysisSpec extends AnyFunSuite {
+class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
