@@ -112,6 +112,28 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t) => graft.text.NfcNormalize(t)
         case args => wrongArity("nfc_normalize", args.size)
+      }),
+    // The cleanup surface composes built-in expressions (regexp_replace
+    // chains) through Cleanup's catalyst-level builders — the same
+    // pattern constants the Column DSL uses (ExtensionsSpec pins value
+    // equality between the two layers).
+    ("strip_html",
+      "_FUNC_(text) - Strip markup tags and collapse leftover whitespace.",
+      {
+        case Seq(t) => graft.text.Cleanup.stripHtmlExpr(t)
+        case args => wrongArity("strip_html", args.size)
+      }),
+    ("redact_pii",
+      "_FUNC_(text) - Redact emails, phone numbers, and IPv4 addresses with type tokens.",
+      {
+        case Seq(t) => graft.text.Cleanup.redactPiiExpr(t)
+        case args => wrongArity("redact_pii", args.size)
+      }),
+    ("scrub",
+      "_FUNC_(text) - Canonical corpus scrub: NFC-normalize, strip markup if present, redact PII.",
+      {
+        case Seq(t) => graft.text.Cleanup.scrubExpr(t)
+        case args => wrongArity("scrub", args.size)
       })
   )
 

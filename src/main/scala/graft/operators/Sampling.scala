@@ -98,6 +98,34 @@ object Sampling {
   }
 
   /**
+   * Rate-change audit for [[weightedMix]]: one row per key actually present
+   * in `df` — the spec rate (null for unlisted keys, which the mix drops
+   * wholesale), the key's total row count, and how many rows the mix keeps.
+   * This is the reconciliation an operator runs after EVERY spec change:
+   * n_kept/n_total ≈ num/den per listed key, n_kept = 0 for dropped keys,
+   * and because samples nest, a key whose rate went up keeps a superset of
+   * its previous rows (only n_kept moves, membership never churns).
+   *
+   * Cost: two aggregations over the corpus (totals + kept) joined on the
+   * key — group counts only, nothing per-row leaves the map side.
+   */
+  def mixAudit(df: DataFrame, keyCol: Column, idCol: Column,
+      weights: Seq[(String, (Long, Long))]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.map { case (k, (num, den)) => (k, num, den) }
+      .toDF("key", "mix_num", "mix_den")
+    val totals = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("n_total"))
+    val kept = weightedMix(df, keyCol, idCol, weights)
+      .groupBy(keyCol.as("key")).agg(count(lit(1)).as("n_kept"))
+    totals
+      .join(broadcast(wdf), Seq("key"), "left")
+      .join(kept, Seq("key"), "left")
+      .select(col("key"), col("mix_num"), col("mix_den"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /**
    * Deterministic train/validation/test split column. `fractions` are
    * (label, numerator) pairs over a common `den`; they must sum to `den`
    * so every row gets exactly one label. Rows label by which cumulative

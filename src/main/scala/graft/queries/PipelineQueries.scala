@@ -172,11 +172,23 @@ object PipelineQueries {
     // semantics); kept rows are the engine-neutral md5-threshold sample,
     // nested across rate changes.
     "q41_corpus_mix" -> ((s, dir) => {
-      val weights = (1 to 12).map(i => s"src$i" -> (((i - 1) % 4 + 1).toLong, 4L))
       graft.operators.Sampling.weightedMix(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
-        keyCol = col("source"), idCol = col("doc_id"), weights = weights)
+        keyCol = col("source"), idCol = col("doc_id"), weights = mixWeights)
         .orderBy("doc_id")
+    }),
+
+    // The q41 mixture's reconciliation report: per source, the spec rate,
+    // total docs, and docs the mix keeps — how an operator audits a spec
+    // change before committing it (unlisted sources surface with null
+    // rates and n_kept = 0 instead of silently vanishing). The oracle
+    // re-derives the kept counts from the same md5-threshold rule, with
+    // the thresholds computed from the SAME weights list.
+    "q77_mix_audit" -> ((s, dir) => {
+      graft.operators.Sampling.mixAudit(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        keyCol = col("source"), idCol = col("doc_id"), weights = mixWeights)
+        .orderBy("key")
     }),
 
     // Cross-document repeated spans: every 16-token window (stride 1,
@@ -740,6 +752,12 @@ object PipelineQueries {
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** The q41/q77 mixture spec: sources 1..12 at rates 1/4..4/4 cycling —
+   * one list, consumed by both harness queries AND the q77 oracle
+   * generator, so spec and audit cannot drift. */
+  private val mixWeights: Seq[(String, (Long, Long))] =
+    (1 to 12).map(i => s"src$i" -> (((i - 1) % 4 + 1).toLong, 4L))
+
   /** Md5-auditable simhash re-derivation CTEs (tok → per-token 64-bit
    * hash → per-bit majority votes → sim, one UBIGINT per document, 0 for
    * token-less docs) — shared by the q15 pair oracle and the q74 bucket
@@ -1041,6 +1059,32 @@ object PipelineQueries {
         |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
         |         < 6917529027641081856)
         |ORDER BY doc_id""".stripMargin,
+
+    // Kept counts re-derived from the same md5-threshold rule; the spec
+    // VALUES and thresholds are GENERATED from the q41/q77 weights list.
+    "q77_mix_audit" ->
+      s"""WITH spec AS (SELECT * FROM (VALUES ${mixWeights.map {
+             case (k, (n, d)) => s"('$k', $n, $d)" }.mkString(", ")})
+         |  s(key, mix_num, mix_den)),
+         |h AS (SELECT source,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)::HUGEINT AS h
+         |  FROM documents),
+         |totals AS (SELECT source AS key, count(*)::BIGINT AS n_total
+         |           FROM documents GROUP BY 1),
+         |kept AS (
+         |  SELECT source AS key, count(*)::BIGINT AS n_kept
+         |  FROM h JOIN spec ON h.source = spec.key
+         |  WHERE mix_num = mix_den
+         |     OR h.h < (mix_num::HUGEINT * 9223372036854775808::HUGEINT) // mix_den::HUGEINT
+         |  GROUP BY 1
+         |)
+         |SELECT t.key AS key, s.mix_num::BIGINT AS mix_num,
+         |  s.mix_den::BIGINT AS mix_den, t.n_total,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+         |FROM totals t
+         |LEFT JOIN spec s ON t.key = s.key
+         |LEFT JOIN kept k ON t.key = k.key
+         |ORDER BY t.key""".stripMargin,
 
     // Bloom prune + exact verify returns exactly the exact-join result, so
     // the oracle is the same computation as q35's.

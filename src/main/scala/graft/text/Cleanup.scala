@@ -79,6 +79,38 @@ object Cleanup {
    * composes in front of fingerprinting/dedup with no extra pass. */
   def scrub(text: Column): Column =
     redactPii(stripHtmlIfPresent(nfcNormalize(text)))
+
+  // ------------------------------------------------- catalyst-level builders
+
+  import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal, RLike, RegExpReplace, StringTrim}
+
+  /** Catalyst twins of the Column DSL above, for the SQL registry: a
+   * registry builder must return a RESOLVED expression tree, and
+   * round-tripping through the Column functions yields unevaluable
+   * column-node wrappers on that path (Spark 4's Column API is
+   * backend-agnostic until analysis). Each builder composes the SAME
+   * built-in expressions with the SAME pattern constants, and
+   * ExtensionsSpec pins SQL-vs-DSL value equality so the two layers
+   * cannot drift. */
+  private[graft] def stripHtmlExpr(t: Expression): Expression =
+    StringTrim(RegExpReplace(
+      RegExpReplace(t, Literal("<[^>]*>"), Literal(" ")),
+      Literal("\\s+"), Literal(" ")))
+
+  private[graft] def redactPiiExpr(t: Expression): Expression =
+    RegExpReplace(
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(t, Literal(EmailPattern), Literal("<EMAIL>")),
+          Literal(IntlPhonePattern), Literal("<PHONE>")),
+        Literal(BarePhonePattern), Literal("<PHONE>")),
+      Literal(Ipv4Pattern), Literal("<IP>"))
+
+  private[graft] def stripHtmlIfPresentExpr(t: Expression): Expression =
+    CaseWhen(Seq((RLike(t, Literal("<[^>]*>")), stripHtmlExpr(t))), t)
+
+  private[graft] def scrubExpr(t: Expression): Expression =
+    redactPiiExpr(stripHtmlIfPresentExpr(NfcNormalize(t)))
 }
 
 /**

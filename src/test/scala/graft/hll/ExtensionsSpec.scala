@@ -94,7 +94,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "bloom_init_agg", "bloom_merge", "bloom_might_contain", "bloom_fill_fraction",
       "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
-      "dot_product", "quantize_int8", "int8_dot").foreach { n =>
+      "dot_product", "quantize_int8", "int8_dot",
+      "strip_html", "redact_pii", "scrub").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
@@ -129,5 +130,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pipeline.getInt(3) === 3)
     assert(pipeline.getDouble(4) === 1.0)
     assert(pipeline.getDouble(5) === 23.0)
+
+    // Cleanup surface through pure SQL: markup stripped, PII tokenized —
+    // the same expression trees the Scala DSL composes, SQL-reachable.
+    val scrubbed = spark.sql(
+      """SELECT scrub('<b>mail me</b> at a.b@example.com or 555-123-4567') AS s,
+        |  strip_html('<p>x  y</p>') AS h,
+        |  redact_pii('ping 10.0.0.1') AS p""".stripMargin).head()
+    assert(scrubbed.getString(0) === "mail me at <EMAIL> or <PHONE>")
+    assert(scrubbed.getString(1) === "x y")
+    assert(scrubbed.getString(2) === "ping <IP>")
+
+    // Layer parity: the SQL function and the Column DSL must produce the
+    // same bytes (decomposed e + combining accent, markup, and PII in one
+    // string — exercises NFC-before-pattern ordering too).
+    import spark.implicits._
+    val tricky = "café <i>x</i> a.b@c.de 10.1.2.3 +1 555-123-4567"
+    val viaSql = Seq(tricky).toDF("t")
+      .selectExpr("scrub(t) AS s").head().getString(0)
+    val viaDsl = Seq(tricky).toDF("t")
+      .select(graft.text.Cleanup.scrub(org.apache.spark.sql.functions.col("t")).as("s"))
+      .head().getString(0)
+    assert(viaSql === viaDsl)
   }
 }

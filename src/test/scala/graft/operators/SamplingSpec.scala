@@ -103,4 +103,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(at1.subsetOf(at3))
     assert(at1.size < at3.size)
   }
+
+  test("mixAudit reconciles kept counts with the mix, including dropped keys") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
+    val weights = Seq("k0" -> (1L, 4L), "k1" -> (4L, 4L))
+    val audit = Sampling.mixAudit(df, col("k"), col("id"), weights)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3), r.getLong(4))).toMap
+    // Every key present in the corpus appears — k2 with null rates and 0
+    // kept, not silently missing.
+    assert(audit.keySet === Set("k0", "k1", "k2"))
+    assert(audit("k2") === ((None, None, 1000L, 0L)))
+    assert(audit("k1") === ((Some(4L), Some(4L), 1000L, 1000L)))
+    val (n0, d0, tot0, kept0) = audit("k0")
+    assert((n0, d0, tot0) === ((Some(1L), Some(4L), 1000L)))
+    // The audit's kept count must equal the mix's actual row count.
+    val actual = Sampling.weightedMix(df, col("k"), col("id"), weights)
+      .filter(col("k") === "k0").count()
+    assert(kept0 === actual)
+  }
 }
