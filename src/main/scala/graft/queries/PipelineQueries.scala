@@ -425,10 +425,14 @@ object PipelineQueries {
 
     // The identity-collapse mode of q59's operator: fingerprint-collapse
     // classes first, PPJoin one canonical per class, expand pairs back.
-    // SAME definitional oracle as q59 — a row-for-row match proves the
-    // collapse+expansion reproduces the uncollapsed join exactly.
+    // Runs on the six sources that actually contain cross-source exact
+    // duplicates (four identity pairs at sf0.1), so the collapse + exact
+    // expansion do real work instead of idling on a unique corpus; the
+    // oracle is the SAME definitional all-pairs SQL restricted to the
+    // same slice — a row-for-row match proves the expansion exact.
     "q76_ngram_jaccard_collapsed" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("source").isin(dupSources: _*)),
         thresholdNum = 1, thresholdDen = 2, n = 3, collapseIdentical = true)
     }),
 
@@ -795,11 +799,20 @@ object PipelineQueries {
       s"  SELECT $band AS band, $v AS v FROM sim"
     }.mkString("\n  UNION ALL\n")
 
+  /** q76's slice: chosen so BOTH driver scales exercise the operator —
+   * at sf0.1 it contains four cross-source exact-duplicate fingerprints
+   * (identity classes for the collapse to collapse), and at sf0.01 it
+   * contains several qualifying near-dup pairs (so the oracle row match
+   * is never vacuous). */
+  private val dupSources = Seq(
+    "src1", "src2", "src3", "src5", "src7", "src15", "src17", "src19")
+
   /** Definitional all-pairs word-3-gram Jaccard at threshold 1/2 — shared
-   * by q59 (direct PPJoin) and q76 (identity-collapsed PPJoin): both plans
-   * must reproduce it row-for-row. */
-  private lazy val ngramJaccardOracleSql =
-    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+   * by q59 (direct PPJoin, whole corpus) and q76 (identity-collapsed
+   * PPJoin, dup-carrying slice): each plan must reproduce it row-for-row
+   * over its `where` scope. */
+  private def ngramJaccardOracleSql(where: String = ""): String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents $where),
        |g AS (
        |  SELECT DISTINCT doc_id,
        |    ('0x' || substr(md5(ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT]
@@ -1189,10 +1202,12 @@ object PipelineQueries {
     // filtering lossless (its entire contract). Gram identity is the same
     // auditable md5-64 hash the Spark kernel uses (equality is all that
     // matters, so DuckDB's UBIGINT view of the same 8 bytes is equivalent).
-    "q59_ngram_jaccard" -> ngramJaccardOracleSql,
+    "q59_ngram_jaccard" -> ngramJaccardOracleSql(),
     // The identity-collapsed mode must reproduce the SAME definitional
-    // answer — one oracle string, two Spark plans.
-    "q76_ngram_jaccard_collapsed" -> ngramJaccardOracleSql,
+    // answer over the dup-carrying slice — one oracle template, two
+    // Spark plans.
+    "q76_ngram_jaccard_collapsed" -> ngramJaccardOracleSql(
+      s"WHERE source IN (${dupSources.map(s => s"'$s'").mkString(", ")})"),
     // Re-derives every PPJoin stage: same md5-64 gram hashes viewed as
     // SIGNED 64-bit for ordering (Spark sorts longs; the CASE re-biases
     // DuckDB's UBIGINT into two's-complement order), same (df, gram)
