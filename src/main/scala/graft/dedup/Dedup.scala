@@ -646,6 +646,76 @@ object Dedup {
       .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "value")))
   }
 
+  // ---------------------------------------------------------- span scrubbing
+
+  /**
+   * Substring-level dedup SCRUB: remove cross-document repeated token
+   * spans from every document, keeping exactly one occurrence corpus-wide
+   * — the apply step downstream of repeated-span DETECTION (q64's
+   * coordinates), in the style of span-level training-data dedup: long
+   * verbatim repeats (licenses, navigation chrome, quoted boilerplate)
+   * are deleted everywhere except their first occurrence.
+   *
+   * Semantics, fully deterministic:
+   *  - a span is any `w`-token window (stride 1) whose md5-64 hash occurs
+   *    in MORE THAN ONE document (within-doc repetition is repetition, not
+   *    cross-doc duplication — q34's filters own that signal);
+   *  - for each such hash, the occurrence with the smallest `(id, start)`
+   *    is the KEEPER; every other occurrence marks its `w` token positions
+   *    for removal;
+   *  - a document's cleaned text is its surviving tokens joined by single
+   *    spaces (whitespace is not preserved — the output feeds tokenizers,
+   *    not renderers). A keeper's tokens can still fall to an OVERLAPPING
+   *    removed span; removal is coverage-based, which keeps the rule
+   *    one-pass and engine-reproducible.
+   *
+   * Scale contract: the shuffle carries (hash, id, start) coordinate rows
+   * and per-doc removal-start arrays — never text. Removal itself is a
+   * per-row projection (`filter` over the token array against the doc's
+   * own removal starts, at most |tokens| · |spans| compares against
+   * arrays bounded by document length). Output: (idCol, n_tokens,
+   * n_removed, clean_text).
+   */
+  def spanDedupScrub(docs: DataFrame, w: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w > 0, s"span width must be positive, got $w")
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    // Tokens bound to a column FIRST: referenced from inside the transform
+    // lambda as a raw expression they would re-tokenize once per window
+    // (the q64 cliff — see PERF.md).
+    val hashes = when(size(col("ts")) >= w, transform(
+      sequence(lit(1), size(col("ts")) - (w - 1)),
+      i => graft.operators.Sampling.md5Hash64(
+        concat_ws(" ", slice(col("ts"), i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = base
+      .select(col("id"), posexplode(hashes).as(Seq("pos0", "gh")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("gh"))
+    val repeated = spans.groupBy("gh")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gh")
+    // Keeper = first occurrence in (id, start) order per hash; everyone
+    // else contributes a removal interval [start, start + w - 1].
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("gh").orderBy(col("id"), col("start"))
+    val removals = spans.join(repeated, "gh")
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") > 1)
+      .groupBy("id")
+      .agg(collect_list(col("start")).as("rs"))
+    base.join(removals, Seq("id"), "left")
+      .withColumn("rsx", coalesce(col("rs"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("ts"), (t, i) =>
+        !exists(col("rsx"), s => s <= i + 1 && i + 1 <= s + (w - 1))))
+      .select(col("id").as(idCol),
+        coalesce(size(col("ts")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("ts")) - size(col("kept")), lit(0)).cast("long")
+          .as("n_removed"),
+        coalesce(concat_ws(" ", col("kept")), lit("")).as("clean_text"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Distinct word n-gram shingle array of a token array ([[WordShingles]]). */

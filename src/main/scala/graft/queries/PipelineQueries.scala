@@ -225,6 +225,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The APPLY step downstream of q64's detection: delete every
+    // cross-document repeated 16-token span except its corpus-wide first
+    // occurrence, emitting cleaned text per doc. Output fingerprints the
+    // cleaned text (md5) so only integers and 32-char hashes cross the
+    // engine boundary; DuckDB re-derives keeper selection, coverage
+    // removal, and the rebuilt token stream exactly.
+    "q78_span_scrub" -> ((s, dir) => {
+      Dedup.spanDedupScrub(Tables.documents(s, dir), w = 16)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
     // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
     // keeps wholesale quotes, not topical overlap). Asymmetric by design —
@@ -1306,6 +1319,47 @@ object PipelineQueries {
          |  min(start)::BIGINT AS first_repeated_start
          |FROM sp JOIN rep USING (gh)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Same spans and keeper rule as q64's windows: first (doc_id, start)
+    // per repeated hash survives, every other occurrence's 16 positions
+    // are removed (coverage union), and the cleaned token stream is
+    // rebuilt in position order and fingerprinted.
+    "q78_span_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         |occ AS (
+         |  SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn
+         |  FROM sp JOIN rep USING (gh)
+         |),
+         |rem AS (SELECT doc_id, start FROM occ WHERE rn > 1),
+         |pos AS (
+         |  SELECT t.doc_id, p.p AS p, ts[p.p::INT] AS tok
+         |  FROM toks t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS p) p
+         |),
+         |kept AS (
+         |  SELECT doc_id, p, tok FROM pos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id
+         |                    AND t.p BETWEEN r.start AND r.start + 15)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY 1
+         |),
+         |tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks)
+         |SELECT d.doc_id, t.n_tokens,
+         |  (t.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM documents d
+         |JOIN tot t USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q63_containment_pairs" ->
       s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
          |bg AS (

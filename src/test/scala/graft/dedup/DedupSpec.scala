@@ -496,6 +496,39 @@ class DedupSpec extends AnyFunSuite {
     assert(runNgramJaccard(rows, 1, 2, n = 1) === bruteForceJaccard(rows, 1, 1, 2))
   }
 
+  // ------------------------------------------------------------- span scrub
+
+  test("spanDedupScrub removes repeats except first occurrence, coverage-merged") {
+    val boiler = (1 to 17).map(i => s"b$i").mkString(" ") // 17 tokens -> 2 windows at w=16
+    val rows = Seq(
+      1L -> (boiler + " unique tail of document one"),
+      2L -> ("different head here " + boiler),
+      3L -> "totally unrelated content with no shared spans at all")
+    val out = spanDedupScrub(docs(rows: _*), w = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // Doc 1 holds the keeper occurrences of both windows: nothing removed.
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._3 === (boiler + " unique tail of document one"))
+    // Doc 2 loses the whole 17-token boilerplate (two overlapping windows,
+    // coverage union), keeping its unique head.
+    assert(out(2L) === ((20L, 17L, "different head here")))
+    // Doc 3 untouched.
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("spanDedupScrub ignores within-doc repetition and short docs") {
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      1L -> (span + " middle words " + span), // repeated only within doc 1
+      2L -> "short doc",
+      3L -> "")
+    val out = spanDedupScrub(docs(rows: _*), w = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 === 0L) // cross-doc rule: within-doc repeats survive
+    assert(out(2L) === ((2L, 0L)))
+    assert(out(3L) === ((0L, 0L)))
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
