@@ -446,17 +446,50 @@ object Dedup {
     // adds 1 to k but shrinks the min term by at least 1 on both sides),
     // and it replaces the candidate .distinct() with a same-shuffle
     // aggregation — the verification sliver gets smaller for free.
+    // LOSSLESS prune 3 — the PPJoin self-join INDEX-prefix condition: a
+    // qualifying pair's overlap also satisfies O >= 2t/(1+t)·min(|A|,|B|)
+    // (from O >= t/(1+t)·(|A|+|B|) and |A|+|B| >= 2·min), so the SMALLER
+    // side must share a gram inside its tighter index prefix of length
+    // |S| − ceil(2·num·|S|/(num+den)) + 1 — and the FIRST common gram in
+    // the global order provably lies there (else all common grams sit
+    // past it and O < its own bound, contradiction; Xiao et al.'s PPJoin
+    // completeness argument). A pair none of whose collisions puts the
+    // smaller doc inside its index prefix can therefore never qualify.
+    // Honesty note: on the sf0.1 synthetic corpus this prunes ~nothing —
+    // rare-first ordering concentrates collisions at LOW positions, so
+    // the smaller side is almost always inside its index prefix already.
+    // It costs one aggregated byte per pair and bites exactly where the
+    // join hurts: corpora whose pairs collide only on late (common)
+    // prefix grams — template-heavy crawls at loose thresholds.
     val candidates = collisions
       .filter(lengthPass)
       .groupBy(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .agg(count(lit(1)).as("k"),
         max(col("p.a.pos")).as("pa"), max(col("p.b.pos")).as("pb"),
-        first(col("p.a.sz")).as("sza"), first(col("p.b.sz")).as("szb"))
+        first(col("p.a.sz")).as("sza"), first(col("p.b.sz")).as("szb"),
+        max(when(ppjoinIndexHit(thresholdNum, thresholdDen), 1).otherwise(0))
+          .as("idxhit"))
+      .filter(col("idxhit") === 1)
       .filter((col("k") + least(col("sza").cast("long") - col("pa"),
           col("szb").cast("long") - col("pb"))) * (thresholdNum + thresholdDen) >=
         (col("sza").cast("long") + col("szb")) * thresholdNum)
       .select(col("id_a"), col("id_b"))
     PpjoinStages(gramSets, prefix, collisions, lengthPass, candidates)
+  }
+
+  /** Collision-level index-prefix test over a collision row `p` (see the
+   * prune-3 comment in [[ppjoinStages]]): whichever side is smaller must
+   * have its colliding gram at position <= |S| − ceil(2·num·|S|/(num+den))
+   * + 1. Long arithmetic throughout. */
+  private def ppjoinIndexHit(thresholdNum: Int, thresholdDen: Int): Column = {
+    val nd = thresholdNum + thresholdDen
+    // Li(sz) = sz − ceil(2·num·sz/(num+den)) + 1, all-integer via
+    // (2·num·sz + nd − 1) div nd; `div` keeps it in long arithmetic.
+    def li(sz: String): String =
+      s"(CAST($sz AS BIGINT) - " +
+        s"(CAST($sz AS BIGINT) * ${2L * thresholdNum} + ${nd - 1}) div $nd + 1)"
+    expr(s"(p.a.sz <= p.b.sz AND p.a.pos <= ${li("p.a.sz")}) OR " +
+      s"(p.b.sz <= p.a.sz AND p.b.pos <= ${li("p.b.sz")})")
   }
 
   /** Exact-verification tail of the PPJoin: re-gram only candidate docs

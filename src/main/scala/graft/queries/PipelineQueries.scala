@@ -1259,13 +1259,18 @@ object PipelineQueries {
          |),
          |cand AS (
          |  SELECT id_a, id_b, count(*) AS k, max(pa) AS pa, max(pb) AS pb,
-         |         max(sza) AS sza, max(szb) AS szb
+         |         max(sza) AS sza, max(szb) AS szb,
+         |         max(CASE WHEN
+         |               (sza <= szb AND pa <= sza - (2 * sza + 2) // 3 + 1)
+         |            OR (szb <= sza AND pb <= szb - (2 * szb + 2) // 3 + 1)
+         |             THEN 1 ELSE 0 END) AS idxhit
          |  FROM coll
          |  WHERE greatest(sza, szb) * 1 <= least(sza, szb) * 2
          |  GROUP BY 1, 2
          |),
          |candf AS (SELECT * FROM cand
-         |          WHERE (k + least(sza - pa, szb - pb)) * 3 >= (sza + szb) * 1),
+         |          WHERE idxhit = 1
+         |            AND (k + least(sza - pa, szb - pb)) * 3 >= (sza + szb) * 1),
          |pair_inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          |  FROM gs a JOIN gs b ON a.gsig = b.gsig AND a.doc_id < b.doc_id
