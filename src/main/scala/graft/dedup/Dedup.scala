@@ -729,13 +729,16 @@ object Dedup {
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") > 1)
       .select("gh")
-    // Keeper = first occurrence in (id, start) order per hash; everyone
-    // else contributes a removal interval [start, start + w - 1].
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy("gh").orderBy(col("id"), col("start"))
-    val removals = spans.join(repeated, "gh")
-      .withColumn("rn", row_number().over(byHash))
-      .filter(col("rn") > 1)
+    // Keeper = the minimum (id, start) struct per hash — a partially
+    // aggregating min (map-side combine, no sort), where a row_number
+    // window would shuffle AND sort the whole span stream just to pick
+    // one row per hash. Everyone else contributes a removal interval
+    // [start, start + w - 1].
+    val keepers = spans.join(repeated, "gh")
+      .groupBy("gh")
+      .agg(min(struct(col("id"), col("start"))).as("keep"))
+    val removals = spans.join(keepers, "gh")
+      .filter(struct(col("id"), col("start")) =!= col("keep"))
       .groupBy("id")
       .agg(collect_list(col("start")).as("rs"))
     base.join(removals, Seq("id"), "left")
