@@ -234,6 +234,22 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("span scrub applies removals map-side: no token array rides an exchange") {
+    val p = plan(graft.dedup.Dedup.spanDedupScrub(
+      graft.sources.Tables.documents(spark, sf), w = 16))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // Span coordinates (gh, id, start) and per-doc removal arrays shuffle;
+    // the token arrays and raw text stay in their scan — the removal-apply
+    // join must reach the docs side as a broadcast of the removal slivers,
+    // never by hashing the corpus's ts/text columns across the cluster.
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("ts#") || l.contains("text")),
+      s"token arrays ride a shuffle:\n${exchanges.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "removal apply join is not broadcast")
+  }
+
   test("tfidf terms: corpus scanned once per aggregation, text never shuffled") {
     val p = plan(PipelineQueries.queries("q60_tfidf_terms")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q60 plans a cartesian corpus join")
