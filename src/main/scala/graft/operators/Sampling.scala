@@ -126,6 +126,37 @@ object Sampling {
   }
 
   /**
+   * Deterministic epoch shuffle for training-data serving: every row gets
+   * a shard and a reproducible position within it, so a 100 TB corpus
+   * streams in a pseudo-random order that is byte-identical on every
+   * rerun, resumable mid-epoch, and re-derivable by any engine (the
+   * permutation key is the auditable md5-64 of `seed:id`). A new `seed`
+   * is a fresh permutation — one integer bump per epoch, no data rewrite.
+   *
+   * Scale contract: NO global sort. Shard assignment is a map-side
+   * projection; the within-shard position is a window over the shard
+   * partition — each shard sorts independently (the same per-shard sort a
+   * sorted-shard-file write pays anyway), so the plan is one exchange by
+   * shard and parallel local sorts, never a single rangepartitioned
+   * total order.
+   *
+   * @param nShards shard count. Power-of-two counts make the assignment
+   *   portable to unsigned engines as-is (two's-complement low bits agree
+   *   with `pmod` there); any positive count is valid within Spark.
+   */
+  def epochShards(df: DataFrame, idCol: Column, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
+    df.withColumn("__shuffle_h", h)
+      .withColumn("shard", pmod(col("__shuffle_h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__shuffle_h"), idCol)))
+      .drop("__shuffle_h")
+  }
+
+  /**
    * Deterministic train/validation/test split column. `fractions` are
    * (label, numerator) pairs over a common `den`; they must sum to `den`
    * so every row gets exactly one label. Rows label by which cumulative

@@ -191,6 +191,19 @@ object PipelineQueries {
         .orderBy("key")
     }),
 
+    // Deterministic epoch shuffle for training-data serving: shard + a
+    // reproducible within-shard position per doc (seed 7, 8 shards), no
+    // global sort — one exchange by shard, parallel local sorts. The
+    // permutation key is the auditable md5-64 of "seed:id", so DuckDB
+    // re-derives the exact same order (signed-order re-bias as in q75;
+    // power-of-two shard count makes unsigned mod equal Spark's pmod).
+    "q79_epoch_shuffle" -> ((s, dir) => {
+      graft.operators.Sampling.epochShards(
+        Tables.documents(s, dir).select(col("doc_id")),
+        idCol = col("doc_id"), seed = 7L, nShards = 8)
+        .orderBy("shard", "pos")
+    }),
+
     // Cross-document repeated spans: every 16-token window (stride 1,
     // rolling over the whole corpus as md5-64 window hashes) that appears
     // in MORE THAN ONE document, reported per doc as (count, first
@@ -1086,6 +1099,26 @@ object PipelineQueries {
         |         < 6917529027641081856)
         |ORDER BY doc_id""".stripMargin,
 
+    // Same "seed:id" md5-64 permutation key; hu % 8 equals Spark's
+    // pmod(h, 8) because the shard count is a power of two (low bits of
+    // the shared bit pattern), and the within-shard order re-biases the
+    // UBIGINT into two's-complement order to match Spark's signed sort.
+    "q79_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 16))::UBIGINT AS hu
+        |  FROM documents
+        |),
+        |hs AS (
+        |  SELECT doc_id, (hu % 8)::INT AS shard,
+        |    CASE WHEN hu >= 9223372036854775808::UBIGINT
+        |         THEN hu::HUGEINT - 18446744073709551616::HUGEINT
+        |         ELSE hu::HUGEINT END AS hsig
+        |  FROM h
+        |)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hsig, doc_id)::INT AS pos
+        |FROM hs ORDER BY shard, pos""".stripMargin,
     // Kept counts re-derived from the same md5-threshold rule; the spec
     // VALUES and thresholds are GENERATED from the q41/q77 weights list.
     "q77_mix_audit" ->

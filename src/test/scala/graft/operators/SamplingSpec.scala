@@ -104,6 +104,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(at1.size < at3.size)
   }
 
+  test("epochShards: deterministic, seed-sensitive, positions contiguous per shard") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val a = Sampling.epochShards(df, col("id"), seed = 7L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val b = Sampling.epochShards(df, col("id"), seed = 7L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "same seed must reproduce the identical permutation")
+    val c = Sampling.epochShards(df, col("id"), seed = 8L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq !== c.toSeq, "a new seed must be a fresh permutation")
+    // Every row lands in exactly one shard; positions are 1..n per shard
+    // with no gaps; shards are roughly balanced (hash assignment).
+    assert(a.length === 1000)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    assert(byShard.values.map(_.length).min > 60, s"shard sizes ${byShard.values.map(_.length)}")
+    // Within a shard, position order follows the hash order — not id
+    // order (it IS a shuffle).
+    val shard0 = a.filter(_._2 === byShard.keys.head).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq !== shard0.sorted.toSeq, "shuffle order degenerated to id order")
+  }
+
   test("mixAudit reconciles kept counts with the mix, including dropped keys") {
     import spark.implicits._
     val df = (1 to 3000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
