@@ -335,6 +335,30 @@ object CoreQueries {
       s.table("q73_mem").orderBy("day", "event_type")
     }),
 
+    // APPEND MODE + SKETCH STATE together: the heavy-hitter sketch
+    // aggregation buffer must round-trip the state store across
+    // micro-batches AND survive append-mode window eviction — q68 proves
+    // sketch state in complete mode, q73 proves append/watermark with a
+    // plain count; this proves the combination. maxMapSize 64 >> the
+    // 5-type universe, so the sketch is EXACT and the oracle is the same
+    // closed-window counts q73 re-derives.
+    "q80_streaming_heavyhitter_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.freq.functions._
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(freq_init_agg(col("event_type"), 64).as("f"))
+        .select(col("w.start").cast("date").as("day"), col("f"))
+      val q = agg.writeStream.format("memory").queryName("q80_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q80_mem")
+        .select(col("day"), explode(freq_items(col("f"), 1L)).as("hh"))
+        .select(col("day"), col("hh.item").as("event_type"), col("hh.cnt").as("n"))
+        .orderBy("day", "event_type")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -602,6 +626,23 @@ object CoreQueries {
     })
   )
 
+  /** Batch re-derivation of which day windows a 36h watermark had closed
+   * when the stream drained — shared by q73 (count path) and q80 (freq
+   * sketch path): both engine paths must emit exactly this table. */
+  private val streamingAppendOracleSql: String =
+    """WITH wm AS (
+      |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
+      |),
+      |agg AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, n
+      |FROM agg, wm
+      |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
+      |ORDER BY day, event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "hll_init_scalar" ->
       """SELECT doc_id, CASE WHEN lang IS NULL THEN NULL ELSE 1 END::BIGINT AS card
@@ -728,19 +769,10 @@ object CoreQueries {
     // final watermark (max event time − 36h, millisecond precision — the
     // engine tracks event-time stats in ms) had closed when the stream
     // drained; trailing windows past it stay withheld on both sides.
-    "q73_streaming_append_windows" ->
-      """WITH wm AS (
-        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
-        |),
-        |agg AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-        |    count(*)::BIGINT AS n
-        |  FROM events GROUP BY 1, 2
-        |)
-        |SELECT day, event_type, n
-        |FROM agg, wm
-        |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
-        |ORDER BY day, event_type""".stripMargin,
+    // q80 emits the same closed-window truth through sketch state — one
+    // oracle template, two engine paths.
+    "q80_streaming_heavyhitter_state" -> streamingAppendOracleSql,
+    "q73_streaming_append_windows" -> streamingAppendOracleSql,
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.
     "q62_window_sketch" ->
