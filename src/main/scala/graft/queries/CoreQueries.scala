@@ -359,6 +359,29 @@ object CoreQueries {
         .orderBy("day", "event_type")
     }),
 
+    // The KLL family through the same append-mode state path: per closed
+    // window, the sketch's n and its 0.0/1.0 quantiles — which KLL tracks
+    // EXACTLY (DataSketches keeps min/max items outside the compactors),
+    // so the oracle is plain per-day count/min/max. Order statistics do
+    // no arithmetic, so the doubles compare bit-for-bit across engines.
+    "q81_streaming_quantile_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.kll.functions._
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(kll_init_agg(col("value")).as("sk"))
+        .select(col("w.start").cast("date").as("day"), col("sk"))
+      val q = agg.writeStream.format("memory").queryName("q81_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q81_mem").select(col("day"),
+          kll_n(col("sk")).as("n_values"),
+          kll_quantile(col("sk"), 0.0).as("min_value"),
+          kll_quantile(col("sk"), 1.0).as("max_value"))
+        .orderBy("day")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -773,6 +796,22 @@ object CoreQueries {
     // oracle template, two engine paths.
     "q80_streaming_heavyhitter_state" -> streamingAppendOracleSql,
     "q73_streaming_append_windows" -> streamingAppendOracleSql,
+    // Same closed-window scope; KLL's exact n/min/max against plain
+    // aggregates (order statistics — no float arithmetic either side).
+    "q81_streaming_quantile_state" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(value)::BIGINT AS n_values,
+        |    min(value) AS min_value, max(value) AS max_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_values, min_value, max_value
+        |FROM agg, wm
+        |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
+        |ORDER BY day""".stripMargin,
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.
     "q62_window_sketch" ->
