@@ -382,6 +382,26 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // HLL completes the append-mode sketch matrix (freq = q80, KLL = q81):
+    // the same distinct-type estimate q68 proves in complete mode, now
+    // with watermark-driven state EVICTION — only closed windows emit,
+    // and each emitted sketch buffer must have round-tripped the state
+    // store. p=8 is exact for the 5-type universe (see q62).
+    "q82_streaming_hll_append" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_init_agg(col("event_type"), 0.069).as("h"))
+        .select(col("w.start").cast("date").as("day"), col("h"))
+      val q = agg.writeStream.format("memory").queryName("q82_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q82_mem")
+        .select(col("day"), hll_cardinality(col("h")).as("n_types"))
+        .orderBy("day")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -796,6 +816,20 @@ object CoreQueries {
     // oracle template, two engine paths.
     "q80_streaming_heavyhitter_state" -> streamingAppendOracleSql,
     "q73_streaming_append_windows" -> streamingAppendOracleSql,
+    // Closed-window distinct types — q68's oracle restricted to the
+    // windows the 36h watermark had closed.
+    "q82_streaming_hll_append" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(DISTINCT event_type)::BIGINT AS n_types
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_types FROM agg, wm
+        |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
+        |ORDER BY day""".stripMargin,
     // Same closed-window scope; KLL's exact n/min/max against plain
     // aggregates (order statistics — no float arithmetic either side).
     "q81_streaming_quantile_state" ->
