@@ -529,6 +529,50 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0L)))
   }
 
+  test("spanDedupScrub equals brute force on generated template-heavy corpora") {
+    // Small vocab + short window width force heavy span sharing — every
+    // keeper/coverage edge (overlaps, ties broken by (id, start), docs
+    // below the width, within-doc repeats) occurs naturally.
+    import org.scalacheck.Gen
+    val w = 4
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(11L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(30)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def brute(rows: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val spans = for {
+        (id, t) <- rows; ts = toks(t)
+        s <- 1 to math.max(ts.length - w + 1, 0)
+      } yield (id, s, ts.slice(s - 1, s - 1 + w).mkString(" "))
+      val repeated = spans.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size > 1).keySet
+      val removals = spans.filter(p => repeated(p._3))
+        .groupBy(_._3).values.flatMap { occ =>
+          val keep = occ.minBy(p => (p._1, p._2))
+          occ.filterNot(_ == keep)
+        }.toSeq.groupBy(_._1)
+      rows.map { case (id, t) =>
+        val ts = toks(t)
+        val rs = removals.getOrElse(id, Seq.empty).map(_._2)
+        val kept = ts.zipWithIndex.collect {
+          case (tok, i0) if !rs.exists(s => s <= i0 + 1 && i0 + 1 <= s + w - 1) => tok
+        }
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" ")))
+      }.toMap
+    }
+
+    val out = spanDedupScrub(docs(rows: _*), w = w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === brute(rows))
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {
