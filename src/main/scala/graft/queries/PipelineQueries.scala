@@ -191,6 +191,30 @@ object PipelineQueries {
         .orderBy("key")
     }),
 
+    // The per-source corpus report card: the one dashboard row an operator
+    // reads before deciding what a source needs (dedup? filtering? a
+    // langid pass?). Composes the text kernels into counts only — doc
+    // volume, token volume, distinct-fingerprint count (exact-dup signal),
+    // sub-10-token doc count, and the majority language guess (mode with
+    // a deterministic (count, lang)-max tie-break). Two vocab-bounded
+    // aggregations; text never shuffles.
+    "q83_corpus_report" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.languageGuess(col("text")).as("g"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        coalesce(sum(when(col("ntok") < 10, 1L).otherwise(0L)), lit(0L))
+          .as("n_short_docs"))
+      val lang = base.groupBy("source", "g").agg(count(lit(1)).as("n"))
+        .groupBy("source").agg(max(struct(col("n"), col("g"))).as("m"))
+        .select(col("source"), col("m.g").as("majority_lang"))
+      agg.join(lang, "source").orderBy("source")
+    }),
+
     // Deterministic epoch shuffle for training-data serving: shard + a
     // reproducible within-shard position per doc (seed 7, 8 shards), no
     // global sort — one exchange by shard, parallel local sorts. The
@@ -1099,6 +1123,38 @@ object PipelineQueries {
         |         < 6917529027641081856)
         |ORDER BY doc_id""".stripMargin,
 
+    // Same token/fingerprint/langid derivations as q10/q12/q11, rolled up
+    // per source; majority tie-break = (count desc, lang desc), the same
+    // order max-of-struct imposes.
+    "q83_corpus_report" ->
+      s"""WITH base AS (
+         |  SELECT source, len($tokensSql)::INT AS ntok, md5($normSql) AS fp,
+         |    CASE
+         |      WHEN $enHits >= $deHits AND $enHits >= $esHits AND $enHits >= $frHits THEN 'en'
+         |      WHEN $deHits >= $esHits AND $deHits >= $frHits THEN 'de'
+         |      WHEN $esHits >= $frHits THEN 'es'
+         |      ELSE 'fr'
+         |    END AS g
+         |  FROM documents
+         |),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(ntok)::BIGINT AS n_tokens,
+         |    count(DISTINCT fp)::BIGINT AS n_distinct_fp,
+         |    sum(CASE WHEN ntok < 10 THEN 1 ELSE 0 END)::BIGINT AS n_short_docs
+         |  FROM base GROUP BY 1
+         |),
+         |lc AS (SELECT source, g, count(*) AS n FROM base GROUP BY 1, 2),
+         |lm AS (
+         |  SELECT source, g AS majority_lang FROM (
+         |    SELECT source, g,
+         |      row_number() OVER (PARTITION BY source ORDER BY n DESC, g DESC) AS rn
+         |    FROM lc) WHERE rn = 1
+         |)
+         |SELECT a.source, a.n_docs, a.n_tokens, a.n_distinct_fp,
+         |  a.n_short_docs, lm.majority_lang
+         |FROM agg a JOIN lm USING (source)
+         |ORDER BY a.source""".stripMargin,
     // Same "seed:id" md5-64 permutation key; hu % 8 equals Spark's
     // pmod(h, 8) because the shard count is a power of two (low bits of
     // the shared bit pattern), and the within-shard order re-biases the
