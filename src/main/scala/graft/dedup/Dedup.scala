@@ -147,12 +147,14 @@ object Dedup {
     // The candidate table feeds three consumers (the pair join and both
     // sides of the verification semi-join). Catalyst's ReuseExchange
     // already runs the pipeline once and shares the shuffled result, so
-    // the default stays lazy (measured: localCheckpoint is pure overhead
-    // here). The materialization knob remains for plans where exchange
-    // reuse cannot apply — e.g. the pair list feeding several SEPARATE
-    // downstream jobs, where a production pipeline would persist it.
+    // the default stays lazy (measured: materialization is pure overhead
+    // here). The knob remains for plans where exchange reuse cannot
+    // apply — e.g. the pair list feeding several SEPARATE downstream
+    // jobs — and uses persist (lazy, lineage-preserving) so an executor
+    // loss recomputes lost blocks instead of failing the job.
     val candidates =
-      if (materializeCandidates) candidatePairs.localCheckpoint()
+      if (materializeCandidates)
+        candidatePairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else candidatePairs
 
     // Verification: re-shingle ONLY docs that appear in some candidate pair
@@ -301,13 +303,24 @@ object Dedup {
       collapseIdentical: Boolean = true): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
-    if (!collapseIdentical) {
-      val st = ppjoinStages(docs, thresholdNum, thresholdDen, n, idCol, textCol)
+    // Both paths share one candidate-materialization policy: persist is
+    // lazy (no job at construction) and lineage-preserving (executor loss
+    // recomputes, never fails the job). Dedup across the verify join's
+    // concurrently-submitted map stages is best-effort — same caveat as
+    // Similarity.cosineNearDupPairs; materialize with an action first for
+    // a hard once-guarantee.
+    // Returns (gramSets, verified pairs) — the collapsed path also needs
+    // the gram sets for its within-class expansion.
+    def ppjoin(d: DataFrame): (DataFrame, DataFrame) = {
+      val st = ppjoinStages(d, thresholdNum, thresholdDen, n, idCol, textCol)
       val candidates =
-        if (materializeCandidates) st.candidates.localCheckpoint(eager = false)
+        if (materializeCandidates)
+          st.candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else st.candidates
-      ppjoinVerify(st.gramSets, candidates, thresholdNum, thresholdDen)
-        .orderBy("id_a", "id_b")
+      (st.gramSets, ppjoinVerify(st.gramSets, candidates, thresholdNum, thresholdDen))
+    }
+    if (!collapseIdentical) {
+      ppjoin(docs)._2.orderBy("id_a", "id_b")
     } else {
       // Identity-class pre-collapse: one PPJoin over canonical docs, then
       // an exact expansion back to member ids (see the scaladoc above for
@@ -324,11 +337,8 @@ object Dedup {
         memberMap.filter(col("id") === col("cid")).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
 
-      val st = ppjoinStages(canonDocs, thresholdNum, thresholdDen, n, idCol, textCol)
-      val candidates =
-        if (materializeCandidates) st.candidates.localCheckpoint(eager = false)
-        else st.candidates
-      val canonPairs = ppjoinVerify(st.gramSets, candidates, thresholdNum, thresholdDen)
+      val (canonGramSets, canonVerified) = ppjoin(canonDocs)
+      val canonPairs = canonVerified
         .select(col("id_a").as("cid_a"), col("id_b").as("cid_b"),
           col("inter"), col("uni"))
 
@@ -346,7 +356,7 @@ object Dedup {
       // Classes whose docs produce NO grams (empty/short/null text) emit
       // nothing — the uncollapsed join can never surface such docs either
       // (no gram rows, no candidates), so the expansion must not.
-      val gsz = st.gramSets.select(col("id").as("cid"), size(col("gs")).as("gsz"))
+      val gsz = canonGramSets.select(col("id").as("cid"), size(col("gs")).as("gsz"))
       val multis = memberMap.filter(col("nc") > 1)
         .select(col("fp"), col("cid"), col("id"))
       val within = multis.select(col("fp"), col("cid"), col("id").as("ia"))

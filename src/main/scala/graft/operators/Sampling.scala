@@ -147,6 +147,11 @@ object Sampling {
   def epochShards(df: DataFrame, idCol: Column, seed: Long,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    val clash = df.columns.toSet.intersect(Set("shard", "pos", "__shuffle_h"))
+    require(clash.isEmpty,
+      s"epochShards writes columns ${clash.mkString(", ")} that already " +
+        "exist on the input — rename them first (silent overwrite would " +
+        "corrupt the caller's data)")
     val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
     df.withColumn("__shuffle_h", h)
       .withColumn("shard", pmod(col("__shuffle_h"), lit(nShards)).cast("int"))

@@ -475,7 +475,7 @@ object PipelineQueries {
 
     // The identity-collapse mode of q59's operator: fingerprint-collapse
     // classes first, PPJoin one canonical per class, expand pairs back.
-    // Runs on the six sources that actually contain cross-source exact
+    // Runs on the eight sources that actually contain cross-source exact
     // duplicates (four identity pairs at sf0.1), so the collapse + exact
     // expansion do real work instead of idling on a unique corpus; the
     // oracle is the SAME definitional all-pairs SQL restricted to the

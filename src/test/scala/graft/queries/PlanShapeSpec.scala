@@ -218,21 +218,27 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"embedding vector rides the band shuffle:\n${bandExchanges.mkString("\n")}")
   }
 
-  test("exact ngram-jaccard join: no cartesian, no document text on any exchange") {
-    // Un-materialized so the prefix-filter pipeline is in one plan.
-    val p = plan(graft.dedup.Dedup.ngramJaccardPairs(
-      graft.sources.Tables.documents(spark, sf),
-      thresholdNum = 1, thresholdDen = 2, n = 3, materializeCandidates = false))
-    assert(!p.contains("CartesianProduct"), "q59 plans a cartesian join")
-    assert(!p.contains("BroadcastNestedLoopJoin"), "q59 plans a nested-loop join")
-    // The prefix-filter pipeline shuffles (gram, id) and per-doc gram sets
-    // only — raw document text must never ride an exchange.
-    val exchanges = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(l => l.contains("text") || l.contains("txt")),
-      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
-  }
+  // Both production paths of the operator are pinned: q59 runs the
+  // direct path (collapseIdentical = false), q76 the identity-collapsed
+  // one — a regression in either branch's wiring must fail here.
+  for (collapse <- Seq(false, true))
+    test(s"exact ngram-jaccard join (collapseIdentical=$collapse): " +
+        "no cartesian, no document text on any exchange") {
+      // Un-materialized so the prefix-filter pipeline is in one plan.
+      val p = plan(graft.dedup.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(spark, sf),
+        thresholdNum = 1, thresholdDen = 2, n = 3,
+        materializeCandidates = false, collapseIdentical = collapse))
+      assert(!p.contains("CartesianProduct"), "q59/q76 plans a cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "q59/q76 plans a nested-loop join")
+      // The prefix-filter pipeline shuffles (gram, id) and per-doc gram sets
+      // only — raw document text must never ride an exchange.
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(l => l.contains("text") || l.contains("txt")),
+        s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+    }
 
   test("span scrub applies removals map-side: no token array rides an exchange") {
     val p = plan(graft.dedup.Dedup.spanDedupScrub(
