@@ -728,6 +728,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: the q55 k-means cells (re-derived
+    // bit-for-bit by the oracle), then a within-cell min-id dominance
+    // prune — drop a vector iff a smaller id in its cell scores cosine
+    // >= threshold against it. One row per vector (id, cid, keep): the
+    // keep-list a training pipeline semi-joins against before tokenizing.
+    "q84_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+        threshold = 0.45, k = 8, iters = 2)
+        .orderBy("id")
+    }),
+
     // Canonical assignment: collapse the q14 near-dup pairs — every doc that
     // is the greater member of a pair maps to the smallest doc it pairs with.
     "q20_dedup_canonical" -> ((s, dir) => {
@@ -1756,6 +1767,8 @@ object PipelineQueries {
 
     "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
 
+    "q84_semantic_dedup" -> semanticDedupOracleSql,
+
     "q56_rolling_fingerprint" -> rollingFingerprintOracleSql,
 
     // Same pretokenizer pattern, same 2-char windows, same total order.
@@ -1888,6 +1901,42 @@ object PipelineQueries {
        |  FROM probes p JOIN assign a USING (cid)
        |  WHERE a.id <> p.query_id)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /**
+   * Exact oracle for q84: the q55 clustering verbatim (same seed CTE, same
+   * two Lloyd iterations, same assignment tie-break), then the operator's
+   * one-pass min-id dominance rule stated definitionally as NOT EXISTS
+   * (null-safe, unlike NOT IN — the q61 lesson). Cosine boundaries are
+   * engine-exact for the same reason q16/q54 are: both engines widen the
+   * float components to double and fold left-to-right.
+   */
+  private def semanticDedupOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT vec_id, embedding,
+       |    xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+       |        9223372036854775808::UBIGINT) AS hkey
+       |  FROM embeddings
+       |),
+       |c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY hkey, vec_id) - 1)::INT AS cid,
+       |         embedding AS cvec
+       |  FROM h ORDER BY hkey, vec_id LIMIT 8
+       |),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |assign AS (
+       |  SELECT id, vec, cid FROM (
+       |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+       |    FROM embeddings e, c2 c)
+       |  WHERE rn = 1
+       |)
+       |SELECT a.id, a.cid, NOT EXISTS (
+       |    SELECT 1 FROM assign b
+       |    WHERE b.cid = a.cid AND b.id < a.id
+       |      AND list_cosine_similarity(a.vec, b.vec) >= 0.45) AS keep
+       |FROM assign a ORDER BY a.id""".stripMargin
 
   /**
    * Exact oracle for the banded random-hyperplane LSH path. The hyperplane

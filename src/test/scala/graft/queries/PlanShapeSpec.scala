@@ -240,6 +240,38 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
         s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
     }
 
+  test("semantic dedup: embedding vectors never ride the cluster exchange") {
+    // Fixed centroids through the plug-in seam: plan construction must not
+    // run Lloyd's loop (kmeansCentroids collects between iterations).
+    import spark.implicits._
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cvec")
+      .select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("cvec").cast("array<float>").as("cvec"))
+    // At toy SF the slim (cid, id) side broadcasts and no cid exchange
+    // exists; disabling auto-broadcast surfaces the at-scale shuffle plan
+    // this test exists to pin.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val p =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan(graft.similarity.Similarity.semanticDedup(
+          graft.sources.Tables.embeddings(spark, sf), threshold = 0.45,
+          centroids = cents))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // The only nested-loop join allowed is the broadcast of the tiny
+    // centroid table; the within-cluster pair join shuffles slim (cid, id)
+    // rows only. Embedding arrays legitimately cross the id-keyed
+    // join-back exchanges — once per vector, never fanned out per pair.
+    assert(!p.contains("CartesianProduct"), "semanticDedup plans a cartesian")
+    val cidExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("cid"))
+      .toSeq
+    assert(cidExchanges.nonEmpty, "no cid-keyed exchange found")
+    assert(!cidExchanges.exists(l => l.contains("vec") || l.contains("embedding")),
+      s"embedding vector rides the cluster shuffle:\n${cidExchanges.mkString("\n")}")
+  }
+
   test("span scrub applies removals map-side: no token array rides an exchange") {
     val p = plan(graft.dedup.Dedup.spanDedupScrub(
       graft.sources.Tables.documents(spark, sf), w = 16))

@@ -238,6 +238,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: assignment and min-id keeper rule match a brute force") {
+    // Fixed centroids through the plug-in seam pin assignment and the
+    // keeper rule independently of Lloyd's loop (which kmeans tests own).
+    import spark.implicits._
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val df = vecs(
+      1L -> Seq(1f, 0f),      // cell 0 keeper
+      2L -> Seq(0.99f, 0.1f), // cell 0, ~id 1 -> dropped
+      3L -> Seq(0.9f, 0.2f),  // cell 0, ~ids 1,2 -> dropped (chain: both go)
+      4L -> Seq(0f, 1f),      // cell 1 keeper
+      5L -> Seq(0.1f, 0.99f), // cell 1, ~id 4 -> dropped
+      6L -> Seq(-1f, 0.1f),   // cell 1 (cosine ties broken to lower cid? no:
+                              //  -1 vs c0 = -0.995, vs c1 = 0.0995 -> cell 1),
+                              //  dissimilar to 4,5 -> kept
+      7L -> Seq(1f, 0f))      // cell 0, identical to 1 -> dropped
+    val t = 0.95
+    val out = semanticDedup(df, threshold = t, centroids = cents)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+
+    // Brute force: same assignment + rule in plain Scala.
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val rows = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0.99f, 0.1f), 3L -> Seq(0.9f, 0.2f),
+      4L -> Seq(0f, 1f), 5L -> Seq(0.1f, 0.99f), 6L -> Seq(-1f, 0.1f), 7L -> Seq(1f, 0f))
+    val cs = Seq(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    val cell = rows.map { case (id, v) =>
+      id -> cs.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    }.toMap
+    val expect = rows.map { case (id, v) =>
+      val dropped = rows.exists { case (oid, ov) =>
+        oid < id && cell(oid) == cell(id) && cos(ov, v) >= t }
+      id -> ((cell(id), !dropped))
+    }.toMap
+    assert(out === expect)
+    assert(expect.count(!_._2._2) == 4, "toy corpus should drop ids 2,3,5,7")
+  }
+
   test("LSH signature rejects vectors of the wrong dimensionality loudly") {
     val df = vecs(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f))
     val e = intercept[Exception] {
