@@ -739,6 +739,20 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Model-based quality filtering (the stage a fastText classifier fills
+    // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
+    // with deterministic stand-in weights — one codegen'd map pass,
+    // nothing shuffles, and exact integer accumulation, so even the
+    // "model score" oracles value-for-value. keep = score >= 0.
+    "q85_quality_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.linearQualityScore(col("text")).as("score_num"))
+        .withColumn("keep", col("score_num") >= 0)
+        .orderBy("doc_id")
+    }),
+
     // Canonical assignment: collapse the q14 near-dup pairs — every doc that
     // is the greater member of a pair maps to the smallest doc it pairs with.
     "q20_dedup_canonical" -> ((s, dir) => {
@@ -1768,6 +1782,20 @@ object PipelineQueries {
     "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
 
     "q84_semantic_dedup" -> semanticDedupOracleSql,
+
+    // Same tokens, same md5-64 low-bit bucket (2048 is a power of two, so
+    // signed Spark longs and DuckDB's UBIGINT agree on the mask), exact
+    // integer sums — the classifier score matches bit-for-bit.
+    "q85_quality_filter" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |scored AS (
+         |  SELECT doc_id, len(ts)::INT AS n_tokens,
+         |    coalesce(list_sum(list_transform(ts,
+         |      t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |             & 2047::UBIGINT)::BIGINT - 1024))), 0)::BIGINT AS score_num
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, score_num, score_num >= 0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q56_rolling_fingerprint" -> rollingFingerprintOracleSql,
 

@@ -120,6 +120,35 @@ object TextAnalysis {
     }
     array_max(array(withPref: _*)).getField("lang")
   }
+
+  /** Bucket count for [[linearQualityScore]] — a power of two, so the
+   * signed Spark md5-64 and an unsigned engine's UBIGINT hash agree on
+   * the masked low bits (the q79/q15 portability rule). */
+  val QualityBuckets = 2048
+
+  /** Hash-bucketed token weight for the linear scorer: an integer in
+   * [-1024, 1024) derived from the token's md5-64 low bits. */
+  def tokenQualityWeight(t: Column): Column =
+    graft.operators.Sampling.md5Hash64(t)
+      .bitwiseAND(lit(QualityBuckets - 1L)) - lit(QualityBuckets / 2L)
+
+  /** Hashed bag-of-words linear score — the model-based quality-filter
+   * stage of a training-data pipeline (the role a fastText classifier
+   * plays in CCNet/RefinedWeb-style curation), with the trained weight
+   * table replaced by a deterministic stand-in: each token scores
+   * [[tokenQualityWeight]], a hash-bucketed integer weight. The plumbing
+   * is the production shape and is what this operator pins down: ONE
+   * codegen'd map pass over the corpus (tokenize → weight → accumulate,
+   * no explode, no join, nothing shuffles), and exact 64-bit integer
+   * accumulation, so the score is order-independent and engine-exact —
+   * no float summation ever crosses an engine boundary. Swapping in real
+   * trained weights is one expression change: `element_at` on a
+   * [[QualityBuckets]]-sized literal int array (plan-embedded ≈
+   * broadcast) over the same masked bucket id. Empty/token-free text
+   * scores 0.
+   */
+  def linearQualityScore(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + tokenQualityWeight(t))
 }
 
 object Stopwords {

@@ -176,4 +176,29 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
       assert(a === b)
     }
   }
+
+  test("linear quality score equals a plain-Scala MD5 brute force; empty text scores 0") {
+    // Same weight rule re-derived with java.security MessageDigest: the
+    // token's md5 first-8-bytes big-endian long, masked to the low 11
+    // bits, shifted to [-1024, 1024).
+    def weight(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+      (h & (QualityBuckets - 1L)) - QualityBuckets / 2L
+    }
+    def brute(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(weight).sum
+    val docs = Seq(
+      "The quick brown Fox", "the the the", "", "   \t\n  ",
+      "unicode tökens äre fine", "x")
+    import spark.implicits._
+    val got = docs.toDF("text")
+      .select(linearQualityScore(col("text")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === docs.map(brute))
+    assert(brute("") == 0L && brute("   \t\n  ") == 0L)
+    // The rule is non-constant on this corpus — the filter actually filters.
+    assert(got.distinct.size > 1)
+  }
 }
