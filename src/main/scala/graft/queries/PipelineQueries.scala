@@ -739,6 +739,15 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // q84's pre-flight diagnostic (the q74/q75 pattern for the semantic
+    // path): cell count, occupancy, and the exact within-cell cosine
+    // volume Σ|cell|·(|cell|−1)/2 a semantic-dedup run would pay — read
+    // BEFORE launching q84-shaped jobs to size k. Same clustering, so the
+    // oracle re-derives it from the same CTEs.
+    "q86_semantic_cell_stats" -> ((s, dir) => {
+      Similarity.semanticCellStats(Tables.embeddings(s, dir), k = 8, iters = 2)
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -1782,6 +1791,36 @@ object PipelineQueries {
     "q55_ann_ivf_kmeans" -> kmeansIvfOracleSql,
 
     "q84_semantic_dedup" -> semanticDedupOracleSql,
+
+    // Same clustering CTEs as q84, aggregated to the one-row cell audit.
+    "q86_semantic_cell_stats" ->
+      s"""WITH h AS (
+         |  SELECT vec_id, embedding,
+         |    xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+         |        9223372036854775808::UBIGINT) AS hkey
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY hkey, vec_id) - 1)::INT AS cid,
+         |         embedding AS cvec
+         |  FROM h ORDER BY hkey, vec_id LIMIT 8
+         |),
+         |${kmeansIterSql("c0", 1)},
+         |${kmeansIterSql("c1", 2)},
+         |assign AS (
+         |  SELECT id, cid FROM (
+         |    SELECT e.vec_id AS id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, c2 c)
+         |  WHERE rn = 1
+         |),
+         |cells AS (SELECT cid, count(*)::BIGINT AS n FROM assign GROUP BY cid)
+         |SELECT count(*)::BIGINT AS n_cells,
+         |  coalesce(sum(n), 0)::BIGINT AS n_vectors,
+         |  coalesce(max(n), 0)::BIGINT AS largest_cell,
+         |  coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS candidate_pairs
+         |FROM cells""".stripMargin,
 
     // Same tokens, same md5-64 low-bit bucket (2048 is a power of two, so
     // signed Spark longs and DuckDB's UBIGINT agree on the mask), exact

@@ -279,6 +279,19 @@ class SimilaritySpec extends AnyFunSuite {
     }.toMap
     assert(out === expect)
     assert(expect.count(!_._2._2) == 4, "toy corpus should drop ids 2,3,5,7")
+
+    // The cell audit over the same corpus/centroids: cells {0: ids 1,2,3,7}
+    // and {1: ids 4,5,6} → C(4,2) + C(3,2) = 9 candidate cosines.
+    val stats = semanticCellStats(df, centroids = cents)
+      .collect().head
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+      === ((2L, 7L, 4L, 9L)))
+
+    // Empty corpus summarizes as zeros, not nulls.
+    val empty = semanticCellStats(df.filter(col("vec_id") < 0), centroids = cents)
+      .collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2), empty.getLong(3))
+      === ((0L, 0L, 0L, 0L)))
   }
 
   test("LSH signature rejects vectors of the wrong dimensionality loudly") {
