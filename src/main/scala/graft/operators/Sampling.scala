@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.GraftSqlBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -159,6 +160,53 @@ object Sampling {
         org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
           .orderBy(col("__shuffle_h"), idCol)))
       .drop("__shuffle_h")
+  }
+
+  /**
+   * Deterministic token-budget corpus selection: admit rows in the
+   * pseudo-random order `md5_64(seed:id)` until the cumulative `weight`
+   * (token count, byte count, …) reaches `budget` — "give me a uniform
+   * ~B-token slice of this corpus" as one reproducible, engine-exact
+   * operator. A row is kept iff the cumulative weight BEFORE it is under
+   * the budget, so the slice always crosses the line by at most one row
+   * and is never empty while the budget is positive. A new seed draws a
+   * fresh slice; a larger budget EXTENDS the old slice (prefix property
+   * — the hash order does not change), which is what makes grown training
+   * mixes diff-able run over run.
+   *
+   * Scale contract: NO global sort and NO driver round-trip. The global
+   * prefix sum is two-phase: rows bucket by the hash's top 7 bits (128
+   * buckets, uniform for md5, and bucket order = signed hash order, so
+   * concatenated buckets ARE the global order); a per-bucket running sum
+   * is a window over each bucket partition, and the 128 bucket offsets
+   * come from one tiny single-partition window over the 128-row bucket
+   * totals, broadcast back. Everything that shuffles is (id, weight,
+   * hash) — text never moves. Logical bucketing (not
+   * spark_partition_id) keeps the result invariant to AQE coalescing and
+   * physical partitioning.
+   *
+   * @return (id, weight, cum_before) for admitted rows — semi-join the
+   *   corpus against `id` to materialize the slice.
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: Column, weightCol: Column,
+      budget: Long, seed: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
+    val slim = df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
+      h.as("h"))
+      .withColumn("b", (shiftright(col("h"), 57) + lit(64)).cast("int"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = slim.withColumn("cum_local", sum(col("weight")).over(inBucket))
+    val acrossBuckets = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slim.groupBy(col("b")).agg(sum(col("weight")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(acrossBuckets), lit(0L)))
+      .select(col("b"), col("off"))
+    local.join(broadcast(offsets), Seq("b"))
+      .withColumn("cum_before", col("off") + col("cum_local") - col("weight"))
+      .filter(col("cum_before") < budget)
+      .select(col("id"), col("weight"), col("cum_before"))
   }
 
   /**

@@ -748,6 +748,22 @@ object PipelineQueries {
       Similarity.semanticCellStats(Tables.embeddings(s, dir), k = 8, iters = 2)
     }),
 
+    // Token-budget corpus selection: admit docs in md5(seed:id) order
+    // until 16k cumulative tokens — a reproducible "uniform ~B-token
+    // slice" whose membership any engine re-derives (and which EXTENDS,
+    // never reshuffles, when the budget grows). The global prefix sum is
+    // the two-phase bucket scheme (no global sort, no driver round-trip);
+    // the oracle computes the same cumulative sum definitionally.
+    "q87_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
+      graft.operators.Sampling.tokenBudgetSample(docs, col("doc_id"), col("w"),
+        budget = 16000L, seed = 11L)
+        .select(col("id").as("doc_id"), col("weight").as("n_tokens"),
+          col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -1821,6 +1837,24 @@ object PipelineQueries {
          |  coalesce(max(n), 0)::BIGINT AS largest_cell,
          |  coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS candidate_pairs
          |FROM cells""".stripMargin,
+
+    // Same admission order (the UBIGINT hash xor 2^63 sorts like Spark's
+    // signed long — the q79 re-bias), same token weights, and the prefix
+    // sum stated definitionally as one cumulative window.
+    "q87_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens,
+         |    xor(('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 16))::UBIGINT,
+         |        9223372036854775808::UBIGINT) AS hkey
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum_before FROM o
+         |WHERE cum_before < 16000 ORDER BY doc_id""".stripMargin,
 
     // Same tokens, same md5-64 low-bit bucket (2048 is a power of two, so
     // signed Spark longs and DuckDB's UBIGINT agree on the mask), exact

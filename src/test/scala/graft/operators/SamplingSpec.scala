@@ -151,4 +151,42 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("k") === "k0").count()
     assert(kept0 === actual)
   }
+
+  test("tokenBudgetSample equals a plain-Scala prefix sum; budgets nest; zero budget is empty") {
+    import spark.implicits._
+    // Weights 1..40 so cumulative boundaries land mid-stream, not on edges.
+    val rows = (1L to 40L).map(id => (id, (id % 7) + 1))
+    val df = rows.toDF("doc_id", "w")
+
+    def md5Signed(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    def brute(budget: Long): Map[Long, (Long, Long)] = {
+      val ordered = rows.map { case (id, w) => (md5Signed(s"11:$id"), id, w) }
+        .sortBy(t => (t._1, t._2))
+      var cum = 0L
+      val out = scala.collection.mutable.Map[Long, (Long, Long)]()
+      for ((_, id, w) <- ordered) {
+        if (cum < budget) out(id) = (w, cum)
+        cum += w
+      }
+      out.toMap
+    }
+    def run(budget: Long): Map[Long, (Long, Long)] =
+      Sampling.tokenBudgetSample(df, col("doc_id"), col("w"), budget, seed = 11L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    for (budget <- Seq(0L, 1L, 37L, 80L, 10_000L)) {
+      assert(run(budget) === brute(budget), s"budget $budget")
+    }
+    assert(run(0L).isEmpty)
+    // Prefix property: a grown budget extends the slice, never reshuffles it.
+    val small = run(37L); val big = run(80L)
+    assert(small.keySet.subsetOf(big.keySet))
+    assert(small.forall { case (id, v) => big(id) == v })
+    // The full budget admits everything with exact global positions.
+    assert(run(10_000L).size == 40)
+  }
 }
