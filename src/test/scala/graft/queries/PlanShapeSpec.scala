@@ -272,6 +272,31 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"embedding vector rides the cluster shuffle:\n${cidExchanges.mkString("\n")}")
   }
 
+  test("token-budget selection: no global sort; only bucket totals hit one partition") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("w"))
+    val p = plan(graft.operators.Sampling.tokenBudgetSample(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("w"), 16000L, 11L))
+    // The corpus-bearing prefix sum must be the bucket-partitioned window,
+    // never a rangepartitioned total order.
+    assert(!p.contains("Exchange rangepartitioning"),
+      "token budget plans a global sort")
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(b#") && l.contains("h#")),
+      "no bucket-partitioned cumulative window found")
+    // Exactly one single-partition stage: the 128-row bucket-offsets
+    // window over aggregated (b, tot) — aggregation sits below it, so the
+    // corpus rows themselves never converge on one task.
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"expected exactly one SinglePartition exchange, got $singles")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("sum(weight")),
+      "bucket totals are not aggregated before the offsets window")
+  }
+
   test("span scrub applies removals map-side: no token array rides an exchange") {
     val p = plan(graft.dedup.Dedup.spanDedupScrub(
       graft.sources.Tables.documents(spark, sf), w = 16))
