@@ -1100,7 +1100,7 @@ object PipelineQueries {
          |  LEFT JOIN line_stats ls ON t.doc_id = ls.doc_id
          |  LEFT JOIN bg_stats bs ON t.doc_id = bs.doc_id
          |  WHERE t.doc_id IN (SELECT doc_id FROM canonical)
-         |    AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = t.doc_id)
          |)
          |SELECT doc_id,
          |  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
