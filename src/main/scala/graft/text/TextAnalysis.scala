@@ -129,8 +129,7 @@ object TextAnalysis {
   /** Hash-bucketed token weight for the linear scorer: an integer in
    * [-1024, 1024) derived from the token's md5-64 low bits. */
   def tokenQualityWeight(t: Column): Column =
-    graft.operators.Sampling.md5Hash64(t)
-      .bitwiseAND(lit(QualityBuckets - 1L)) - lit(QualityBuckets / 2L)
+    md5Hash64Bucket(t) - lit(QualityBuckets / 2L)
 
   /** Hashed bag-of-words linear score — the model-based quality-filter
    * stage of a training-data pipeline (the role a fastText classifier
@@ -149,6 +148,28 @@ object TextAnalysis {
    */
   def linearQualityScore(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc + tokenQualityWeight(t))
+
+  /** The trained-weights seam of [[linearQualityScore]] made literal: the
+   * same tokenize → bucket → accumulate pass, with the weight looked up
+   * from a caller-supplied [[QualityBuckets]]-entry table embedded in the
+   * plan as a literal array (broadcast-equivalent: k integers ship once
+   * with the plan, never shuffle). `linearQualityScore(text)` is exactly
+   * this overload applied to the identity table `bucket - 1024` — the
+   * equivalence is property-tested, so a swapped-in real model changes
+   * only the numbers, not the plumbing. */
+  def linearQualityScore(text: Column, weights: Seq[Long]): Column = {
+    require(weights.size == QualityBuckets,
+      s"weight table must have $QualityBuckets entries, got ${weights.size}")
+    val warr = typedLit(weights)
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      acc + element_at(warr,
+        (md5Hash64Bucket(t) + lit(1L)).cast("int")))
+  }
+
+  /** Masked md5-64 bucket id in [0, QualityBuckets) — shared by both
+   * scorer paths so they cannot disagree on the feature hash. */
+  private def md5Hash64Bucket(t: Column): Column =
+    graft.operators.Sampling.md5Hash64(t).bitwiseAND(lit(QualityBuckets - 1L))
 }
 
 object Stopwords {

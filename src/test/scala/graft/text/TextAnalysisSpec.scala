@@ -201,4 +201,35 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
     // The rule is non-constant on this corpus — the filter actually filters.
     assert(got.distinct.size > 1)
   }
+
+  test("quality-score weight seam: identity table equals the default; custom table equals brute force") {
+    import spark.implicits._
+    val docs = Seq("The quick brown Fox", "the the the", "", "mixed 123 tokens!",
+      "unicode tökens äre fine")
+    val df = docs.toDF("text")
+    // The default scorer IS the overload applied to bucket -> bucket - 1024.
+    val identity = (0 until QualityBuckets).map(b => (b - QualityBuckets / 2).toLong)
+    val both = df.select(
+      linearQualityScore(col("text")).as("a"),
+      linearQualityScore(col("text"), identity).as("b")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+
+    // A non-trivial table (bucket*7 mod 41 - 20) against plain Scala.
+    val table = (0 until QualityBuckets).map(b => ((b * 7) % 41 - 20).toLong)
+    def bucket(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+      (h & (QualityBuckets - 1L)).toInt
+    }
+    def brute(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(t => table(bucket(t))).sum
+    val got = df.select(linearQualityScore(col("text"), table).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === docs.map(brute))
+    // A wrong-sized table fails loudly, not with silent misindexing.
+    intercept[IllegalArgumentException] {
+      linearQualityScore(col("text"), Seq(1L, 2L, 3L))
+    }
+  }
 }
