@@ -134,6 +134,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t) => graft.text.Cleanup.scrubExpr(t)
         case args => wrongArity("scrub", args.size)
+      }),
+    ("quality_score64",
+      "_FUNC_(text) - Hashed bag-of-words linear quality score: md5-bucketed integer token weights, one fused pass.",
+      {
+        case Seq(t) => graft.text.QualityScore64(t)
+        case args => wrongArity("quality_score64", args.size)
       })
   )
 

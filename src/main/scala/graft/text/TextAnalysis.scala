@@ -147,7 +147,8 @@ object TextAnalysis {
    * scores 0.
    */
   def linearQualityScore(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + tokenQualityWeight(t))
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      QualityScore64(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
 
   /** The trained-weights seam of [[linearQualityScore]] made literal: the
    * same tokenize → bucket → accumulate pass, with the weight looked up

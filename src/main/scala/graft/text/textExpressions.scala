@@ -296,3 +296,59 @@ object RollingHash64 {
   def combine(hashA: Long, hashB: Long, lenB: Long): Long =
     hashA * pow(lenB) + hashB
 }
+
+/**
+ * `quality_score64(string)` — the fused kernel behind
+ * [[TextAnalysis.linearQualityScore]]: lowercase, split on ASCII
+ * whitespace (the same `\s` class the Column tokenizer and the DuckDB
+ * oracle use), md5-bucket each token to one of
+ * [[TextAnalysis.QualityBuckets]] and accumulate the integer stand-in
+ * weight `bucket - 1024` — one pass, no token array materialized, one
+ * static call inside whole-stage codegen. Equality with the
+ * tokenize-then-aggregate Column formulation is spec-pinned
+ * (TextAnalysisSpec), and the DuckDB oracle (q85) re-derives the same
+ * score from the same tokens and mask.
+ */
+case class QualityScore64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    QualityScore64.score(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.QualityScore64.score($c);")
+
+  override def prettyName: String = "quality_score64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QualityScore64 {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  def score(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val lower = input.toLowerCase.toString
+    val mask = TextAnalysis.QualityBuckets - 1L
+    val shift = TextAnalysis.QualityBuckets / 2L
+    var acc = 0L
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && isWs(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lower.charAt(i))) i += 1
+      if (i > start) {
+        val h = graft.dedup.SimHash64.md5Hash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lower.substring(start, i)))
+        acc += (h & mask) - shift
+      }
+    }
+    acc
+  }
+}

@@ -95,7 +95,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot",
-      "strip_html", "redact_pii", "scrub").foreach { n =>
+      "strip_html", "redact_pii", "scrub", "quality_score64").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
@@ -140,6 +140,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(scrubbed.getString(0) === "mail me at <EMAIL> or <PHONE>")
     assert(scrubbed.getString(1) === "x y")
     assert(scrubbed.getString(2) === "ping <IP>")
+
+    // Quality scorer through SQL equals the Column DSL on the same text.
+    val qsSql = spark.sql(
+      "SELECT quality_score64('The quick brown Fox') AS s").head().getLong(0)
+    val qsDsl = spark.range(1)
+      .select(graft.text.TextAnalysis.linearQualityScore(
+        org.apache.spark.sql.functions.lit("The quick brown Fox")).as("s"))
+      .head().getLong(0)
+    assert(qsSql === qsDsl)
 
     // Layer parity: the SQL function and the Column DSL must produce the
     // same bytes (decomposed e + combining accent, markup, and PII in one
