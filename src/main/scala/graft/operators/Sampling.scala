@@ -188,13 +188,21 @@ object Sampling {
    * @return (id, weight, cum_before) for admitted rows — semi-join the
    *   corpus against `id` to materialize the slice.
    */
+  /** Bucket fan-out of [[tokenBudgetSample]]'s two-phase prefix sum: the
+   * hash's top [[BudgetBucketBits]] bits give 2^bits buckets whose order
+   * equals the signed hash order. 128 keeps the offsets table trivially
+   * broadcastable while spreading the heavy phase across the cluster. */
+  private val BudgetBucketBits = 7
+
   def tokenBudgetSample(df: DataFrame, idCol: Column, weightCol: Column,
       budget: Long, seed: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    val nBuckets = 1 << BudgetBucketBits
     val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
     val slim = df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
       h.as("h"))
-      .withColumn("b", (shiftright(col("h"), 57) + lit(64)).cast("int"))
+      .withColumn("b",
+        (shiftright(col("h"), 64 - BudgetBucketBits) + lit(nBuckets / 2)).cast("int"))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("h"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = slim.withColumn("cum_local", sum(col("weight")).over(inBucket))

@@ -6,6 +6,15 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** The ASCII `\\s` class Java regexes match — the ONE whitespace
+ * definition every text kernel in this package tokenizes by, so the fused
+ * kernels, the Column `split(lower(text), "\\\\s+")` tokenizer, and the
+ * DuckDB oracles can never drift on what separates tokens. */
+private[text] object AsciiWhitespace {
+  def is(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
 /**
  * `text_stats(string)` → struct of all per-document text signals in ONE pass.
  *
@@ -49,8 +58,7 @@ case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
       s
     }.toArray
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWs(c: Char): Boolean = AsciiWhitespace.is(c)
 
   private def isPunct(c: Char): Boolean = c match {
     case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '-' => true
@@ -161,8 +169,7 @@ case class RepetitionStats(child: Expression)
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_distinct_tokens", IntegerType, nullable = false)))
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWs(c: Char): Boolean = AsciiWhitespace.is(c)
 
   override def nullSafeEval(input: Any): Any = {
     val original = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -329,8 +336,7 @@ case class QualityScore64(child: Expression)
 }
 
 object QualityScore64 {
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+  private def isWs(c: Char): Boolean = AsciiWhitespace.is(c)
 
   def score(input: org.apache.spark.unsafe.types.UTF8String): Long = {
     val lower = input.toLowerCase.toString
