@@ -218,6 +218,56 @@ object Sampling {
   }
 
   /**
+   * Per-key (stratified) token budgets — [[tokenBudgetSample]] run
+   * independently inside every key of a budget spec: "2B tokens of web,
+   * 500M of code, …", the per-domain half of training-mix assembly (the
+   * rate-based half is [[weightedMix]]). Keys absent from the spec are
+   * DROPPED (a budget spec is a whitelist, like a mixture spec); a key's
+   * slice has the same admission order, at-most-one-row overshoot, and
+   * grown-budget prefix property as the global operator, per key.
+   *
+   * Scale contract: identical to [[tokenBudgetSample]] with every stage
+   * keyed by (key, bucket) instead of (bucket) — the offsets table grows
+   * to |spec| × 128 rows, still a broadcast; nothing else changes.
+   *
+   * @return (key, id, weight, cum_before) for admitted rows.
+   */
+  def tokenBudgetSampleByKey(df: DataFrame, keyCol: Column, idCol: Column,
+      weightCol: Column, budgets: Seq[(String, Long)], seed: Long): DataFrame = {
+    require(budgets.nonEmpty, "budget spec must not be empty")
+    budgets.foreach { case (k, b) =>
+      require(b >= 0, s"budget must be non-negative, got $b for key $k")
+    }
+    val dup = budgets.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"duplicate keys in budget spec: ${dup.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = 1 << BudgetBucketBits
+    val bdf = budgets.toDF("key", "__budget")
+    val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
+    val slim = df
+      .select(keyCol.as("key"), idCol.as("id"),
+        weightCol.cast("long").as("weight"), h.as("h"))
+      .join(broadcast(bdf), Seq("key"))
+      .withColumn("b",
+        (shiftright(col("h"), 64 - BudgetBucketBits) + lit(nBuckets / 2)).cast("int"))
+    val inBucket = Window.partitionBy(col("key"), col("b"))
+      .orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = slim.withColumn("cum_local", sum(col("weight")).over(inBucket))
+    val acrossBuckets = Window.partitionBy(col("key")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slim.groupBy(col("key"), col("b"))
+      .agg(sum(col("weight")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(acrossBuckets), lit(0L)))
+      .select(col("key"), col("b"), col("off"))
+    local.join(broadcast(offsets), Seq("key", "b"))
+      .withColumn("cum_before", col("off") + col("cum_local") - col("weight"))
+      .filter(col("cum_before") < col("__budget"))
+      .select(col("key"), col("id"), col("weight"), col("cum_before"))
+  }
+
+  /**
    * Deterministic train/validation/test split column. `fractions` are
    * (label, numerator) pairs over a common `den`; they must sum to `den`
    * so every row gets exactly one label. Rows label by which cumulative

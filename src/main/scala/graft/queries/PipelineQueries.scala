@@ -764,6 +764,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified (per-source) token budgets — q87's operator keyed by
+    // source, the per-domain half of mix assembly. The spec spans all
+    // regimes: src1/src2 bite at both SFs, src3's 2000 tokens exceed a
+    // source's sf0.01 volume (no-bite edge: the whole source admits),
+    // src5's zero budget admits nothing, and the 16 unlisted sources drop
+    // wholesale (a budget spec is a whitelist).
+    "q88_token_budget_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+      graft.operators.Sampling.tokenBudgetSampleByKey(docs, col("source"),
+          col("doc_id"), col("w"),
+          budgets = Seq("src1" -> 800L, "src2" -> 500L,
+            "src3" -> 2000L, "src5" -> 0L),
+          seed = 11L)
+        .select(col("key").as("source"), col("id").as("doc_id"),
+          col("weight").as("n_tokens"), col("cum_before"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -1855,6 +1875,27 @@ object PipelineQueries {
          |  FROM t)
          |SELECT doc_id, n_tokens, cum_before FROM o
          |WHERE cum_before < 16000 ORDER BY doc_id""".stripMargin,
+
+    // q87's oracle partitioned by source, with the per-key budget joined
+    // from a VALUES whitelist (unlisted sources never enter).
+    "q88_token_budget_by_source" ->
+      s"""WITH spec(source, budget) AS (VALUES
+         |  ('src1', 800), ('src2', 500), ('src3', 2000), ('src5', 0)),
+         |t AS (
+         |  SELECT d.source, d.doc_id, len($tokensSql)::BIGINT AS n_tokens,
+         |    s.budget,
+         |    xor(('0x' || substr(md5('11:' || d.doc_id::VARCHAR), 1, 16))::UBIGINT,
+         |        9223372036854775808::UBIGINT) AS hkey
+         |  FROM documents d JOIN spec s USING (source)),
+         |o AS (
+         |  SELECT source, doc_id, n_tokens, budget,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_before FROM o
+         |WHERE cum_before < budget ORDER BY source, doc_id""".stripMargin,
 
     // Same tokens, same md5-64 low-bit bucket (2048 is a power of two, so
     // signed Spark longs and DuckDB's UBIGINT agree on the mask), exact

@@ -189,4 +189,41 @@ class SamplingSpec extends AnyFunSuite {
     // The full budget admits everything with exact global positions.
     assert(run(10_000L).size == 40)
   }
+
+  test("tokenBudgetSampleByKey: per-key brute-force equality, whitelist, zero budget") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(id => (s"k${id % 4}", id, (id % 5) + 1))
+    val df = rows.toDF("k", "doc_id", "w")
+    val spec = Seq("k0" -> 10L, "k1" -> 0L, "k2" -> 1000L) // k3 unlisted
+
+    def md5Signed(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    val want = spec.flatMap { case (key, budget) =>
+      val ordered = rows.filter(_._1 == key)
+        .map { case (_, id, w) => (md5Signed(s"9:$id"), id, w) }
+        .sortBy(t => (t._1, t._2))
+      var cum = 0L
+      ordered.flatMap { case (_, id, w) =>
+        val keep = cum < budget; cum += w
+        if (keep) Some((key, id) -> ((w, cum - w))) else None
+      }
+    }.toMap
+
+    val got = Sampling.tokenBudgetSampleByKey(df, col("k"), col("doc_id"),
+        col("w"), spec, seed = 9L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+    assert(!got.keys.exists(_._1 == "k1"), "zero budget must admit nothing")
+    assert(!got.keys.exists(_._1 == "k3"), "unlisted keys must drop wholesale")
+    assert(got.keys.count(_._1 == "k2") == 15, "unbitten budget keeps the whole key")
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSampleByKey(df, col("k"), col("doc_id"), col("w"),
+        Seq("k0" -> 1L, "k0" -> 2L), seed = 9L)
+    }
+  }
 }
