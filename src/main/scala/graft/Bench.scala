@@ -9,6 +9,19 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Drop every cached DataFrame and persistent RDD left behind by a query.
+   * Several operators persist bounded intermediates (candidate pairs, band
+   * rows) as part of their contract and hand the caller the DataFrame, so
+   * the blocks outlive the query; across a ~100-query suite (run twice —
+   * warmup + timed) the leftovers compound into heap pressure that taxes
+   * every LATER query's measurement. Real deployments run one job per
+   * application; clearing between queries reproduces that isolation. Runs
+   * OUTSIDE the timed window. */
+  private def clearCacheState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +47,7 @@ object Bench {
       try exec(fn(spark, warmDir)) catch {
         case t: Throwable => System.err.println(s"WARN warmup failed for $name: $t")
       }
+      clearCacheState(spark)
     }
 
     val results = queries.map { case (name, fn) =>
@@ -41,7 +55,9 @@ object Bench {
       try exec(fn(spark, sfDir)) catch {
         case t: Throwable => System.err.println(s"WARN bench query $name failed: $t")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearCacheState(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
