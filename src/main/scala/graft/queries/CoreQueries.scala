@@ -402,6 +402,36 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // STREAM-STREAM interval join, oracle-checked: signup→purchase pairs
+    // within one day, both sides unbounded streams. The time-range
+    // condition + watermarks bound each side's join state to a sliding
+    // horizon (see StreamingOps.intervalJoinStreams); the single
+    // AvailableNow batch must reproduce the batch join EXACTLY — inner
+    // stream-stream joins emit on match, so no window is withheld. This is
+    // the streaming counterpart of q48's batch range join entering the
+    // same value gate.
+    "q89_streaming_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val signups = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      val purchases = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        signups, purchases, key = "user_id",
+        leftTs = "signup_ts", rightTs = "purchase_ts",
+        within = "1 day", watermark = "36 hours")
+      val q = joined.writeStream.format("memory").queryName("q89_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q89_mem")
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          unix_micros(col("signup_ts")).as("signup_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -816,6 +846,18 @@ object CoreQueries {
     // oracle template, two engine paths.
     "q80_streaming_heavyhitter_state" -> streamingAppendOracleSql,
     "q73_streaming_append_windows" -> streamingAppendOracleSql,
+    // Same micro-resolution comparison rule as q48: ts is TIMESTAMP(NANOS)
+    // in parquet and micros in Spark, so the oracle compares epoch_us.
+    "q89_streaming_interval_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  epoch_us(s.ts::TIMESTAMP) AS signup_us,
+        |  epoch_us(p.ts::TIMESTAMP) AS purchase_us
+        |FROM events s JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(s.ts::TIMESTAMP)
+        | AND epoch_us(p.ts::TIMESTAMP) <= epoch_us(s.ts::TIMESTAMP) + 86400000000
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     // Closed-window distinct types — q68's oracle restricted to the
     // windows the 36h watermark had closed.
     "q82_streaming_hll_append" ->

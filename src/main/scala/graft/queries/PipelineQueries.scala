@@ -542,6 +542,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING ingest dedup, oracle-checked: q13's exact dedup run
+    // through dropDuplicatesWithinWatermark — the continuous form of
+    // document ingest, where state holds one (fingerprint, ts) entry per
+    // distinct doc inside the watermark horizon and older entries evict.
+    // Arrival time is synthesized deterministically from doc_id (1 s
+    // apart); the horizon spans the whole corpus here, so the emitted set
+    // is EXACTLY the distinct fingerprints — which survivor row carries a
+    // given fingerprint is an arrival-order race across partitions, so
+    // the query projects the fingerprint alone and the value gate checks
+    // the deduped SET, the operator's actual contract.
+    "q90_streaming_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documentsStream(s, dir)
+        .withColumn("ts", expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
+      val deduped = graft.streaming.StreamingOps.dedupDocStream(docs, watermark = "30 days")
+      val q = deduped.select(col("fp")).writeStream.format("memory")
+        .queryName("q90_mem").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q90_mem").orderBy("fp")
+    }),
+
     // ANN baseline: exact top-5 cosine neighbors for the first 10 vectors.
     "q17_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1353,6 +1375,10 @@ object PipelineQueries {
     "q13_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // The streaming dedup's emitted set = the distinct fingerprints (one
+    // emission per first arrival; see the q90 query comment).
+    "q90_streaming_dedup" ->
+      s"""SELECT DISTINCT md5($normSql) AS fp FROM documents ORDER BY fp""",
     "q14_dedup_minhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleSql) AS s FROM documents

@@ -56,4 +56,20 @@ object Tables {
     spark.readStream.schema(eventsRawSchema).option("basePath", dir)
       .parquet(s"$dir/{events.parquet}")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Fixed TESTDATA.md schema of `documents` (file streams require an
+   * explicit schema — no inference pass over a possibly-growing dir). */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** `documents` as a bounded STREAM (file source) — the ingest shape of a
+   * production corpus: a directory that accumulates document files, tailed
+   * incrementally. Same single-file glob workaround as [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
 }

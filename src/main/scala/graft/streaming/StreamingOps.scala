@@ -194,6 +194,49 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /**
+   * Watermarked STREAM-STREAM interval join: pair each left event with
+   * every right event on the same key whose event time falls in
+   * `[leftTs, leftTs + within]` — signup→purchase attribution,
+   * impression→click, error→retry, all running continuously.
+   *
+   * This is the streaming counterpart of [[graft.operators.RangeJoin]]:
+   * the same time-range predicate, but neither side is a table — both are
+   * unbounded streams, so each side must buffer rows in the state store
+   * until the OTHER side can no longer produce a match. That is exactly
+   * what the watermark + time-range condition give the engine to reason
+   * with: a left row is evictable once the right watermark passes
+   * `leftTs + within`, a right row once the left watermark passes
+   * `rightTs`. State per side is therefore bounded by
+   * (watermark delay + join horizon) × arrival rate — a sliding horizon of
+   * recent events, independent of stream lifetime. Without the range
+   * condition Spark would (correctly) refuse to plan the inner join
+   * without keeping both sides forever.
+   *
+   * Inner-join emission is immediate on match — no output latency from the
+   * watermark; the watermark only gates state EVICTION (and, per watermark
+   * semantics, drops input later than the delay).
+   *
+   * The two event-time columns must have distinct names: the joined row
+   * carries both, and the range condition must reference each side's
+   * column unambiguously for the state-cleanup analysis to recognize it.
+   * The key column keeps ONE copy (left's) in the output.
+   */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs,
+      s"event-time columns must have distinct names, both are '$leftTs'")
+    val rKey = key + "__r"
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
+    l.join(r,
+        col(key) === col(rKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL '$within'"))
+      .drop(rKey)
+  }
+
   /** Update-mode memory-sink runner for tests/demos: starts the query,
    * processes everything currently available, and returns the sink table
    * name to read with `spark.table(name)`. */

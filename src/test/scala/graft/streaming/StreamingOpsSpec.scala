@@ -168,6 +168,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 4L))
   }
 
+  test("intervalJoinStreams pairs keyed events inside the horizon, buffering across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lefts = MemoryStream[(Long, Timestamp, Long)]
+    val rights = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoinStreams(
+      lefts.toDF().toDF("user_id", "l_ts", "l_id"),
+      rights.toDF().toDF("user_id", "r_ts", "r_id"),
+      key = "user_id", leftTs = "l_ts", rightTs = "r_ts",
+      within = "2 hours", watermark = "1 hour")
+    // The joined row keeps ONE key column (left's).
+    assert(joined.columns.count(_ == "user_id") === 1)
+    val query = joined.select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ivj").outputMode(OutputMode.Append())
+      .start()
+
+    // Batch 1: r11 matches l1 (30 min after); r12 precedes l1 -> no;
+    // r13 has no left with its key -> no.
+    lefts.addData((1L, ts(10), 101L), (2L, ts(10), 102L))
+    rights.addData((1L, ts(10, 30), 201L), (1L, ts(9), 202L), (3L, ts(10, 15), 203L))
+    query.processAllAvailable()
+
+    // Batch 2: r14 arrives later but still joins the BUFFERED l2 (90 min
+    // inside the 2 h horizon); r15 is past l1's horizon -> no.
+    rights.addData((2L, ts(11, 30), 204L), (1L, ts(13), 205L))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("ivj").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((101L, 201L), (102L, 204L)))
+  }
+
   test("sessionSummaries keeps one evolving summary per user across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
