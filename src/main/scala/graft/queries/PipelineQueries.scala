@@ -388,6 +388,19 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // BPE merge LEARNING — q65's pair scan iterated into the real
+    // algorithm: four rounds of count-pairs → adopt argmax → re-segment
+    // greedily, each round one vocabulary-bounded aggregation (see
+    // Bpe.learnMerges for the scale contract). The oracle re-runs all
+    // four rounds relationally in DuckDB, including the greedy
+    // left-to-right re-segmentation, so every adopted merge AND its count
+    // certify the full round state — a wrong round-k application would
+    // shift round-k+1's counts.
+    "q91_bpe_learn" -> ((s, dir) => {
+      graft.text.Bpe.learnMerges(Tables.documents(s, dir), nMerges = 4)
+        .orderBy("round")
+    }),
+
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
     // normalized text and of a 64-char prefix chunk — the composable
     // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
@@ -897,6 +910,49 @@ object PipelineQueries {
   private val frHits = hitsSql(graft.text.Stopwords.French)
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** One BPE round over the `bper{k-1}` vocabulary CTE (q91 oracle): count
+   * adjacent symbol pairs weighted by word count, adopt the
+   * (cnt desc, pair asc) argmax as `bpm{k}`, and re-segment greedily
+   * left-to-right — runs of CONSECUTIVE eligible start positions keep
+   * alternate members (rn odd), the relational formulation of
+   * [[graft.text.Bpe]]'s fold: a position consumed by the previous merge
+   * (the NOT EXISTS on i−1 ∈ starts) cannot start the next one. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"bper${k - 1}"
+    s"""bpc$k AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(w)::BIGINT AS cnt
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i) ix
+       |  GROUP BY 1, 2
+       |),
+       |bpm$k AS (SELECT a, b, cnt FROM bpc$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |bapp$k AS (
+       |  SELECT word, w, i, syms[i] AS s,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM bpm$k)
+       |              AND syms[i + 1] = (SELECT b FROM bpm$k)
+       |         THEN 1 ELSE 0 END AS e
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) ix
+       |),
+       |bruns$k AS (
+       |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |  FROM bapp$k WHERE e = 1
+       |),
+       |bstart$k AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |    FROM bruns$k) r
+       |  WHERE rn % 2 = 1
+       |),
+       |bper$k AS (
+       |  SELECT a.word, min(a.w) AS w,
+       |    list(CASE WHEN st.i IS NOT NULL THEN a.s || nx.s ELSE a.s END ORDER BY a.i) AS syms
+       |  FROM bapp$k a
+       |  LEFT JOIN bstart$k st ON a.word = st.word AND a.i = st.i
+       |  LEFT JOIN bapp$k nx ON a.word = nx.word AND nx.i = a.i + 1
+       |  WHERE NOT EXISTS (SELECT 1 FROM bstart$k c WHERE c.word = a.word AND c.i = a.i - 1)
+       |  GROUP BY a.word
+       |)""".stripMargin
+  }
 
   /** The q41/q77 mixture spec: sources 1..12 at rates 1/4..4/4 cycling —
    * one list, consumed by both harness queries AND the q77 oracle
@@ -1953,6 +2009,26 @@ object PipelineQueries {
          |SELECT pair, count(*)::BIGINT AS cnt FROM pairs
          |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
     },
+
+    // Four full BPE rounds re-derived relationally — see bpeRoundSql for
+    // the greedy re-segmentation formulation.
+    "q91_bpe_learn" ->
+      s"""WITH bper0 AS (
+         |  SELECT word, count(*)::BIGINT AS w,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM (SELECT unnest($tokensSql) AS word FROM documents) t
+         |  GROUP BY word
+         |),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |${bpeRoundSql(4)}
+         |SELECT * FROM (
+         |  SELECT 1::INT AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM bpm1
+         |  UNION ALL SELECT 2, a, b, cnt FROM bpm2
+         |  UNION ALL SELECT 3, a, b, cnt FROM bpm3
+         |  UNION ALL SELECT 4, a, b, cnt FROM bpm4) u
+         |ORDER BY round""".stripMargin,
 
     // Identical pattern, identical leftmost-first alternation in RE2.
     "q58_bpe_pretokens" -> {

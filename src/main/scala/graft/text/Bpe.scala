@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Byte-pair-encoding merge LEARNING on Spark — the iterative half of
+ * tokenizer training, extending the single-round merge-candidate scan
+ * (the [[TextAnalysis.bpePieces]] pair scan of q65) to the real algorithm:
+ * repeatedly count adjacent symbol pairs, adopt the most frequent pair as
+ * a new symbol, and re-segment with it before the next count.
+ *
+ * Classic BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare
+ * Words with Subword Units") learns on the word VOCABULARY with counts,
+ * not on running text — and that is exactly what makes it scale on Spark:
+ *
+ *  - ONE corpus-wide pass builds (word, count); everything after operates
+ *    on the vocabulary, which is sublinear in corpus size (Heaps' law).
+ *    At 100 TB the token explode+groupBy is the only big shuffle, and it
+ *    partial-aggregates map-side like any count.
+ *  - Each round is one vocabulary-bounded aggregation (pair counts) plus
+ *    one per-row array fold (apply the merge) — no corpus rescan, ever.
+ *  - The only driver traffic is the argmax pair itself: one row per
+ *    round (the kmeans-centroid pattern — bounded by construction).
+ *
+ * Merge application is greedy left-to-right within each word (the
+ * reference BPE semantics): a symbol consumed by a merge cannot start the
+ * next one, so `a a a` under merge (a,a) becomes `aa a`, and `a b b`
+ * under (a,b) becomes `ab b`. The fold below implements exactly that —
+ * and the DuckDB oracle re-derives it relationally (runs of consecutive
+ * eligible positions, keeping alternate members), proving the two
+ * formulations agree on real data.
+ *
+ * Simplifications vs production BPE, stated so nobody mistakes scope:
+ * symbols are codepoint strings from the whitespace-lowercase tokenizer
+ * (no byte fallback), there is no end-of-word marker, and ties break
+ * deterministically by (count desc, pair asc) so every engine picks the
+ * same merge.
+ */
+object Bpe {
+
+  /** (word, w) vocabulary with each word split into its initial
+   * single-character symbols. */
+  private def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("w"))
+      .select(col("w"), split(col("word"), "").as("syms"))
+
+  /** Greedy left-to-right application of merge (a, b) to a symbol array:
+   * fold symbols into a new array, fusing when the accumulator's last
+   * element is `a` (not itself produced by fusing this step's `b`) and the
+   * incoming symbol is `b`. The size guard makes the empty-accumulator
+   * case explicit (And short-circuits, so element_at never sees an
+   * out-of-range index under ANSI). */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, expr("CAST(array() AS array<string>)"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, size(acc)) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /**
+   * Learn the first `nMerges` merges over the corpus.
+   *
+   * @return (round, sym_a, sym_b, pair_count) — one row per adopted merge,
+   *         `round` starting at 1 in adoption order. Stops early (fewer
+   *         rows) only if the vocabulary runs out of adjacent pairs.
+   */
+  def learnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // The vocabulary is re-read every round: materialize the corpus pass
+    // once. Lazy + lineage-preserving, same policy as the dedup operators.
+    var v = vocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val adopted = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      val top = v
+        .filter(size(col("syms")) > 1)
+        .select(col("w"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        adopted += ((round, a, b, cnt))
+        val next = v.withColumn("syms", applyMerge(col("syms"), a, b))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        v.unpersist(blocking = false)
+        v = next
+      }
+    }
+    v.unpersist(blocking = false)
+    adopted.result().toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bpe-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  private def merges(df: DataFrame): Seq[(Int, String, String, Long)] =
+    df.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("greedy left-to-right application: 'aaaa' pairs as (aa)(aa), not overlapping") {
+    // Round 1: (a,a) count 3 (three adjacent pairs in one word). Greedy
+    // application must yield [aa, aa] — position 2 is consumed by the
+    // first merge, so round 2's top pair is (aa,aa) with count 1, NOT
+    // (a,a) again and NOT (aa,a).
+    val got = merges(Bpe.learnMerges(docs("aaaa"), nMerges = 2))
+    assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("counts weight by word frequency, ties break by pair order, and learning stops when pairs run out") {
+    // Vocab: "aaa" w=2, "ab" w=2, "b" w=1.
+    // Round 1: (a,a) = 2 pairs × w2 = 4; (a,b) = 2 → adopt (a,a,4);
+    //   "aaa" → [aa, a] (greedy: middle 'a' consumed).
+    // Round 2: (aa,a) = 2 and (a,b) = 2 tie → pair order picks (a,b);
+    //   "ab" → [ab].
+    // Round 3: only (aa,a) = 2 remains → adopt; "aaa" → [aaa].
+    // Round 4: every word is a single symbol → early stop, 3 rows.
+    val got = merges(Bpe.learnMerges(docs("aaa aaa", "ab ab b"), nMerges = 4))
+    assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "a", 2L)))
+  }
+
+  test("merged symbols do not chain within one round: 'abab' under (a,b) leaves two pieces") {
+    // Round 1 on "abab": pairs (a,b)×2, (b,a)×1 → adopt (a,b,2);
+    // both occurrences merge (non-adjacent starts) → [ab, ab].
+    // Round 2: (ab,ab) count 1.
+    val got = merges(Bpe.learnMerges(docs("abab"), nMerges = 2))
+    assert(got === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
+  }
+}
