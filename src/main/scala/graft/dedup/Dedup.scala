@@ -73,9 +73,13 @@ object Dedup {
 
   // ----------------------------------------------------------------- minhash
 
-  /** k-element MinHash signature of a string array (single-pass kernel). */
-  def minhashSignature(elements: Column, k: Int = 128): Column =
-    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(elements), k))
+  /** k-element MinHash signature of a string array (single-pass kernel).
+   * `auditable = true` switches the element hash to md5-derived so any
+   * engine can re-derive the signature — see [[MinHashSignature]]. */
+  def minhashSignature(elements: Column, k: Int = 128,
+      auditable: Boolean = false): Column =
+    GraftSqlBridge.column(
+      MinHashSignature(GraftSqlBridge.expression(elements), k, auditable))
 
   /** 64-bit SimHash of a string array (single-pass kernel). With
    * `auditable = true`, tokens hash via MD5 so any engine with `md5()` can
@@ -181,17 +185,29 @@ object Dedup {
   }
 
   /** (band, bucket, id) rows only — the LSH shuffle never carries content.
-   * Shingled once for signatures; candidates re-shingle only their docs. */
+   * Shingled once for signatures; candidates re-shingle only their docs.
+   *
+   * Band keys hash the band's signature slice: xxhash64 on the fast path;
+   * in auditable mode, md5_hash64 of `"band,v1,..,vr"` with the slice
+   * values printed as SIGNED decimals — a pure string recipe any engine
+   * reproduces byte-for-byte (q92 re-derives the full banding in DuckDB). */
   private def lshBanded(docs: DataFrame, k: Int, rows: Int, shingleWidth: Int,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String, auditable: Boolean = false): DataFrame = {
     val bands = k / rows
     require(k % rows == 0, s"signature length $k must be divisible by rows-per-band $rows")
+    def bandKey(b: Int): Column = {
+      val sl = slice(col("sig"), b * rows + 1, rows)
+      if (auditable)
+        graft.operators.Sampling.md5Hash64(
+          concat_ws(",", lit(b).cast("string"),
+            concat_ws(",", transform(sl, _.cast("string")))))
+      else xxhash64(lit(b), sl)
+    }
     docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), minhashSignature(col("sh"), k, auditable).as("sig"))
       .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+        posexplode(array((0 until bands).map(bandKey): _*))
           .as(Seq("band", "bucket")))
   }
 
@@ -209,9 +225,11 @@ object Dedup {
    */
   def lshBucketStats(docs: DataFrame, maxBucketSize: Int = 4096,
       k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      auditable: Boolean = false): DataFrame =
     bucketStats(
-      lshBanded(docs, k, rows, shingleWidth, idCol, textCol).select("band", "bucket"),
+      lshBanded(docs, k, rows, shingleWidth, idCol, textCol, auditable)
+        .select("band", "bucket"),
       maxBucketSize)
 
   /** Drop-accounting over any (band, bucket) banding — the shared tail of

@@ -132,18 +132,26 @@ case class WordShingles(child: Expression, n: Int)
 /**
  * `minhash_signature(array<string>, k)` → array<bigint> of length k:
  * element-wise minimum of k pairwise-independent hash functions
- * `h_i(x) = a_i·xxhash64(x) + b_i` (mod 2^64; a_i odd so the map is a
+ * `h_i(x) = a_i·base(x) + b_i` (mod 2^64; a_i odd so the map is a
  * bijection). Null elements are skipped; an all-null/empty array yields the
  * identity signature (Long.MaxValue everywhere), which never collides with
  * real content in band hashing.
+ *
+ * `base` is xxHash64 by default; with `auditable = true` it is the first
+ * 8 bytes of MD5 (same convention as [[SimHash64]]), and the per-function
+ * coefficients are exposed via [[MinHashSignature.coefficients]] — together
+ * those make the whole signature re-derivable in any engine with `md5()`
+ * and 128-bit integers (the mod-2^64 linear map needs a split multiply;
+ * see the q92 oracle). Minima compare in SIGNED long order, matching what
+ * an engine recovers via the xor-2^63 order re-bias.
  */
-case class MinHashSignature(child: Expression, k: Int)
+case class MinHashSignature(child: Expression, k: Int, auditable: Boolean = false)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(k > 0, "minhash signature length must be positive")
 
-  private val mulA: Array[Long] = Array.tabulate(k)(i => SketchHashing.mix64(2L * i) | 1L)
-  private val addB: Array[Long] = Array.tabulate(k)(i => SketchHashing.mix64(2L * i + 1))
+  private val mulA: Array[Long] = MinHashSignature.coefficients(k)._1
+  private val addB: Array[Long] = MinHashSignature.coefficients(k)._2
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -155,7 +163,8 @@ case class MinHashSignature(child: Expression, k: Int)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val base = SketchHashing.baseHash(arr.getUTF8String(j))
+        val s = arr.getUTF8String(j)
+        val base = if (auditable) SimHash64.md5Hash64(s) else SketchHashing.baseHash(s)
         var i = 0
         while (i < k) {
           val h = mulA(i) * base + addB(i)
@@ -171,6 +180,16 @@ case class MinHashSignature(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** The (multiplier, addend) coefficient arrays for a k-element signature —
+   * splitmix64 of the function index, multipliers forced odd. Public so an
+   * off-Spark oracle can embed the SAME constants and re-derive auditable
+   * signatures value-for-value (q92). */
+  def coefficients(k: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(k)(i => SketchHashing.mix64(2L * i) | 1L),
+    Array.tabulate(k)(i => SketchHashing.mix64(2L * i + 1)))
 }
 
 /**

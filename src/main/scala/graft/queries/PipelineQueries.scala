@@ -452,6 +452,21 @@ object PipelineQueries {
         auditable = true)
     }),
 
+    // The same drop accounting for the q14 MinHash-LSH banding — the last
+    // banded path whose diagnostics were spec-only. auditable = true swaps
+    // the element hash to md5 and the band keys to md5 of a plain
+    // "band,v1,..,v4" string, so DuckDB rebuilds the ENTIRE pipeline —
+    // md5-64 shingle hashes, the mod-2^64 linear permutations (split
+    // multiply in HUGEINT), signed-order minima, and the band-key hash —
+    // and re-derives (n_buckets, buckets_dropped, largest_bucket) exactly.
+    // k=16/rows=4 keeps the oracle's shingle×function blowup bounded; a
+    // cap of 2 actually trips (3 drops at sf0.01, 36 at sf0.1), so the
+    // drop arithmetic is exercised, not vacuously zero.
+    "q92_lsh_bucket_stats" -> ((s, dir) => {
+      Dedup.lshBucketStats(Tables.documents(s, dir), maxBucketSize = 2,
+        k = 16, rows = 4, shingleWidth = 10, auditable = true)
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -985,6 +1000,20 @@ object PipelineQueries {
       |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
       |    FROM bits GROUP BY 1) s USING (doc_id)
       |)""".stripMargin
+
+  /** The k=16 MinHash coefficient rows for the q92 oracle, generated from
+   * the SAME arrays the kernel hashes with
+   * ([[graft.dedup.MinHashSignature.coefficients]]) — embedded as HUGEINT
+   * literals of the unsigned 64-bit values so spec and oracle cannot
+   * drift. */
+  private lazy val minhash16CoeffRowsSql: String = {
+    val (mulA, addB) = graft.dedup.MinHashSignature.coefficients(16)
+    mulA.indices.map { i =>
+      val a = java.lang.Long.toUnsignedString(mulA(i))
+      val b = java.lang.Long.toUnsignedString(addB(i))
+      s"  ($i, $a::HUGEINT, $b::HUGEINT)"
+    }.mkString(",\n")
+  }
 
   /** The 14 SQS(8) band-key projections, generated from the SAME
    * [[graft.dedup.Dedup.Sqs8Blocks]] the kernel bands with: block
@@ -1691,6 +1720,46 @@ object PipelineQueries {
          |grp AS (SELECT band, v, count(*) AS n FROM banded GROUP BY 1, 2)
          |SELECT count(*)::BIGINT AS n_buckets,
          |  coalesce(sum(CASE WHEN n > 3 THEN 1 ELSE 0 END), 0)::BIGINT AS buckets_dropped,
+         |  coalesce(max(n), 0)::BIGINT AS largest_bucket
+         |FROM grp""".stripMargin,
+    // Full auditable-MinHash re-derivation (see the q92 harness comment).
+    // h_i(x) = a_i·md5_64(x) + b_i mod 2^64: the multiply splits into
+    // 32-bit halves so every intermediate fits HUGEINT; minima compare as
+    // SIGNED 64-bit values (the CASE re-bias), matching the kernel's Long
+    // order; band key = md5_64("band,v1,..,v4") with signed decimals.
+    "q92_lsh_bucket_stats" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |base AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
+         |),
+         |co(i, a, b) AS (VALUES
+         |$minhash16CoeffRowsSql),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    min((((a * ((h & 4294967295::UBIGINT))::HUGEINT
+         |           + ((a * ((h >> 32))::HUGEINT) % 4294967296) * 4294967296
+         |           + b) % 18446744073709551616)
+         |         + CASE WHEN ((a * ((h & 4294967295::UBIGINT))::HUGEINT
+         |             + ((a * ((h >> 32))::HUGEINT) % 4294967296) * 4294967296
+         |             + b) % 18446744073709551616) >= 9223372036854775808
+         |           THEN -18446744073709551616 ELSE 0 END)::BIGINT) AS v
+         |  FROM base, co
+         |  GROUP BY 1, 2
+         |),
+         |keys AS (
+         |  SELECT doc_id, (i // 4) AS band,
+         |    (i // 4)::VARCHAR || ',' || string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, (i // 4)
+         |),
+         |grp AS (
+         |  SELECT band, ('0x' || substr(md5(key), 1, 16))::UBIGINT AS bucket,
+         |    count(*) AS n
+         |  FROM keys GROUP BY 1, 2
+         |)
+         |SELECT count(*)::BIGINT AS n_buckets,
+         |  coalesce(sum(CASE WHEN n > 2 THEN 1 ELSE 0 END), 0)::BIGINT AS buckets_dropped,
          |  coalesce(max(n), 0)::BIGINT AS largest_bucket
          |FROM grp""".stripMargin,
     "q16_embed_neardup" ->

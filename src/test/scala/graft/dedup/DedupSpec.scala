@@ -334,6 +334,35 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getInt(1) === 7)
   }
 
+  test("auditable minhash signature equals the plain-Scala md5 linear-map minima") {
+    // Re-derives the k=8 auditable signature from first principles: base =
+    // md5 first-8-bytes big-endian, h_i = a_i·base + b_i with wrapping
+    // 64-bit arithmetic, minima in SIGNED long order. Any drift in the
+    // kernel (or in the published coefficients the q92 oracle embeds)
+    // fails here before it fails cross-engine.
+    val text = "the quick brown fox jumps"
+    val width = 5
+    val got = docs(1L -> text)
+      .select(minhashSignature(shingles(col("text"), width), 8, auditable = true))
+      .head().getSeq[Long](0)
+    val shingleStrs = (0 to text.length - width).map(i => text.slice(i, i + width)).distinct
+    val (mulA, addB) = MinHashSignature.coefficients(8)
+    val expected = (0 until 8).map { i =>
+      shingleStrs.map { s =>
+        val base = SimHash64.md5Hash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        mulA(i) * base + addB(i)
+      }.min
+    }
+    assert(got === expected)
+    // and the default (xxhash) path is a DIFFERENT hash family, not an
+    // accidental alias of the auditable one
+    val fast = docs(1L -> text)
+      .select(minhashSignature(shingles(col("text"), width), 8))
+      .head().getSeq[Long](0)
+    assert(fast !== got)
+  }
+
   test("auditable simhash token hash matches md5 first 8 bytes big-endian") {
     val h = SimHash64.md5Hash64(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
     val md = java.security.MessageDigest.getInstance("MD5")
