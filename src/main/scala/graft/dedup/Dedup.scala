@@ -314,19 +314,26 @@ object Dedup {
    * exact, not approximately-right).
    *
    * The verify join references the gram sets twice (a-side and b-side)
-   * and the candidate set twice (ids + the join spine), so without
-   * materialization Spark re-evaluates the whole corpus pass up to 3× and
-   * the prefix chain 2× (measured 11.2 s → 4.3 s → 2.x s at sf0.1 as each
-   * persist landed). `materializeIntermediates` (default ON) therefore
-   * lazily persists BOTH gram sets and surviving candidates — hash arrays
-   * and id pairs only, never text, so the cached footprint is ~8 bytes per
-   * corpus token and spills cleanly at scale.
+   * and the candidate set twice (ids + the join spine), but Catalyst's
+   * ReuseExchange shares each aggregation's shuffled output across those
+   * consumers within the one job, and per-branch column pruning keeps
+   * every duplicate subtree narrow. Persisting the intermediates instead
+   * was MEASURED SLOWER under a full-plan sink (noop) at sf0.1 — 4.6-6.5 s
+   * vs 2.9-4.0 s at both 4 and 32 cores — because the cache materializes
+   * every column of every row and pays serialization, defeating both
+   * optimizations (a `.count()` probe suggests the opposite only because
+   * count lets Catalyst prune the verify columns entirely — same trap as
+   * jaccardNearDupPairs' knob, whose scaladoc reached the same verdict).
+   * `materializeCandidates` therefore stays OFF by default and exists for
+   * callers fanning the result into several SEPARATE jobs, where exchange
+   * reuse cannot apply; it persists both gram sets and candidates (hash
+   * arrays and id pairs only, never text).
    *
    * @return (id_a, id_b, inter, uni) — integer columns only.
    */
   def ngramJaccardPairs(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       n: Int = 3, idCol: String = "doc_id", textCol: String = "text",
-      materializeCandidates: Boolean = true,
+      materializeCandidates: Boolean = false,
       collapseIdentical: Boolean = true): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
@@ -1022,4 +1029,39 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id"), col("label").as("component_id"))
   }
+
+  /**
+   * Quality-aware representative selection: for each near-dup component,
+   * keep the member with the HIGHEST score (ties → smallest id) — the
+   * keep-best policy production curation pipelines use in place of
+   * keep-min-id (CCNet/RefinedWeb-style: dedup should discard the worse
+   * copies, not whichever happened to have a larger id).
+   *
+   * `components` is (id, component_id) as produced by
+   * [[connectedComponents]]; `scores` is (id, score) from any scorer —
+   * [[graft.text.TextAnalysis.linearQualityScore]] in the q93 harness.
+   * Only ids present in `components` (i.e. docs that near-dup-paired with
+   * something) are considered; singleton docs are trivially their own
+   * representative and never reach this operator.
+   *
+   * One equi-join plus ONE aggregation keyed by component: the argmax
+   * rides a single struct `max((score, -id))` — partial-aggregable
+   * map-side like any max, so no window sort and nothing beyond the
+   * component-keyed exchange shuffles at corpus scale. Ids must be
+   * non-negative (true of every id column in this library) for the
+   * negation trick to order ties correctly.
+   *
+   * @return (component_id, kept_id, kept_score, n_members), one row per
+   *         component.
+   */
+  def keepBest(components: DataFrame, scores: DataFrame,
+      idCol: String = "id", scoreCol: String = "score"): DataFrame =
+    components
+      .join(scores, Seq(idCol))
+      .groupBy(col("component_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"))
+      .select(col("component_id"), (-col("m.negid")).as("kept_id"),
+        col("m.s").as("kept_score"), col("n_members"))
 }

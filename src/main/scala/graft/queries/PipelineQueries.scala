@@ -467,6 +467,22 @@ object PipelineQueries {
         k = 16, rows = 4, shingleWidth = 10, auditable = true)
     }),
 
+    // Quality-aware dedup: connected components over the q14 near-dup
+    // graph, keeping each component's HIGHEST-quality member (ties →
+    // smallest id) instead of the smallest id — the keep-best policy a
+    // production pipeline wants from its deduper. Composes q23's
+    // components with q85's scorer; the oracle recomputes both and
+    // re-derives every (component, kept, score, size) row.
+    "q93_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+      val scores = docs.select(col("doc_id").as("id"),
+        TextAnalysis.linearQualityScore(col("text")).as("score"))
+      Dedup.keepBest(comps, scores).orderBy("component_id")
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -1000,6 +1016,38 @@ object PipelineQueries {
       |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
       |    FROM bits GROUP BY 1) s USING (doc_id)
       |)""".stripMargin
+
+  /** The q14 near-dup graph closed transitively — `comps` is
+   * (id, component_id) for every doc in a qualifying pair. Shared by the
+   * q23 and q93 oracles (callers prepend WITH RECURSIVE). Lazy: it
+   * interpolates [[shingleSql]], which is declared later in this object —
+   * a strict val here would capture null (initialization order). */
+  private lazy val componentsCtesSql =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+       |),
+       |pair_inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM pair_inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
+       |),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+       |),
+       |comps AS (
+       |  SELECT u AS id, min(r) AS component_id FROM reach GROUP BY u
+       |)""".stripMargin
 
   /** The k=16 MinHash coefficient rows for the q92 oracle, generated from
    * the SAME arrays the kernel hashes with
@@ -1889,30 +1937,26 @@ object PipelineQueries {
     // Transitive closure via recursive CTE: u's component = min id reachable
     // over the undirected pair graph (same pairs derivation as q14/q20).
     "q23_dedup_components" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
-         |),
-         |pair_inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM pair_inter
-         |  JOIN sizes sa ON id_a = sa.doc_id
-         |  JOIN sizes sb ON id_b = sb.doc_id
-         |  WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
-         |),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-         |)
-         |SELECT u AS id, min(r) AS component_id FROM reach
-         |GROUP BY u ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $componentsCtesSql
+         |SELECT id, component_id FROM comps ORDER BY id""".stripMargin,
+    // keep-best per component: the q23 component chain joined with the
+    // q85 hashed-weight score, argmax by (score desc, id asc).
+    "q93_dedup_keep_best" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |scored AS (
+         |  SELECT doc_id, coalesce(list_sum(list_transform($tokensSql,
+         |    t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |           & 2047::UBIGINT)::BIGINT - 1024))), 0)::BIGINT AS score
+         |  FROM documents),
+         |sel AS (
+         |  SELECT c.component_id, c.id, s.score,
+         |    row_number() OVER (PARTITION BY c.component_id
+         |                       ORDER BY s.score DESC, c.id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component_id) AS n_members
+         |  FROM comps c JOIN scored s ON c.id = s.doc_id)
+         |SELECT component_id, id AS kept_id, score AS kept_score,
+         |  n_members::BIGINT AS n_members
+         |FROM sel WHERE rn = 1 ORDER BY component_id""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.

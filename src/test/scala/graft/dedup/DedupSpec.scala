@@ -164,6 +164,19 @@ class DedupSpec extends AnyFunSuite {
     assert(connectedComponents(empty).collect().isEmpty)
   }
 
+  test("keepBest keeps the highest-scoring member per component, ties to smallest id") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component_id")
+    // component 1: member 2 has the top score; component 10: tie between
+    // 10 and 11 → the smaller id must win.
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, -2L), (10L, 7L), (11L, 7L))
+      .toDF("id", "score")
+    val got = Dedup.keepBest(comps, scores).orderBy("component_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 2L, 9L, 3L), (10L, 10L, 7L, 2L)))
+  }
+
   test("canonicalAssignment maps each greater member to its smallest partner") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
