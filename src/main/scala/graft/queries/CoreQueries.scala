@@ -432,6 +432,35 @@ object CoreQueries {
         .orderBy("signup_id", "purchase_id")
     }),
 
+    // CUSTOM STATE (mapGroupsWithState), oracle-checked: per-user running
+    // session summaries whose state round-trips the state store between
+    // micro-batches and retires via event-time timeout. Update-mode
+    // emissions are per-batch snapshots, so the FINAL summary per user —
+    // the argmax by n_events, which grows monotonically — is batching-
+    // independent and equals the plain batch aggregation DuckDB runs.
+    // This puts the arbitrary-stateful-operator path (the one windows
+    // can't express) through the same value-for-value gate as the
+    // built-in streaming aggregations.
+    "q94_streaming_session_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val summaries = graft.streaming.StreamingOps.sessionSummaries(s, ev)
+      val q = summaries.toDF().writeStream.format("memory").queryName("q94_mem")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q94_mem")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"),
+          unix_micros(col("first_ts")).as("f"),
+          unix_micros(col("last_ts")).as("l"))).as("m"))
+        .select(col("user_id"), col("m.f").as("first_us"),
+          col("m.l").as("last_us"), col("m.n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -858,6 +887,14 @@ object CoreQueries {
         | AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(s.ts::TIMESTAMP)
         | AND epoch_us(p.ts::TIMESTAMP) <= epoch_us(s.ts::TIMESTAMP) + 86400000000
         |ORDER BY signup_id, purchase_id""".stripMargin,
+    // The final per-user summary equals the batch aggregation — state
+    // round-tripping and timeout retirement must not change the values.
+    "q94_streaming_session_state" ->
+      """SELECT user_id,
+        |  epoch_us(min(ts)::TIMESTAMP) AS first_us,
+        |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Closed-window distinct types — q68's oracle restricted to the
     // windows the 36h watermark had closed.
     "q82_streaming_hll_append" ->
