@@ -401,6 +401,21 @@ object PipelineQueries {
         .orderBy("round")
     }),
 
+    // The ENCODE half: segment the corpus with the four merges just
+    // learned from it and report the top-20 piece histogram under the
+    // (n desc, piece) total order. Merges arrive as plan literals (the
+    // learned vocab is driver-bounded by construction); the histogram is
+    // one vocabulary-bounded aggregation. The oracle re-learns AND
+    // re-applies all four rounds relationally — see q95 in the oracle map.
+    "q95_bpe_piece_histogram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.learnMerges(docs, nMerges = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.pieceHistogram(docs, merges)
+        .orderBy(col("n").desc, col("piece")).limit(20)
+    }),
+
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
     // normalized text and of a 64-char prefix chunk — the composable
     // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
@@ -957,7 +972,7 @@ object PipelineQueries {
        |  GROUP BY 1, 2
        |),
        |bpm$k AS (SELECT a, b, cnt FROM bpc$k ORDER BY cnt DESC, a, b LIMIT 1),
-       |bapp$k AS (
+       |bapp$k AS MATERIALIZED (
        |  SELECT word, w, i, syms[i] AS s,
        |    CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM bpm$k)
        |              AND syms[i + 1] = (SELECT b FROM bpm$k)
@@ -974,7 +989,7 @@ object PipelineQueries {
        |    FROM bruns$k) r
        |  WHERE rn % 2 = 1
        |),
-       |bper$k AS (
+       |bper$k AS MATERIALIZED (
        |  SELECT a.word, min(a.w) AS w,
        |    list(CASE WHEN st.i IS NOT NULL THEN a.s || nx.s ELSE a.s END ORDER BY a.i) AS syms
        |  FROM bapp$k a
@@ -984,6 +999,22 @@ object PipelineQueries {
        |  GROUP BY a.word
        |)""".stripMargin
   }
+
+  /** The vocabulary + four-BPE-round CTE chain (bper0 → bper4 with each
+   * round's adopted merge in bpm1..bpm4) — shared by the q91 (learn) and
+   * q95 (encode) oracles so the two stay on one segmentation. Lazy:
+   * interpolates [[tokensSql]], declared later in this object. */
+  private lazy val bpeChain4Sql =
+    s"""bper0 AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS w,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |  FROM (SELECT unnest($tokensSql) AS word FROM documents) t
+       |  GROUP BY word
+       |),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)},
+       |${bpeRoundSql(4)}""".stripMargin
 
   /** The q41/q77 mixture spec: sources 1..12 at rates 1/4..4/4 cycling —
    * one list, consumed by both harness queries AND the q77 oracle
@@ -2126,22 +2157,22 @@ object PipelineQueries {
     // Four full BPE rounds re-derived relationally — see bpeRoundSql for
     // the greedy re-segmentation formulation.
     "q91_bpe_learn" ->
-      s"""WITH bper0 AS (
-         |  SELECT word, count(*)::BIGINT AS w,
-         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
-         |  FROM (SELECT unnest($tokensSql) AS word FROM documents) t
-         |  GROUP BY word
-         |),
-         |${bpeRoundSql(1)},
-         |${bpeRoundSql(2)},
-         |${bpeRoundSql(3)},
-         |${bpeRoundSql(4)}
+      s"""WITH $bpeChain4Sql
          |SELECT * FROM (
          |  SELECT 1::INT AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM bpm1
          |  UNION ALL SELECT 2, a, b, cnt FROM bpm2
          |  UNION ALL SELECT 3, a, b, cnt FROM bpm3
          |  UNION ALL SELECT 4, a, b, cnt FROM bpm4) u
          |ORDER BY round""".stripMargin,
+    // ENCODE with the same four learned merges: bper4 IS the corpus
+    // segmented under them, so the piece histogram falls out of one
+    // unnest — a wrong merge OR a wrong greedy application anywhere in
+    // rounds 1-4 shifts these counts.
+    "q95_bpe_piece_histogram" ->
+      s"""WITH $bpeChain4Sql
+         |SELECT piece, sum(w)::BIGINT AS n
+         |FROM (SELECT w, unnest(syms) AS piece FROM bper4)
+         |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin,
 
     // Identical pattern, identical leftmost-first alternation in RE2.
     "q58_bpe_pretokens" -> {

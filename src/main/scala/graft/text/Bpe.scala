@@ -61,6 +61,31 @@ object Bpe {
         .otherwise(concat(acc, array(s))))
 
   /**
+   * Apply an ordered merge list to the corpus and return the resulting
+   * piece histogram — the ENCODE half of the tokenizer: segment every
+   * word with the learned vocabulary and count each piece's corpus
+   * occurrences (weighted by word frequency).
+   *
+   * Same scale contract as learning: one corpus pass builds the (word,
+   * count) vocabulary; every merge application and the final histogram
+   * aggregation are vocabulary-bounded. The merge list itself is tiny
+   * (the learned vocab) and lives in the plan as literals.
+   *
+   * @param merges (sym_a, sym_b) pairs in adoption order — e.g. the
+   *               first two columns of [[learnMerges]]'s result.
+   * @return (piece, n) — n = total corpus occurrences of the piece.
+   */
+  def pieceHistogram(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val segmented = merges.foldLeft(vocab(docs, textCol)) { case (v, (a, b)) =>
+      v.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    segmented
+      .select(col("w"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum(col("w")).as("n"))
+  }
+
+  /**
    * Learn the first `nMerges` merges over the corpus.
    *
    * @return (round, sym_a, sym_b, pair_count) — one row per adopted merge,

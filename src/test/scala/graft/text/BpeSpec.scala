@@ -42,6 +42,14 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "a", 2L)))
   }
 
+  test("pieceHistogram segments with the given merges and weights by word frequency") {
+    // Merges ((a,b), (ab,c)): "abc" → [abc], "abd" → [ab, d], "e" → [e].
+    // Corpus: "abc abc abd e" → abc:2, ab:1, d:1, e:1.
+    val got = Bpe.pieceHistogram(docs("abc abc abd e"), Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("abc" -> 2L, "ab" -> 1L, "d" -> 1L, "e" -> 1L))
+  }
+
   test("merged symbols do not chain within one round: 'abab' under (a,b) leaves two pieces") {
     // Round 1 on "abab": pairs (a,b)×2, (b,a)×1 → adopt (a,b,2);
     // both occurrences merge (non-adjacent starts) → [ab, ab].
