@@ -796,6 +796,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED ANN: the q19 index untouched, a metadata predicate
+    // (label = 3, ~10% selectivity) applied at query time — post-filter
+    // as a left-semi join of slim (id) rows inside the re-rank, so rank
+    // 1..k is dense within the filtered set. The oracle is the same IVF
+    // re-derivation with the identical restriction; recall-vs-nProbe
+    // consequences of selective filters are the operator's documented
+    // trade (see ivfTopK's scaladoc).
+    "q96_filtered_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        candidateFilter = col("label") === 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF with the k-means centroid plug-in: the production-quality index
     // through ivfTopK's `centroids` seam. kmeansCentroids is deterministic
     // end-to-end (md5-seeded init, exact decimal dimension means, fixed
@@ -1174,8 +1188,11 @@ object PipelineQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** IVF top-5 (first-16 centroids, nProbe=4) — shared by q19 and q66. */
-  private val annIvfSql =
-    """WITH cent AS (
+  /** The IVF probe-and-rerank oracle chain; `restrict` appends extra
+   * predicates to the re-rank candidate set (the q96 filtered-ANN
+   * post-filter — empty for the unfiltered q19/q66 uses). */
+  private def annIvfSqlWith(restrict: String): String =
+    s"""WITH cent AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
       |  ORDER BY vec_id LIMIT 16
       |),
@@ -1200,8 +1217,10 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY p.query_id
       |      ORDER BY list_cosine_similarity(p.q_vec, a.vec) DESC, a.id ASC) AS rank
       |  FROM probes p JOIN assign a USING (cid)
-      |  WHERE a.id <> p.query_id)
+      |  WHERE a.id <> p.query_id$restrict)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val annIvfSql = annIvfSqlWith("")
 
   /** DuckDB replica of [[Cleanup.scrub]]: same NFC normalize, same
    * conditional markup strip, same redaction patterns in the same order
@@ -1935,6 +1954,9 @@ object PipelineQueries {
     // id), same nearest-cell assignment (ties to lower cid), same 4-probe
     // re-rank. Approximate ANN is still deterministic, so it oracles.
     "q19_ann_ivf" -> annIvfSql,
+    // Same IVF chain, re-rank candidates restricted to label-3 vectors.
+    "q96_filtered_ann" -> annIvfSqlWith(
+      "\n  AND a.id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
     // Recall accounting: exact∩IVF per query over the SAME two
     // derivations q17/q19 oracle — a left join so 0-hit queries appear.
     "q66_ann_recall" ->

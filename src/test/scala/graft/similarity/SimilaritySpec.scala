@@ -58,6 +58,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfAll === exact)
   }
 
+  test("filtered ivfTopK at full probing equals brute force over the filtered corpus") {
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    val queries = df.filter(col("vec_id") < 5)
+    val pred = col("vec_id") % 3 === 0
+    // Post-filter over the full index at nProbe = nCentroids must equal
+    // exact search over the pre-filtered corpus — ranks dense in [1, k].
+    val exact = bruteForceTopK(queries, df.filter(pred), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val filtered = ivfTopK(queries, df, k = 4, nCentroids = 8, nProbe = 8,
+      candidateFilter = pred)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(filtered === exact)
+    assert(filtered.forall { case (_, _, id) => id % 3 == 0 })
+  }
+
   test("ivfTopK with partial probing returns k ranked in-cell neighbors") {
     val rows = (0L until 40L).map { i =>
       i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
