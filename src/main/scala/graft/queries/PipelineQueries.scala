@@ -482,6 +482,25 @@ object PipelineQueries {
         k = 16, rows = 4, shingleWidth = 10, auditable = true)
     }),
 
+    // THE SQL SURFACE, value-checked end-to-end: one spark.sql statement
+    // over the registered kernels (scrub, md5_hash64, quality_score64,
+    // char_shingles, auditable simhash64) — the exact text a PySpark or
+    // JDBC user would run. ExtensionsSpec pins SQL-vs-DSL equality; this
+    // row pins the SQL path's VALUES against DuckDB in the driver gate,
+    // so registration, arity builders, and literal handling are all on
+    // the hook, not just the kernels underneath.
+    "q97_sql_surface" -> ((s, dir) => {
+      graft.GraftFunctionRegistry.registerFunctions(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_sql_v")
+      s.sql("""
+        SELECT doc_id,
+          md5_hash64(scrub(text)) AS scrub_fp,
+          quality_score64(text) AS q_score,
+          size(char_shingles(text, 10)) AS n_shingles,
+          simhash64(filter(split(lower(text), '\\s+'), t -> t != ''), true) AS sim
+        FROM documents_sql_v ORDER BY doc_id""")
+    }),
+
     // Quality-aware dedup: connected components over the q14 near-dup
     // graph, keeping each component's HIGHEST-quality member (ties →
     // smallest id) instead of the smallest id — the keep-best policy a
@@ -1957,6 +1976,31 @@ object PipelineQueries {
     // Same IVF chain, re-rank candidates restricted to label-3 vectors.
     "q96_filtered_ann" -> annIvfSqlWith(
       "\n  AND a.id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
+    // Every SQL-surface value re-derived: md5-64 of the scrub replica,
+    // the q85 score, shingle count, and the auditable simhash (shared
+    // CTE chain), with UBIGINT results re-biased to Spark's signed longs.
+    "q97_sql_surface" ->
+      s"""WITH $simhashCtesSql,
+         |base AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5($scrubSql), 1, 16))::UBIGINT AS sfp,
+         |    coalesce(list_sum(list_transform($tokensSql,
+         |      t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |             & 2047::UBIGINT)::BIGINT - 1024))), 0)::BIGINT AS q_score,
+         |    len($shingleSql)::INT AS n_shingles
+         |  FROM documents
+         |)
+         |SELECT b.doc_id,
+         |  (CASE WHEN b.sfp >= 9223372036854775808::UBIGINT
+         |        THEN b.sfp::HUGEINT - 18446744073709551616::HUGEINT
+         |        ELSE b.sfp::HUGEINT END)::BIGINT AS scrub_fp,
+         |  b.q_score,
+         |  b.n_shingles,
+         |  (CASE WHEN s.sim >= 9223372036854775808::UBIGINT
+         |        THEN s.sim::HUGEINT - 18446744073709551616::HUGEINT
+         |        ELSE s.sim::HUGEINT END)::BIGINT AS sim
+         |FROM base b JOIN sim s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     // Recall accounting: exact∩IVF per query over the SAME two
     // derivations q17/q19 oracle — a left join so 0-hit queries appear.
     "q66_ann_recall" ->
