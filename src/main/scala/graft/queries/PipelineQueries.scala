@@ -403,16 +403,17 @@ object PipelineQueries {
 
     // The ENCODE half: segment the corpus with the four merges just
     // learned from it and report the top-20 piece histogram under the
-    // (n desc, piece) total order. Merges arrive as plan literals (the
-    // learned vocab is driver-bounded by construction); the histogram is
-    // one vocabulary-bounded aggregation. The oracle re-learns AND
-    // re-applies all four rounds relationally — see q95 in the oracle map.
+    // (n desc, piece) total order. Learning already ends with the
+    // vocabulary segmented under all four merges, so the histogram reads
+    // that persisted vocabulary directly (learnMergesSegmented) instead
+    // of paying a second corpus pass to re-derive it — one corpus scan
+    // total, everything after vocabulary-bounded. The oracle re-learns
+    // AND re-applies all four rounds relationally — see q95 in the
+    // oracle map.
     "q95_bpe_piece_histogram" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val merges = graft.text.Bpe.learnMerges(docs, nMerges = 4)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.text.Bpe.pieceHistogram(docs, merges)
+      val (_, segmented) =
+        graft.text.Bpe.learnMergesSegmented(Tables.documents(s, dir), nMerges = 4)
+      graft.text.Bpe.pieceHistogramOfSegmented(segmented)
         .orderBy(col("n").desc, col("piece")).limit(20)
     }),
 

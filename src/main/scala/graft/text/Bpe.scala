@@ -80,9 +80,7 @@ object Bpe {
     val segmented = merges.foldLeft(vocab(docs, textCol)) { case (v, (a, b)) =>
       v.withColumn("syms", applyMerge(col("syms"), a, b))
     }
-    segmented
-      .select(col("w"), explode(col("syms")).as("piece"))
-      .groupBy("piece").agg(sum(col("w")).as("n"))
+    pieceHistogramOfSegmented(segmented)
   }
 
   /**
@@ -93,6 +91,25 @@ object Bpe {
    *         rows) only if the vocabulary runs out of adjacent pairs.
    */
   def learnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val (merges, v) = learnMergesSegmented(docs, nMerges, textCol)
+    v.unpersist(blocking = false)
+    merges
+  }
+
+  /**
+   * [[learnMerges]] that ALSO hands back the fully-segmented vocabulary it
+   * already holds after the last round — the input the ENCODE half needs.
+   * Learning ends with every word segmented under all adopted merges, so
+   * a caller that wants both the merge table and the piece histogram
+   * (training then immediately tokenizing, the common pipeline shape)
+   * should not pay a second corpus pass to rebuild what round `n` just
+   * computed.
+   *
+   * The returned (w, syms) vocabulary is persisted (MEMORY_AND_DISK,
+   * lineage-preserving); the caller owns the `unpersist` once done.
+   */
+  def learnMergesSegmented(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -123,7 +140,14 @@ object Bpe {
         v = next
       }
     }
-    v.unpersist(blocking = false)
-    adopted.result().toDF("round", "sym_a", "sym_b", "pair_count")
+    (adopted.result().toDF("round", "sym_a", "sym_b", "pair_count"), v)
   }
+
+  /** Piece histogram over an already-segmented (w, syms) vocabulary —
+   * the vocabulary-bounded tail of [[pieceHistogram]], for callers that
+   * hold [[learnMergesSegmented]]'s output. */
+  def pieceHistogramOfSegmented(segmented: DataFrame): DataFrame =
+    segmented
+      .select(col("w"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum(col("w")).as("n"))
 }

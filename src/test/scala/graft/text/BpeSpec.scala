@@ -50,6 +50,22 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     assert(got === Map("abc" -> 2L, "ab" -> 1L, "d" -> 1L, "e" -> 1L))
   }
 
+  test("learnMergesSegmented's vocabulary equals re-segmenting from scratch with the learned merges") {
+    // The q95 one-corpus-pass path: the vocabulary learning ends with must
+    // give the same piece histogram as rebuilding the vocab and replaying
+    // the merge list (the two-pass formulation the oracle re-derives).
+    val corpus = Seq("abc abc abd e", "aaa ab aaa", "abab b")
+    val (mergesDf, segmented) = Bpe.learnMergesSegmented(docs(corpus: _*), nMerges = 3)
+    val learned = merges(mergesDf).map { case (_, a, b, _) => (a, b) }
+    val onePass = Bpe.pieceHistogramOfSegmented(segmented)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val twoPass = Bpe.pieceHistogram(docs(corpus: _*), learned)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    segmented.unpersist(blocking = false)
+    assert(onePass === twoPass)
+    assert(onePass.nonEmpty)
+  }
+
   test("merged symbols do not chain within one round: 'abab' under (a,b) leaves two pieces") {
     // Round 1 on "abab": pairs (a,b)×2, (b,a)×1 → adopt (a,b,2);
     // both occurrences merge (non-adjacent starts) → [ab, ab].
