@@ -431,10 +431,15 @@ object Dedup {
   private def ppjoinStages(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
       n: Int, idCol: String, textCol: String,
       tap: (String, DataFrame) => DataFrame = (_, d) => d): PpjoinStages = {
+    // sort_array establishes SortedLongIntersectCount's input contract at
+    // set-build time: one O(m log m) sort per document buys an O(|a|+|b|)
+    // allocation-free merge count per candidate pair in the verify join
+    // (each doc's set is intersected against every partner it survives
+    // the filters with, so build-once/probe-many is the right trade).
     val gramSets = docs.select(col(idCol).as("id"),
-      array_distinct(transform(
+      sort_array(array_distinct(transform(
         wordShingles(TextAnalysis.tokens(col(textCol)), n),
-        g => graft.operators.Sampling.md5Hash64(g))).as("gs"))
+        g => graft.operators.Sampling.md5Hash64(g)))).as("gs"))
     val gramDoc = tap("gramDoc",
       gramSets.select(col("id"), explode(col("gs")).as("g")))
     // Document frequency as an unbounded-frame window count: one exchange
@@ -557,7 +562,12 @@ object Dedup {
       .join(candSets.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(candSets.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("gs_a"), col("gs_b"))).as("inter"),
+        // Codegen'd two-pointer merge count over the sorted gram sets —
+        // see SortedLongIntersectCount for why this beats
+        // size(array_intersect(...)) in the per-candidate hot loop.
+        GraftSqlBridge.column(SortedLongIntersectCount(
+          GraftSqlBridge.expression(col("gs_a")),
+          GraftSqlBridge.expression(col("gs_b")))).as("inter"),
         (size(col("gs_a")) + size(col("gs_b"))).as("sum_sizes")))
     pre
       .select(col("id_a"), col("id_b"), col("inter"),

@@ -366,3 +366,76 @@ object SimHash64 {
     h
   }
 }
+
+/**
+ * `sorted_long_intersect_count(a, b)` → int: |a ∩ b| for two `array<long>`
+ * columns whose elements are SORTED ASCENDING and DISTINCT (the caller's
+ * contract — [[graft.dedup.Dedup.ngramJaccardPairs]] sorts each gram set
+ * once at build time). A two-pointer merge walk: O(|a|+|b|) primitive
+ * long compares, zero allocation, no boxing — where
+ * `size(array_intersect(a, b))` builds a hash set AND materializes the
+ * intersection array per row just to count it. The verify join evaluates
+ * this once per candidate pair, so per-pair constant factors are exactly
+ * what a 100 TB run pays; full codegen keeps the kernel inside the join
+ * stage's generated loop.
+ *
+ * Unsorted input silently undercounts — this is a private kernel for
+ * call sites that own the sort, not a general SQL surface.
+ */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names: with non-nullable inputs the snippet inlines into the
+      // surrounding scope without braces (same caveat as the vector kernels).
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |${ev.value} = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

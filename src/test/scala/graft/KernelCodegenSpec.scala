@@ -40,4 +40,27 @@ class KernelCodegenSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.codegen.wholeStage")
     }
   }
+
+  test("sorted_long_intersect_count compiles under CODEGEN_ONLY") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      def cnt(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graft.GraftSqlBridge.column(
+          graft.dedup.SortedLongIntersectCount(
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(c),
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(d)))
+      // Two calls in ONE projection — catches duplicate-local breakage
+      // from inlined non-nullable snippets (the vector-kernel caveat).
+      val row = Seq((Seq(1L, 2L, 5L), Seq(2L, 5L, 9L))).toDF("a", "b")
+        .select(cnt(col("a"), col("b")).as("x"), cnt(col("b"), col("a")).as("y"))
+        .head()
+      assert(row.getInt(0) === 2)
+      assert(row.getInt(1) === 2)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
 }

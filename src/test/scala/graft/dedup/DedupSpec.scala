@@ -641,4 +641,34 @@ class DedupSpec extends AnyFunSuite {
   test("incremental dedup: empty batch yields no rows regardless of corpus") {
     assert(incrementalNewDocs(docs(), docs(1L -> "anything")).count() === 0)
   }
+
+  test("SortedLongIntersectCount matches size(array_intersect) on sorted distinct arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Random sorted-distinct pairs + the edge shapes: empty sides,
+    // disjoint, identical, single-element overlap at both ends.
+    val cases = Seq.fill(50) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong - 20).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong - 20).distinct.sorted
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val df = cases.toDF("a", "b").select(
+      org.apache.spark.sql.graft.GraftSqlBridge.column(SortedLongIntersectCount(
+        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("a")),
+        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("b")))).as("merged"),
+      size(array_intersect(col("a"), col("b"))).as("reference"))
+    assert(df.filter(col("merged") =!= col("reference")).count() === 0)
+    // Null input → null result, matching the built-in's semantics.
+    val nulls = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b").select(
+      org.apache.spark.sql.graft.GraftSqlBridge.column(SortedLongIntersectCount(
+        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("a")),
+        org.apache.spark.sql.graft.GraftSqlBridge.expression(col("b")))).as("merged"))
+    assert(nulls.head().isNullAt(0))
+  }
 }
