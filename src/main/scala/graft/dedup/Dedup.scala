@@ -169,14 +169,21 @@ object Dedup {
     // and dropping it saves a whole shuffle.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
+    // sort_array establishes SortedStringIntersectCount's contract: one
+    // sort per candidate doc buys an allocation-free merge count per
+    // candidate pair (same build-once/probe-many trade as the PPJoin
+    // gram sets; shingle sets stay as STRINGS so the oracle re-derives
+    // the intersection with no hashing step).
     val candShingled = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("txt"), shingleWidth).as("sh"))
+      .select(col("id"), sort_array(shingles(col("txt"), shingleWidth)).as("sh"))
     candidates
       .join(candShingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candShingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        GraftSqlBridge.column(SortedStringIntersectCount(
+          GraftSqlBridge.expression(col("sh_a")),
+          GraftSqlBridge.expression(col("sh_b")))).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).as("sum_sizes"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sum_sizes") - col("inter")).as("uni"))

@@ -58,6 +58,13 @@ class KernelCodegenSpec extends AnyFunSuite {
         .head()
       assert(row.getInt(0) === 2)
       assert(row.getInt(1) === 2)
+      val srow = Seq((Seq("a", "b", "d"), Seq("b", "c", "d"))).toDF("a", "b")
+        .select(org.apache.spark.sql.graft.GraftSqlBridge.column(
+          graft.dedup.SortedStringIntersectCount(
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(col("a")),
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(col("b")))).as("s"))
+        .head()
+      assert(srow.getInt(0) === 2)
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.wholeStage")

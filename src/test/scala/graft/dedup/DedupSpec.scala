@@ -671,4 +671,27 @@ class DedupSpec extends AnyFunSuite {
         org.apache.spark.sql.graft.GraftSqlBridge.expression(col("b")))).as("merged"))
     assert(nulls.head().isNullAt(0))
   }
+
+  test("SortedStringIntersectCount matches size(array_intersect) on sorted distinct string arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("", "a", "ab", "abc", "b", "ba", "é", "漢", "z9", "  ", "")
+    val cases = Seq.fill(50) {
+      val a = Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size))).distinct
+      val b = Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size))).distinct
+      (a, b)
+    } ++ Seq((Seq.empty[String], Seq("x")), (Seq("x"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+    // Sort with Spark's own sort_array so the test exercises the exact
+    // ordering contract the production call sites rely on.
+    val df = cases.toDF("a0", "b0")
+      .select(sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+      .select(
+        org.apache.spark.sql.graft.GraftSqlBridge.column(SortedStringIntersectCount(
+          org.apache.spark.sql.graft.GraftSqlBridge.expression(col("a")),
+          org.apache.spark.sql.graft.GraftSqlBridge.expression(col("b")))).as("merged"),
+        size(array_intersect(col("a"), col("b"))).as("reference"))
+    assert(df.filter(col("merged") =!= col("reference")).count() === 0)
+  }
 }
