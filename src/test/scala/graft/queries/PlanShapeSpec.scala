@@ -155,6 +155,9 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), "q14 plans a cartesian join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q14 plans a nested-loop join")
+    // Verify counts intersections with the sorted merge kernel.
+    assert(p.toLowerCase.contains("sortedstringintersectcount"),
+      "MinHash verify regressed to a non-kernel intersection")
   }
 
   test("simhash banding joins on band keys, no cartesian, payload-free shuffle") {
@@ -238,6 +241,10 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       assert(exchanges.nonEmpty)
       assert(!exchanges.exists(l => l.contains("text") || l.contains("txt")),
         s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+      // The verify stage must count intersections with the sorted merge
+      // kernel, not rebuild hash sets via array_intersect per pair.
+      assert(p.toLowerCase.contains("sortedlongintersectcount"),
+        "PPJoin verify regressed to a non-kernel intersection")
     }
 
   test("semantic dedup: embedding vectors never ride the cluster exchange") {
