@@ -953,6 +953,31 @@ object Dedup {
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("canonical_id"))
 
+  /** Cross-source duplication matrix: fold near-dup pairs into per
+   * source-pair counts — the "where is my duplication coming from" number
+   * an operator reads before choosing per-source dedup policy (a source
+   * that mostly duplicates ITSELF wants intra-source dedup; two sources
+   * duplicating EACH OTHER want a precedence rule). `sources` must carry
+   * (`idCol`, source). The source pair is unordered (least/greatest), so
+   * (srcA, srcB) and (srcB, srcA) pairs land on one row; same-source
+   * duplication appears on the diagonal.
+   *
+   * Scale: the pair list is the sliver (the whole point of the banding
+   * upstream); the (id, source) projection column-prunes its scan, and the
+   * two joins hash on id — at corpus scale the pair side is the broadcast
+   * candidate, and the output is bounded by |sources|². */
+  def crossSourceDupMatrix(pairs: DataFrame, sources: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val src = sources.select(col(idCol).as("id"), col("source"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /**
    * Full transitive dedup clustering: connected components over the
    * near-dup pair graph by iterative min-label propagation. Returns

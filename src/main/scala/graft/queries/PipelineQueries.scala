@@ -518,6 +518,19 @@ object PipelineQueries {
       Dedup.keepBest(comps, scores).orderBy("component_id")
     }),
 
+    // Cross-source duplication matrix over the q14 pair graph: per
+    // unordered source pair, how many near-dup pairs span it — the
+    // pre-flight read for per-source dedup policy (intra-source dup on
+    // the diagonal, inter-source contamination off it). The oracle folds
+    // the same definitional all-pairs derivation by source.
+    "q98_cross_source_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossSourceDupMatrix(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10),
+        docs).orderBy("source_a", "source_b")
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -2055,6 +2068,19 @@ object PipelineQueries {
          |SELECT component_id, id AS kept_id, score AS kept_score,
          |  n_members::BIGINT AS n_members
          |FROM sel WHERE rn = 1 ORDER BY component_id""".stripMargin,
+    // Same pairs derivation as q14/q23, folded by unordered source pair.
+    // (The recursive reach/comps CTEs in the shared block go unreferenced
+    // here and DuckDB prunes them.)
+    "q98_cross_source_neardup" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM pairs p
+         |JOIN src sa ON p.id_a = sa.doc_id
+         |JOIN src sb ON p.id_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.

@@ -642,6 +642,20 @@ class DedupSpec extends AnyFunSuite {
     assert(incrementalNewDocs(docs(), docs(1L -> "anything")).count() === 0)
   }
 
+  test("crossSourceDupMatrix folds pairs by unordered source pair with a diagonal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Pairs: (1,2) spans A-B, (2,3) spans B-A (reversed sources → same
+    // unordered cell), (4,5) is intra-A (diagonal).
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val sources = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "A"), (5L, "A"))
+      .toDF("doc_id", "source")
+    val got = Dedup.crossSourceDupMatrix(pairs, sources)
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("A", "A", 1L), ("A", "B", 2L)))
+  }
+
   test("SortedLongIntersectCount matches size(array_intersect) on sorted distinct arrays") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
