@@ -191,6 +191,81 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /**
+   * Incremental NEAR-dup ingest: verified Jaccard near-duplicate pairs
+   * between a newly-arrived batch and the existing corpus — the MinHash-LSH
+   * production shape of [[incrementalNewDocs]], for the daily-crawl case
+   * where a new document is a mutated copy (boilerplate swap, snippet edit)
+   * of something already ingested, so exact fingerprints miss it.
+   *
+   * Candidates come from an equi-join of the two sides' LSH band keys
+   * instead of [[jaccardNearDupPairs]]'s in-bucket expansion: only
+   * (band, bucket, id) coordinates shuffle, and the join fans out
+   * |batch∩bucket|·|corpus∩bucket| rows per bucket — linear in the batch's
+   * bucket occupancy, never quadratic in the corpus's. At 100 TB the corpus
+   * side is a STORED banding (persist [[lshBanded]]'s output bucketed by
+   * (band, bucket) with [[graft.sources.Layout]]): each increment then
+   * probes state zero-exchange, and only batch docs pay the signature pass.
+   *
+   * Hot buckets are handled on the corpus side, mirroring
+   * [[jaccardNearDupPairs]]'s cap semantics: a corpus bucket holding more
+   * than `maxBucketSize` ids is SKIPPED (template spam, not near-dup
+   * signal — a qualifying pair still surfaces through any of the other
+   * bands-1 bands), and [[lshBucketStats]] over the corpus quantifies the
+   * drops for the same parameters. The windowed count that applies the cap
+   * runs on the same (band, bucket) shuffle the join needs anyway, so the
+   * cap costs no extra exchange.
+   *
+   * Verification is exact: candidate pairs re-shingle only their own docs
+   * (semi-joins on both sides) and count intersections with the sorted
+   * merge kernel, so banding only ever costs recall, never precision.
+   *
+   * @return (batch_id, corpus_id, inter, uni) for verified qualifying
+   *         pairs — integer columns only, bit-comparable across engines.
+   */
+  def incrementalJaccardNearDup(batch: DataFrame, corpus: DataFrame,
+      thresholdNum: Int, thresholdDen: Int,
+      k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
+      maxBucketSize: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batchBanded = lshBanded(batch, k, rows, shingleWidth, idCol, textCol)
+      .select(col("band"), col("bucket"), col("id").as("batch_id"))
+    val corpusBanded = lshBanded(corpus, k, rows, shingleWidth, idCol, textCol)
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+
+    val capWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val corpusCapped = corpusBanded
+      .withColumn("bn", count(lit(1)).over(capWindow))
+      .filter(col("bn") <= maxBucketSize)
+      .drop("bn")
+
+    val candidates = batchBanded
+      .join(corpusCapped, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+
+    def shingled(docs: DataFrame, ids: DataFrame, as: String): DataFrame =
+      docs.select(col(idCol).as(as), col(textCol).as("txt"))
+        .join(ids, Seq(as), "left_semi")
+        .select(col(as), sort_array(shingles(col("txt"), shingleWidth)).as(s"sh_$as"))
+
+    val batchSh = shingled(batch, candidates.select("batch_id"), "batch_id")
+    val corpusSh = shingled(corpus, candidates.select("corpus_id"), "corpus_id")
+    candidates
+      .join(batchSh, "batch_id")
+      .join(corpusSh, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        GraftSqlBridge.column(SortedStringIntersectCount(
+          GraftSqlBridge.expression(col("sh_batch_id")),
+          GraftSqlBridge.expression(col("sh_corpus_id")))).as("inter"),
+        (size(col("sh_batch_id")) + size(col("sh_corpus_id"))).as("sum_sizes"))
+      .select(col("batch_id"), col("corpus_id"), col("inter"),
+        (col("sum_sizes") - col("inter")).as("uni"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** (band, bucket, id) rows only — the LSH shuffle never carries content.
    * Shingled once for signatures; candidates re-shingle only their docs.
    *

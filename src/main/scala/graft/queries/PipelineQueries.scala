@@ -531,6 +531,19 @@ object PipelineQueries {
         docs).orderBy("source_a", "source_b")
     }),
 
+    // Incremental NEAR-dup ingest: the q61 daily-crawl shape upgraded from
+    // exact fingerprints to MinHash-LSH — batch (src11/src12) docs paired
+    // against the rest of the corpus via a band-key equi-join, exactly
+    // verified. The oracle is the DEFINITIONAL batch×corpus shingle
+    // Jaccard, so a row-for-row match proves the banding missed nothing at
+    // this threshold.
+    "q99_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBatch = col("source").isin("src11", "src12")
+      Dedup.incrementalJaccardNearDup(docs.filter(isBatch), docs.filter(!isBatch),
+        thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -2081,6 +2094,28 @@ object PipelineQueries {
          |JOIN src sa ON p.id_a = sa.doc_id
          |JOIN src sb ON p.id_b = sb.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Definitional batch×corpus Jaccard over the same 10-gram shingles as
+    // q14 — no banding on the oracle side, proving the incremental LSH
+    // path's recall exact at threshold 3/4 on this corpus.
+    "q99_incremental_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, unnest($shingleSql) AS s FROM documents
+         |),
+         |bsh AS (SELECT doc_id, s FROM sh WHERE source IN ('src11', 'src12')),
+         |csh AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src11', 'src12')),
+         |pair_inter AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |    count(*)::INT AS inter
+         |  FROM bsh b JOIN csh c ON b.s = c.s
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1)
+         |SELECT batch_id, corpus_id, inter, (sb.n + sc.n - inter)::INT AS uni
+         |FROM pair_inter
+         |JOIN sizes sb ON batch_id = sb.doc_id
+         |JOIN sizes sc ON corpus_id = sc.doc_id
+         |WHERE inter * 4 >= (sb.n + sc.n - inter) * 3
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.

@@ -101,6 +101,37 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(p => assert(4 * p._3 >= 3 * p._4))
   }
 
+  test("incrementalJaccardNearDup pairs batch docs against the corpus only") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(
+      1L -> base,
+      2L -> ("totally unrelated document about spark catalyst optimizer rules " * 3),
+      3L -> (base + "OLD TAIL.")) // near-dup of 1, but corpus-internal
+    val batch = docs(
+      10L -> (base + "EXTRA TAIL."), // near-dup of corpus 1 and 3
+      11L -> ("fresh content never seen before in any ingested document " * 3),
+      12L -> (base + "EXTRA TAIL.")) // exact dup of batch 10: must NOT pair
+    val pairs = incrementalJaccardNearDup(batch, corpus,
+      thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    // Batch-internal (10,12) and corpus-internal (1,3) pairs are out of
+    // scope by construction — only batch×corpus edges appear.
+    assert(ids === Set((10L, 1L), (10L, 3L), (12L, 1L), (12L, 3L)))
+    pairs.foreach(p => assert(4 * p._3 >= 3 * p._4))
+  }
+
+  test("incrementalJaccardNearDup skips corpus buckets over the cap") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(1L -> base)
+    val batch = docs(10L -> (base + "EXTRA TAIL."))
+    // cap=0 drops every corpus bucket -> no candidates survive.
+    val none = incrementalJaccardNearDup(batch, corpus,
+      thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10,
+      maxBucketSize = 0)
+    assert(none.count() === 0L)
+  }
+
   test("exactDupGroups groups identical normalized content") {
     val corpus = docs(
       10L -> "Hello   World", 11L -> "hello world", 12L -> "different")
