@@ -505,3 +505,66 @@ case class SortedStringIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * `sorted_long_contains(arr, v)` → boolean: binary search for `v` in an
+ * `array<long>` sorted ascending (signed) — the membership twin of
+ * [[SortedLongIntersectCount]], for per-element probes against one shared
+ * sorted set (e.g. [[graft.text.Cleanup.removeBoilerplateLines]] testing
+ * every line of every document against the broadcast boilerplate set).
+ * O(log n) primitive compares per probe where `array_contains` scans
+ * linearly; full codegen keeps the probe inside the projection's
+ * generated loop, including when it runs per array element inside a
+ * higher-order `filter` lambda.
+ *
+ * Unsorted input silently misses — private kernel, caller owns the sort.
+ */
+case class SortedLongContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val v = r.asInstanceOf[Long]
+    var lo = 0
+    var hi = a.numElements() - 1
+    var found = false
+    while (lo <= hi && !found) {
+      val mid = (lo + hi) >>> 1
+      val x = a.getLong(mid)
+      if (x == v) found = true
+      else if (x < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    found
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, v) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val x = ctx.freshName("x")
+      s"""
+         |int $lo = 0;
+         |int $hi = $a.numElements() - 1;
+         |${ev.value} = false;
+         |while ($lo <= $hi && !${ev.value}) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  long $x = $a.getLong($mid);
+         |  if ($x == $v) { ${ev.value} = true; }
+         |  else if ($x < $v) { $lo = $mid + 1; } else { $hi = $mid - 1; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -544,6 +544,25 @@ object PipelineQueries {
         thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
+    // The APPLY half of q72's boilerplate detection: rewrite every doc with
+    // shared template lines (trimmed content in >= 3 distinct docs) dropped.
+    // The synthetic corpus is single-line bags of words with no shared
+    // lines, so the harness plants the template chrome it is supposed to
+    // strip — a per-source footer and a global footer appended to every
+    // doc (deterministic, mirrored in the oracle, like q90's synthesized
+    // timestamps). The original text line survives (its distinct-doc count
+    // stays under 3), so clean_text must round-trip it exactly; full
+    // cleaned text crosses the oracle boundary, checking detection,
+    // removal, AND reassembly value-for-value.
+    "q100_boilerplate_removal" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("subscribe to "), col("source"), lit(" weekly")),
+          lit("(c) corpus collective - all rights reserved")).as("text"))
+      graft.text.Cleanup.removeBoilerplateLines(planted, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     // Embedding near-duplicates: exact half-cartesian with the fused cosine
     // kernel; ids only. (LSH candidate path exists for higher thresholds —
     // at tau=0.45 sign-LSH cannot prune, see Similarity scaladoc.)
@@ -2116,6 +2135,39 @@ object PipelineQueries {
          |JOIN sizes sc ON corpus_id = sc.doc_id
          |WHERE inter * 4 >= (sb.n + sc.n - inter) * 3
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    // Same boilerplate definition as q72 (trimmed non-empty line content in
+    // >= 3 distinct docs) re-derived on the raw line STRINGS — no hashing
+    // step, so the oracle independently re-checks the md5-keyed Spark path.
+    // The docs CTE re-plants the same two footer lines as the Spark side.
+    "q100_boilerplate_removal" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || chr(10) || 'subscribe to ' || source ||
+        |    ' weekly' || chr(10) ||
+        |    '(c) corpus collective - all rights reserved' AS text
+        |  FROM documents
+        |),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs),
+        |lines AS (
+        |  SELECT doc_id, i.i, l[i.i::INT] AS line
+        |  FROM ls, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) i
+        |),
+        |hot AS (
+        |  SELECT trim(line) AS t FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        |),
+        |kept AS (
+        |  SELECT doc_id, i, line FROM lines
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.t = trim(lines.line))
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT l.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  (len(l.l) - coalesce(a.n_kept, 0))::INT AS n_removed
+        |FROM ls l LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // checksum: sum of unsigned BYTE values of the UTF-8 payload, computed
     // from the hex encoding of the blob (two hex digits per byte) — agrees
     // with StubDecoder for any input, ASCII or not.

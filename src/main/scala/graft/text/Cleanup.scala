@@ -80,6 +80,53 @@ object Cleanup {
   def scrub(text: Column): Column =
     redactPii(stripHtmlIfPresent(nfcNormalize(text)))
 
+  /**
+   * C4-style boilerplate-line REMOVAL — the "drop shared lines" scrub whose
+   * detection half is q72: rewrite each document keeping only lines whose
+   * trimmed content does NOT appear in `minDocs`-or-more distinct documents
+   * (nav bars, license footers, template chrome). Blank lines are never
+   * boilerplate (they carry no shared content) and always survive.
+   *
+   * Scale shape, in order:
+   *  1. Detection shuffles (line-hash, doc_id) coordinates only — document
+   *     text never moves (same plan as q72's detection).
+   *  2. The boilerplate set is folded to ONE row holding a sorted
+   *     `array<long>` of line hashes and broadcast — the legit
+   *     small-artifact pattern ([[graft.dedup.Dedup.ngramContaminationBloom]]
+   *     precedent). Its size is bounded by (total line occurrences) /
+   *     `minDocs`, and in practice by the count of genuinely shared
+   *     template lines; tens of millions of entries is a few hundred MB,
+   *     fine to broadcast, and the pre-aggregated `collect_list` input is
+   *     already the distinct hot set.
+   *  3. The rewrite is a pure per-row projection: split, probe each line's
+   *     hash against the broadcast set with [[graft.dedup.SortedLongContains]]
+   *     (binary search, codegen'd), re-join survivors. No shuffle of text,
+   *     no per-line explode+regroup round trip.
+   *
+   * @return (idCol, clean_text, n_removed) — one row per input document.
+   */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame, minDocs: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val lineHash = (l: Column) => graft.operators.Sampling.md5Hash64(trim(l))
+    val hot = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(col("id"), lineHash(col("line")).as("lh"))
+      .groupBy("lh").agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val bset = hot.agg(sort_array(collect_list(col("lh"))).as("bl"))
+    docs
+      .crossJoin(broadcast(bset))
+      .select(col(idCol), split(col(textCol), "\n").as("ls"), col("bl"))
+      .select(col(idCol), col("ls"),
+        filter(col("ls"), l => !GraftSqlBridge.column(graft.dedup.SortedLongContains(
+          GraftSqlBridge.expression(col("bl")),
+          GraftSqlBridge.expression(lineHash(l))))).as("kept"))
+      .select(col(idCol),
+        array_join(col("kept"), "\n").as("clean_text"),
+        (size(col("ls")) - size(col("kept"))).as("n_removed"))
+  }
+
   // ------------------------------------------------- catalyst-level builders
 
   import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal, RLike, RegExpReplace, StringTrim}

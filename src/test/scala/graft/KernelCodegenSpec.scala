@@ -70,4 +70,30 @@ class KernelCodegenSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.codegen.wholeStage")
     }
   }
+
+  test("sorted_long_contains compiles under CODEGEN_ONLY and binary-searches") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      def has(arr: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graft.GraftSqlBridge.column(
+          graft.dedup.SortedLongContains(
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(arr),
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(v)))
+      // Probes cover first/middle/last/absent/negative plus the empty
+      // array; two calls in one projection (inlined-snippet caveat).
+      val row = Seq((Seq(-7L, 1L, 2L, 5L, 9L), Seq.empty[Long])).toDF("a", "e")
+        .select(
+          has(col("a"), lit(-7L)).as("first"), has(col("a"), lit(2L)).as("mid"),
+          has(col("a"), lit(9L)).as("last"), has(col("a"), lit(3L)).as("absent"),
+          has(col("e"), lit(1L)).as("empty"))
+        .head()
+      assert(row.getBoolean(0) && row.getBoolean(1) && row.getBoolean(2))
+      assert(!row.getBoolean(3) && !row.getBoolean(4))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
 }

@@ -320,6 +320,36 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("BroadcastHashJoin"), "removal apply join is not broadcast")
   }
 
+  test("boilerplate removal rewrites map-side: text never rides an exchange") {
+    val p = plan(graft.text.Cleanup.removeBoilerplateLines(
+      graft.sources.Tables.documents(spark, sf), minDocs = 3))
+    // The boilerplate set is ONE broadcast row joined by nested loop —
+    // here that is the legit small-artifact pattern, not a plan defect.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate set is not broadcast to the rewrite projection")
+    // Detection shuffles line-hash coordinates; the rewrite side must keep
+    // text in its scan stage — no hash exchange may carry the text column.
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "no detection aggregation exchange found")
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+    assert(p.contains("sortedlongcontains"),
+      "rewrite probe is not the binary-search kernel")
+  }
+
+  test("incremental near-dup joins band keys: no cartesian, text never shuffles") {
+    val df = PipelineQueries.queries("q99_incremental_neardup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "q99 plans a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q99 plans a nested-loop join")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("txt") || l.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("tfidf terms: corpus scanned once per aggregation, text never shuffled") {
     val p = plan(PipelineQueries.queries("q60_tfidf_terms")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q60 plans a cartesian corpus join")

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CleanupSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cleanup-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("removeBoilerplateLines drops shared lines and keeps unique content") {
+    val footer = "(c) example collective"
+    val corpus = docs(
+      1L -> s"alpha unique one\n$footer",
+      2L -> s"beta unique two\n$footer",
+      3L -> s"gamma unique three\n$footer",
+      4L -> "delta with no footer at all")
+    val out = Cleanup.removeBoilerplateLines(corpus, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out(0) === ((1L, "alpha unique one", 1)))
+    assert(out(1) === ((2L, "beta unique two", 1)))
+    assert(out(2) === ((3L, "gamma unique three", 1)))
+    assert(out(3) === ((4L, "delta with no footer at all", 0)))
+  }
+
+  test("removeBoilerplateLines matches on trimmed content but keeps original bytes") {
+    // Indented and flush copies of the footer count as the SAME line for
+    // detection; removal drops each occurrence however it was indented.
+    val corpus = docs(
+      1L -> "keep me\n  shared line",
+      2L -> "also keep\nshared line",
+      3L -> "third keeper\n shared line ")
+    val out = Cleanup.removeBoilerplateLines(corpus, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("keep me", 1), ("also keep", 1), ("third keeper", 1)))
+  }
+
+  test("removeBoilerplateLines: blank lines are never boilerplate") {
+    val corpus = docs(
+      1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf")
+    val out = Cleanup.removeBoilerplateLines(corpus, minDocs = 3)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("a\n\nb", 0), ("c\n\nd", 0), ("e\n\nf", 0)))
+  }
+
+  test("removeBoilerplateLines: doc that is ALL boilerplate empties cleanly") {
+    val corpus = docs(
+      1L -> "shared", 2L -> "shared", 3L -> "shared\nshared", 4L -> "solo")
+    val out = Cleanup.removeBoilerplateLines(corpus, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out(0) === ((1L, "", 1)))
+    assert(out(2) === ((3L, "", 2)))
+    assert(out(3) === ((4L, "solo", 0)))
+  }
+
+  test("removeBoilerplateLines: no hot lines leaves every doc untouched") {
+    val corpus = docs(1L -> "a\nb", 2L -> "c\nd")
+    val out = Cleanup.removeBoilerplateLines(corpus, minDocs = 3)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("a\nb", 0), ("c\nd", 0)))
+  }
+}
