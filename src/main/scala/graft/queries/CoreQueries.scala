@@ -277,6 +277,25 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Z-order layout audit: orders mapped onto a 16-bit (order-date,
+    // total-price) grid, rows assigned to 64 "files" by the top Z-value
+    // bits — exactly how a range-partitioned write splits the sorted
+    // curve — and per-file min/max spans of BOTH dimensions reported.
+    // Tight spans on both axes are the property that makes parquet
+    // min/max file skipping work for predicates on EITHER column; the
+    // domains are fixed TPC-H constants so the oracle re-derives the
+    // identical cells and bit-interleaving in DuckDB.
+    "q101_zorder_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val qx = graft.sources.Layout.quantize16(
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"),
+        0L, 2500L)
+      val qy = graft.sources.Layout.quantize16(
+        floor(col("o_totalprice")).cast("long"), 0L, 600000L)
+      graft.sources.Layout.zorderAudit(o, qx, qy, bucketBits = 3)
+        .orderBy("file_id")
+    }),
+
     // Event-time tumbling window over the stream table (same windowing that
     // runs under Structured Streaming; here exercised in batch).
     // Values compared at 1e-4 resolution as BIGINT (see q1 for the
@@ -857,6 +876,31 @@ object CoreQueries {
         |  count(*)::BIGINT AS n,
         |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // Same quantization (integer //, matching Spark's exact-by-bound double
+    // division) and the same four mask-shift interleave rounds, carried
+    // through a CTE chain so each round's expression appears once.
+    "q101_zorder_audit" ->
+      """WITH q AS (
+        |  SELECT
+        |    least((date_diff('day', DATE '1992-01-01', o_orderdate) * 65536) // 2501,
+        |          65535) AS qx,
+        |    least((floor(o_totalprice)::BIGINT * 65536) // 600001, 65535) AS qy
+        |  FROM orders
+        |),
+        |t0 AS (SELECT qx, qy, qx & 65535 AS x, qy & 65535 AS y FROM q),
+        |t1 AS (SELECT qx, qy, (x | (x << 8)) & 16711935 AS x,
+        |                      (y | (y << 8)) & 16711935 AS y FROM t0),
+        |t2 AS (SELECT qx, qy, (x | (x << 4)) & 252645135 AS x,
+        |                      (y | (y << 4)) & 252645135 AS y FROM t1),
+        |t3 AS (SELECT qx, qy, (x | (x << 2)) & 858993459 AS x,
+        |                      (y | (y << 2)) & 858993459 AS y FROM t2),
+        |t4 AS (SELECT qx, qy, (x | (x << 1)) & 1431655765 AS x,
+        |                      (y | (y << 1)) & 1431655765 AS y FROM t3),
+        |z AS (SELECT qx, qy, (x | (y << 1)) >> 26 AS file_id FROM t4)
+        |SELECT file_id, count(*)::BIGINT AS n_rows,
+        |  min(qx)::BIGINT AS min_x, max(qx)::BIGINT AS max_x,
+        |  min(qy)::BIGINT AS min_y, max(qy)::BIGINT AS max_y
+        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
     // Identical to q9's day/type counts — batch SQL is the parity oracle
     // for the streaming execution.
     "q67_streaming_daily_counts" ->

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /**
  * Physical-layout helpers: bucketing for shuffle-free co-located joins.
@@ -28,4 +29,75 @@ object Layout {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  // -------------------------------------------------------------- Z-order
+
+  /** Spread the low 16 bits of `c` (a long) so bit i lands at bit 2i —
+   * the classic four mask-shift rounds. Pure built-in long arithmetic:
+   * whole-stage codegen'd in Spark, and bit-identical in any engine with
+   * `|`/`&`/`<<` on 64-bit ints (the oracle re-derives it in DuckDB). */
+  private def spread16(c: Column): Column = {
+    val s0 = c.bitwiseAND(lit(0xFFFFL))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /**
+   * Two-dimensional Z-order (Morton) value over two pre-quantized 16-bit
+   * cell coordinates: bit i of `x` lands at bit 2i, bit i of `y` at 2i+1.
+   * Sorting or range-partitioning by this value clusters BOTH dimensions
+   * simultaneously, so per-file min/max statistics prune scans for
+   * predicates on either column — the layout move (Delta's `ZORDER BY`,
+   * the curve from Morton 1966) that single-column sorting cannot make:
+   * sorted-by-x files each span the full y range and vice versa.
+   *
+   * Callers quantize first (e.g. `quantize16`) — the curve operates on
+   * grid cells, not raw values, and the quantizer is where distribution
+   * skew is handled (equi-width here; swap in equi-depth ranks upstream
+   * for heavy-tailed keys).
+   */
+  def zorder2(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Equi-width quantization of `c` onto the 16-bit grid `[0, 65535]`
+   * given inclusive bounds — the Z-order companion. In-range values land
+   * strictly below 65536 by construction (the 65535 cap only guards
+   * inputs above `hi`, which callers own clamping); domains narrower than
+   * the grid occupy every `65536/width`-th cell, which Z-ordering is
+   * indifferent to — cell ORDER is all the curve uses.
+   *
+   * Spark's `/` on longs is double division, exact only while the
+   * numerator stays under 2^53 — so the domain width is REQUIRED under
+   * 2^37 (the q60 lesson: make integer-semantics bounds explicit, never
+   * silent). DuckDB's `//` re-derives the identical cell. */
+  def quantize16(c: Column, lo: Long, hi: Long): Column = {
+    require(hi > lo, s"quantize16 needs hi > lo, got [$lo, $hi]")
+    require(hi - lo + 1 <= (1L << 37),
+      s"quantize16 domain width ${hi - lo + 1} exceeds 2^37: " +
+        "(c-lo)*65536 would lose integer exactness in double division")
+    least(floor((c - lit(lo)) * lit(65536L) / lit(hi - lo + 1)), lit(65535L))
+      .cast("long")
+  }
+
+  /**
+   * Locality audit for a Z-ordered layout: assign each row to one of
+   * `1 << (2*bucketBits)` files by the TOP bits of its Z-value (exactly how
+   * a range-partitioned write would split the sorted curve), then report
+   * per-file row count and min/max of BOTH quantized dimensions. Tight
+   * per-file spans on both columns — each file covering ~1/2^bucketBits of
+   * each axis — are what make min/max file skipping effective for
+   * predicates on either; a single-column sort shows full-range spans on
+   * the other column. One pass + one coordinates-only aggregation.
+   */
+  def zorderAudit(df: DataFrame, x: Column, y: Column, bucketBits: Int = 3): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 8, s"bucketBits in [1,8], got $bucketBits")
+    val z = zorder2(x, y)
+    df.select(x.as("qx"), y.as("qy"), shiftright(z, 32 - 2 * bucketBits).as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("qx").as("min_x"), max("qx").as("max_x"),
+        min("qy").as("min_y"), max("qy").as("max_y"))
+  }
 }

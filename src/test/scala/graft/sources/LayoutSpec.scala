@@ -59,4 +59,47 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("zorder2 interleaves bits: known values and bounds") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L),       // x bit 0 -> z bit 0
+      (0L, 1L),       // y bit 0 -> z bit 1
+      (0xFFFFL, 0L),  // all-x -> even-bit mask 0x55555555
+      (0L, 0xFFFFL),  // all-y -> odd-bit mask 0xAAAAAAAA
+      (0xFFFFL, 0xFFFFL)) // full grid corner -> 2^32 - 1
+      .toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(1L, 2L, 0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL))
+  }
+
+  test("quantize16 maps bounds to grid edges with integer exactness") {
+    import spark.implicits._
+    val q = Seq(0L, 1L, 1249L, 2500L).toDF("v")
+      .select(Layout.quantize16(col("v"), 0L, 2500L).as("q"))
+      .collect().map(_.getLong(0))
+    assert(q(0) === 0L)
+    assert(q(1) === (65536L / 2501))          // exact integer cell
+    assert(q(3) === (2500L * 65536L / 2501))  // hi -> top occupied cell, 65509
+    assert(q.forall(v => v >= 0 && v <= 65535))
+    intercept[IllegalArgumentException] {
+      Layout.quantize16(col("v"), 0L, 1L << 38) // width bound is enforced
+    }
+  }
+
+  test("zorderAudit: every file spans at most 1/2^bits of BOTH axes") {
+    import spark.implicits._
+    // Uniform 64x64 grid scaled onto the 16-bit domain.
+    val grid = (for (i <- 0 until 64; j <- 0 until 64)
+      yield (i * 1024L, j * 1024L)).toDF("x", "y")
+    val audit = Layout.zorderAudit(grid, col("x"), col("y"), bucketBits = 3)
+      .collect()
+    assert(audit.length === 64) // 8x8 files, all populated
+    audit.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 8192, s"x span too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 8192, s"y span too wide: $r")
+      assert(r.getLong(1) === 64L) // uniform occupancy
+    }
+  }
 }
