@@ -140,6 +140,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t) => graft.text.QualityScore64(t)
         case args => wrongArity("quality_score64", args.size)
+      }),
+    ("zorder2",
+      "_FUNC_(x, y) - 2-D Z-order (Morton) value of two 16-bit grid cells, for layout clustering.",
+      {
+        case Seq(x, y) => graft.sources.Layout.zorder2Expr(x, y)
+        case args => wrongArity("zorder2", args.size)
       })
   )
 

@@ -81,6 +81,26 @@ object Layout {
       .cast("long")
   }
 
+  /** Catalyst twin of [[zorder2]] for the SQL registry (a registry builder
+   * must return a resolved expression tree — the same Spark-4 constraint
+   * as Cleanup's builders). Composes the IDENTICAL four mask-shift rounds,
+   * so `zorder2(x, y)` in SQL and the Column DSL cannot drift; inputs are
+   * cast to long so SQL integer literals work. */
+  private[graft] def zorder2Expr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, Literal, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+    def spread(e: Expression): Expression = {
+      val s0 = BitwiseAnd(Cast(e, LongType), Literal(0xFFFFL))
+      val s1 = BitwiseAnd(BitwiseOr(s0, ShiftLeft(s0, Literal(8))), Literal(0x00FF00FFL))
+      val s2 = BitwiseAnd(BitwiseOr(s1, ShiftLeft(s1, Literal(4))), Literal(0x0F0F0F0FL))
+      val s3 = BitwiseAnd(BitwiseOr(s2, ShiftLeft(s2, Literal(2))), Literal(0x33333333L))
+      BitwiseAnd(BitwiseOr(s3, ShiftLeft(s3, Literal(1))), Literal(0x55555555L))
+    }
+    BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+  }
+
   /**
    * Locality audit for a Z-ordered layout: assign each row to one of
    * `1 << (2*bucketBits)` files by the TOP bits of its Z-value (exactly how

@@ -95,7 +95,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "char_shingles", "word_shingles", "minhash_signature", "simhash64",
       "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot",
-      "strip_html", "redact_pii", "scrub", "quality_score64").foreach { n =>
+      "strip_html", "redact_pii", "scrub", "quality_score64", "zorder2").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
@@ -140,6 +140,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(scrubbed.getString(0) === "mail me at <EMAIL> or <PHONE>")
     assert(scrubbed.getString(1) === "x y")
     assert(scrubbed.getString(2) === "ping <IP>")
+
+    // Z-order through SQL: known interleavings, and parity with the DSL.
+    val zRow = spark.sql(
+      "SELECT zorder2(1, 0) AS a, zorder2(0, 1) AS b, zorder2(65535, 65535) AS c").head()
+    assert(zRow.getLong(0) === 1L)
+    assert(zRow.getLong(1) === 2L)
+    assert(zRow.getLong(2) === 0xFFFFFFFFL)
+    val zSql = spark.sql("SELECT zorder2(12345, 54321) AS z").head().getLong(0)
+    val zDsl = spark.range(1).select(graft.sources.Layout.zorder2(
+      org.apache.spark.sql.functions.lit(12345L),
+      org.apache.spark.sql.functions.lit(54321L)).as("z")).head().getLong(0)
+    assert(zSql === zDsl)
 
     // Quality scorer through SQL equals the Column DSL on the same text.
     val qsSql = spark.sql(
