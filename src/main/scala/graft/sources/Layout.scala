@@ -81,6 +81,25 @@ object Layout {
       .cast("long")
   }
 
+  /**
+   * Cluster `df` for writing along the 2-D Z-order curve: range-partition
+   * into `nFiles` splits of the curve and sort rows by Z within each — the
+   * exact physical layout [[zorderAudit]] simulates with top-bit buckets,
+   * produced with ONE exchange (the range partitioner's sampling pass
+   * included) and parallel local sorts, never a global sort. Write the
+   * result with any file sink; each output file then carries tight
+   * min/max spans on BOTH quantized dimensions, so parquet statistics
+   * pruning works for predicates on either column.
+   */
+  def repartitionByZOrder(df: DataFrame, x: Column, y: Column,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.withColumn("__z", zorder2(x, y))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Catalyst twin of [[zorder2]] for the SQL registry (a registry builder
    * must return a resolved expression tree — the same Spark-4 constraint
    * as Cleanup's builders). Composes the IDENTICAL four mask-shift rounds,

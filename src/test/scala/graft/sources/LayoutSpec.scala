@@ -88,6 +88,40 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     }
   }
 
+  test("repartitionByZOrder beats single-column sorting on real written files") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val qx = Layout.quantize16(
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"),
+      0L, 2500L)
+    val qy = Layout.quantize16(floor(col("o_totalprice")).cast("long"), 0L, 600000L)
+    val cells = o.select(qx.as("qx"), qy.as("qy"))
+
+    def fileSpans(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("zorder-files").toString
+      df.write.mode("overwrite").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min("qx"), max("qx"), min("qy"), max("qy")).head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+    }
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+
+    val z = fileSpans(Layout.repartitionByZOrder(cells, col("qx"), col("qy"), 16))
+    val xOnly = fileSpans(cells.repartitionByRange(16, col("qx"))
+      .sortWithinPartitions(col("qx")))
+    assert(z.size >= 8 && xOnly.size >= 8)
+    // Single-column sort: each file is tight on x but spans nearly the
+    // full y axis (price is independent of date). Z-order: the median
+    // file is tight on BOTH axes — that's the file-skipping win.
+    assert(median(xOnly.map(_._2)) > 40000L,
+      s"x-sorted files unexpectedly tight on y: $xOnly")
+    assert(median(z.map(_._1)) < 25000L, s"z-ordered x spans too wide: $z")
+    assert(median(z.map(_._2)) < 25000L, s"z-ordered y spans too wide: $z")
+  }
+
   test("zorderAudit: every file spans at most 1/2^bits of BOTH axes") {
     import spark.implicits._
     // Uniform 64x64 grid scaled onto the 16-bit domain.
