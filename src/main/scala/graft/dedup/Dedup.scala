@@ -161,12 +161,26 @@ object Dedup {
         candidatePairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else candidatePairs
 
-    // Verification: re-shingle ONLY docs that appear in some candidate pair
-    // (a semi-join keeps the shingle kernel off the non-candidate corpus —
-    // at 100 TB candidates are a sliver of the corpus, and recomputing a few
-    // shingle sets is far cheaper than materializing all of them twice).
-    // No .distinct() here: the left-semi join dedups its build side anyway,
-    // and dropping it saves a whole shuffle.
+    verifyJaccardCandidates(docs, candidates, thresholdNum, thresholdDen,
+      shingleWidth, idCol, textCol)
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Exact-verification tail shared by [[jaccardNearDupPairs]] and the
+   * streaming candidate path ([[graft.streaming.StreamingOps.lshCandidateStream]]):
+   * given (id_a, id_b) candidate pairs from ANY banding, re-shingle ONLY
+   * docs that appear in some pair (a semi-join keeps the shingle kernel
+   * off the non-candidate corpus — at 100 TB candidates are a sliver, and
+   * recomputing a few shingle sets is far cheaper than materializing all
+   * of them twice), count intersections with the sorted merge kernel, and
+   * keep pairs clearing the threshold rational. No .distinct() on the id
+   * sliver: the left-semi join dedups its build side anyway, and dropping
+   * it saves a whole shuffle. Unordered — callers sort.
+   */
+  def verifyJaccardCandidates(docs: DataFrame, candidates: DataFrame,
+      thresholdNum: Int, thresholdDen: Int, shingleWidth: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
     // sort_array establishes SortedStringIntersectCount's contract: one
@@ -188,7 +202,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sum_sizes") - col("inter")).as("uni"))
       .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
-      .orderBy("id_a", "id_b")
   }
 
   /**
@@ -273,7 +286,7 @@ object Dedup {
    * in auditable mode, md5_hash64 of `"band,v1,..,vr"` with the slice
    * values printed as SIGNED decimals — a pure string recipe any engine
    * reproduces byte-for-byte (q92 re-derives the full banding in DuckDB). */
-  private def lshBanded(docs: DataFrame, k: Int, rows: Int, shingleWidth: Int,
+  private[graft] def lshBanded(docs: DataFrame, k: Int, rows: Int, shingleWidth: Int,
       idCol: String, textCol: String, auditable: Boolean = false): DataFrame = {
     val bands = k / rows
     require(k % rows == 0, s"signature length $k must be divisible by rows-per-band $rows")

@@ -544,6 +544,25 @@ object PipelineQueries {
         thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
+    // STREAMING near-dup parity, oracle-checked: the LSH index maintained
+    // as flatMapGroupsWithState bucket membership over the document STREAM
+    // emits candidate pairs incrementally; the accumulated pairs verify
+    // batch-side against the document store. The composition must land on
+    // the EXACT pair set of the batch path (q14) — same definitional
+    // oracle, so the state-store round trip of the index is value-checked,
+    // not just exercised.
+    "q102_streaming_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val cands = graft.streaming.StreamingOps.lshCandidateStream(
+        Tables.documentsStream(s, dir), rows = 4, shingleWidth = 10)
+      val name = graft.streaming.StreamingOps.runToMemory(
+        cands.toDF(), "q102_mem", OutputMode.Append())
+      Dedup.verifyJaccardCandidates(Tables.documents(s, dir),
+        s.table(name).distinct(), thresholdNum = 3, thresholdDen = 4,
+        shingleWidth = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // The APPLY half of q72's boilerplate detection: rewrite every doc with
     // shared template lines (trimmed content in >= 3 distinct docs) dropped.
     // The synthetic corpus is single-line bags of words with no shared
@@ -1302,6 +1321,27 @@ object PipelineQueries {
       |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')""".stripMargin
 
   /** 10-char shingles — must stay in lockstep with q14's `shingleWidth`. */
+  /** Definitional 10-gram-shingle Jaccard at threshold 3/4 — shared by q14
+   * (batch LSH) and q102 (streaming LSH index + batch verify), which must
+   * agree pair-for-pair. `lazy`: interpolates [[shingleSql]] declared
+   * below (the object-init-order trap). */
+  private lazy val minhashNearDupOracleSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+       |),
+       |pair_inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1)
+       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
+       |FROM pair_inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val shingleSql =
     """list_distinct(list_transform(
       |  range(1, greatest(length(text) - 9, 1) + 1),
@@ -1627,22 +1667,11 @@ object PipelineQueries {
     // emission per first arrival; see the q90 query comment).
     "q90_streaming_dedup" ->
       s"""SELECT DISTINCT md5($normSql) AS fp FROM documents ORDER BY fp""",
-    "q14_dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
-         |),
-         |pair_inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::INT AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1)
-         |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
-         |FROM pair_inter
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q14_dedup_minhash" -> minhashNearDupOracleSql,
+    // The STREAMING LSH index + batch verify must land on the exact same
+    // near-dup pair set as the batch path — one definitional oracle, two
+    // execution engines (see the q102 query comment).
+    "q102_streaming_neardup" -> minhashNearDupOracleSql,
     // The DEFINITIONAL all-pairs word-3-gram Jaccard — no prefix filter on
     // the oracle side, so a row-for-row match proves the Spark-side prefix
     // filtering lossless (its entire contract). Gram identity is the same

@@ -15,6 +15,18 @@ case class SessionSummary(
     last_ts: java.sql.Timestamp,
     n_events: Long)
 
+/** One LSH bucket arrival on the document stream (a (band, bucket, id)
+ * coordinate row — the same payload-free shape the batch banding shuffles). */
+case class BucketArrival(band: Int, bucket: Long, id: Long)
+
+/** Per-(band, bucket) membership state for [[StreamingOps.lshCandidateStream]]:
+ * ids seen so far, plus the overflow latch once the cap trips. */
+case class BucketMembers(ids: Array[Long], overflowed: Boolean)
+
+/** Unverified near-dup candidate pair emitted by the streaming LSH index
+ * (normalized id_a < id_b; verify with [[graft.dedup.Dedup.verifyJaccardCandidates]]). */
+case class CandidatePair(id_a: Long, id_b: Long)
+
 /**
  * Structured Streaming surface. The reference library has no streaming code
  * (SURVEY.md §2.4), but its core data structure is the part of it that IS
@@ -235,6 +247,75 @@ object StreamingOps {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL '$within'"))
       .drop(rKey)
+  }
+
+  /**
+   * Streaming MinHash-LSH near-dup CANDIDATES: the continuously-maintained
+   * form of the batch LSH index ([[graft.dedup.Dedup.jaccardNearDupPairs]]'s
+   * candidate stage). Each arriving document computes its banded signature
+   * statelessly (the same kernels as batch — one shingle pass, k-value
+   * signature, (band, bucket, id) coordinates only); state per (band,
+   * bucket) is the member id list, and each new member emits one candidate
+   * pair per existing member. Emitted pairs are UNVERIFIED — run
+   * [[graft.dedup.Dedup.verifyJaccardCandidates]] over the accumulated
+   * pairs against a document store for the exact-Jaccard verdict, exactly
+   * as the batch path does (q102 gates that composition value-for-value
+   * against q14's definitional oracle).
+   *
+   * State contract: bucket membership IS the production LSH index —
+   * `bands × n_docs` coordinate entries, the same size the batch banding
+   * materializes per run, kept instead of recomputed. Hot buckets latch an
+   * `overflowed` flag at `maxBucketSize` and stop emitting (a template-spam
+   * bucket would otherwise emit quadratic pairs into the sink); unlike the
+   * batch cap, pairs emitted BEFORE the latch cannot be retracted — prefix
+   * semantics, the honest streaming analogue of the batch skip. Buckets
+   * never time out here: near-dup identity does not expire. Bounding state
+   * to an ingest horizon (drop buckets idle past a watermark) is the
+   * eviction policy a bounded-horizon deployment would add, per
+   * [[dedupDocStream]]'s pattern.
+   */
+  def lshCandidateStream(docs: DataFrame, k: Int = 128, rows: Int = 4,
+      shingleWidth: Int = 5, maxBucketSize: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.dedup.Dedup.lshBanded(docs, k, rows, shingleWidth, idCol, textCol)
+      .select(col("band").cast("int").as("band"), col("bucket"), col("id"))
+      .as[BucketArrival]
+      .groupByKey(a => (a.band, a.bucket))
+      .flatMapGroupsWithState[BucketMembers, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), arrivals: Iterator[BucketArrival], state: GroupState[BucketMembers]) =>
+          val prev = state.getOption.getOrElse(BucketMembers(Array.empty, overflowed = false))
+          if (prev.overflowed) {
+            Iterator.empty
+          } else {
+            val seen = prev.ids.toSet
+            // Deterministic pair SET regardless of micro-batch slicing:
+            // sort fresh arrivals, pair each against everything already
+            // indexed plus earlier fresh ids, normalize to id_a < id_b.
+            val fresh = arrivals.map(_.id).filterNot(seen).toArray.distinct.sorted
+            val all = prev.ids ++ fresh
+            if (all.length > maxBucketSize) {
+              state.update(BucketMembers(prev.ids, overflowed = true))
+              Iterator.empty
+            } else {
+              state.update(BucketMembers(all, overflowed = false))
+              val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+              var i = 0
+              while (i < fresh.length) {
+                val n = fresh(i)
+                prev.ids.foreach { o =>
+                  if (o != n) out += CandidatePair(math.min(o, n), math.max(o, n))
+                }
+                var j = 0
+                while (j < i) { out += CandidatePair(fresh(j), n); j += 1 }
+                i += 1
+              }
+              out.iterator
+            }
+          }
+      }
   }
 
   /** Update-mode memory-sink runner for tests/demos: starts the query,
