@@ -673,6 +673,40 @@ object PipelineQueries {
         .orderBy("source", "rank")
     }),
 
+    // LM-based quality scoring (the CCNet/perplexity-filter pipeline
+    // stage, in-domain-trained): a bigram transition model learned from
+    // the corpus itself scores each document by its mean observed
+    // transition probability — predictable/fluent text scores high, token
+    // salad low. All-integer semantics: per-transition score is
+    // (1e6·c(w1,w2)) div c(w1·), summed per doc then integer-divided by
+    // the doc's bigram count, so the ranking oracles exactly (the q60
+    // fixed-point rule). Scale shape: bigram counts and the score join
+    // shuffle (w1, w2[, doc_id]) coordinates only — the LM table is
+    // corpus-sized (never broadcast), the join is keyed by bigram, and
+    // hot-bigram skew on the probe side is AQE's standard case. c(w1·)
+    // sums outgoing transitions, so scores are proper conditionals over
+    // observed transitions.
+    "q103_bigram_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      val nb = greatest(size(col("ts")) - 1, lit(0))
+      val bi = toks.select(col("doc_id"),
+        explode(zip_with(slice(col("ts"), lit(1), nb), slice(col("ts"), lit(2), nb),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val ca = lm.groupBy("w1").agg(sum("cab").as("ca"))
+      val scored = lm.join(ca, "w1")
+        .select(col("w1"), col("w2"), expr("cab * 1000000L div ca").as("s"))
+      val perDoc = bi.join(scored, Seq("w1", "w2"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"), sum("s").as("s_sum"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("s_sum div n_bigrams"), lit(0L)).as("mean_transition_e6"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup: src11+src12 play the newly-crawled batch,
     // the other 18 sources the accumulated corpus. Surviving = fingerprint
     // unseen in the corpus AND first within the batch. Both sides shrink
@@ -2164,6 +2198,29 @@ object PipelineQueries {
          |JOIN sizes sc ON corpus_id = sc.doc_id
          |WHERE inter * 4 >= (sb.n + sc.n - inter) * 3
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    // Same tokens, same bigram derivation (range is upper-exclusive, so
+    // i in 1..len-1), same integer arithmetic end to end.
+    "q103_bigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |bi AS (
+         |  SELECT doc_id, ts[i.i::INT] AS w1, ts[(i.i + 1)::INT] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ts), 1))) AS i) i
+         |),
+         |lm AS (SELECT w1, w2, count(*)::BIGINT AS cab FROM bi GROUP BY 1, 2),
+         |ca AS (SELECT w1, sum(cab)::BIGINT AS c FROM lm GROUP BY 1),
+         |scored AS (
+         |  SELECT lm.w1, lm.w2, (cab * 1000000) // ca.c AS s
+         |  FROM lm JOIN ca ON lm.w1 = ca.w1
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(s)::BIGINT AS s_sum
+         |  FROM bi JOIN scored ON bi.w1 = scored.w1 AND bi.w2 = scored.w2
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(p.s_sum // p.n_bigrams, 0)::BIGINT AS mean_transition_e6
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Same boilerplate definition as q72 (trimmed non-empty line content in
     // >= 3 distinct docs) re-derived on the raw line STRINGS — no hashing
     // step, so the oracle independently re-checks the md5-keyed Spark path.
