@@ -350,6 +350,16 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("bigram LM scoring shuffles word coordinates only, never text") {
+    val p = plan(PipelineQueries.queries("q103_bigram_lm_score")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("tfidf terms: corpus scanned once per aggregation, text never shuffled") {
     val p = plan(PipelineQueries.queries("q60_tfidf_terms")(spark, sf))
     assert(!p.contains("CartesianProduct"), "q60 plans a cartesian corpus join")
