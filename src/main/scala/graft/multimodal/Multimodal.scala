@@ -94,6 +94,46 @@ object Multimodal {
    * decode. Same batch shape as a real resampler: per-partition worker,
    * fixed-width typed output, media bytes dropped at the projection.
    */
+  /**
+   * Portable per-frame content hashes, one decoder-shaped pass: the same
+   * frame grid as [[sampleFrames]] (fixed `frameBytes` windows, every
+   * `stride`-th frame, short last frame kept), each frame keyed by the
+   * md5-64 of its UPPERCASE-HEX byte encoding. Hashing the hex string —
+   * not the raw bytes — is deliberate: every engine can md5 a string, so
+   * DuckDB re-derives the exact key as
+   * `('0x' || substr(md5(substr(hex(payload), off*2+1, len*2)), 1, 16))::UBIGINT`
+   * where blob-native md5 does not exist. Same per-partition batch shape
+   * as the other media stages: payload bytes are consumed inside the
+   * partition and dropped at the projection — frame-level dedup
+   * (cross-document repeated media segments) then runs as a plain
+   * hash groupBy on (fh, doc_id) coordinates, never shuffling media.
+   */
+  def frameHashes(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[FrameHash] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val hexDigits = "0123456789ABCDEF".toCharArray
+    payloads.as[MediaPayload].mapPartitions { batch =>
+      batch.flatMap { p =>
+        val n = p.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val off = f * frameBytes
+          val len = math.min(frameBytes, n - off)
+          val sb = new java.lang.StringBuilder(len * 2)
+          var i = 0
+          while (i < len) {
+            val b = p.payload(off + i) & 0xFF
+            sb.append(hexDigits(b >>> 4)).append(hexDigits(b & 0xF))
+            i += 1
+          }
+          FrameHash(p.doc_id, f, graft.dedup.SimHash64.md5Hash64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+        }
+      }
+    }
+  }
+
   def resizeStub(spark: SparkSession, payloads: DataFrame, maxDim: Int): Dataset[MediaResize] = {
     import spark.implicits._
     require(maxDim > 0, "maxDim must be positive")
@@ -138,6 +178,9 @@ case class MediaFeatures(doc_id: Long, hist: Array[Int])
 
 /** One sampled frame's location inside a media payload. */
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
+
+/** Per-frame portable content hash from [[Multimodal.frameHashes]]. */
+case class FrameHash(doc_id: Long, frame_idx: Int, fh: Long)
 
 /** Resize-stage output: source + target geometry and the deterministic
  * checksum of the nearest-neighbor byte subsample. */

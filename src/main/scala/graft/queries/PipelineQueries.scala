@@ -563,6 +563,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Frame-level media dedup: cross-document repeated media SEGMENTS (the
+    // video/audio analogue of q64's repeated text spans) — every payload
+    // frame keyed by a portable content hash inside the per-partition
+    // decoder pass, then a plain coordinates-only groupBy. Exact-dup and
+    // shared-prefix docs share aligned frames, so repeated segments exist
+    // in the corpus, not just planted ones. The hex-string hash recipe is
+    // what makes the key engine-portable (see frameHashes scaladoc).
+    "q104_frame_dedup" -> ((s, dir) => {
+      val payloads = graft.multimodal.Multimodal.withPayload(Tables.documents(s, dir))
+      graft.multimodal.Multimodal.frameHashes(s, payloads, frameBytes = 64, stride = 1)
+        .toDF()
+        .groupBy("fh")
+        .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fh")
+    }),
+
     // The APPLY half of q72's boilerplate detection: rewrite every doc with
     // shared template lines (trimmed content in >= 3 distinct docs) dropped.
     // The synthetic corpus is single-line bags of words with no shared
@@ -2221,6 +2238,32 @@ object PipelineQueries {
          |  coalesce(p.s_sum // p.n_bigrams, 0)::BIGINT AS mean_transition_e6
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Same frame grid ((n+63)//64 frames, substr truncation = short last
+    // frame), same md5-of-hex-slice key, re-biased to Spark's signed view.
+    "q104_frame_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(substr(hx, (i.i * 128 + 1)::BIGINT, 128::BIGINT)),
+        |     1, 16))::UBIGINT AS fhu
+        |  FROM p, LATERAL (SELECT unnest(range(0, (n + 63) // 64)) AS i) i
+        |  WHERE n > 0
+        |),
+        |g AS (
+        |  SELECT fhu, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    count(*)::BIGINT AS n_occ
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT CASE WHEN fhu >= 9223372036854775808::UBIGINT
+        |            THEN (fhu::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |            ELSE fhu::BIGINT END AS fh,
+        |  n_docs, n_occ
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY fh""".stripMargin,
     // Same boilerplate definition as q72 (trimmed non-empty line content in
     // >= 3 distinct docs) re-derived on the raw line STRINGS — no hashing
     // step, so the oracle independently re-checks the md5-keyed Spark path.

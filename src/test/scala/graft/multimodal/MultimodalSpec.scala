@@ -43,6 +43,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq === Seq((0, 0, 1024), (2, 2048, 452)))
   }
 
+  test("frameHashes keys aligned shared segments identically across docs") {
+    import spark.implicits._
+    val shared = "s" * 64 // exactly one frame
+    val docs = Seq(
+      (1L, shared + "tail one"),
+      (2L, shared + "another tail"),
+      (3L, "completely different payload body")).toDF("doc_id", "text")
+    val fh = Multimodal.frameHashes(spark, Multimodal.withPayload(docs),
+        frameBytes = 64, stride = 1)
+      .collect().groupBy(_.doc_id).map { case (d, fs) =>
+        d -> fs.sortBy(_.frame_idx).map(_.fh).toSeq
+      }
+    // Frame 0 of docs 1 and 2 is the same 64 bytes -> same key; their
+    // frame 1 (different tails) and doc 3's frames differ.
+    assert(fh(1L).head === fh(2L).head)
+    assert(fh(1L)(1) !== fh(2L)(1))
+    assert(!fh(3L).contains(fh(1L).head))
+    // The key is md5-64 of the UPPERCASE hex of the frame bytes — the
+    // exact recipe the DuckDB oracle re-derives.
+    val hex = shared.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X").mkString
+    val expected = graft.dedup.SimHash64.md5Hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(hex))
+    assert(fh(1L).head === expected)
+  }
+
+  test("frameHashes hashes the short last frame over its real length only") {
+    import spark.implicits._
+    val docs = Seq((7L, "x" * 70)).toDF("doc_id", "text") // frames: 64 + 6
+    val fh = Multimodal.frameHashes(spark, Multimodal.withPayload(docs),
+        frameBytes = 64, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(fh.length === 2)
+    val hexShort = "78" * 6 // 'x' = 0x78, six trailing bytes
+    assert(fh(1).fh === graft.dedup.SimHash64.md5Hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(hexShort)))
+  }
+
   test("resizeStub scales into the bounding box and checksums the byte subsample") {
     import spark.implicits._
     // "abcd": n=4 -> w=68, h=66 -> out 64x62 (aspect floor-preserved);
