@@ -616,6 +616,48 @@ object CoreQueries {
       d1.intersect(d2).orderBy("user_id")
     }),
 
+    // PIVOT: per-day event-type counts as columns. The value list is
+    // explicit (the five TESTDATA event types), so the output schema is
+    // static — the same contract Spark's pivot needs to avoid a discovery
+    // pass, and what makes the oracle's FILTER aggregations line up
+    // column-for-column.
+    "q105_pivot_daily_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
+    // CUBE with grouping_id: all four (priority × status) aggregation
+    // levels in one pass, each row tagged with which dimensions are
+    // aggregated away — the standard OLAP companion to q6's rollup.
+    "q106_cube_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("total_cents"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    }),
+
+    // Cohort retention matrix: users bucketed by first-seen day, distinct
+    // actives per (cohort, day-offset) — the classic growth-analytics
+    // rollup of q22's two-day retention. Shuffles (user_id, day)
+    // coordinates; the cohort join is keyed by user_id on both sides.
+    "q107_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // KLL quantile sketches: per-type percentile summaries. k=16384 keeps
     // the sketch in exact mode at verify scale (n≈2k per group), where the
     // INCLUSIVE quantile coincides with SQL quantile_disc — same pattern as
@@ -901,6 +943,33 @@ object CoreQueries {
         |  min(qx)::BIGINT AS min_x, max(qx)::BIGINT AS max_x,
         |  min(qy)::BIGINT AS min_y, max(qy)::BIGINT AS max_y
         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+    "q105_pivot_daily_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // Spark's grouping_id: first cube column = most significant bit.
+    "q106_cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+        |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents,
+        |  (grouping(o_orderpriority) * 2 + grouping(o_orderstatus))::BIGINT AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+    "q107_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events
+        |),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, e.day)::INT AS day_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM ev e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     // Identical to q9's day/type counts — batch SQL is the parity oracle
     // for the streaming execution.
     "q67_streaming_daily_counts" ->
