@@ -815,6 +815,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /**
+   * Incremental SimHash near-dup ingest — the Hamming-distance member of
+   * the incremental trio ([[incrementalNewDocs]] exact,
+   * [[incrementalJaccardNearDup]] MinHash): batch band keys equi-join the
+   * stored corpus banding, candidates verified by exact 64-bit Hamming
+   * distance. The SQS(8) banding is COMPLETE for Hamming <= 3, so unlike
+   * the MinHash path this one is exact by construction, not just at an
+   * operating point. Same scale contract as the jaccard variant: the join
+   * fans out linearly in the batch's bucket occupancy, (band, value, id)
+   * coordinates only, and at 100 TB the corpus banding is stored state
+   * probed zero-exchange by each increment.
+   *
+   * @return (batch_id, corpus_id, hamming) for verified pairs.
+   */
+  def incrementalSimhashNearDup(batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3, auditable: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "SQS(8) 4-chunk banding is complete only for Hamming <= 3")
+    def simOf(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        simhash64(TextAnalysis.tokens(col(textCol)), auditable).as(s"sim_$as"))
+    val bb = simhashBanded(batch, auditable, idCol, textCol)
+      .select(col("band"), col("value"), col("id").as("batch_id"))
+    val cb = simhashBanded(corpus, auditable, idCol, textCol)
+      .select(col("band"), col("value"), col("id").as("corpus_id"))
+    bb.join(cb, Seq("band", "value"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(simOf(batch, "batch_id"), "batch_id")
+      .join(simOf(corpus, "corpus_id"), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("sim_batch_id").bitwiseXOR(col("sim_corpus_id"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** (id, band, value) rows of the SQS(8) simhash banding — 24 bytes per
    * row, no sim and no text on the fan-out (the 8-byte sim would otherwise
    * ride the 14-way shuffle 14 times per doc). Shared by

@@ -563,6 +563,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The SimHash member of the incremental-ingest trio (q61 exact, q99
+    // MinHash): batch bands probe the stored corpus banding, exact Hamming
+    // verify. SQS(8) completeness makes the oracle definitional with NO
+    // recall caveat — every batch×corpus pair at Hamming <= 3 must appear.
+    "q108_incremental_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBatch = col("source").isin("src11", "src12")
+      Dedup.incrementalSimhashNearDup(docs.filter(isBatch), docs.filter(!isBatch),
+        auditable = true)
+    }),
+
     // Frame-level media dedup: cross-document repeated media SEGMENTS (the
     // video/audio analogue of q64's repeated text spans) — every payload
     // frame keyed by a portable content hash inside the per-partition
@@ -1950,6 +1961,18 @@ object PipelineQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Definitional batch×corpus Hamming join over the same auditable
+    // simhashes — SQS(8) completeness means zero misses are tolerated.
+    "q108_incremental_simhash" ->
+      s"""WITH $simhashCtesSql
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  bit_count(xor(b.sim, c.sim))::INT AS hamming
+         |FROM sim b, sim c, documents db, documents dc
+         |WHERE db.doc_id = b.doc_id AND dc.doc_id = c.doc_id
+         |  AND db.source IN ('src11', 'src12')
+         |  AND dc.source NOT IN ('src11', 'src12')
+         |  AND bit_count(xor(b.sim, c.sim)) <= 3
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // Re-derives the SAME md5-auditable simhashes, then the 14 SQS(8)
     // band keys bit-for-bit (the band expressions are GENERATED from
     // Dedup.Sqs8Blocks, so oracle and kernel cannot disagree about the

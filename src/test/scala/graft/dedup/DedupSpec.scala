@@ -132,6 +132,30 @@ class DedupSpec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("incrementalSimhashNearDup pairs batch docs against the corpus, Hamming-complete") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(
+      1L -> base,
+      2L -> ("totally unrelated document about spark catalyst optimizer rules " * 3))
+    val batch = docs(
+      10L -> (base + " tail"), // token-level near-identical to 1
+      11L -> ("fresh content never seen before in any ingested document " * 3))
+    val got = incrementalSimhashNearDup(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // Exhaustive cross-check: EVERY batch×corpus pair at Hamming <= 3 must
+    // appear (SQS(8) completeness), none above.
+    val sims = (corpus.union(batch)).select(col("doc_id"),
+      simhash64(graft.text.TextAnalysis.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = for {
+      b <- Seq(10L, 11L); c <- Seq(1L, 2L)
+      h = java.lang.Long.bitCount(sims(b) ^ sims(c))
+      if h <= 3
+    } yield (b, c, h)
+    assert(got.toSet === want.toSet)
+    assert(got.exists(p => p._1 == 10L && p._2 == 1L), "planted near-dup missed")
+  }
+
   test("exactDupGroups groups identical normalized content") {
     val corpus = docs(
       10L -> "Hello   World", 11L -> "hello world", 12L -> "different")
