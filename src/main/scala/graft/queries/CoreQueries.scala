@@ -786,6 +786,48 @@ object CoreQueries {
         .select(col("event_type"), col("bucket"),
           floor(col("cdf") * 1e9d + 0.5d).cast("long").as("cdf_e9"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // CDC apply (SCD-1): fold an orders-derived changeset into the customer
+    // snapshot — latest change per key wins, 'F'-status = delete, every
+    // tenth order synthesizes a NEW key (the insert path). The snapshot
+    // side never shuffles: one window exchange on the changeset, then a
+    // broadcast left-anti probe + union (Cdc scaladoc has the 100-TB
+    // shape). Money in cents (BIGINT) per the file-header parity rules.
+    "q109_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 100d + 0.5d).cast("long").as("acct_cents"),
+        col("c_mktsegment").as("segment"))
+      val ch = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("acct_cents"),
+        col("o_orderpriority").as("segment"))
+      Cdc.applyChangeset(snap, ch, Seq("k"), Seq("o_orderdate", "o_orderkey"))
+        .orderBy("k")
+    }),
+
+    // SCD-2 history: per-customer order-state versions (one per day,
+    // latest order of the day wins) expanded into validity intervals —
+    // valid_from/valid_to/is_current. Two keyed windows, coordinates only.
+    "q110_scd2_intervals" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val perDay = Tables.orders(s, dir).select(
+          col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("price_cents"),
+          col("o_orderstatus").as("status"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("d")).orderBy(col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+      Cdc.scd2Intervals(perDay, Seq("k"), "d")
+        .select(col("k"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("price_cents"), col("status"))
+        .orderBy("k", "valid_from")
     })
   )
 
@@ -1185,6 +1227,49 @@ object CoreQueries {
         |UNION ALL
         |SELECT DISTINCT event_type, 6 AS bucket, 1000000000::BIGINT AS cdf_e9
         |FROM ev
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // NOT EXISTS (not NOT IN) mirrors left_anti null semantics.
+    "q109_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+        |    c_mktsegment AS segment
+        |  FROM customer),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    o_orderdate, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders),
+        |latest AS (
+        |  SELECT k, op, acct_cents, segment FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY k ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT k, acct_cents, segment FROM snap s
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = s.k)
+        |UNION ALL
+        |SELECT k, acct_cents, segment FROM latest WHERE op <> 'D'
+        |ORDER BY k""".stripMargin,
+
+    "q110_scd2_intervals" ->
+      """WITH perday AS (
+        |  SELECT k, d, price_cents, status FROM (
+        |    SELECT o_custkey AS k,
+        |      CAST(date_trunc('day', o_orderdate) AS DATE) AS d, o_orderkey,
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |      o_orderstatus AS status,
+        |      row_number() OVER (
+        |        PARTITION BY o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE)
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT k, d AS valid_from,
+        |  lead(d) OVER (PARTITION BY k ORDER BY d) AS valid_to,
+        |  lead(d) OVER (PARTITION BY k ORDER BY d) IS NULL AS is_current,
+        |  price_cents, status
+        |FROM perday ORDER BY k, valid_from""".stripMargin
   )
 }
