@@ -3,7 +3,7 @@ package graft
 import graft.dedup.{CharShingles, MinHashSignature, SimHash64, WordShingles}
 import graft.hll.FunctionRegistration
 import graft.similarity.{ArrayCosineSimilarity, ArrayDotProduct, Int8DotProduct, QuantizeInt8}
-import graft.text.{RepetitionStats, TextStats}
+import graft.text.{NgramRepetitionStats, RepetitionStats, TextStats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -76,6 +76,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(t) => RepetitionStats(t)
         case args => wrongArity("repetition_stats", args.size)
+      }),
+    ("ngram_repetition_stats",
+      "_FUNC_(text, n) - Word-n-gram repetition signals struct (top-gram and duplicated-gram occurrence/char counts).",
+      {
+        case Seq(t, n) => NgramRepetitionStats(t, intOf(n, "the ngram width"))
+        case args => wrongArity("ngram_repetition_stats", args.size)
       }),
     ("md5_hash64",
       "_FUNC_(text) - First 8 bytes of MD5 as a signed 64-bit value (auditable cross-engine hash).",

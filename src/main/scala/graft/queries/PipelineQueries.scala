@@ -67,6 +67,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-family word-n-gram repetition signals (n=3): top-gram and
+    // duplicated-gram occurrence/char counts — the integer numerators of
+    // the paper's "fraction of chars in the top / in duplicated n-grams"
+    // filters. Same shape as q34: one kernel pass, map-side only.
+    "q111_ngram_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.ngramRepetitionStats(col("text"), 3).as("r"))
+        .select(col("doc_id"),
+          col("r.n_ngrams").as("n_ngrams"),
+          col("r.top_ngram").as("top_ngram"),
+          col("r.top_ngram_chars").as("top_ngram_chars"),
+          col("r.dup_ngrams").as("dup_ngrams"),
+          col("r.dup_ngram_chars").as("dup_ngram_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: docs sharing any 8-token gram with the
     // held-out set (source = src0 plays the eval set). Broadcast hashed
     // benchmark grams, map-side join — integer overlap counts out.
@@ -1721,6 +1738,38 @@ object PipelineQueries {
          |FROM documents d
          |LEFT JOIN line_stats USING (doc_id)
          |LEFT JOIN bg_stats USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Word-3-grams re-derived relationally; the top gram's tie-break
+    // (count DESC, gram ASC in DuckDB's binary string order) is exactly
+    // the kernel's UTF-8-byte-wise rule, so top_ngram_chars is
+    // deterministic cross-engine.
+    "q111_ngram_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |g3 AS (
+         |  SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT]
+         |    || ' ' || ts[(i.i + 2)::INT] AS g
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i
+         |),
+         |gc AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, sum(c)::INT AS n_ngrams,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_ngrams,
+         |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)::INT AS dup_ngram_chars
+         |  FROM gc GROUP BY 1),
+         |tp AS (
+         |  SELECT doc_id, c::INT AS top_ngram, (c * length(g))::INT AS top_ngram_chars
+         |  FROM (SELECT doc_id, g, c, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         |        FROM gc) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_ngrams, 0)::INT AS n_ngrams,
+         |  coalesce(top_ngram, 0)::INT AS top_ngram,
+         |  coalesce(top_ngram_chars, 0)::INT AS top_ngram_chars,
+         |  coalesce(dup_ngrams, 0)::INT AS dup_ngrams,
+         |  coalesce(dup_ngram_chars, 0)::INT AS dup_ngram_chars
+         |FROM documents d
+         |LEFT JOIN st USING (doc_id)
+         |LEFT JOIN tp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q13_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies

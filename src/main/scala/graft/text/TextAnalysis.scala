@@ -89,6 +89,14 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftSqlBridge.column(
       RepetitionStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
 
+  /** Word-n-gram repetition signals (Gopher-family quality filters):
+   * top-gram and duplicated-gram occurrence/char counts — see
+   * [[NgramRepetitionStats]]. Integer struct fields; derive the paper's
+   * fractions (e.g. `dup_ngram_chars / n_chars`) downstream. */
+  def ngramRepetitionStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      NgramRepetitionStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), n))
+
   /** Content fingerprint: MD5 of whitespace-normalized, lowercased text.
    * Stable across engines (DuckDB, Trino, Postgres all agree on md5-of-utf8),
    * which makes fingerprint-based dedup auditable off-Spark. */

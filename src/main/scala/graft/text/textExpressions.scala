@@ -240,6 +240,95 @@ case class RepetitionStats(child: Expression)
 }
 
 /**
+ * `ngram_repetition_stats(string, n)` → within-document WORD-n-gram
+ * repetition signals, the Gopher-family quality filters that generalize
+ * [[RepetitionStats]]'s fixed bigram signal: "fraction of characters in
+ * the most frequent n-gram" and "fraction of characters in duplicated
+ * n-grams" become integer numerators here (callers divide by the
+ * document's char count). One pass, integer outputs only:
+ *
+ *  - tokens = maximal non-`\s` runs of the lowercased text (the package
+ *    convention, see [[AsciiWhitespace]]); a gram = `n` consecutive
+ *    tokens joined by one space;
+ *  - `n_ngrams` — gram occurrences, `max(0, n_tokens - n + 1)`;
+ *  - `top_ngram` — the highest single gram count;
+ *  - `top_ngram_chars` — that gram's code-point length (separators
+ *    included) × its count; ties on count break to the UTF-8-byte-wise
+ *    smallest gram, which is exactly DuckDB's default binary string
+ *    order (`ORDER BY c DESC, g ASC`) — deterministic cross-engine;
+ *  - `dup_ngrams` / `dup_ngram_chars` — total occurrences of grams
+ *    appearing >= 2 times, and their code-point lengths summed per
+ *    occurrence.
+ */
+case class NgramRepetitionStats(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("top_ngram", IntegerType, nullable = false),
+    StructField("top_ngram_chars", IntegerType, nullable = false),
+    StructField("dup_ngrams", IntegerType, nullable = false),
+    StructField("dup_ngram_chars", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val lower = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var tokenStart = -1
+    var i = 0
+    while (i <= lower.length) {
+      val atEnd = i == lower.length
+      if (!atEnd && !AsciiWhitespace.is(lower.charAt(i))) {
+        if (tokenStart < 0) tokenStart = i
+      } else if (tokenStart >= 0) {
+        toks += lower.substring(tokenStart, i)
+        tokenStart = -1
+      }
+      i += 1
+    }
+
+    val counts = new java.util.HashMap[String, Int]()
+    var nGrams = 0
+    i = 0
+    while (i + n <= toks.length) {
+      counts.merge(toks.slice(i, i + n).mkString(" "), 1, Integer.sum)
+      nGrams += 1
+      i += 1
+    }
+
+    var topCount = 0
+    var topGram: org.apache.spark.unsafe.types.UTF8String = null
+    var topChars = 0
+    var dupGrams = 0
+    var dupChars = 0
+    counts.forEach { (g, c) =>
+      if (c > topCount || (c == topCount && {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        topGram == null || u.compareTo(topGram) < 0
+      })) {
+        topCount = c
+        topGram = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        topChars = c * g.codePointCount(0, g.length)
+      }
+      if (c >= 2) {
+        dupGrams += c
+        dupChars += c * g.codePointCount(0, g.length)
+      }
+    }
+
+    new GenericInternalRow(Array[Any](nGrams, topCount, topChars, dupGrams, dupChars))
+  }
+
+  override def prettyName: String = "ngram_repetition_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `rolling_hash64(string)` → Rabin–Karp polynomial fingerprint of the
  * UTF-8 bytes: `h = Σ byte_i · B^(n-1-i)` in wrapping 64-bit arithmetic
  * with base B = 257.

@@ -93,7 +93,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "freq_items_by_support", "freq_estimate", "freq_stream_length", "freq_max_error",
       "bloom_init_agg", "bloom_merge", "bloom_might_contain", "bloom_fill_fraction",
       "char_shingles", "word_shingles", "minhash_signature", "simhash64",
-      "text_stats", "repetition_stats", "md5_hash64", "cosine_similarity",
+      "text_stats", "repetition_stats", "ngram_repetition_stats",
+      "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot",
       "strip_html", "redact_pii", "scrub", "quality_score64", "zorder2").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")

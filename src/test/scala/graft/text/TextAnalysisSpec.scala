@@ -46,6 +46,57 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
     assert(single.getInt(3) === 0) // no bigram from one token
   }
 
+  test("ngram repetition stats equal a plain-Scala brute force at n = 1, 2, 3, 5") {
+    val docs = Seq(
+      "a b a b a b",                    // heavy bigram/trigram repetition
+      "one two three four five",       // all grams unique
+      "x",                             // fewer tokens than most n
+      "",                              // no tokens at all
+      "Tab\tsep  and\nnewline mixed Tab\tsep", // whitespace variety + case
+      "zz aa zz aa zz bb zz aa")       // tie-break candidates at n=2
+    def brute(text: String, n: Int): (Int, Int, Int, Int, Int) = {
+      val toks = text.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val top = counts.toSeq
+        .sortBy { case (g, c) => (-c, g.getBytes("UTF-8").map(_ & 0xff).toSeq
+          .map(b => f"$b%02x").mkString) }
+        .headOption
+      val dup = counts.filter(_._2 >= 2)
+      (grams.size,
+        top.map(_._2).getOrElse(0),
+        top.map { case (g, c) => c * g.codePointCount(0, g.length) }.getOrElse(0),
+        dup.values.sum,
+        dup.map { case (g, c) => c * g.codePointCount(0, g.length) }.sum)
+    }
+    for (n <- Seq(1, 2, 3, 5); text <- docs) {
+      val r = one(text)
+        .select(ngramRepetitionStats(col("text"), n).as("r")).select(col("r.*")).head()
+      val expected = brute(text, n)
+      assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        === expected, s"n=$n text=${text.take(30)}")
+    }
+  }
+
+  test("ngram repetition top-gram ties break to the byte-wise smallest gram") {
+    // Both "b a" and "a b" occur twice; "a b" is byte-smaller, so
+    // top_ngram_chars must come from it (same length here — use grams of
+    // DIFFERENT lengths to make the choice observable).
+    // "cc dd" ×2 and "e f" ×2 tie on count; "cc dd" < "e f" byte-wise,
+    // so chars = 2 × 5 = 10, not 2 × 3 = 6.
+    val r = one("cc dd x cc dd y e f z e f")
+      .select(ngramRepetitionStats(col("text"), 2).as("r")).select(col("r.*")).head()
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 10)
+  }
+
+  test("ngram repetition rejects n < 1") {
+    intercept[IllegalArgumentException] {
+      graft.text.NgramRepetitionStats(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 0)
+    }
+  }
+
   test("quality signals on a crafted sentence") {
     val text = "The quick brown fox, the lazy dog! The fox."
     val row: Row = one(text)
