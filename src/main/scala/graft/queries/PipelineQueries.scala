@@ -752,6 +752,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style data selection: importance weights for every raw-pool
+    // document against the src1 target sample — e6-scaled smoothed
+    // unigram likelihood ratios summed per doc, all-integer (see
+    // Dsir.unigramImportance for the formula and the 100-TB shape).
+    "q112_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.Dsir
+        .unigramImportance(docs, col("source") === "src1")
+        .withColumnRenamed("id", "doc_id")
+      docs.filter(col("source") =!= "src1").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+          coalesce(col("mean_w_e6"), lit(0L)).as("mean_w_e6"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup: src11+src12 play the newly-crawled batch,
     // the other 18 sources the accumulated corpus. Surviving = fingerprint
     // unseen in the corpus AND first within the batch. Both sides shrink
@@ -2309,6 +2327,36 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  coalesce(p.s_sum // p.n_bigrams, 0)::BIGINT AS mean_transition_e6
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // The same smoothed-ratio derivation end to end; sums cast ::BIGINT
+    // before arithmetic because DuckDB's sum() yields HUGEINT.
+    "q112_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source = 'src1' AS tgt, unnest($tokensSql) AS w
+         |  FROM documents),
+         |counts AS (
+         |  SELECT w,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |    sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+         |  FROM toks GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr,
+         |    count(*)::BIGINT AS v
+         |  FROM counts),
+         |wt AS (
+         |  SELECT w, (1000000::BIGINT * (ct + 1) * (nr + v))
+         |    // ((cr + 1) * (nt + v)) AS w_e6
+         |  FROM counts, tot),
+         |per AS (
+         |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(w_e6)::BIGINT AS w_sum
+         |  FROM toks t JOIN wt USING (w) WHERE NOT t.tgt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(w_sum, 0)::BIGINT AS w_sum,
+         |  coalesce(w_sum // n_tokens, 0)::BIGINT AS mean_w_e6
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |WHERE d.source <> 'src1'
          |ORDER BY doc_id""".stripMargin,
     // Same frame grid ((n+63)//64 frames, substr truncation = short last
     // frame), same md5-of-hex-slice key, re-biased to Spark's signed view.
