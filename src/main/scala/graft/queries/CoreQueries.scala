@@ -480,6 +480,38 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // STREAMING CDC, oracle-checked: q109's changeset replayed through the
+    // streaming engine — latest-wins state per key round-trips the state
+    // store, tombstones included. Update-mode emissions are per-batch
+    // snapshots; the final state per key is the argmax by (seq_us,
+    // seq_id), which only moves forward, so the result is
+    // batching-independent and equals the batch window DuckDB runs.
+    "q113_streaming_cdc_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ch = Tables.ordersStream(s, dir).select(
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("k"),
+        unix_micros(col("o_orderdate")).as("seq_us"),
+        col("o_orderkey").as("seq_id"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("acct_cents"),
+        col("o_orderpriority").as("segment"))
+        .as[graft.streaming.CdcChange]
+      val st = graft.streaming.StreamingOps.cdcCurrentState(s, ch)
+      val q = st.toDF().writeStream.format("memory").queryName("q113_mem")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q113_mem")
+        .groupBy("k")
+        .agg(max(struct(col("seq_us"), col("seq_id"), col("deleted"),
+          col("acct_cents"), col("segment"))).as("m"))
+        .select(col("k"), col("m.seq_us").as("seq_us"),
+          col("m.seq_id").as("seq_id"), col("m.deleted").as("deleted"),
+          col("m.acct_cents").as("acct_cents"), col("m.segment").as("segment"))
+        .orderBy("k")
+    }),
+
     // Streaming SKETCH state, oracle-checked: per-day distinct event types
     // via hll_init_agg running INSIDE the streaming engine — the sketch
     // aggregation buffer must round-trip the state store (serialize on
@@ -1050,6 +1082,22 @@ object CoreQueries {
         |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
         |  count(*)::BIGINT AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q109's latest-wins window, tombstones kept (deleted flag instead of
+    // the batch merge's drop) — the streaming state view's contract.
+    "q113_streaming_cdc_state" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    epoch_us(o_orderdate) AS seq_us, o_orderkey AS seq_id,
+        |    o_orderstatus = 'F' AS deleted,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders)
+        |SELECT k, seq_us, seq_id, deleted, acct_cents, segment FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY seq_us DESC, seq_id DESC) AS rn
+        |  FROM ch) WHERE rn = 1
+        |ORDER BY k""".stripMargin,
     // Closed-window distinct types — q68's oracle restricted to the
     // windows the 36h watermark had closed.
     "q82_streaming_hll_append" ->

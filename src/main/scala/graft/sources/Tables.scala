@@ -57,6 +57,22 @@ object Tables {
       .parquet(s"$dir/{events.parquet}")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Fixed TESTDATA.md schema of `orders` (file streams require an
+   * explicit schema). */
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** `orders` as a bounded STREAM (file source) — the changeset shape of
+   * streaming CDC. Same single-file glob workaround as [[eventsStream]]. */
+  def ordersStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(ordersSchema).option("basePath", dir)
+      .parquet(s"$dir/{orders.parquet}")
+
   /** Fixed TESTDATA.md schema of `documents` (file streams require an
    * explicit schema — no inference pass over a possibly-growing dir). */
   private val documentsSchema = StructType(Seq(

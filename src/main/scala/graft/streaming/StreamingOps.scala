@@ -27,6 +27,18 @@ case class BucketMembers(ids: Array[Long], overflowed: Boolean)
  * (normalized id_a < id_b; verify with [[graft.dedup.Dedup.verifyJaccardCandidates]]). */
 case class CandidatePair(id_a: Long, id_b: Long)
 
+/** One CDC change on a stream, ordered per key by (seq_us, seq_id) —
+ * the streaming shape of [[graft.operators.Cdc.applyChangeset]]'s
+ * changeset rows. */
+case class CdcChange(k: Long, seq_us: Long, seq_id: Long, op: String,
+    acct_cents: Long, segment: String)
+
+/** Latest-known state per key maintained by [[StreamingOps.cdcCurrentState]];
+ * `deleted=true` means the latest change retired the key (downstream
+ * materializations filter it, auditors keep the tombstone). */
+case class CdcState(k: Long, seq_us: Long, seq_id: Long, deleted: Boolean,
+    acct_cents: Long, segment: String)
+
 /**
  * Structured Streaming surface. The reference library has no streaming code
  * (SURVEY.md §2.4), but its core data structure is the part of it that IS
@@ -205,6 +217,44 @@ object StreamingOps {
       .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /**
+   * STREAMING CDC (SCD-1): maintain the latest-known state per key from a
+   * stream of change rows — the continuous form of
+   * [[graft.operators.Cdc.applyChangeset]]. State per key is one
+   * [[CdcState]]; each micro-batch emits the updated state for every key
+   * it touched (update output mode), including delete tombstones
+   * (`deleted=true`), so a downstream materialization can upsert/evict.
+   *
+   * Out-of-order safe: a change only replaces state when its
+   * `(seq_us, seq_id)` is strictly newer, so late-arriving stale changes
+   * never regress the view — replay-deterministic regardless of batching.
+   *
+   * State bound: one row per distinct key — for dimension-table CDC the
+   * key universe IS the dimension size, which is the correct (and
+   * minimal) bound for a current-state view; no timeout, because a key's
+   * current state stays valid until changed. Streams whose keys retire
+   * (session-scoped entities) should layer an event-time timeout like
+   * [[sessionSummaries]] does.
+   */
+  def cdcCurrentState(spark: SparkSession,
+      changes: Dataset[CdcChange]): Dataset[CdcState] = {
+    import spark.implicits._
+    changes.groupByKey(_.k)
+      .mapGroupsWithState[CdcState, CdcState](GroupStateTimeout.NoTimeout) {
+        (k: Long, batch: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          var cur = state.getOption.orNull
+          batch.foreach { c =>
+            val newer = cur == null || c.seq_us > cur.seq_us ||
+              (c.seq_us == cur.seq_us && c.seq_id > cur.seq_id)
+            if (newer)
+              cur = CdcState(k, c.seq_us, c.seq_id, c.op == "D",
+                c.acct_cents, c.segment)
+          }
+          state.update(cur)
+          cur
+      }
+  }
 
   /**
    * Watermarked STREAM-STREAM interval join: pair each left event with

@@ -299,4 +299,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     val u8 = rows(8L).head
     assert(u8.getLong(3) === 1L)
   }
+
+  test("cdcCurrentState: latest wins across batches, stale arrivals never regress, tombstones emit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[CdcChange]
+    val query = StreamingOps.cdcCurrentState(spark, input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("cdc_state").outputMode(OutputMode.Update())
+      .start()
+
+    // Batch 1: two keys.
+    input.addData(
+      CdcChange(1L, 100L, 1L, "U", 10L, "a"),
+      CdcChange(2L, 100L, 2L, "U", 20L, "b"))
+    query.processAllAvailable()
+    // Batch 2: key 1 updated forward; key 2 deleted; key 1 also receives a
+    // STALE change (seq 50 < 100) that must not regress the state.
+    input.addData(
+      CdcChange(1L, 200L, 3L, "U", 11L, "a2"),
+      CdcChange(1L, 50L, 0L, "U", 99L, "stale"),
+      CdcChange(2L, 300L, 4L, "D", 0L, "x"))
+    query.processAllAvailable()
+    query.stop()
+
+    // Final state per key = argmax by (seq_us, seq_id) over the emissions.
+    val finalState = spark.table("cdc_state")
+      .groupBy("k")
+      .agg(max(struct(col("seq_us"), col("seq_id"), col("deleted"),
+        col("acct_cents"), col("segment"))).as("m"))
+      .select("k", "m.seq_us", "m.deleted", "m.acct_cents", "m.segment")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(finalState(1L) === ((200L, false, 11L, "a2")))
+    assert(finalState(2L) === ((300L, true, 0L, "x")))
+  }
 }
