@@ -63,8 +63,16 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: Column, num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
     if (num == den) df
-    else df.filter(
-      shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1) < lit(threshold(num, den)))
+    else df.filter(sampleMembership(keyCol, num, den))
+  }
+
+  /** [[deterministicSample]]'s membership rule as a reusable PREDICATE
+   * column — for counting or auditing a sample without filtering it
+   * (num == den is always true, same short-circuit). */
+  def sampleMembership(keyCol: Column, num: Long, den: Long): Column = {
+    require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+    if (num == den) lit(true)
+    else shiftrightunsigned(md5Hash64(keyCol.cast("string")), 1) < lit(threshold(num, den))
   }
 
   /**

@@ -820,6 +820,26 @@ object CoreQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Volume-drift monitoring: per event type, each day's count against
+    // the PREVIOUS OBSERVED day (lag window), with an e6-integer ratio and
+    // an alert flag outside [0.5×, 2×] — the per-partition data-quality
+    // check a 100-TB ingest runs before promoting a day's data. One keyed
+    // window over (type, day) coordinates; the raw scan never re-shuffles.
+    "q115_event_drift" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("ratio_e6", expr("n * 1000000L div prev_n"))
+        .withColumn("alert", col("prev_n").isNotNull &&
+          (col("ratio_e6") < 500000L || col("ratio_e6") > 2000000L))
+        .select(col("day"), col("event_type"), col("n"),
+          coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+          coalesce(col("ratio_e6"), lit(0L)).as("ratio_e6"), col("alert"))
+        .orderBy("day", "event_type")
+    }),
+
     // CDC apply (SCD-1): fold an orders-derived changeset into the customer
     // snapshot — latest change per key wins, 'F'-status = delete, every
     // tenth order synthesizes a NEW key (the insert path). The snapshot
@@ -1276,6 +1296,22 @@ object CoreQueries {
         |SELECT DISTINCT event_type, 6 AS bucket, 1000000000::BIGINT AS cdf_e9
         |FROM ev
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "q115_event_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT day, event_type, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        |  FROM daily)
+        |SELECT day, event_type, n,
+        |  coalesce(prev_n, 0)::BIGINT AS prev_n,
+        |  coalesce(n * 1000000 // prev_n, 0)::BIGINT AS ratio_e6,
+        |  (prev_n IS NOT NULL AND (n * 1000000 // prev_n < 500000
+        |    OR n * 1000000 // prev_n > 2000000)) AS alert
+        |FROM l ORDER BY day, event_type""".stripMargin,
 
     // NOT EXISTS (not NOT IN) mirrors left_anti null semantics.
     "q109_cdc_apply" ->

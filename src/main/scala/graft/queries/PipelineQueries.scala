@@ -5,6 +5,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.text.{Cleanup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1072,6 +1073,29 @@ object PipelineQueries {
           TextAnalysis.linearQualityScore(col("text")).as("score_num"))
         .withColumn("keep", col("score_num") >= 0)
         .orderBy("doc_id")
+    }),
+
+    // Quality-stratified sampling audit: per-source score DECILES (ntile
+    // over the integer model score, doc_id tie-break → total order, so the
+    // binning is deterministic cross-engine) with each stratum's count,
+    // score range, and how many docs a 1/5 deterministic sample keeps —
+    // the "sample uniformly within quality bands" selection step, plus the
+    // reconciliation numbers an operator checks after changing the rate.
+    // One keyed window + one aggregation, coordinates only.
+    "q114_quality_strata" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.linearQualityScore(col("text")).as("score_num"))
+      val decile = ntile(10).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score_num").asc, col("doc_id").asc))
+      scored.withColumn("decile", decile)
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(graft.operators.Sampling.sampleMembership(col("doc_id"), 1L, 5L),
+            1L).otherwise(0L)).as("n_kept"),
+          min("score_num").as("min_score"), max("score_num").as("max_score"))
+        .orderBy("source", "decile")
     }),
 
     // Canonical assignment: collapse the q14 near-dup pairs — every doc that
@@ -2565,6 +2589,28 @@ object PipelineQueries {
          |  FROM toks)
          |SELECT doc_id, n_tokens, score_num, score_num >= 0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
+    // Same md5-bit model score (q85), same ntile binning; the sample
+    // membership rule is md5-64 top-63-bits < floor(2^63/5) — the q30
+    // auditable-off-Spark convention.
+    "q114_quality_strata" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    coalesce(list_sum(list_transform(ts,
+         |      t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |             & 2047::UBIGINT)::BIGINT - 1024))), 0)::BIGINT AS score_num
+         |  FROM toks),
+         |d AS (
+         |  SELECT doc_id, source, score_num,
+         |    ntile(10) OVER (PARTITION BY source
+         |      ORDER BY score_num ASC, doc_id ASC) AS decile
+         |  FROM scored)
+         |SELECT source, decile::INT AS decile, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+         |        < 1844674407370955161::UBIGINT THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  min(score_num)::BIGINT AS min_score,
+         |  max(score_num)::BIGINT AS max_score
+         |FROM d GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
 
     "q56_rolling_fingerprint" -> rollingFingerprintOracleSql,
 
