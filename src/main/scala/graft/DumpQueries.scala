@@ -30,6 +30,7 @@ object DumpQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     for (n <- names) {
       SparkEntry.queries(n)(spark, sfDir)

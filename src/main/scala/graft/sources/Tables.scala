@@ -1,20 +1,25 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /**
  * Loaders for the harness's TPC-H-ish parquet tables (see TESTDATA.md).
  *
  * Everything is a plain `spark.read.parquet` — filters and column pruning
- * push down to the scan — except `events`, whose `ts` column is written as
- * parquet TIMESTAMP(NANOS): Spark 4 refuses nano timestamps unless they are
- * read as raw longs, so we read with an explicit schema typing `ts` as LONG
- * and convert to a proper microsecond TimestampType column with integer
- * arithmetic (no double rounding). The explicit schema keeps the workaround
- * scoped to this one read — no session conf is touched (round-1 ADVICE:
- * `spark.sql.legacy.parquet.nanosAsLong` leaked into every later read).
+ * push down to the scan — except `events`, whose `ts` column has been
+ * written by the driver as BOTH parquet TIMESTAMP(NANOS) (rounds 1–6) and
+ * plain timestamp[us] (round 7+) across fixture regenerations. Spark 4
+ * refuses nano timestamps unless they are read as raw longs, while the
+ * micros encoding reads natively as TimestampType — so the loader inspects
+ * the file footer once per path (schema inference throws on NANOS) and
+ * picks the matching explicit schema. Either way the caller sees the same
+ * shape: a proper microsecond TimestampType `ts`. The nanos branch converts
+ * with integer arithmetic (no double rounding), and the explicit schemas
+ * keep the workaround scoped to this one read — no session conf is touched
+ * (round-1 ADVICE: `spark.sql.legacy.parquet.nanosAsLong` leaked into
+ * every later read).
  */
 object Tables {
 
@@ -31,31 +36,76 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Fixed TESTDATA.md schema of `events`, with `ts` read as raw nano longs. */
-  private val eventsRawSchema = StructType(Seq(
+  private def eventsSchemaWithTs(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** `events` with `ts` converted from nano-longs to TimestampType (micros). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Fixed TESTDATA.md schema of `events`, with `ts` read as raw nano longs
+   * (the only way Spark 4 will read parquet TIMESTAMP(NANOS)). */
+  private val eventsRawSchema = eventsSchemaWithTs(LongType)
 
-  /** `events` as a bounded STREAM (file source) — same raw-nanos schema
-   * workaround as [[events]]. Drive with `Trigger.AvailableNow` to process
-   * the table once through the streaming engine; useful for proving
-   * stream/batch parity on the same files. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  /** Per-path cache of the fixture's `ts` encoding — one footer read per
+   * path per JVM, not one per DataFrame construction. */
+  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** The `ts` type Spark infers from `dir/events.parquet`'s footer:
+   *  - `TimestampNTZType` for plain timestamp[us] (the round-7+ fixture —
+   *    pyarrow writes without isAdjustedToUTC, so Spark infers NTZ);
+   *  - `TimestampType` if a future regeneration writes UTC-adjusted micros;
+   *  - `LongType` when inference THROWS — parquet TIMESTAMP(NANOS) (the
+   *    round-1..6 fixture), readable only via an explicit raw-long schema.
+   * Footer-only check — no data is scanned. */
+  private def fixtureTsType(spark: SparkSession, dir: String): DataType =
+    tsTypeCache.computeIfAbsent(s"$dir/events.parquet", { path =>
+      try spark.read.parquet(path).schema("ts").dataType match {
+        case t @ (TimestampType | TimestampNTZType) => t
+        case _ => LongType // raw-long nanos written as a plain int64
+      } catch { case scala.util.control.NonFatal(_) => LongType }
+    })
+
+  /** `events` with `ts` as TimestampType (micros since epoch), whichever
+   * encoding the fixture was regenerated with. The nanos branch converts
+   * with integer `div 1000` (no double rounding); the NTZ branch casts
+   * NTZ→LTZ, which under the suite-wide UTC session timezone preserves the
+   * micros value bit-for-bit and matches how the DuckDB oracle reads the
+   * same file (naive timestamps). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    fixtureTsType(spark, dir) match {
+      case LongType =>
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType =>
+        spark.read.schema(eventsSchemaWithTs(TimestampType)).parquet(s"$dir/events.parquet")
+      case t =>
+        spark.read.schema(eventsSchemaWithTs(t)).parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+
+  /** `events` as a bounded STREAM (file source) — same encoding detection
+   * as [[events]] (resolved once, batch-side, before the stream starts).
+   * Drive with `Trigger.AvailableNow` to process the table once through
+   * the streaming engine; useful for proving stream/batch parity on the
+   * same files. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // The file stream source insists its base path is a DIRECTORY, and
     // events.parquet is a single file — point basePath at the parent and
     // glob the one file.
-    spark.readStream.schema(eventsRawSchema).option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val reader = spark.readStream.option("basePath", dir)
+    fixtureTsType(spark, dir) match {
+      case LongType =>
+        reader.schema(eventsRawSchema).parquet(s"$dir/{events.parquet}")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType =>
+        reader.schema(eventsSchemaWithTs(TimestampType)).parquet(s"$dir/{events.parquet}")
+      case t =>
+        reader.schema(eventsSchemaWithTs(t)).parquet(s"$dir/{events.parquet}")
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Fixed TESTDATA.md schema of `orders` (file streams require an
    * explicit schema). */
