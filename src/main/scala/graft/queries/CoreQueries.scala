@@ -421,6 +421,39 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // q82 through the RocksDB state store provider: identical query and
+    // oracle, but every sketch aggregation buffer round-trips RocksDB's
+    // native key-value files instead of the default HDFS-backed in-memory
+    // map. This is the state backend a 100-TB deployment actually runs
+    // (state larger than executor heap, incremental checkpoint), so the
+    // suite proves the sketch state's serialization contract holds on
+    // both providers. Conf is captured at query START, so it is set just
+    // around .start() and restored after the stream drains.
+    "q116_streaming_hll_rocksdb" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_init_agg(col("event_type"), 0.069).as("h"))
+        .select(col("w.start").cast("date").as("day"), col("h"))
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      val q =
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          agg.writeStream.format("memory").queryName("q116_mem")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        } finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      q.awaitTermination()
+      s.table("q116_mem")
+        .select(col("day"), hll_cardinality(col("h")).as("n_types"))
+        .orderBy("day")
+    }),
+
     // STREAM-STREAM interval join, oracle-checked: signup→purchase pairs
     // within one day, both sides unbounded streams. The time-range
     // condition + watermarks bound each side's join state to a sliding
@@ -1121,6 +1154,20 @@ object CoreQueries {
     // Closed-window distinct types — q68's oracle restricted to the
     // windows the 36h watermark had closed.
     "q82_streaming_hll_append" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
+        |),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(DISTINCT event_type)::BIGINT AS n_types
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_types FROM agg, wm
+        |WHERE epoch_ms(day + INTERVAL 1 DAY) <= wm.wm_ms
+        |ORDER BY day""".stripMargin,
+    // Same closed-window truth as q82 — the state BACKEND (RocksDB vs the
+    // default provider) must be invisible in the results.
+    "q116_streaming_hll_rocksdb" ->
       """WITH wm AS (
         |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events
         |),
