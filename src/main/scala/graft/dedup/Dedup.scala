@@ -409,19 +409,25 @@ object Dedup {
    * exact, not approximately-right).
    *
    * The verify join references the gram sets twice (a-side and b-side)
-   * and the candidate set twice (ids + the join spine), but Catalyst's
-   * ReuseExchange shares each aggregation's shuffled output across those
-   * consumers within the one job, and per-branch column pruning keeps
-   * every duplicate subtree narrow. Persisting the intermediates instead
-   * was MEASURED SLOWER under a full-plan sink (noop) at sf0.1 — 4.6-6.5 s
-   * vs 2.9-4.0 s at both 4 and 32 cores — because the cache materializes
-   * every column of every row and pays serialization, defeating both
-   * optimizations (a `.count()` probe suggests the opposite only because
-   * count lets Catalyst prune the verify columns entirely — same trap as
+   * and the candidate set twice (ids + the join spine). The SLIM
+   * (id_a, id_b) candidate table persists unconditionally (16 B/pair,
+   * MEMORY_AND_DISK, lazy): AQE's exchange reuse was observed — final
+   * adaptive plan at sf0.1 — to share only the first gram exchange
+   * between the two candidate consumers, so without the persist the
+   * ranked/collision/pair-agg chain executed twice (~1.3 s of the 2.3 s
+   * run). The two gram-set references dedupe differently: an id-keyed
+   * repartition above the candidate-doc semi-join plants one exchange
+   * both verify sides reuse (see ppjoinVerify). Persisting the FULL gram
+   * sets as well was MEASURED SLOWER under a full-plan sink (noop) at
+   * sf0.1 — 4.6-6.5 s vs 2.9-4.0 s at both 4 and 32 cores — because that
+   * cache materializes every gram array of every doc and pays
+   * serialization where the pipeline only needs the exploded stream (a
+   * `.count()` probe suggests the opposite only because count lets
+   * Catalyst prune the verify columns entirely — same trap as
    * jaccardNearDupPairs' knob, whose scaladoc reached the same verdict).
    * `materializeCandidates` therefore stays OFF by default and exists for
    * callers fanning the result into several SEPARATE jobs, where exchange
-   * reuse cannot apply; it persists both gram sets and candidates (hash
+   * reuse cannot apply; it additionally persists the gram sets (hash
    * arrays and id pairs only, never text).
    *
    * @return (id_a, id_b, inter, uni) — integer columns only.
@@ -447,11 +453,17 @@ object Dedup {
       // InMemoryRelation for every canonicalized-equal subtree at
       // planning time, so one cached corpus pass feeds ranking AND both
       // verify branches.
-      val (gramSets, candidates) =
-        if (materializeCandidates) {
-          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          (st.gramSets.persist(lvl), st.candidates.persist(lvl))
-        } else (st.gramSets, st.candidates)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // The slim (id_a, id_b) candidate pairs persist UNCONDITIONALLY:
+      // verification references them twice (join spine + the exploded
+      // candIds semi-join filter), and AQE's exchange reuse was observed
+      // (final adaptive plan, sf0.1) to share only the first gram exchange
+      // between those branches — the ranked/collision/pair-agg chain ran
+      // twice without this. 16 bytes per surviving candidate, spilling and
+      // lineage-recoverable, so the cache is bounded by the same candidate
+      // volume the verify join materializes anyway.
+      val gramSets = if (materializeCandidates) st.gramSets.persist(lvl) else st.gramSets
+      val candidates = st.candidates.persist(lvl)
       (gramSets, ppjoinVerify(gramSets, candidates, thresholdNum, thresholdDen))
     }
     if (!collapseIdentical) {
@@ -652,7 +664,17 @@ object Dedup {
     // subtree appears once in this branch, not twice.
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    // The id-keyed repartition plants an exchange ABOVE the gram-build +
+    // semi-join so ReuseExchange shares ONE tokenize/shingle/md5 pass of
+    // the candidate docs across the a-side and b-side joins below — the
+    // two consumers differ only in projections above the exchange, so
+    // their exchange subtrees canonicalize equal. Without it each side
+    // recomputes the gram build (pure map, no exchange, nothing to
+    // reuse): measured ~0.3 s of the sf0.1 q59 run. The exchange carries
+    // candidate-doc hash arrays only (never text), the same payload the
+    // join would shuffle anyway under the at-scale SMJ plan.
     val candSets = gramSets.join(candIds, Seq("id"), "left_semi")
+      .repartition(col("id"))
     val pre = tapPre(candidates
       .join(candSets.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(candSets.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
