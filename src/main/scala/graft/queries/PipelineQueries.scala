@@ -85,6 +85,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination: train vectors within cosine 0.35 of ANY
+    // eval-set vector (label = 7 plays the benchmark) — the embedding-space
+    // complement of q35's exact 8-gram matching, catching paraphrased eval
+    // leakage. Eval side broadcasts (benchmarks are small by construction);
+    // the train corpus is one map-side pass and only flagged ids reach the
+    // aggregation. Integer hit counts out; the 0.35 gate is the same
+    // widen-to-double cosine agreement q16 pins.
+    "q117_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+        emb.filter(col("label") =!= 7),
+        emb.filter(col("label") === 7), threshold = 0.35)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // STREAMING ingest capstone: scrub → model-quality gate → keep-first
+    // exact dedup with duplicate accounting, continuously maintained in
+    // one pass over the document stream (the streaming form of q36's
+    // batch pipeline front half). Every stage is a per-row projection
+    // until the fingerprint state update, so the only state is the dedup
+    // table itself; the memory-sink view is reduced to latest-state-per-
+    // fingerprint exactly like q113, and must equal the batch re-derivation
+    // from the same files — which is what the oracle computes.
+    "q118_streaming_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val cleaned = Tables.documentsStream(s, dir)
+        .withColumn("text", Cleanup.scrub(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.linearQualityScore(col("text")).as("score"))
+        .filter(col("score") >= 0)
+        .select(col("doc_id"), col("fp"))
+        .as[graft.streaming.IngestDoc]
+      val kept = graft.streaming.StreamingOps.keepFirstByFingerprint(s, cleaned)
+      val q = kept.toDF().writeStream.format("memory").queryName("q118_mem")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // Multi-batch safe: keep each fingerprint's LATEST state (largest
+      // n_dups; doc_id only ever decreases, so min pairs with it).
+      s.table("q118_mem").groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n_dups")).as("n_dups"))
+        .select(col("doc_id"), col("fp"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: docs sharing any 8-token gram with the
     // held-out set (source = src0 plays the eval set). Broadcast hashed
     // benchmark grams, map-side join — integer overlap counts out.
@@ -1748,6 +1795,29 @@ object PipelineQueries {
          |FROM toks, LATERAL (SELECT unnest(range((n + 447) // 448)) AS i) i
          |WHERE n > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Brute-force re-derivation of the broadcast contamination pass: per
+    // non-eval vector, how many label-7 vectors clear the cosine gate.
+    "q117_semantic_decontam" ->
+      """SELECT t.vec_id AS vec_id, count(*)::BIGINT AS n_eval_hits
+        |FROM embeddings t JOIN embeddings e
+        |  ON e.label = 7 AND t.label <> 7
+        | AND list_cosine_similarity(t.embedding, e.embedding) >= 0.35
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // Batch re-derivation of the streaming ingest view: scrub, the q85
+    // md5-bucket model score gate, then min-id + count per fingerprint of
+    // the scrubbed text.
+    "q118_streaming_ingest" ->
+      s"""WITH cleaned AS (SELECT doc_id, $scrubSql AS text FROM documents),
+         |gated AS (
+         |  SELECT doc_id, text FROM cleaned
+         |  WHERE coalesce(list_sum(list_transform($tokensSql,
+         |      t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |             & 2047::UBIGINT)::BIGINT - 1024))), 0) >= 0),
+         |fps AS (SELECT doc_id, md5($normSql) AS fp FROM gated)
+         |SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_dups
+         |FROM fps GROUP BY fp ORDER BY doc_id""".stripMargin,
 
     // 8-token grams on both sides; count distinct shared grams per doc.
     "q35_decontamination" ->

@@ -72,6 +72,40 @@ object Similarity {
   }
 
   /**
+   * Semantic decontamination: flag every train vector whose embedding
+   * scores `cosine >= threshold` against ANY eval-set vector — the
+   * embedding-space analogue of n-gram benchmark decontamination
+   * ([[graft.dedup.Dedup.ngramContamination]]), which catches paraphrased
+   * or re-rendered eval leakage that exact-gram matching misses.
+   *
+   * Scale contract: the eval side is an evaluation benchmark — thousands
+   * of vectors, not corpus-scale — so it BROADCASTS and the train corpus
+   * is processed in one map-side pass (|train| × |eval| fused cosines,
+   * embarrassingly parallel, no shuffle of train vectors). Only flagged
+   * (id, hit) rows reach the per-id aggregation, and its map-side partial
+   * combine collapses each train vector's eval fanout before the
+   * exchange, so shuffle volume is bounded by the number of CONTAMINATED
+   * docs — which decontamination presumes is small.
+   *
+   * Output is ids and integer hit counts only (no float scores), so the
+   * result is engine-exact under the same widen-to-double cosine
+   * agreement q16 relies on.
+   *
+   * @return (id, n_eval_hits) for flagged train vectors only.
+   */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val e = eval.select(col(vecCol).as("evec"))
+    t.crossJoin(broadcast(e))
+      .select(col("id"), cosine(col("vec"), col("evec")).as("s"))
+      .filter(col("s") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"))
+  }
+
+  /**
    * Exact top-k cosine neighbors for each query vector.
    *
    * @param queries  (id, vector) — must be small enough to broadcast

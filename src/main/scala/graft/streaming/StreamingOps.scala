@@ -39,6 +39,15 @@ case class CdcChange(k: Long, seq_us: Long, seq_id: Long, op: String,
 case class CdcState(k: Long, seq_us: Long, seq_id: Long, deleted: Boolean,
     acct_cents: Long, segment: String)
 
+/** One ingested document on a stream, keyed by content fingerprint — the
+ * input shape of [[StreamingOps.keepFirstByFingerprint]]. */
+case class IngestDoc(doc_id: Long, fp: String)
+
+/** Per-fingerprint dedup state and (identically-shaped) emission of
+ * [[StreamingOps.keepFirstByFingerprint]]: the kept doc is the SMALLEST
+ * id seen so far for the fingerprint, `n_dups` the arrivals so far. */
+case class IngestKept(fp: String, doc_id: Long, n_dups: Long)
+
 /**
  * Structured Streaming surface. The reference library has no streaming code
  * (SURVEY.md §2.4), but its core data structure is the part of it that IS
@@ -251,6 +260,43 @@ object StreamingOps {
               cur = CdcState(k, c.seq_us, c.seq_id, c.op == "D",
                 c.acct_cents, c.segment)
           }
+          state.update(cur)
+          cur
+      }
+  }
+
+  /**
+   * Streaming keep-first exact dedup with duplicate accounting: one state
+   * row per content fingerprint holding (smallest doc id so far, arrivals
+   * so far); every touched fingerprint re-emits its current state per
+   * micro-batch (update mode). Unlike [[dedupDocStream]]'s
+   * `dropDuplicatesWithinWatermark` — which keeps whichever duplicate
+   * ARRIVES first, a race across partitions — the min-id rule is
+   * deterministic and replay-stable, so the continuously-maintained view
+   * equals the batch `groupBy(fp).agg(min(doc_id), count)` at every
+   * drain point. That batch-parity is what makes a streaming ingest
+   * pipeline auditable: the oracle recomputes the same view from the
+   * files alone.
+   *
+   * State bound: one (fp, long, long) row per DISTINCT document content —
+   * the dedup table itself, the minimal state any exact keep-first dedup
+   * must hold. No timeout by default: content identity does not expire.
+   * Retention-windowed deployments layer an event-time timeout exactly as
+   * [[sessionSummaries]] does.
+   */
+  def keepFirstByFingerprint(spark: SparkSession,
+      docs: Dataset[IngestDoc]): Dataset[IngestKept] = {
+    import spark.implicits._
+    docs.groupByKey(_.fp)
+      .mapGroupsWithState[IngestKept, IngestKept](GroupStateTimeout.NoTimeout) {
+        (fp: String, batch: Iterator[IngestDoc], state: GroupState[IngestKept]) =>
+          var keep = state.getOption.map(_.doc_id).getOrElse(Long.MaxValue)
+          var n = state.getOption.map(_.n_dups).getOrElse(0L)
+          batch.foreach { d =>
+            n += 1
+            if (d.doc_id < keep) keep = d.doc_id
+          }
+          val cur = IngestKept(fp, keep, n)
           state.update(cur)
           cur
       }

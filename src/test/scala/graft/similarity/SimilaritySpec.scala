@@ -256,6 +256,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticContamination flags exactly the vectors a brute force flags") {
+    val rows = (0L until 120L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val all = vecs(rows: _*)
+    val eval = all.filter(col("vec_id") % 10 === 0)
+    val train = all.filter(col("vec_id") % 10 =!= 0)
+    val got = Similarity.semanticContamination(train, eval, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val evalVecs = rows.filter(_._1 % 10 == 0).map(_._2)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = rows.filter(_._1 % 10 != 0).flatMap { case (id, v) =>
+      val hits = evalVecs.count(e => cos(v, e) >= 0.3)
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }.toMap
+    assert(got === want)
+    assert(want.nonEmpty, "toy corpus produced no contamination — test is vacuous")
+  }
+
   test("semanticDedup: assignment and min-id keeper rule match a brute force") {
     // Fixed centroids through the plug-in seam pin assignment and the
     // keeper rule independently of Lloyd's loop (which kmeans tests own).

@@ -168,6 +168,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 4L))
   }
 
+  test("keepFirstByFingerprint keeps the min id per fingerprint across batches, counting arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[IngestDoc]
+    val query = StreamingOps.keepFirstByFingerprint(spark, input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("ingest_kept").outputMode(OutputMode.Update())
+      .start()
+
+    // Batch 1: fp A arrives as id 5 first — kept until a smaller id shows.
+    input.addData(IngestDoc(5L, "A"), IngestDoc(7L, "B"))
+    query.processAllAvailable()
+    // Batch 2: id 2 beats 5 for A (LATE smaller id must replace, unlike
+    // arrival-order dedup); B gets a duplicate; C is new.
+    input.addData(IngestDoc(2L, "A"), IngestDoc(9L, "B"), IngestDoc(4L, "C"))
+    query.processAllAvailable()
+    query.stop()
+
+    // Latest state per fp = the q118 reduction.
+    val latest = spark.table("ingest_kept")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"), max("n_dups").as("n_dups"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(latest === Map("A" -> (2L, 2L), "B" -> (7L, 2L), "C" -> (4L, 1L)))
+  }
+
   test("lshCandidateStream indexes incrementally: later batches pair against stored state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
