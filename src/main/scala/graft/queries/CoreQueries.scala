@@ -323,8 +323,9 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.format("memory").queryName("q67_mem")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q67_mem")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q67_mem").orderBy("day", "event_type")
     }),
@@ -348,8 +349,9 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
-      val q = agg.writeStream.format("memory").queryName("q73_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q73_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q73_mem").orderBy("day", "event_type")
     }),
@@ -369,8 +371,9 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(freq_init_agg(col("event_type"), 64).as("f"))
         .select(col("w.start").cast("date").as("day"), col("f"))
-      val q = agg.writeStream.format("memory").queryName("q80_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q80_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q80_mem")
         .select(col("day"), explode(freq_items(col("f"), 1L)).as("hh"))
@@ -391,8 +394,9 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(kll_init_agg(col("value")).as("sk"))
         .select(col("w.start").cast("date").as("day"), col("sk"))
-      val q = agg.writeStream.format("memory").queryName("q81_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q81_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q81_mem").select(col("day"),
           kll_n(col("sk")).as("n_values"),
@@ -413,8 +417,9 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(hll_init_agg(col("event_type"), 0.069).as("h"))
         .select(col("w.start").cast("date").as("day"), col("h"))
-      val q = agg.writeStream.format("memory").queryName("q82_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q82_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q82_mem")
         .select(col("day"), hll_cardinality(col("h")).as("n_types"))
@@ -442,8 +447,9 @@ object CoreQueries {
         try {
           s.conf.set(key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-          agg.writeStream.format("memory").queryName("q116_mem")
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+            agg.writeStream.format("memory").queryName("q116_mem")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start())
         } finally saved match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
@@ -474,8 +480,9 @@ object CoreQueries {
         signups, purchases, key = "user_id",
         leftTs = "signup_ts", rightTs = "purchase_ts",
         within = "1 day", watermark = "36 hours")
-      val q = joined.writeStream.format("memory").queryName("q89_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        joined.writeStream.format("memory").queryName("q89_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q89_mem")
         .select(col("user_id"), col("signup_id"), col("purchase_id"),
@@ -500,8 +507,9 @@ object CoreQueries {
         .select(col("user_id"), col("ts"))
         .as[graft.streaming.UserEvent]
       val summaries = graft.streaming.StreamingOps.sessionSummaries(s, ev)
-      val q = summaries.toDF().writeStream.format("memory").queryName("q94_mem")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        summaries.toDF().writeStream.format("memory").queryName("q94_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q94_mem")
         .groupBy("user_id")
@@ -532,8 +540,9 @@ object CoreQueries {
         col("o_orderpriority").as("segment"))
         .as[graft.streaming.CdcChange]
       val st = graft.streaming.StreamingOps.cdcCurrentState(s, ch)
-      val q = st.toDF().writeStream.format("memory").queryName("q113_mem")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        st.toDF().writeStream.format("memory").queryName("q113_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q113_mem")
         .groupBy("k")
@@ -555,8 +564,9 @@ object CoreQueries {
       val agg = Tables.eventsStream(s, dir)
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"))
         .agg(hll_cardinality(hll_init_agg(col("event_type"), 0.069)).as("n_types"))
-      val q = agg.writeStream.format("memory").queryName("q68_mem")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q68_mem")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q68_mem").orderBy("day")
     }),

@@ -121,8 +121,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("fp"))
         .as[graft.streaming.IngestDoc]
       val kept = graft.streaming.StreamingOps.keepFirstByFingerprint(s, cleaned)
-      val q = kept.toDF().writeStream.format("memory").queryName("q118_mem")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        kept.toDF().writeStream.format("memory").queryName("q118_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       // Multi-batch safe: keep each fingerprint's LATEST state (largest
       // n_dups; doc_id only ever decreases, so min pairs with it).
@@ -845,9 +846,10 @@ object PipelineQueries {
       val docs = Tables.documentsStream(s, dir)
         .withColumn("ts", expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
       val deduped = graft.streaming.StreamingOps.dedupDocStream(docs, watermark = "30 days")
-      val q = deduped.select(col("fp")).writeStream.format("memory")
-        .queryName("q90_mem").outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        deduped.select(col("fp")).writeStream.format("memory")
+          .queryName("q90_mem").outputMode("append")
+          .trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q90_mem").orderBy("fp")
     }),
