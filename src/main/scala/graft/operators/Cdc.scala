@@ -85,4 +85,37 @@ object Cdc {
       .withColumn(validTo, lead(col(seqCol), 1).over(w))
       .withColumn(isCurrent, col(validTo).isNull)
   }
+
+  /**
+   * Corpus snapshot diff: classify every id across two dataset versions as
+   * `added` (only in current), `removed` (only in previous), `changed`
+   * (both, content fingerprints differ) or `unchanged` — the audit a
+   * training-data pipeline runs between corpus releases before re-training
+   * on "the same data, refreshed".
+   *
+   * Callers pass PROJECTIONS carrying the id and a content fingerprint
+   * (e.g. [[graft.text.TextAnalysis.fingerprint]]), so the full-outer
+   * equi-join shuffles (id, fp) coordinates only — document text never
+   * rides the exchange, the library-wide contract. At 100 TB both sides
+   * are snapshot-sized; store them bucketed by id
+   * ([[graft.sources.Layout.writeBucketed]]) and the join plans with zero
+   * exchanges.
+   *
+   * @param prev (idCol, fpCol) projection of the previous release
+   * @param cur  (idCol, fpCol) projection of the current release
+   * @return one row per id in either version: (idCol, status)
+   */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+      idCol: String = "doc_id", fpCol: String = "fp"): DataFrame =
+    // Presence rides explicit indicators, not fp nullability — a version
+    // may legitimately carry a NULL fingerprint (null text), and two NULL
+    // fingerprints on both sides compare as unchanged (null-safe <=>).
+    prev.select(col(idCol), col(fpCol).as("fp_prev"), lit(true).as("in_prev"))
+      .join(cur.select(col(idCol), col(fpCol).as("fp_cur"), lit(true).as("in_cur")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("in_prev").isNull, "added")
+          .when(col("in_cur").isNull, "removed")
+          .when(col("fp_prev") <=> col("fp_cur"), "unchanged")
+          .otherwise("changed").as("status"))
 }

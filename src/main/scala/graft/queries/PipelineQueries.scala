@@ -85,6 +85,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus release diff: classify every doc across two dataset versions
+    // (previous release synthesized deterministically from the same table,
+    // the q109/q113 convention: doc_id%17=0 docs are new in current,
+    // %19=0 were dropped, %13=0 were re-archived with changed text) and
+    // report per-(source, status) counts — the audit run between corpus
+    // releases before re-training on "the same data, refreshed". Only
+    // (doc_id, fp) coordinates cross the full-outer join; text stays in
+    // its scans.
+    "q119_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" [archived revision]"))).otherwise(col("text")))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val cur = docs.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      graft.operators.Cdc.snapshotDiff(prev, cur)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    }),
+
     // SEMANTIC decontamination: train vectors within cosine 0.35 of ANY
     // eval-set vector (label = 7 plays the benchmark) — the embedding-space
     // complement of q35's exact 8-gram matching, catching paraphrased eval
@@ -1797,6 +1819,28 @@ object PipelineQueries {
          |FROM toks, LATERAL (SELECT unnest(range((n + 447) // 448)) AS i) i
          |WHERE n > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same synthesized previous release, same md5-of-normalized
+    // fingerprints, FULL JOIN + CASE for the status.
+    "q119_snapshot_diff" ->
+      s"""WITH prev AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(lower(
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' [archived revision]'
+         |         ELSE text END), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |cur AS (
+         |  SELECT doc_id, md5($normSql) AS fp
+         |  FROM documents WHERE doc_id % 19 <> 0),
+         |diff AS (
+         |  SELECT doc_id,
+         |    CASE WHEN p.doc_id IS NULL THEN 'added'
+         |         WHEN c.doc_id IS NULL THEN 'removed'
+         |         WHEN p.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM prev p FULL JOIN cur c USING (doc_id))
+         |SELECT d.source, f.status, count(*)::BIGINT AS n
+         |FROM diff f JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
     // Brute-force re-derivation of the broadcast contamination pass: per
     // non-eval vector, how many label-7 vectors clear the cosine gate.

@@ -106,4 +106,26 @@ class CdcSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing columns"))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-fp-safe") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Some("a")),  // unchanged
+      (2L, Some("b")),  // changed
+      (3L, Some("c")),  // removed
+      (5L, None: Option[String]),  // null fp both sides -> unchanged
+      (6L, None: Option[String]))  // null fp prev, real fp cur -> changed
+      .toDF("doc_id", "fp")
+    val cur = Seq(
+      (1L, Some("a")),
+      (2L, Some("B")),
+      (4L, Some("d")),  // added
+      (5L, None: Option[String]),
+      (6L, Some("f")))
+      .toDF("doc_id", "fp")
+    val got = Cdc.snapshotDiff(prev, cur)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
 }

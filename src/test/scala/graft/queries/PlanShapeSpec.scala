@@ -437,4 +437,18 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     // toString renders WholeStageCodegen subtrees with a "*(stageId)" prefix.
     assert(p.contains("*("), "text stats fell out of whole-stage codegen")
   }
+
+  test("semantic decontamination broadcasts the eval side, never shuffles train vectors") {
+    val p = plan(PipelineQueries.queries("q117_semantic_decontam")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "eval side is not broadcast")
+    assert(!p.contains("CartesianProduct"), "decontamination plans a cartesian")
+    // Train embeddings must stay in their scan partitions: the only
+    // exchanges allowed are the post-filter per-id aggregation (hash) and
+    // the output sort (range) — neither may carry the embedding array.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"train embedding rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
