@@ -194,6 +194,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(latest === Map("A" -> (2L, 2L), "B" -> (7L, 2L), "C" -> (4L, 1L)))
   }
 
+  test("keepFirstByFingerprint state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // The memory sink refuses checkpoint recovery; foreachBatch is the
+    // recovery-capable sink, collecting emissions into a shared buffer.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val input = MemoryStream[IngestDoc]
+    def start() =
+      StreamingOps.keepFirstByFingerprint(spark, input.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestKept], _: Long) =>
+          batch.collect().foreach(k => emitted.add((k.fp, k.doc_id, k.n_dups)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .start()
+
+    val q1 = start()
+    input.addData(IngestDoc(5L, "A"), IngestDoc(7L, "B"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Data arriving while the query is DOWN, then a restart from the same
+    // checkpoint: the recovered state must carry A's (5, 1) forward, so
+    // the post-restart emission accumulates to (2, 2) — a fresh-state
+    // restart would report n_dups = 1.
+    emitted.clear()
+    input.addData(IngestDoc(2L, "A"), IngestDoc(4L, "C"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val after = emitted.asScala.map(t => (t._1, (t._2, t._3))).toMap
+    assert(after === Map("A" -> (2L, 2L), "C" -> (4L, 1L)),
+      s"state did not survive the restart: $after")
+  }
+
   test("lshCandidateStream indexes incrementally: later batches pair against stored state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
