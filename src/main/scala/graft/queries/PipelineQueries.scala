@@ -505,6 +505,33 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("piece")).limit(20)
     }),
 
+    // Tokenizer fertility per language: pieces-per-word under the learned
+    // 4-merge BPE — the number a tokenizer team watches per language
+    // before committing a vocabulary (high fertility = the language pays
+    // more sequence length per word). Composes learnMergesSegmented's
+    // vocabulary (word reconstructed by concatenating its pieces) with
+    // per-(lang, word) counts; both joins are vocabulary-bounded, the
+    // corpus never shuffles text, and the ratio is the library's e6
+    // integer-division convention (engine-exact, no floats).
+    "q120_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, segmented) =
+        graft.text.Bpe.learnMergesSegmented(docs, nMerges = 4)
+      val wordPieces = segmented.select(
+        array_join(col("syms"), "").as("word"),
+        size(col("syms")).cast("long").as("n_pieces"))
+      val langWords = docs
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("w"))
+      langWords.join(wordPieces, Seq("word"))
+        .groupBy("lang")
+        .agg(sum(col("w")).as("n_words"),
+          sum(col("w") * col("n_pieces")).as("n_pieces_total"))
+        .withColumn("fertility_e6",
+          expr("n_pieces_total * 1000000 div n_words"))
+        .orderBy("lang")
+    }),
+
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
     // normalized text and of a 64-char prefix chunk — the composable
     // chunk-fingerprint primitive (RollingHash64.combine stitches chunk
@@ -2764,6 +2791,23 @@ object PipelineQueries {
          |SELECT piece, sum(w)::BIGINT AS n
          |FROM (SELECT w, unnest(syms) AS piece FROM bper4)
          |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin,
+
+    // Same four-round segmentation; per-(lang, word) counts joined to the
+    // vocabulary's piece counts, e6 integer-division ratio.
+    "q120_bpe_fertility" ->
+      s"""WITH $bpeChain4Sql,
+         |lw AS (
+         |  SELECT lang, word, count(*)::BIGINT AS w
+         |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents) t
+         |  GROUP BY 1, 2),
+         |wp AS (SELECT word, len(syms)::BIGINT AS n_pieces FROM bper4)
+         |SELECT lang,
+         |  sum(lw.w)::BIGINT AS n_words,
+         |  sum(lw.w * wp.n_pieces)::BIGINT AS n_pieces_total,
+         |  (sum(lw.w * wp.n_pieces)::BIGINT * 1000000
+         |     // sum(lw.w)::BIGINT)::BIGINT AS fertility_e6
+         |FROM lw JOIN wp USING (word)
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Identical pattern, identical leftmost-first alternation in RE2.
     "q58_bpe_pretokens" -> {
