@@ -948,6 +948,37 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // IVF-PQ ANN — the Faiss-style big-corpus layout: coarse inverted
+    // file bounds WHICH vectors are looked at, product-quantized codes
+    // (m=8 subspaces × 16 codewords → 8 bytes/vector instead of 256)
+    // bound WHAT the candidate pass reads, ADC-shortlist then exact
+    // re-rank of 32 candidates. Same (query_id, rank, neighbor_id) shape
+    // as q17/q19 so the three ANN tiers stay comparable.
+    "q121_ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The q66 recall diagnostic for the PQ tier: how much ranking
+    // fidelity do 8-byte codes cost versus exact brute force — the
+    // third column of the ANN quality/efficiency trade-off table
+    // (q66 = IVF-only, q69 = int8, q122 = IVF-PQ).
+    "q122_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfPqTopK(qs, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+        .orderBy("query_id")
+    }),
+
     // Sketch-driven JOIN-SIZE ESTIMATION — the query-planning diagnostic:
     // how many distinct order keys would an (urgent orders ⋈ H2-1995
     // lineitems) join touch, WITHOUT running the join. One theta sketch
@@ -1524,6 +1555,92 @@ object PipelineQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val annIvfSql = annIvfSqlWith("")
+
+  /** DuckDB restatement of [[Similarity.ivfPqTopK]] at the q121 defaults
+   * (m=8 × 8-dim subspaces, ks=16 codewords, 16 cells, nProbe=4,
+   * shortlist=32, k=5). Every float kernel is forced to the same double
+   * arithmetic the Spark expressions run (`x::DOUBLE` per element before
+   * `list_dot_product`, the squared-L2 dot identity verbatim), and the
+   * ADC sum is DECIMAL(38,16) on both engines, so ranking is bit-exact. */
+  private val annIvfPqSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  ORDER BY vec_id LIMIT 16
+      |),
+      |seed AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |    embedding AS vec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16
+      |),
+      |subsp AS (SELECT unnest(range(8)) AS sub),
+      |cb AS (
+      |  SELECT subsp.sub, seed.code,
+      |    list_transform(list_slice(seed.vec, subsp.sub*8+1, subsp.sub*8+8),
+      |      x -> x::DOUBLE) AS cw
+      |  FROM seed, subsp
+      |),
+      |subs AS (
+      |  SELECT e.vec_id AS id, subsp.sub,
+      |    list_transform(list_slice(e.embedding, subsp.sub*8+1, subsp.sub*8+8),
+      |      x -> x::DOUBLE) AS sv
+      |  FROM embeddings e, subsp
+      |),
+      |enc AS (
+      |  SELECT id, sub, code FROM (
+      |    SELECT s.id, s.sub, cb.code,
+      |      row_number() OVER (PARTITION BY s.id, s.sub
+      |        ORDER BY list_dot_product(s.sv, s.sv) + list_dot_product(cb.cw, cb.cw)
+      |               - 2 * list_dot_product(s.sv, cb.cw) ASC, cb.code ASC) AS rn
+      |    FROM subs s JOIN cb USING (sub))
+      |  WHERE rn = 1
+      |),
+      |assign AS (
+      |  SELECT id, cid FROM (
+      |    SELECT e.vec_id AS id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.vec_id AS query_id, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
+      |    FROM embeddings q, cent c WHERE q.vec_id < 10)
+      |  WHERE rn <= 4
+      |),
+      |lut AS (
+      |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+      |    list_dot_product(
+      |      list_transform(list_slice(q.embedding, cb.sub*8+1, cb.sub*8+8),
+      |        x -> x::DOUBLE), cb.cw) AS dv
+      |  FROM embeddings q, cb WHERE q.vec_id < 10
+      |),
+      |adc AS (
+      |  SELECT p.query_id, a.id, sum(CAST(l.dv AS DECIMAL(38,16))) AS adc
+      |  FROM probes p JOIN assign a USING (cid)
+      |  JOIN enc e ON e.id = a.id
+      |  JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+      |  WHERE a.id <> p.query_id
+      |  GROUP BY 1, 2
+      |),
+      |short AS (
+      |  SELECT query_id, id FROM (
+      |    SELECT query_id, id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adc DESC, id ASC) AS rn
+      |    FROM adc)
+      |  WHERE rn <= 32
+      |)
+      |SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+      |  SELECT s.query_id, s.id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, s.id ASC) AS rank
+      |  FROM short s
+      |  JOIN embeddings q ON q.vec_id = s.query_id
+      |  JOIN embeddings c ON c.vec_id = s.id)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replica of [[Cleanup.scrub]]: same NFC normalize, same
    * conditional markup strip, same redaction patterns in the same order
@@ -2393,6 +2510,15 @@ object PipelineQueries {
          |  count(*)::BIGINT AS k
          |FROM exact e LEFT JOIN ivf i
          |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q121_ann_ivf_pq" -> annIvfPqSql,
+    "q122_pq_recall" ->
+      s"""WITH exact AS ($annExactSql),
+         |pq AS ($annIvfPqSql)
+         |SELECT e.query_id, count(p.neighbor_id)::BIGINT AS hits,
+         |  count(*)::BIGINT AS k
+         |FROM exact e LEFT JOIN pq p
+         |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same pair derivation as q14, then min-partner per greater member.
     "q20_dedup_canonical" ->

@@ -323,6 +323,124 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ approximate nearest neighbour — the standard big-corpus ANN
+   * layout (Jégou et al., "Product Quantization for Nearest Neighbor
+   * Search", TPAMI 2011; the Faiss `IVFx,PQy` index): a coarse inverted
+   * file bounds WHICH vectors a query looks at, and product-quantized
+   * codes bound WHAT the candidate scan reads — m byte codes per vector
+   * instead of `dims` floats, so the candidate-scoring pass touches
+   * ~dims/m× less data than [[ivfTopK]]'s exact re-rank of whole cells.
+   *
+   * Stages (all deterministic, ties always to the lower id/code, so the
+   * DuckDB oracle can restate every step):
+   *  1. Codebooks: the corpus is split into `m` contiguous `dims/m`-wide
+   *     subspaces; each subspace gets `ks` codewords seeded from the `ks`
+   *     lowest-id vectors (the [[ivfTopK]] first-N seeding rule — swap in
+   *     [[kmeansCentroids]]-trained sub-codebooks via the same seam when
+   *     quality matters more than oracle simplicity).
+   *  2. Encode: each corpus vector becomes `m` codes — per subspace, the
+   *     codeword minimizing squared L2 (computed via the dot identity
+   *     ‖a‖²+‖b‖²−2a·b so both engines evaluate the identical double
+   *     expression), ties to the lower code.
+   *  3. ADC: per query, a lookup table of dot(query-subvector, codeword)
+   *     — |queries|·m·ks doubles, broadcast. Candidate score = Σ over
+   *     subspaces of table[sub, code[sub]], summed in DECIMAL(38,16) so
+   *     the sum is partial-aggregation-order-independent and
+   *     engine-exact.
+   *  4. Shortlist the top `shortlist` per query by ADC (desc, id asc),
+   *     then exact-cosine re-rank only those — full vectors join back
+   *     for |queries|×shortlist rows only.
+   *
+   * Scale contract: the inverted file and code table shuffle slim
+   * (id, sub, code) ints — embedding bytes never ride a candidate
+   * exchange (the library's payload-free rule). Codebooks, centroids,
+   * and the ADC table are broadcast (m·ks + |queries|·m·ks rows). The
+   * per-candidate cost is m decimal adds versus [[ivfTopK]]'s dims-wide
+   * cosine, which is the whole point at 100 TB: the exact kernel runs
+   * on |queries|×shortlist rows, not on every vector of every probed
+   * cell. Encoding is one map-side pass (row × m·ks fan-out collapses
+   * in a partially-aggregating min_by before any exchange).
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, dims: Int = 64,
+      nCentroids: Int = 16, nProbe: Int = 4, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: DataFrame = null): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
+    val subDim = dims / m
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+
+    val cent =
+      if (centroids != null) centroids.select(col("cid"), col("cvec"))
+      else base.select(col("id").as("cid"), col("vec").as("cvec"))
+        .orderBy(col("cid")).limit(nCentroids)
+
+    // Subspace s covers 1-based elements [s·subDim+1, (s+1)·subDim].
+    def subVec(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
+    def subExplode(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id),
+        posexplode(array((0 until m).map(s => subVec(col(v), s)): _*)).as(Seq("sub", "sv")))
+
+    // Codebooks: code = rank-by-id among the ks seed vectors. The
+    // unpartitioned window runs over ks rows post-limit — driver-bounded.
+    val seed = base.orderBy(col("id")).limit(ks)
+      .withColumn("code", row_number().over(Window.orderBy(col("id"))) - 1)
+    val codebook = (0 until m).map { s =>
+      seed.select(lit(s).as("sub"), col("code"), subVec(col("vec"), s).as("cw"))
+    }.reduce(_ unionAll _)
+
+    // Encode: nearest codeword per (vector, subspace); the broadcast-join
+    // fan-out collapses map-side in min_by's partial aggregate.
+    val l2sq = dot(col("sv"), col("sv")) + dot(col("cw"), col("cw")) -
+      lit(2.0) * dot(col("sv"), col("cw"))
+    val codes = subExplode(base, "id", "vec")
+      .join(broadcast(codebook), "sub")
+      .select(col("id"), col("sub"), col("code"), l2sq.as("d"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+    // Inverted file (slim — no vectors past this point) + probe list:
+    // the ivfTopK assignment rule verbatim.
+    val assignW = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
+    val assigned = base.crossJoin(broadcast(cent))
+      .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("cscore"))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("cid"), col("id"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid").asc)
+    val probes = qs.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cid"), cosine(col("q_vec"), col("cvec")).as("cscore"))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+
+    // ADC lookup table — |queries|·m·ks rows, broadcast to the probe scan.
+    val lut = subExplode(qs, "query_id", "q_vec")
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"), dot(col("sv"), col("cw")).as("dv"))
+
+    val adc = probes.join(assigned, "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"))
+      .join(codes, "id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dv").cast("decimal(38,16)")).as("adc"))
+    val shortW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("id").asc)
+    val short = adc.withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("id"))
+
+    // Exact re-rank of the shortlist only — the single place vectors rejoin.
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    short.join(qs, "query_id")
+      .join(base, "id")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("q_vec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /**
    * Deterministic Lloyd k-means over an embedding column — the quality
    * upgrade for [[ivfTopK]]'s centroid plug-in seam (pass the result as its
    * `centroids` argument). Returns (cid, cvec).

@@ -91,6 +91,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK is exact when PQ is lossless and probing/shortlist are full") {
+    // 16 corpus vectors with ks=16: every vector is a codebook seed, so
+    // PQ encoding reconstructs each vector exactly and ADC equals the
+    // true dot product. With nProbe = nCentroids and shortlist >= corpus
+    // nothing is pruned, so the exact-cosine re-rank must reproduce
+    // brute force bit-for-bit — the end-to-end identity that pins every
+    // stage (codebook, encode, ADC, shortlist, re-rank) at once.
+    val rows = (0L until 16L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    val queries = df.filter(col("vec_id") < 4)
+    val exact = bruteForceTopK(queries, df, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq = ivfPqTopK(queries, df, k = 3, m = 4, ks = 16, dims = 8,
+      nCentroids = 4, nProbe = 4, shortlist = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq === exact)
+  }
+
+  test("ivfPqTopK lossy path returns k dense-ranked non-self neighbors deterministically") {
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    def run() = ivfPqTopK(df.filter(col("vec_id") < 3), df, k = 4,
+      m = 4, ks = 8, dims = 8, nCentroids = 8, nProbe = 2, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val out = run()
+    assert(out.length === 12) // 3 queries x 4 neighbors
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted === Array(1, 2, 3, 4))
+      assert(!rs.map(_._3).contains(qid))
+    }
+    assert(run().toSet === out.toSet) // hash-seeded + tie-broken: reruns agree
+  }
+
   test("cosineNearDupPairs exact path returns exactly the above-threshold pairs") {
     val df = vecs(
       1L -> Seq(1f, 0f, 0f),
