@@ -330,6 +330,33 @@ object CoreQueries {
       s.table("q67_mem").orderBy("day", "event_type")
     }),
 
+    // STREAM-STATIC JOIN, oracle-checked: the remaining Structured
+    // Streaming join category (q89 covers stream-stream, q67/q73 pure
+    // aggregation). A static dimension enriches the stream STATELESSLY —
+    // every micro-batch hash-joins against the broadcast customer dim; no
+    // watermark and no join state, which is what makes dimension
+    // enrichment free on an unbounded stream at scale (the only state is
+    // the downstream windowed agg, and the dim re-resolves per batch so
+    // slow dimension churn is picked up without restarts). One
+    // AvailableNow pass in complete mode ≡ the batch join+agg, which
+    // DuckDB re-derives value-for-value.
+    "q123_stream_static_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val dim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = Tables.eventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000d + 0.5d).cast("long")).as("total_value_e4"))
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q123_mem")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      s.table("q123_mem").orderBy("day", "segment")
+    }),
+
     // WATERMARK + APPEND MODE, oracle-checked: the production streaming
     // output mode (complete mode re-emits every window each batch and
     // holds ALL windows in state forever; append emits each window once,
@@ -1055,6 +1082,13 @@ object CoreQueries {
         |  count(*)::BIGINT AS n,
         |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q123_stream_static_enrich" ->
+      """SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+        |  c.c_mktsegment AS segment,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT))::BIGINT AS total_value_e4
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin,
     // Same quantization (integer //, matching Spark's exact-by-bound double
     // division) and the same four mask-shift interleave rounds, carried
     // through a CTE chain so each round's expression appears once.

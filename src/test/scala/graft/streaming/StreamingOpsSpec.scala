@@ -146,6 +146,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last.getLong(1) === 4L)
   }
 
+  test("stream-static join enriches each batch from the dim without join state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Static dim resolves per micro-batch; the join itself is stateless —
+    // rows landing in different batches still enrich, and the only state
+    // in the query is the downstream aggregation.
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Int)]
+    val joined = input.toDF().toDF("user_id", "amount")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("tier").agg(sum("amount").as("total"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_mem")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData((1L, 10), (2L, 5), (3L, 99)) // user 3: no dim row -> dropped
+    q.processAllAvailable()
+    input.addData((1L, 7))                     // second batch re-joins the dim
+    q.processAllAvailable()
+    val out = spark.table("ss_join_mem").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(out === Map("GOLD" -> 17L, "SILVER" -> 5L))
+
+    // The executed join must be the stateless broadcast hash join, never
+    // the stateful symmetric streaming join (that one needs watermarks
+    // and buffers both sides — wrong tool for a dimension).
+    val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("StreamingSymmetricHashJoin"))
+  }
+
   test("streaming dedup drops same-fingerprint documents across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
