@@ -979,6 +979,22 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // Column profiling — the ingest pre-flight: row/null/distinct counts,
+    // lexicographic min/max, and total length per column, one scan, with
+    // the distinct level collapsing duplicates map-side instead of the
+    // countDistinct Expand rewrite. Values are normalized to strings by
+    // the caller (doubles quantized, dates ISO-cast) so the profile is
+    // engine-portable and the oracle restates it verbatim.
+    "q124_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(Tables.lineitem(s, dir), Seq(
+        "l_linestatus" -> col("l_linestatus"),
+        "l_orderkey" -> col("l_orderkey"),
+        "l_quantity_e2" -> floor(col("l_quantity") * 100d + 0.5d).cast("long"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_shipdate" -> col("l_shipdate").cast("date")))
+        .orderBy("col_name")
+    }),
+
     // Sketch-driven JOIN-SIZE ESTIMATION — the query-planning diagnostic:
     // how many distinct order keys would an (urgent orders ⋈ H2-1995
     // lineitems) join touch, WITHOUT running the join. One theta sketch
@@ -2511,6 +2527,31 @@ object PipelineQueries {
          |FROM exact e LEFT JOIN ivf i
          |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_profile" ->
+      """WITH stacked AS (
+        |  SELECT 'l_linestatus' AS col_name, l_linestatus AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity_e2',
+        |    CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem
+        |),
+        |pv AS (
+        |  SELECT col_name, value, count(*)::BIGINT AS cnt
+        |  FROM stacked GROUP BY 1, 2
+        |)
+        |SELECT col_name,
+        |  sum(cnt)::BIGINT AS n_rows,
+        |  sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END)::BIGINT AS n_null,
+        |  count(CASE WHEN value IS NOT NULL THEN 1 END)::BIGINT AS n_distinct,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  sum(CASE WHEN value IS NOT NULL THEN cnt * length(value) ELSE 0 END)::BIGINT AS total_len
+        |FROM pv GROUP BY 1 ORDER BY col_name""".stripMargin,
     "q121_ann_ivf_pq" -> annIvfPqSql,
     "q122_pq_recall" ->
       s"""WITH exact AS ($annExactSql),
