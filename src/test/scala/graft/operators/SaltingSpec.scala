@@ -83,4 +83,42 @@ class SaltingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("median"))
   }
+
+  test("AQE splits the skewed join partition when salting is not applied") {
+    // Manual salting (above) is the always-works path; this pins the
+    // OTHER half of the skew story claimed in Salting's scaladoc — that
+    // unsalted plans still degrade gracefully because AQE's runtime
+    // skew-join split composes with everything this library emits. One
+    // hot key dominates the left side; with broadcast disabled the join
+    // must sort-merge, and AQE has to mark/split the oversized partition.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val pad = "x" * 64
+      val left = spark.range(0L, 60000L)
+        .select(when(col("id") < 50000L, 0L).otherwise(col("id") % 40L).as("k"),
+          concat(col("id").cast("string"), lit(pad)).as("payload"))
+      val right = (0L until 40L).map(k => (k, s"dim$k")).toDF("k", "dv")
+        .repartition(4)
+      val joined = left.join(right, "k")
+      // Execute THIS frame's plan (count() would build a separate one):
+      // AQE only rewrites to the final skew-split plan during execution.
+      assert(joined.collect().length === 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"expected a sort-merge join under AQE, got:\n$finalPlan")
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE did not flag/split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
