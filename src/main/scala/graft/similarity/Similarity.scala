@@ -366,47 +366,94 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, shortlist: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: DataFrame = null): DataFrame = {
+    val (cent, codebook) = pqModel(corpus, m, ks, dims, nCentroids, idCol, vecCol, centroids)
+    val index = pqEncode(corpus, cent, codebook, m, dims, idCol, vecCol)
+    ivfPqProbe(queries, index, codebook, cent, corpus, k, m, dims,
+      nProbe, shortlist, idCol, vecCol)
+  }
+
+  /** Subspace s of an m-way split covers 1-based elements
+   * [s·subDim+1, (s+1)·subDim]. */
+  private def subVec(v: Column, s: Int, subDim: Int): Column =
+    slice(v, s * subDim + 1, subDim)
+
+  private def subExplode(df: DataFrame, id: String, v: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(id),
+      posexplode(array((0 until m).map(s => subVec(col(v), s, subDim)): _*))
+        .as(Seq("sub", "sv")))
+
+  /** The PQ "model" — everything [[pqEncode]]/[[ivfPqProbe]] need besides
+   * the data: (coarse centroids (cid, cvec), per-subspace codebooks
+   * (sub, code, cw)). Both are tiny (nCentroids + m·ks rows) — persist
+   * them next to the index and every future probe skips training. */
+  def pqModel(corpus: DataFrame, m: Int = 8, ks: Int = 16, dims: Int = 64,
+      nCentroids: Int = 16, idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: DataFrame = null): (DataFrame, DataFrame) = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
     val subDim = dims / m
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-
     val cent =
       if (centroids != null) centroids.select(col("cid"), col("cvec"))
       else base.select(col("id").as("cid"), col("vec").as("cvec"))
         .orderBy(col("cid")).limit(nCentroids)
-
-    // Subspace s covers 1-based elements [s·subDim+1, (s+1)·subDim].
-    def subVec(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
-    def subExplode(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id),
-        posexplode(array((0 until m).map(s => subVec(col(v), s)): _*)).as(Seq("sub", "sv")))
-
     // Codebooks: code = rank-by-id among the ks seed vectors. The
     // unpartitioned window runs over ks rows post-limit — driver-bounded.
     val seed = base.orderBy(col("id")).limit(ks)
       .withColumn("code", row_number().over(Window.orderBy(col("id"))) - 1)
     val codebook = (0 until m).map { s =>
-      seed.select(lit(s).as("sub"), col("code"), subVec(col("vec"), s).as("cw"))
+      seed.select(lit(s).as("sub"), col("code"), subVec(col("vec"), s, subDim).as("cw"))
     }.reduce(_ unionAll _)
+    (cent, codebook)
+  }
 
-    // Encode: nearest codeword per (vector, subspace); the broadcast-join
-    // fan-out collapses map-side in min_by's partial aggregate.
+  /** PQ-encode + coarse-assign the corpus — the PERSISTABLE index: one
+   * slim (id, cid, sub, code) row per (vector, subspace), m·4-ish bytes
+   * per vector per subspace instead of `dims` floats. Write this to
+   * parquet once (partition by cid for probe locality) and amortize the
+   * encode pass over every subsequent query batch — at 100 TB the index
+   * build is the expensive job and probes are cheap, so the split is the
+   * operational shape, with [[ivfPqTopK]] as the one-shot convenience. */
+  def pqEncode(corpus: DataFrame, cent: DataFrame, codebook: DataFrame,
+      m: Int = 8, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
+    val subDim = dims / m
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // Encode: nearest codeword per (vector, subspace) by squared L2 via
+    // the dot identity (both engines evaluate the identical double
+    // expression); the broadcast-join fan-out collapses map-side in
+    // min_by's partial aggregate.
     val l2sq = dot(col("sv"), col("sv")) + dot(col("cw"), col("cw")) -
       lit(2.0) * dot(col("sv"), col("cw"))
-    val codes = subExplode(base, "id", "vec")
+    val codes = subExplode(base, "id", "vec", m, subDim)
       .join(broadcast(codebook), "sub")
       .select(col("id"), col("sub"), col("code"), l2sq.as("d"))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-
-    // Inverted file (slim — no vectors past this point) + probe list:
-    // the ivfTopK assignment rule verbatim.
+    // Inverted file: the ivfTopK assignment rule verbatim; slim — no
+    // vectors survive into the index.
     val assignW = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
     val assigned = base.crossJoin(broadcast(cent))
       .select(col("id"), col("cid"), cosine(col("vec"), col("cvec")).as("cscore"))
       .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("cid"), col("id"))
+      .select(col("id"), col("cid"))
+    assigned.join(codes, "id")
+      .select(col("id"), col("cid"), col("sub"), col("code"))
+  }
+
+  /** Probe a persisted PQ index: coarse-probe → ADC shortlist → exact
+   * re-rank. `corpus` supplies vectors ONLY for the |queries|×shortlist
+   * re-rank join; candidate scoring reads just the index's int columns. */
+  def ivfPqProbe(queries: DataFrame, index: DataFrame, codebook: DataFrame,
+      cent: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, dims: Int = 64, nProbe: Int = 4, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m equal subspaces")
+    val subDim = dims / m
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid").asc)
     val probes = qs.crossJoin(broadcast(cent))
       .select(col("query_id"), col("cid"), cosine(col("q_vec"), col("cvec")).as("cscore"))
@@ -414,14 +461,14 @@ object Similarity {
       .select(col("query_id"), col("cid"))
 
     // ADC lookup table — |queries|·m·ks rows, broadcast to the probe scan.
-    val lut = subExplode(qs, "query_id", "q_vec")
+    val lut = subExplode(qs, "query_id", "q_vec", m, subDim)
       .join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"), dot(col("sv"), col("cw")).as("dv"))
 
-    val adc = probes.join(assigned, "cid")
+    // Candidate score = Σ over subspaces of table[sub, code], summed in
+    // DECIMAL(38,16): partial-aggregation-order-independent, engine-exact.
+    val adc = probes.join(index, "cid")
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"))
-      .join(codes, "id")
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("dv").cast("decimal(38,16)")).as("adc"))

@@ -128,6 +128,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run().toSet === out.toSet) // hash-seeded + tie-broken: reruns agree
   }
 
+  test("PQ index persisted to parquet and probed later equals the one-shot search") {
+    // The operational shape at scale: encode once, write the slim index +
+    // tiny model to parquet, then answer every future query batch from
+    // the files — must be indistinguishable from the one-shot path.
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    val queries = df.filter(col("vec_id") < 3)
+    val oneShot = ivfPqTopK(queries, df, k = 4, m = 4, ks = 8, dims = 8,
+      nCentroids = 8, nProbe = 2, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    val (cent, cb) = Similarity.pqModel(df, m = 4, ks = 8, dims = 8, nCentroids = 8)
+    Similarity.pqEncode(df, cent, cb, m = 4, dims = 8)
+      .write.partitionBy("cid").parquet(s"$dir/index")
+    cent.write.parquet(s"$dir/cent")
+    cb.write.parquet(s"$dir/codebook")
+
+    val probed = Similarity.ivfPqProbe(queries,
+      spark.read.parquet(s"$dir/index"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/cent"),
+      df, k = 4, m = 4, dims = 8, nProbe = 2, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === oneShot)
+  }
+
   test("cosineNearDupPairs exact path returns exactly the above-threshold pairs") {
     val df = vecs(
       1L -> Seq(1f, 0f, 0f),
