@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Tables
-import graft.text.{Cleanup, TextAnalysis}
+import graft.text.{Cleanup, PerceptronTrainer, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -960,6 +960,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The PQ tier over TRAINED coarse centroids — q55's deterministic
+    // two-iteration Lloyd quality upgrade plugged into ivfPqTopK's
+    // centroid seam (the codebooks keep the seeded rule). Proves the
+    // quality path composes through the quantized tier; the oracle chains
+    // the q55 k-means CTEs into the q121 PQ chain.
+    "q127_ann_pq_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nCentroids = 8, nProbe = 3,
+        centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 2))
+        .orderBy("query_id", "rank")
+    }),
+
     // The q66 recall diagnostic for the PQ tier: how much ranking
     // fidelity do 8-byte codes cost versus exact brute force — the
     // third column of the ANN quality/efficiency trade-off table
@@ -977,6 +990,46 @@ object PipelineQueries {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
         .orderBy("query_id")
+    }),
+
+    // In-engine model TRAINING: the batch perceptron learns the hashed
+    // bag-of-words weight table (label: lang == 'en') that q85's scorer
+    // seam was built to receive — integer-exact, so the DuckDB oracle
+    // re-derives the learned model weight-for-weight by unrolling the
+    // three epochs as CTEs. Output: the non-zero rows of the table.
+    // Fixture honesty note: the synthetic corpus draws every document's
+    // text from one shared pool regardless of the lang column (verified:
+    // a multinomial NB gets ~55% TRAIN accuracy on any column-derived
+    // label), so the correct learned model here collapses toward the
+    // majority rule — which both engines derive identically; the
+    // separable-corpus convergence behavior is pinned in
+    // PerceptronTrainerSpec where the data actually carries signal.
+    "q125_perceptron_weights" -> ((s, dir) => {
+      import s.implicits._
+      val w = PerceptronTrainer.trainHashedBow(Tables.documents(s, dir),
+        col("text"), when(col("lang") === "en", 1L).otherwise(-1L), epochs = 3)
+      w.toSeq.zipWithIndex
+        .collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
+        .toDF("bucket", "weight").orderBy("bucket")
+    }),
+
+    // ...and the trained model driving the production scorer: the learned
+    // table feeds linearQualityScore's literal-weights seam (one codegen'd
+    // pass, nothing shuffles) and the per-source confusion counts against
+    // the true labels come out — the train→deploy→audit loop, entirely
+    // inside the engine.
+    "q126_perceptron_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = PerceptronTrainer.trainHashedBow(docs,
+        col("text"), when(col("lang") === "en", 1L).otherwise(-1L), epochs = 3)
+      docs.select(col("source"), (col("lang") === "en").as("true_en"),
+          (TextAnalysis.linearQualityScore(col("text"), w.toSeq) > 0).as("pred_en"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("true_en"), 1L).otherwise(0L)).as("n_true_en"),
+          sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"),
+          sum(when(col("true_en") === col("pred_en"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("source")
     }),
 
     // Column profiling — the ingest pre-flight: row/null/distinct counts,
@@ -1572,17 +1625,61 @@ object PipelineQueries {
 
   private lazy val annIvfSql = annIvfSqlWith("")
 
+  /** The batch-perceptron epochs of q125/q126 unrolled as CTEs: w1..w3
+   * accumulate the per-epoch misclassified-document updates over the same
+   * md5-2048 buckets the Spark scorer hashes into. All-integer, so the
+   * learned table matches weight-for-weight. */
+  private lazy val perceptronCtes: String = {
+    val bSql = "((('0x' || substr(md5(t), 1, 16))::UBIGINT & 2047::UBIGINT)::BIGINT)"
+    s"""WITH occ0 AS (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents
+       |),
+       |occ AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    $bSql AS b
+       |  FROM occ0
+       |),
+       |ydoc AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |  FROM documents
+       |),
+       |w1 AS (SELECT b, sum(y)::BIGINT AS w FROM occ GROUP BY 1),
+       |m2 AS (SELECT o.doc_id, sum(w1.w)::BIGINT AS margin
+       |       FROM occ o JOIN w1 USING (b) GROUP BY 1),
+       |mis2 AS (SELECT y.doc_id FROM ydoc y LEFT JOIN m2 USING (doc_id)
+       |         WHERE y.y * coalesce(m2.margin, 0) <= 0),
+       |d2 AS (SELECT o.b, sum(o.y)::BIGINT AS d
+       |       FROM occ o JOIN mis2 USING (doc_id) GROUP BY 1),
+       |w2 AS (SELECT coalesce(w1.b, d2.b) AS b,
+       |         (coalesce(w1.w, 0) + coalesce(d2.d, 0))::BIGINT AS w
+       |       FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+       |m3 AS (SELECT o.doc_id, sum(w2.w)::BIGINT AS margin
+       |       FROM occ o JOIN w2 ON o.b = w2.b GROUP BY 1),
+       |mis3 AS (SELECT y.doc_id FROM ydoc y LEFT JOIN m3 USING (doc_id)
+       |         WHERE y.y * coalesce(m3.margin, 0) <= 0),
+       |d3 AS (SELECT o.b, sum(o.y)::BIGINT AS d
+       |       FROM occ o JOIN mis3 USING (doc_id) GROUP BY 1),
+       |w3 AS (SELECT coalesce(w2.b, d3.b) AS b,
+       |         (coalesce(w2.w, 0) + coalesce(d3.d, 0))::BIGINT AS w
+       |       FROM w2 FULL JOIN d3 ON w2.b = d3.b)""".stripMargin
+  }
+
   /** DuckDB restatement of [[Similarity.ivfPqTopK]] at the q121 defaults
    * (m=8 × 8-dim subspaces, ks=16 codewords, 16 cells, nProbe=4,
    * shortlist=32, k=5). Every float kernel is forced to the same double
    * arithmetic the Spark expressions run (`x::DOUBLE` per element before
    * `list_dot_product`, the squared-L2 dot identity verbatim), and the
    * ADC sum is DECIMAL(38,16) on both engines, so ranking is bit-exact. */
-  private val annIvfPqSql =
-    """WITH cent AS (
+  private val annIvfPqSql = annIvfPqSqlWith(
+    """cent AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
       |  ORDER BY vec_id LIMIT 16
-      |),
+      |)""".stripMargin, "cent", nProbe = 4)
+
+  /** Same PQ chain with the coarse-quantizer CTEs pluggable — q121 uses
+   * the first-16 rule, q127 plugs the q55 two-iteration Lloyd chain. */
+  private def annIvfPqSqlWith(centCtes: String, centName: String, nProbe: Int): String =
+    s"""WITH $centCtes,
       |seed AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
       |    embedding AS vec
@@ -1615,7 +1712,7 @@ object PipelineQueries {
       |    SELECT e.vec_id AS id, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
-      |    FROM embeddings e, cent c)
+      |    FROM embeddings e, $centName c)
       |  WHERE rn = 1
       |),
       |probes AS (
@@ -1623,8 +1720,8 @@ object PipelineQueries {
       |    SELECT q.vec_id AS query_id, c.cid,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.cid ASC) AS rn
-      |    FROM embeddings q, cent c WHERE q.vec_id < 10)
-      |  WHERE rn <= 4
+      |    FROM embeddings q, $centName c WHERE q.vec_id < 10)
+      |  WHERE rn <= $nProbe
       |),
       |lut AS (
       |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
@@ -2527,6 +2624,23 @@ object PipelineQueries {
          |FROM exact e LEFT JOIN ivf i
          |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_perceptron_weights" ->
+      s"""$perceptronCtes
+         |SELECT b AS bucket, w AS weight FROM w3
+         |WHERE w <> 0 ORDER BY bucket""".stripMargin,
+    "q126_perceptron_apply" ->
+      s"""$perceptronCtes,
+         |m4 AS (SELECT o.doc_id, sum(w3.w)::BIGINT AS margin
+         |       FROM occ o JOIN w3 ON o.b = w3.b GROUP BY 1),
+         |pred AS (
+         |  SELECT d.source, d.lang = 'en' AS true_en,
+         |    coalesce(m4.margin, 0) > 0 AS pred_en
+         |  FROM documents d LEFT JOIN m4 USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN true_en THEN 1 ELSE 0 END)::BIGINT AS n_true_en,
+         |  sum(CASE WHEN pred_en THEN 1 ELSE 0 END)::BIGINT AS n_pred_en,
+         |  sum(CASE WHEN true_en = pred_en THEN 1 ELSE 0 END)::BIGINT AS n_correct
+         |FROM pred GROUP BY 1 ORDER BY source""".stripMargin,
     "q124_profile" ->
       """WITH stacked AS (
         |  SELECT 'l_linestatus' AS col_name, l_linestatus AS value FROM lineitem
@@ -2553,6 +2667,7 @@ object PipelineQueries {
         |  sum(CASE WHEN value IS NOT NULL THEN cnt * length(value) ELSE 0 END)::BIGINT AS total_len
         |FROM pv GROUP BY 1 ORDER BY col_name""".stripMargin,
     "q121_ann_ivf_pq" -> annIvfPqSql,
+    "q127_ann_pq_kmeans" -> annIvfPqSqlWith(kmeansCentCtes, "c2", nProbe = 3),
     "q122_pq_recall" ->
       s"""WITH exact AS ($annExactSql),
          |pq AS ($annIvfPqSql)
@@ -3018,6 +3133,25 @@ object PipelineQueries {
        |  CASE WHEN uh >= 9223372036854775808 THEN (uh - 18446744073709551616)::BIGINT
        |       ELSE uh::BIGINT END AS fp_head
        |FROM u ORDER BY doc_id""".stripMargin
+
+  /** The q55 coarse-quantizer training chain (hash-seeded init + two
+   * Lloyd iterations, final centroids in `c2`) as pluggable CTEs — shared
+   * by the q127 PQ composition. Margins strip under the caller's outer
+   * stripMargin, the kmeansIvfOracleSql pattern. */
+  private lazy val kmeansCentCtes: String =
+    s"""h AS (
+       |  SELECT vec_id, embedding,
+       |    xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+       |        9223372036854775808::UBIGINT) AS hkey
+       |  FROM embeddings
+       |),
+       |c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY hkey, vec_id) - 1)::INT AS cid,
+       |         embedding AS cvec
+       |  FROM h ORDER BY hkey, vec_id LIMIT 8
+       |),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)}"""
 
   /** One Lloyd iteration in SQL: nearest-centroid assignment (cosine desc,
    * ties to the lower cid — identical to the Spark window), then exact

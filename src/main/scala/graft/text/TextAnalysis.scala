@@ -179,6 +179,11 @@ object TextAnalysis {
    * scorer paths so they cannot disagree on the feature hash. */
   private def md5Hash64Bucket(t: Column): Column =
     graft.operators.Sampling.md5Hash64(t).bitwiseAND(lit(QualityBuckets - 1L))
+
+  /** Public view of the scorer's feature hash, for trainers that must
+   * land updates in exactly the buckets [[linearQualityScore]] reads
+   * ([[PerceptronTrainer]]). */
+  def tokenBucket(t: Column): Column = md5Hash64Bucket(t)
 }
 
 object Stopwords {
