@@ -59,33 +59,40 @@ object Bench {
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
       .orElse(Option("/root/testdata/sf0.001").filter(d => new java.io.File(d).isDirectory))
       .getOrElse(sfDir)
-    // Two passes: one execution per query leaves the large generated
-    // kernels interpreted/C1 when their first TIMED run starts (solo
-    // measurement: q59 5.1 s after one warmup, 4.0 s after three, 2.5 s
-    // warmed — all the same plan). The second pass is cheap at sf0.001
-    // and moves every query closer to its steady state.
-    (1 to 2).foreach { _ =>
-      queries.foreach { case (name, fn) =>
-        try exec(fn(spark, warmDir)) catch {
-          case t: Throwable => System.err.println(s"WARN warmup failed for $name: $t")
-        }
-        clearCacheState(spark)
+    queries.foreach { case (name, fn) =>
+      try exec(fn(spark, warmDir)) catch {
+        case t: Throwable => System.err.println(s"WARN warmup failed for $name: $t")
       }
+      clearCacheState(spark)
     }
 
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch {
-        case t: Throwable => System.err.println(s"WARN bench query $name failed: $t")
+    // Three timed passes, per-query MEDIAN: back-to-back full-suite runs
+    // on this box show single-pass rows absorbing multi-second ambient
+    // spikes that never reproduce (one run's q59 9.99 s vs 6.58 s minutes
+    // later; a q93 3.5 s -> 12.6 s outlier) — with 130+ single-run rows,
+    // some query always eats one. The median discards the unlucky pass
+    // per QUERY; the first pass doubles as at-scale JIT warm-in. Raw
+    // per-pass totals stay in the artifact for honesty.
+    val passes = (1 to 3).map { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch {
+          case t: Throwable => System.err.println(s"WARN bench query $name failed: $t")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearCacheState(spark)
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      clearCacheState(spark)
-      name -> dt
+    }
+    val results = queries.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_3",""" +
+      s""""pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout, which has been observed to truncate on
     // long runs (BENCH_r06 lost 26 of 81 per-query rows). Mirror the same

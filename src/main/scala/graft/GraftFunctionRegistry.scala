@@ -152,6 +152,14 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(x, y) => graft.sources.Layout.zorder2Expr(x, y)
         case args => wrongArity("zorder2", args.size)
+      }),
+    ("hilbert2",
+      "_FUNC_(x, y) - Distance along the order-16 2-D Hilbert curve for two 16-bit grid cells; Z-order's better-locality sibling.",
+      {
+        case Seq(x, y) => graft.sources.Hilbert2(
+          org.apache.spark.sql.catalyst.expressions.Cast(x, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(y, org.apache.spark.sql.types.LongType))
+        case args => wrongArity("hilbert2", args.size)
       })
   )
 

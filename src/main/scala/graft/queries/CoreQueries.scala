@@ -296,6 +296,22 @@ object CoreQueries {
         .orderBy("file_id")
     }),
 
+    // q101's audit along the HILBERT curve — same quantizers, same
+    // top-bits file split, so the two span reports are directly
+    // comparable (Hilbert files cover tighter blobs: no Morton diagonal
+    // jumps). The oracle re-walks the 16 rotate/reflect levels as
+    // generated CTEs, one per curve order, in lockstep with the kernel.
+    "q128_hilbert_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val qx = graft.sources.Layout.quantize16(
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"),
+        0L, 2500L)
+      val qy = graft.sources.Layout.quantize16(
+        floor(col("o_totalprice")).cast("long"), 0L, 600000L)
+      graft.sources.Layout.hilbertAudit(o, qx, qy, bucketBits = 3)
+        .orderBy("file_id")
+    }),
+
     // Event-time tumbling window over the stream table (same windowing that
     // runs under Structured Streaming; here exercised in batch).
     // Values compared at 1e-4 resolution as BIGINT (see q1 for the
@@ -1114,6 +1130,38 @@ object CoreQueries {
         |  min(qx)::BIGINT AS min_x, max(qx)::BIGINT AS max_x,
         |  min(qy)::BIGINT AS min_y, max(qy)::BIGINT AS max_y
         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    // The Hilbert walk, one generated CTE per curve order: level i reads
+    // (x_i, y_i, d_i), adds s²·(3·rx xor ry), and rotates/reflects into
+    // the quadrant frame — the Hilbert2 kernel loop body, verbatim.
+    "q128_hilbert_audit" -> {
+      val levels = (0 until 16).map { i =>
+        val s = 1L << (15 - i)
+        s"""|h${i + 1} AS (
+            |  SELECT qx, qy,
+            |    d$i + ${s * s}::BIGINT * xor(3 * CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END,
+            |                  CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END) AS d${i + 1},
+            |    CASE WHEN (y$i & $s) > 0 THEN x$i
+            |         WHEN (x$i & $s) > 0 THEN 65535 - y$i ELSE y$i END AS x${i + 1},
+            |    CASE WHEN (y$i & $s) > 0 THEN y$i
+            |         WHEN (x$i & $s) > 0 THEN 65535 - x$i ELSE x$i END AS y${i + 1}
+            |  FROM h$i)""".stripMargin('|')
+      }.mkString(",\n")
+      s"""WITH q AS (
+        |  SELECT
+        |    least((date_diff('day', DATE '1992-01-01', o_orderdate) * 65536) // 2501,
+        |          65535) AS qx,
+        |    least((floor(o_totalprice)::BIGINT * 65536) // 600001, 65535) AS qy
+        |  FROM orders
+        |),
+        |h0 AS (SELECT qx, qy, qx AS x0, qy AS y0, 0::BIGINT AS d0 FROM q),
+        |$levels
+        |SELECT file_id, count(*)::BIGINT AS n_rows,
+        |  min(qx)::BIGINT AS min_x, max(qx)::BIGINT AS max_x,
+        |  min(qy)::BIGINT AS min_y, max(qy)::BIGINT AS max_y
+        |FROM (SELECT qx, qy, d16 >> 26 AS file_id FROM h16)
+        |GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
     "q105_pivot_daily_events" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) FILTER (event_type = 'click')::BIGINT AS click,

@@ -139,4 +139,37 @@ object Layout {
         min("qx").as("min_x"), max("qx").as("max_x"),
         min("qy").as("min_y"), max("qy").as("max_y"))
   }
+
+  // ------------------------------------------------------- Hilbert curve
+
+  /** Distance along the order-`bits` 2-D Hilbert curve for pre-quantized
+   * cells — [[zorder2]]'s better-locality sibling; see [[Hilbert2]]. */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(Hilbert2(
+      org.apache.spark.sql.graft.GraftSqlBridge.expression(x),
+      org.apache.spark.sql.graft.GraftSqlBridge.expression(y), bits))
+
+  /** [[repartitionByZOrder]] along the Hilbert curve instead: same single
+   * range exchange + parallel local sorts, tighter per-file blobs. */
+  def repartitionByHilbert(df: DataFrame, x: Column, y: Column,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.withColumn("__h", hilbert2(x, y))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
+  /** [[zorderAudit]] along the Hilbert curve: same top-bits file split of
+   * the 32-bit curve position, same per-file span report — run both and
+   * compare max spans to price the curve choice on real data. */
+  def hilbertAudit(df: DataFrame, x: Column, y: Column, bucketBits: Int = 3): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 8, s"bucketBits in [1,8], got $bucketBits")
+    val h = hilbert2(x, y)
+    df.select(x.as("qx"), y.as("qy"), shiftright(h, 32 - 2 * bucketBits).as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("qx").as("min_x"), max("qx").as("max_x"),
+        min("qy").as("min_y"), max("qy").as("max_y"))
+  }
 }

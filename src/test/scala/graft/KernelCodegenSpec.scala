@@ -41,6 +41,28 @@ class KernelCodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert2 compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val cells = Seq((0L, 0L), (12345L, 54321L), (65535L, 0L), (0L, 65535L))
+      val gen = cells.toDF("x", "y")
+        .select(graft.sources.Layout.hilbert2(col("x"), col("y")).as("d"))
+        .collect().map(_.getLong(0)).toSeq
+      val interp = cells.map { case (x, y) =>
+        graft.sources.Hilbert2(
+          org.apache.spark.sql.catalyst.expressions.Literal(x),
+          org.apache.spark.sql.catalyst.expressions.Literal(y))
+          .eval(null).asInstanceOf[Long]
+      }
+      assert(gen === interp)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("sorted_long_intersect_count compiles under CODEGEN_ONLY") {
     import spark.implicits._
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -96,7 +96,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "text_stats", "repetition_stats", "ngram_repetition_stats",
       "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot",
-      "strip_html", "redact_pii", "scrub", "quality_score64", "zorder2").foreach { n =>
+      "strip_html", "redact_pii", "scrub", "quality_score64", "zorder2",
+      "hilbert2").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
@@ -153,6 +154,22 @@ class ExtensionsSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.lit(12345L),
       org.apache.spark.sql.functions.lit(54321L)).as("z")).head().getLong(0)
     assert(zSql === zDsl)
+
+    // Hilbert through SQL: the order-1 U, and parity with the DSL kernel.
+    val hRow = spark.sql(
+      "SELECT hilbert2(0, 0) AS a, hilbert2(0, 65535) AS b, hilbert2(65535, 0) AS c").head()
+    assert(hRow.getLong(0) === 0L)
+    // (0, n-1): every level lands in the ry=1/rx=0 sub-square (no
+    // rotation), so d = sum of s^2 = (4^16 - 1)/3.
+    assert(hRow.getLong(1) === ((1L << 32) - 1L) / 3L)
+    // (n-1, 0): the reflect+swap fixed point, 3*s^2 per level — the
+    // curve's final cell.
+    assert(hRow.getLong(2) === (1L << 32) - 1L)
+    val hSql = spark.sql("SELECT hilbert2(12345, 54321) AS h").head().getLong(0)
+    val hDsl = spark.range(1).select(graft.sources.Layout.hilbert2(
+      org.apache.spark.sql.functions.lit(12345L),
+      org.apache.spark.sql.functions.lit(54321L)).as("h")).head().getLong(0)
+    assert(hSql === hDsl)
 
     // Quality scorer through SQL equals the Column DSL on the same text.
     val qsSql = spark.sql(

@@ -74,6 +74,52 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     assert(rows.toSeq === Seq(1L, 2L, 0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL))
   }
 
+  test("hilbert2 matches the hand-walked order-1 and order-2 curves") {
+    import spark.implicits._
+    def d(bits: Int, cells: (Long, Long)*): Seq[Long] =
+      cells.toDF("x", "y")
+        .select(Layout.hilbert2(col("x"), col("y"), bits).as("d"))
+        .collect().toSeq.map(_.getLong(0))
+    // Order 1: the U through (0,0)->(0,1)->(1,1)->(1,0).
+    assert(d(1, (0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)) === Seq(0L, 1L, 2L, 3L))
+    // Order 2: first and last corners of each quadrant, from the classic
+    // 16-cell walk.
+    assert(d(2, (0L, 0L), (1L, 0L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L))
+      === Seq(0L, 1L, 3L, 4L, 7L, 14L, 15L))
+  }
+
+  test("hilbert2 order-4: bijective and EVERY consecutive pair is grid-adjacent") {
+    import spark.implicits._
+    // The property Z-order cannot have (Morton makes diagonal jumps) and
+    // the reason Hilbert files cover tighter blobs — checked exhaustively
+    // over the full 16x16 grid.
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val walked = cells.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbert2(col("x"), col("y"), bits = 4).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(walked.map(_._1).toSeq === (0L until 256L)) // bijection onto [0, 256)
+    walked.map(_._2).sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertAudit files span at most the zorderAudit per-axis bound on uniform data") {
+    import spark.implicits._
+    // Uniform 64x64-cell grid scaled onto the 16-bit domain; with
+    // bucketBits=3 each of the 64 files must cover at most 1/8 of each
+    // axis (+1 cell slack for the 1024-wide quantization step).
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x * 1024L, y * 1024L)
+    val audit = Layout.hilbertAudit(pts.toDF("x", "y"), col("x"), col("y"), bucketBits = 3)
+      .collect()
+    assert(audit.map(_.getLong(1)).sum === 64L * 64L)
+    audit.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 65536L / 8 + 1024L, s"x span too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 65536L / 8 + 1024L, s"y span too wide: $r")
+    }
+  }
+
   test("quantize16 maps bounds to grid edges with integer exactness") {
     import spark.implicits._
     val q = Seq(0L, 1L, 1249L, 2500L).toDF("v")
