@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the 137-query suite runs three timed passes in one JVM; at 8g the
+  // late passes were GC-bound (in-suite rows 3-4x their solo cost with no
+  // plan difference). 512m code cache: ~137 queries x several generated
+  // classes each no longer fit the 240m default once the codegen cache
+  // retains them.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -503,6 +503,36 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
+    // semantics class: matches emit like q89, and a signup with NO
+    // purchase inside its day window null-pads ONLY once the watermark
+    // passes the window's end and its join state retires; signups whose
+    // window is still open at end-of-input are withheld. The oracle
+    // restates both halves in batch SQL (inner matches + NOT EXISTS
+    // under the final-watermark closure rule).
+    "q129_streaming_interval_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val signups = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      val purchases = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        signups, purchases, key = "user_id",
+        leftTs = "signup_ts", rightTs = "purchase_ts",
+        within = "1 day", watermark = "36 hours", joinType = "left_outer")
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        joined.writeStream.format("memory").queryName("q129_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      s.table("q129_mem")
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          unix_micros(col("signup_ts")).as("signup_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
     // STREAM-STREAM interval join, oracle-checked: signup→purchase pairs
     // within one day, both sides unbounded streams. The time-range
     // condition + watermarks bound each side's join state to a sliding
@@ -1209,6 +1239,28 @@ object CoreQueries {
     "q73_streaming_append_windows" -> streamingAppendOracleSql,
     // Same micro-resolution comparison rule as q48: ts is TIMESTAMP(NANOS)
     // in parquet and micros in Spark, so the oracle compares epoch_us.
+    "q129_streaming_interval_outer" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 36 HOUR AS w FROM events),
+        |s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |    epoch_us(s.ts::TIMESTAMP) AS signup_us,
+        |    epoch_us(p.ts::TIMESTAMP) AS purchase_us
+        |  FROM s JOIN p ON p.user_id = s.user_id
+        |   AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(s.ts::TIMESTAMP)
+        |   AND epoch_us(p.ts::TIMESTAMP) <= epoch_us(s.ts::TIMESTAMP) + 86400000000),
+        |u AS (
+        |  SELECT s.user_id, s.event_id AS signup_id, NULL::BIGINT AS purchase_id,
+        |    epoch_us(s.ts::TIMESTAMP) AS signup_us, NULL::BIGINT AS purchase_us
+        |  FROM s, wm
+        |  WHERE s.ts + INTERVAL 24 HOUR < wm.w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = s.user_id
+        |        AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(s.ts::TIMESTAMP)
+        |        AND epoch_us(p.ts::TIMESTAMP) <= epoch_us(s.ts::TIMESTAMP) + 86400000000))
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     "q89_streaming_interval_join" ->
       """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
         |  epoch_us(s.ts::TIMESTAMP) AS signup_us,

@@ -355,16 +355,24 @@ object StreamingOps {
    */
   def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs,
       s"event-time columns must have distinct names, both are '$leftTs'")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got '$joinType'")
     val rKey = key + "__r"
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, rKey).withWatermark(rightTs, watermark)
+    // left_outer: matches emit immediately (the inner rows, verbatim); an
+    // unmatched left row null-pads only when the watermark passes the end
+    // of its match window (leftTs + within) and its state retires — rows
+    // whose window is still open are withheld, exactly the q73 append-mode
+    // contract transplanted to join state.
     l.join(r,
         col(key) === col(rKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL '$within'"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL '$within'"),
+        joinType)
       .drop(rKey)
   }
 
