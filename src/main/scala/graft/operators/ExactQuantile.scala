@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * EXACT per-group quantiles without a global sort — the scale-path
+ * complement of the KLL sketches in [[graft.kll]]: KLL answers "p99 ±ε
+ * in one pass"; this answers "p99, exactly" for the audits that demand
+ * the true value (SLA attestation, billing cutoffs), at the cost of a
+ * second, sliver-sized pass.
+ *
+ * Two-phase histogram prune (the classic distributed selection scheme):
+ *
+ *  1. One scan → per-(group, bucket) counts, bucket = value >> shift.
+ *     The only full-data shuffle carries one row per OCCUPIED bucket per
+ *     group (map-side partials collapse duplicates), never the values.
+ *     A cumulative window over each group's bucket histogram locates the
+ *     bucket holding the k-th element and the remaining offset into it.
+ *  2. Rows of the target buckets only — expected fraction ~bucketWidth /
+ *     valueRange of the input — semi-join back, sort WITHIN each tiny
+ *     (group, bucket) sliver, and pick the offset element.
+ *
+ * k is the 1-indexed "lower" rank k = (N−1)·num/den + 1 in integer
+ * arithmetic, so any engine restates the result as "the k-th smallest"
+ * definitionally (the DuckDB oracle does, via row_number) — no
+ * interpolation, no floats.
+ *
+ * `shift` trades pass-2 sliver size against histogram width: buckets per
+ * group ≤ valueRange >> shift, sliver rows per group ≈ N·2^shift /
+ * valueRange on flat data. Heavily-skewed single buckets degrade pass 2
+ * toward a per-group sort of that bucket — pick a finer shift (or
+ * re-apply the scheme inside the bucket) when a group's values pile onto
+ * one point.
+ *
+ * Input values must be non-negative longs (quantize upstream — the
+ * library's integer-units rule makes that the norm already).
+ */
+object ExactQuantile {
+
+  /** One row per (group, quantile): (groupCols…, q_num, q_den, k, value).
+   * `quantiles` are (num, den) rationals in [0, 1]. */
+  def exactQuantilesByKey(df: DataFrame, groupCol: Column, valCol: Column,
+      quantiles: Seq[(Int, Int)], shift: Int = 8): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, d) =>
+      require(d > 0 && n >= 0 && n <= d, s"quantile must be in [0,1], got $n/$d")
+    }
+    require(shift >= 0 && shift <= 40, s"shift in [0,40], got $shift")
+
+    val base = df.select(groupCol.as("g"), valCol.cast("long").as("v"))
+    val hist = base
+      .select(col("g"), shiftright(col("v"), shift).as("bkt"))
+      .groupBy("g", "bkt").agg(count(lit(1)).as("c"))
+
+    // Per group: N, then per quantile the rank k and its target bucket —
+    // the bucket where the running count first reaches k. The window runs
+    // over each group's OCCUPIED buckets (bounded by valueRange >> shift),
+    // not over rows.
+    val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("g").orderBy("bkt")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+    val qdf = quantiles.map { case (num, den) =>
+        lit(num).as("q_num") :: lit(den).as("q_den") :: Nil
+      }.map(cs => struct(cs: _*))
+    val targets = cum
+      .select(col("g"), col("bkt"), col("cum"), col("c"), col("n"),
+        explode(array(qdf: _*)).as("q"))
+      .select(col("g"), col("bkt"), col("cum"), col("c"), col("n"),
+        col("q.q_num").as("q_num"), col("q.q_den").as("q_den"))
+      // Integer `div`, not `/`: Spark's `/` on longs is double division,
+      // which can round up across an integer for large N (the q60 rule).
+      .withColumn("k", expr("(n - 1) * q_num div q_den + 1").cast("long"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("g"), col("q_num"), col("q_den"), col("k"), col("bkt"),
+        (col("k") - (col("cum") - col("c"))).as("off")) // 1-indexed offset in bucket
+
+    // Pass 2: only the target buckets' rows come back; sort each sliver.
+    val slivers = base
+      .select(col("g"), col("v"), shiftright(col("v"), shift).as("bkt"))
+      .join(targets.select(col("g"), col("bkt")).distinct(), Seq("g", "bkt"))
+      .groupBy("g", "bkt")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+    targets.join(slivers, Seq("g", "bkt"))
+      .select(col("g"), col("q_num"), col("q_den"), col("k"),
+        element_at(col("vs"), col("off").cast("int")).as("value"))
+  }
+}

@@ -811,6 +811,23 @@ object CoreQueries {
     // INCLUSIVE quantile coincides with SQL quantile_disc — same pattern as
     // ExactSD for the HLL oracles. At 100 TB the same query runs at k=200
     // (~1.65/k rank error) with a ~3 KB sketch per group.
+    // EXACT per-group quantiles without a global sort — the audit-grade
+    // complement of q24/q25's KLL estimates: two-phase histogram prune
+    // (bucket counts + cumulative locate, then sort only the target
+    // bucket slivers). Rank k = (N-1)*num div den + 1, all-integer, so
+    // the oracle restates each answer definitionally via row_number.
+    "q130_exact_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100d + 0.5d).cast("long").as("q_e2"))
+      graft.operators.ExactQuantile.exactQuantilesByKey(li,
+        col("l_returnflag"), col("q_e2"),
+        Seq((1, 2), (9, 10), (99, 100)), shift = 8)
+        .select(col("g").as("l_returnflag"), col("q_num"), col("q_den"),
+          col("k"), col("value"))
+        .orderBy("l_returnflag", "q_den", "q_num")
+    }),
+
     "q24_quantile_sketch" -> ((s, dir) => {
       import graft.kll.functions._
       Tables.events(s, dir)
@@ -1456,6 +1473,20 @@ object CoreQueries {
         |  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))::BIGINT AS n_both,
         |  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))::BIGINT AS n_only_h1,
         |  (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1))::BIGINT AS n_only_h2""".stripMargin,
+    "q130_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |q AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den))
+        |SELECT r.g AS l_returnflag, q.q_num, q.q_den,
+        |  ((r.n - 1) * q.q_num) // q.q_den + 1 AS k, r.v AS value
+        |FROM r JOIN q ON r.rn = ((r.n - 1) * q.q_num) // q.q_den + 1
+        |ORDER BY l_returnflag, q_den, q_num""".stripMargin,
     "q24_quantile_sketch" ->
       """SELECT event_type, count(value)::BIGINT AS n,
         |  quantile_disc(value, 0.5) AS p50,
