@@ -126,6 +126,55 @@ object CoreQueries {
         .select(hll_intersect_cardinality(col("lo"), col("hi")).as("common"))
     }),
 
+    // The reference's flagship capability in its production shape: the
+    // N×N audience-overlap matrix. One scan builds one sketch per
+    // cohort; the matrix is a self-join of KILOBYTES (sketch bytes),
+    // never of users — at 100 TB the cost is one scan + N² intersects
+    // on the driver-sized sketch table, which is exactly why HLL
+    // intersection exists. ExactSD keeps estimates exact at verify
+    // scale so the oracle states inclusion-exclusion definitionally.
+    "q131_audience_overlap" -> ((s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(hll_init_agg(col("user_id"), ExactSD).as("h"))
+      perType.select(col("event_type").as("type_a"), col("h").as("ha"))
+        .join(perType.select(col("event_type").as("type_b"), col("h").as("hb")),
+          col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          hll_cardinality(col("ha")).as("users_a"),
+          hll_cardinality(col("hb")).as("users_b"),
+          hll_intersect_cardinality(col("ha"), col("hb")).as("overlap"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Distribution drift, day over day: total-variation distance between
+    // consecutive days' event-value histograms, in e6 integer units via
+    // cross-multiplication (|ca·Nb − cb·Na| summed, then one integer
+    // division) — no float ratio ever crosses the engine boundary. The
+    // distributional sibling of q115's volume drift: volume can hold
+    // steady while the value distribution silently shifts. Histograms
+    // shuffle as (day, bucket) counts only. At petabyte daily volumes
+    // pre-divide the counts (or widen to decimal): ca·Nb must stay
+    // under 2^63.
+    "q132_histogram_drift" -> ((s, dir) => {
+      val hist = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), floor(col("value")).cast("long").as("bkt"))
+        .groupBy("day", "bkt").agg(count(lit(1)).as("c"))
+      val totals = hist.groupBy("day").agg(sum("c").as("n"))
+      val a = hist.select(col("day"), col("bkt"), col("c").as("ca"))
+      val b = hist.select(date_sub(col("day"), 1).as("day"), col("bkt"), col("c").as("cb"))
+      a.join(b, Seq("day", "bkt"), "full")
+        .na.fill(0L, Seq("ca", "cb"))
+        .join(totals.select(col("day"), col("n").as("na")), "day")
+        .join(totals.select(date_sub(col("day"), 1).as("day"), col("n").as("nb")), "day")
+        .groupBy("day")
+        .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .select(col("day"), expr("num * 1000000 div (2 * na * nb)").as("tvd_e6"),
+          col("na").as("n_day"), col("nb").as("n_next"))
+        .orderBy("day")
+    }),
+
     // hll_convert: STRM sketch bytes transcoded to the GRAFT format and
     // estimated there — no recomputation from raw data.
     "hll_convert_graft" -> ((s, dir) => {
@@ -1059,6 +1108,41 @@ object CoreQueries {
         |  + (SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_quantity >= 25)
         |  - (SELECT count(DISTINCT l_linenumber) FROM lineitem)
         |)::BIGINT AS common""".stripMargin,
+    "q131_audience_overlap" ->
+      """WITH t AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*)::BIGINT AS n FROM t GROUP BY 1),
+        |o AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS ov
+        |  FROM t a JOIN t b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS users_a, cb.n AS users_b,
+        |  coalesce(o.ov, 0)::BIGINT AS overlap
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN o ON o.type_a = ca.event_type AND o.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q132_histogram_drift" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    floor(value)::BIGINT AS bkt, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.day, b.day) AS day, coalesce(a.bkt, b.bkt) AS bkt,
+        |    coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |  FROM h a FULL JOIN (SELECT day - 1 AS day, bkt, c FROM h) b
+        |    ON a.day = b.day AND a.bkt = b.bkt),
+        |d AS (
+        |  SELECT j.day, sum(abs(j.ca * tb.n - j.cb * ta.n))::BIGINT AS num,
+        |    min(ta.n) AS na, min(tb.n) AS nb
+        |  FROM j JOIN t ta ON ta.day = j.day
+        |       JOIN t tb ON tb.day = j.day + 1
+        |  GROUP BY 1)
+        |SELECT day, (num * 1000000) // (2 * na * nb) AS tvd_e6,
+        |  na AS n_day, nb AS n_next
+        |FROM d ORDER BY day""".stripMargin,
     "hll_convert_graft" ->
       """SELECT l_returnflag, count(DISTINCT month(l_shipdate))::BIGINT AS months
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
