@@ -290,6 +290,26 @@ object CoreQueries {
 
     // Global top-k: order by + limit. Scale: per-partition top-k then a
     // single-reducer merge of k-row heaps (TakeOrderedAndProject).
+    // q4's semantics through the AGGREGATE top-k instead of the window:
+    // topk_structs forwards at most k structs per (task, group) into the
+    // exchange (pinned in TopKSpec) where q4's row_number shuffles and
+    // sorts every row of every group — the form that survives a 100×
+    // scale-up. Ranking encoded in the struct (price negated, orderkey
+    // tie-break), so sort_array is the exact deterministic order.
+    "q133_topk_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("price_e2"),
+          col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sort_array(graft.operators.TopK.topKStructs(
+          struct((-col("price_e2")).as("np"), col("o_orderkey").as("okey")), 3)).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rank"),
+          col("t.okey").as("o_orderkey"), (-col("t.np")).as("price_e2"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     "q5_top10_orders" -> ((s, dir) => {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1108,6 +1128,15 @@ object CoreQueries {
         |  + (SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_quantity >= 25)
         |  - (SELECT count(DISTINCT l_linenumber) FROM lineitem)
         |)::BIGINT AS common""".stripMargin,
+    "q133_topk_agg" ->
+      """SELECT o_orderpriority, rank::INT AS rank, o_orderkey, price_e2 FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+        |               o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q131_audience_overlap" ->
       """WITH t AS (SELECT DISTINCT event_type, user_id FROM events),
         |c AS (SELECT event_type, count(*)::BIGINT AS n FROM t GROUP BY 1),

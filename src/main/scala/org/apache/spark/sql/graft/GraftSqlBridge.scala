@@ -24,4 +24,11 @@ object GraftSqlBridge {
 
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+
+  /** Interpreted total ordering for a data type (TypeUtils is
+   * `private[sql]`) — structs compare field by field, the ordering
+   * [[graft.operators.TopKStructsAgg]] ranks under. */
+  def orderingFor(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      .asInstanceOf[Ordering[Any]]
 }
