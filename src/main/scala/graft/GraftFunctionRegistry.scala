@@ -153,6 +153,15 @@ object GraftFunctionRegistry extends FunctionRegistration {
         case Seq(x, y) => graft.sources.Layout.zorder2Expr(x, y)
         case args => wrongArity("zorder2", args.size)
       }),
+    ("topk_structs",
+      "_FUNC_(struct, k) - Bounded top-k aggregate: the k minimal structs of the group under field-order comparison; at most k elements per task-group cross the exchange.",
+      {
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          graft.operators.TopKStructsAgg(e, k).toAggregateExpression()
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "topk_structs: k must be an integer literal")
+        case args => wrongArity("topk_structs", args.size)
+      }),
     ("hilbert2",
       "_FUNC_(x, y) - Distance along the order-16 2-D Hilbert curve for two 16-bit grid cells; Z-order's better-locality sibling.",
       {

@@ -97,7 +97,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "md5_hash64", "cosine_similarity",
       "dot_product", "quantize_int8", "int8_dot",
       "strip_html", "redact_pii", "scrub", "quality_score64", "zorder2",
-      "hilbert2").foreach { n =>
+      "hilbert2", "topk_structs").foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
@@ -165,6 +165,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // (n-1, 0): the reflect+swap fixed point, 3*s^2 per level — the
     // curve's final cell.
     assert(hRow.getLong(2) === (1L << 32) - 1L)
+    // Top-k aggregate through SQL: 2 smallest (v, id) structs.
+    val tk = spark.sql(
+      """SELECT sort_array(topk_structs(struct(v, id), 2)) AS tk FROM
+        |  VALUES (3L, 1L), (1L, 2L), (2L, 3L), (1L, 9L) AS t(v, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tk === Seq((1L, 2L), (1L, 9L)))
+
     val hSql = spark.sql("SELECT hilbert2(12345, 54321) AS h").head().getLong(0)
     val hDsl = spark.range(1).select(graft.sources.Layout.hilbert2(
       org.apache.spark.sql.functions.lit(12345L),
