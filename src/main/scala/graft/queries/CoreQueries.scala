@@ -897,6 +897,35 @@ object CoreQueries {
         .orderBy("l_returnflag", "q_den", "q_num")
     }),
 
+    // Winsorization — clip values at the group's exact [p10, p90] (from
+    // q130's two-phase quantile operator) and report clip counts + the
+    // clipped sum. The bounds BROADCAST (one row per group); the data is
+    // clipped map-side and aggregated once — nothing reshuffles for the
+    // clip itself. The outlier-taming stage before averaging any
+    // heavy-tailed metric.
+    "q134_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_quantity") * 100d + 0.5d).cast("long").as("v"))
+      val qs = graft.operators.ExactQuantile.exactQuantilesByKey(li,
+        col("g"), col("v"), Seq((1, 10), (9, 10)), shift = 8)
+      val lo = qs.filter(col("q_num") === 1).select(col("g"), col("value").as("lo"))
+      val hi = qs.filter(col("q_num") === 9).select(col("g"), col("value").as("hi"))
+      li.join(broadcast(lo), "g").join(broadcast(hi), "g")
+        .select(col("g"),
+          when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi")).otherwise(col("v")).as("w"),
+          (col("v") < col("lo")).as("clo"), (col("v") > col("hi")).as("chi"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("chi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+          sum(col("w")).as("sum_winsorized"))
+        .select(col("g").as("l_returnflag"), col("n"), col("n_clipped_lo"),
+          col("n_clipped_hi"), col("sum_winsorized"))
+        .orderBy("l_returnflag")
+    }),
+
     "q24_quantile_sketch" -> ((s, dir) => {
       import graft.kll.functions._
       Tables.events(s, dir)
@@ -1586,6 +1615,27 @@ object CoreQueries {
         |  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))::BIGINT AS n_both,
         |  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))::BIGINT AS n_only_h1,
         |  (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1))::BIGINT AS n_only_h2""".stripMargin,
+    "q134_winsorize" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = (n - 1) * 1 // 10 + 1 THEN v END) AS lo,
+        |    max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN v END) AS hi
+        |  FROM r GROUP BY g)
+        |SELECT v.g AS l_returnflag, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+        |  sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+        |  sum(CASE WHEN v.v < b.lo THEN b.lo WHEN v.v > b.hi THEN b.hi
+        |           ELSE v.v END)::BIGINT AS sum_winsorized
+        |FROM v JOIN b USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q130_exact_quantiles" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,
