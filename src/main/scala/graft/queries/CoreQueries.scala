@@ -572,6 +572,33 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // q94's session-summary semantics on the transformWithState API
+    // (typed named state + first-class event-time timers on RocksDB — the
+    // arbitrary-state operator new deployments write). Same final-summary
+    // argmax, same oracle as q94: migrating custom state between the two
+    // APIs must not change a single value.
+    "q135_tws_session_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val summaries = graft.streaming.TransformWithStateOps.sessionSummariesTws(s, ev)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          summaries.toDF().writeStream.format("memory").queryName("q135_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q135_mem")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"),
+          unix_micros(col("first_ts")).as("f"),
+          unix_micros(col("last_ts")).as("l"))).as("m"))
+        .select(col("user_id"), col("m.f").as("first_us"),
+          col("m.l").as("last_us"), col("m.n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
     // semantics class: matches emit like q89, and a signup with NO
     // purchase inside its day window null-pads ONLY once the watermark
@@ -1433,6 +1460,14 @@ object CoreQueries {
     // The final per-user summary equals the batch aggregation — state
     // round-tripping and timeout retirement must not change the values.
     "q94_streaming_session_state" ->
+      """SELECT user_id,
+        |  epoch_us(min(ts)::TIMESTAMP) AS first_us,
+        |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same truth as q94: the state API (transformWithState vs
+    // mapGroupsWithState) must be invisible in the final summaries.
+    "q135_tws_session_state" ->
       """SELECT user_id,
         |  epoch_us(min(ts)::TIMESTAMP) AS first_us,
         |  epoch_us(max(ts)::TIMESTAMP) AS last_us,

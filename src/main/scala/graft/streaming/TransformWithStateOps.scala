@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/**
+ * Arbitrary streaming state on Spark's `transformWithState` API — the
+ * operator large deployments are migrating custom state to (typed named
+ * state + first-class timers on the RocksDB state store, with state
+ * evolution and independent per-state TTL that `mapGroupsWithState`'s
+ * single-blob state cannot express).
+ *
+ * The reference library has no streaming code (SURVEY.md §2.4); this file
+ * exists so the engine's custom-state semantics are proven on BOTH
+ * arbitrary-state APIs: [[StreamingOps.sessionSummaries]] carries the
+ * `mapGroupsWithState` path, and [[TransformWithStateOps.sessionSummariesTws]]
+ * carries the same per-user session-summary semantics through
+ * `transformWithState`, value-for-value against the same DuckDB oracle
+ * (q135 vs q94). The API must be invisible in the results.
+ *
+ * Scale contract: state per user is ONE SessionSummary row plus at most
+ * ONE registered timer (stale timers are deleted on every update), and
+ * eviction is event-time driven — watermark passes `last_ts + idle` →
+ * the timer fires, the final summary is emitted, and the state row is
+ * cleared. State size is |active users within the idle horizon|, not
+ * lifetime-distinct users, and an idle stream schedules no busy-spin
+ * batches (event-time timers only fire on watermark advance).
+ */
+object TransformWithStateOps {
+
+  /** Per-user running session summary via `transformWithState`: ValueState
+   * holds the summary, an event-time timer retires it `idleMs` past the
+   * user's latest event. Emission contract matches
+   * [[StreamingOps.sessionSummaries]]: every touched user re-emits its
+   * updated summary per micro-batch (update mode), and retirement emits
+   * the final summary once more — so the argmax-by-n_events per user is
+   * batching-independent and equals the batch aggregation.
+   */
+  class SessionTwsProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SessionSummary] {
+
+    @transient private var session: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionSummary](
+        "session", Encoders.product[SessionSummary], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      var summary = Option(session.get()).getOrElse(
+        SessionSummary(userId, null, null, 0L))
+      rows.foreach { e =>
+        val first =
+          if (summary.first_ts == null || e.ts.before(summary.first_ts)) e.ts
+          else summary.first_ts
+        val last =
+          if (summary.last_ts == null || e.ts.after(summary.last_ts)) e.ts
+          else summary.last_ts
+        summary = SessionSummary(userId, first, last, summary.n_events + 1)
+      }
+      session.update(summary)
+      // One live timer per key: drop whatever was scheduled before, then
+      // register retirement at last_ts + idle — clamped just above the
+      // current watermark, since the watermark may already be past the
+      // target for a late-arriving group (it then fires on the next
+      // watermark advance, same clamp rule as sessionSummaries).
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val target = summary.last_ts.getTime + idleMs
+      getHandle.registerTimer(math.max(target, timerValues.getCurrentWatermarkInMs + 1L))
+      Iterator.single(summary)
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val last = session.get()
+      if (last == null) Iterator.empty
+      else if (timerValues.getCurrentWatermarkInMs >= last.last_ts.getTime + idleMs) {
+        // Genuinely idle past the horizon: final emission, state retired.
+        session.clear()
+        Iterator.single(last)
+      } else {
+        // A clamped early timer from a late-arriving group: the session is
+        // still live — reschedule at its true horizon, emit nothing.
+        getHandle.registerTimer(math.max(last.last_ts.getTime + idleMs,
+          timerValues.getCurrentWatermarkInMs + 1L))
+        Iterator.empty
+      }
+    }
+  }
+
+  /** [[StreamingOps.sessionSummaries]] re-expressed on `transformWithState`
+   * (event-time mode, update output). Requires the RocksDB state store
+   * provider — the only backend `transformWithState` runs on — which the
+   * caller sets around `.start()` (see q135). */
+  def sessionSummariesTws(spark: SparkSession, events: Dataset[UserEvent],
+      idleTimeout: String = "30 minutes", watermark: String = "2 hours"): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val idleMs =
+      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTwsProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Runs `body` with the RocksDB state store provider set (required by
+   * `transformWithState`), restoring the previous provider after. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      body
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

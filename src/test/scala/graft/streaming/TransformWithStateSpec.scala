@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** `transformWithState` semantics: same session-summary contract as the
+ * `mapGroupsWithState` path, proven across micro-batches and through
+ * event-time timer retirement on the RocksDB state store. */
+class TransformWithStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tws-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("session summaries accumulate across micro-batches and agree with the MGWS path") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.sessionSummariesTws(spark, input.toDS())
+        .toDF().writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("update").start())
+
+    input.addData(UserEvent(1L, ts(10, 0)), UserEvent(1L, ts(10, 10)),
+      UserEvent(2L, ts(10, 5)))
+    query.processAllAvailable()
+    // Batch 2: user 1 extends; user 3 appears out of order BEFORE user 1's
+    // existing events — first_ts must move backwards correctly.
+    input.addData(UserEvent(1L, ts(10, 20)), UserEvent(3L, ts(9, 50)))
+    query.processAllAvailable()
+    query.stop()
+
+    val finals = spark.table("tws_sessions")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("first_ts"), col("last_ts"))).as("m"))
+      .select(col("user_id"), col("m.first_ts"), col("m.last_ts"), col("m.n_events"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))).toMap
+
+    assert(finals(1L) === ((ts(10, 0), ts(10, 20), 3L)))
+    assert(finals(2L) === ((ts(10, 5), ts(10, 5), 1L)))
+    assert(finals(3L) === ((ts(9, 50), ts(9, 50), 1L)))
+  }
+
+  test("event-time timer retires idle sessions (final re-emission, state cleared)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.sessionSummariesTws(spark, input.toDS(),
+        idleTimeout = "30 minutes", watermark = "0 seconds")
+        .toDF().writeStream.format("memory").queryName("tws_retire")
+        .outputMode("update").start())
+
+    input.addData(UserEvent(1L, ts(10, 0)))
+    query.processAllAvailable()
+    // Advance the watermark past 10:30 (= last_ts + idle): the timer fires
+    // and user 1's final summary is re-emitted as its state retires.
+    input.addData(UserEvent(2L, ts(12, 0)))
+    query.processAllAvailable()
+    // User 1 returns AFTER retirement: a fresh session starts at n=1,
+    // proving the state row was actually cleared (not resumed).
+    input.addData(UserEvent(1L, ts(12, 30)))
+    query.processAllAvailable()
+    query.stop()
+
+    val u1 = spark.table("tws_retire").filter(col("user_id") === 1L)
+      .select(col("first_ts"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // Emissions for user 1: batch-1 update (10:00, 1), timer re-emission
+    // (10:00, 1), fresh-session update (12:30, 1).
+    assert(u1.count(_ == ((ts(10, 0), 1L))) === 2)
+    assert(u1.contains((ts(12, 30), 1L)))
+  }
+}
