@@ -1252,4 +1252,42 @@ object Dedup {
         max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"))
       .select(col("component_id"), (-col("m.negid")).as("kept_id"),
         col("m.s").as("kept_score"), col("n_members"))
+
+  /**
+   * SOFT dedup: instead of dropping duplicate-cluster members, assign every
+   * document a training weight of 1/|cluster| — each piece of distinct
+   * content contributes ONE unit of total weight regardless of how many
+   * near-copies the crawl collected. This is the downweight-don't-drop
+   * policy training pipelines use when duplicates still carry signal
+   * (different boilerplate around the same body, soft-dedup ablations);
+   * the hard-dedup policies ([[canonicalAssignment]] keep-min,
+   * [[keepBest]] keep-best) remain the drop alternatives.
+   *
+   * `docs` contributes the id universe (`idCol`): docs in no near-dup pair
+   * are singleton clusters with full weight. Weight is e6 fixed-point
+   * integer (`1000000 div n_members`) so the value is bit-identical across
+   * engines — consumers needing exact unit-sum per cluster should use
+   * `1/n_members` rationally; e6 truncation is the documented wire format.
+   *
+   * Plan: components(pairs) + one left equi-join on id (coordinates only)
+   * + one count keyed by cluster + one coordinate join back. The text
+   * never shuffles, and the cluster-size table is |clusters| rows —
+   * nothing here scales with content size.
+   *
+   * @return (doc_id, cluster_id, n_members, weight_e6), one row per doc.
+   */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val clusters = docs.select(col(idCol).as("doc_id"))
+      .join(connectedComponents(pairs, maxIter),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("cluster_id"))
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        // `div`, not `/`: all-integer across engines, no double rounding.
+        expr("1000000L div n_members").as("weight_e6"))
+  }
 }

@@ -1314,6 +1314,17 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // SOFT dedup: every doc weighted 1e6/|cluster| over the q23 components
+    // (singletons = full weight) — the downweight-don't-drop policy, so
+    // each distinct content contributes one unit of training weight.
+    "q136_soft_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.softDedupWeights(docs,
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction — pure projection, no shuffle. The corpus is synthetic
     // (no real PII), so the query plants a deterministic contact blob per
     // customer and redacts it; the oracle re-runs the identical RE2-safe
@@ -2701,6 +2712,20 @@ object PipelineQueries {
     "q23_dedup_components" ->
       s"""WITH RECURSIVE $componentsCtesSql
          |SELECT id, component_id FROM comps ORDER BY id""".stripMargin,
+    // q23's components left-joined onto the full doc universe (absent =
+    // singleton cluster of itself), 1e6 integer-div weight per member.
+    "q136_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |clust AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+         |csizes AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS n_members
+         |  FROM clust GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id, s.n_members,
+         |  (1000000 // s.n_members)::BIGINT AS weight_e6
+         |FROM clust cl JOIN csizes s USING (cluster_id)
+         |ORDER BY cl.doc_id""".stripMargin,
     // keep-best per component: the q23 component chain joined with the
     // q85 hashed-weight score, argmax by (score desc, id asc).
     "q93_dedup_keep_best" ->

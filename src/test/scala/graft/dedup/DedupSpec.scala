@@ -232,6 +232,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Array((1L, 2L, 9L, 3L), (10L, 10L, 7L, 2L)))
   }
 
+  test("softDedupWeights gives 1e6/|cluster| across transitive clusters, singletons full weight") {
+    import spark.implicits._
+    // Chain 1~2, 2~3 → one cluster of 3 (transitive); 10~11 a pair; 20 a
+    // singleton with no edges at all.
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (10L, 10L, 2L, 500000L), (11L, 10L, 2L, 500000L),
+      (20L, 20L, 1L, 1000000L)))
+  }
+
   test("canonicalAssignment maps each greater member to its smallest partner") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")
