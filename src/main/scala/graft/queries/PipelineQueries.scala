@@ -910,6 +910,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining: per anchor, the top-5 most-similar vectors of a
+    // DIFFERENT label — the contrastive-training data prep step. Per-anchor
+    // label exclusion runs map-side on the broadcast join; the top-k rides
+    // the bounded topk_structs aggregate (≤k structs per anchor cross the
+    // exchange, no whole-group window sort).
+    "q137_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN evaluation tooling: per-query recall of the IVF path against the
     // exact baseline — the "is my index good enough" diagnostic, composed
     // from the two verified operators. hits/k per query; a left join keeps
@@ -2510,6 +2521,16 @@ object PipelineQueries {
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "q17_ann_topk" -> annExactSql,
+    // q17's exact ranking with the per-anchor different-label constraint.
+    "q137_hard_negatives" ->
+      """SELECT query_id, rank::INT AS rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // A byte's high nibble IS its first hex digit, so the bin of byte i is
     // the hex char at position 2i-1 of the blob's hex encoding.
     "q26_multimodal_features" ->

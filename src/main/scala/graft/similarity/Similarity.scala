@@ -130,6 +130,47 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each anchor, the k
+   * most-similar corpus vectors with a DIFFERENT label — near-misses that
+   * teach a retriever more than random negatives do (the in-batch-negatives
+   * upgrade every embedding-training pipeline ships eventually).
+   *
+   * The different-label constraint is PER ANCHOR (each anchor excludes its
+   * own class), which filtered ANN's static corpus predicate cannot
+   * express — so the anchor's label rides the broadcast and the filter
+   * runs map-side on the joined row, before anything shuffles.
+   *
+   * Plan: anchors broadcast (they are the small side by construction);
+   * one map-side pass scores |corpus| × |anchors| fused cosines; the
+   * per-anchor top-k rides [[graft.operators.TopK.topKStructs]], so each
+   * task forwards AT MOST k (score, id) structs per anchor into the
+   * exchange — no whole-group window sort, nothing proportional to
+   * |corpus| shuffles. Swap the corpus side for [[ivfTopK]]'s probed
+   * cells when |corpus| per anchor must shrink too.
+   *
+   * @return (query_id, rank, neighbor_id) with rank in [1, k]; ties broken
+   *         by neighbor id so results are deterministic
+   */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"))
+    c.crossJoin(broadcast(a))
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("query_id"), struct(
+        (-cosine(col("q_vec"), col("c_vec"))).as("nscore"),
+        col("neighbor_id").as("nid")).as("sn"))
+      .groupBy("query_id")
+      .agg(sort_array(graft.operators.TopK.topKStructs(col("sn"), k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.nid").as("neighbor_id"))
+  }
+
+  /**
    * All pairs with cosine similarity >= threshold.
    *
    * With `lshBits > 0`, candidate pairs are generated by banded

@@ -44,6 +44,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Array((1, 2L), (2, 3L), (3, 4L)))
   }
 
+  test("hardNegatives excludes the anchor's own label and ranks the rest exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f), 0),      // anchor, label 0
+      (2L, Seq(0.99f, 0.1f), 0), // same label: nearest overall but EXCLUDED
+      (3L, Seq(0.9f, 0.2f), 1),
+      (4L, Seq(0.5f, 0.5f), 1),
+      (5L, Seq(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = hardNegatives(df.filter(col("vec_id") === 1L), df, k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Negatives are the closest DIFFERENT-label vectors: 3 then 4; 2 never
+    // appears despite being the global nearest neighbor.
+    assert(got === Array((1L, 1, 3L), (1L, 2, 4L)))
+  }
+
   test("ivfTopK with nProbe = nCentroids equals exact brute-force search") {
     // 40 deterministic pseudo-random 8-dim vectors.
     val rows = (0L until 40L).map { i =>
