@@ -1336,6 +1336,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank (5 power iterations, e12 integer fixed-point) over the
+    // user↔event-type bipartite graph — the authority-propagation shape
+    // crawl curation runs over domain/link graphs to weight sources. Type
+    // nodes get deterministic ids (1e9 + rank by name) so the oracle can
+    // rebuild the identical graph; every iteration is all-integer, so the
+    // unrolled CTE chain in DuckDB restates the computation exactly.
+    "q138_pagerank_bipartite" -> ((s, dir) => {
+      val ue = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val types = ue.select(col("event_type")).distinct()
+        .withColumn("tid", lit(1000000000L) +
+          row_number().over(Window.orderBy("event_type")))
+      val et = ue.join(types, "event_type")
+      val edges = et.select(col("user_id").as("src"), col("tid").as("dst"))
+        .union(et.select(col("tid").as("src"), col("user_id").as("dst")))
+      graft.operators.Graph.pagerank(edges, iters = 5).orderBy("node")
+    }),
+
     // PII redaction — pure projection, no shuffle. The corpus is synthetic
     // (no real PII), so the query plants a deterministic contact blob per
     // customer and redacts it; the oracle re-runs the identical RE2-safe
@@ -1460,6 +1478,43 @@ object PipelineQueries {
    * generator, so spec and audit cannot drift. */
   private val mixWeights: Seq[(String, (Long, Long))] =
     (1 to 12).map(i => s"src$i" -> (((i - 1) % 4 + 1).toLong, 4L))
+
+  /** q138's PageRank restated as an unrolled CTE chain: the identical
+   * bipartite graph (deterministic 1e9+rank type ids) and one CTE per
+   * power iteration with the same e12 integer `//` arithmetic — generated
+   * for `iters` rounds so the Spark loop and the oracle cannot disagree on
+   * iteration count. */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.node, pb.base + (85 * coalesce(c.s, 0)) // 100 AS r
+         |  FROM nodes nd CROSS JOIN pbase pb
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum($prev.r // deg.d)::BIGINT AS s
+         |    FROM e JOIN $prev ON e.src = $prev.node
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) c ON nd.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+       |types AS (
+       |  SELECT event_type,
+       |    1000000000 + row_number() OVER (ORDER BY event_type) AS tid
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |e AS (
+       |  SELECT ue.user_id AS src, t.tid AS dst
+       |  FROM ue JOIN types t USING (event_type)
+       |  UNION ALL
+       |  SELECT t.tid, ue.user_id FROM ue JOIN types t USING (event_type)),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |pbase AS (SELECT ((1000000000000 * 15) // 100) // n AS base FROM nn),
+       |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, r::BIGINT AS rank_e12 FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** Md5-auditable simhash re-derivation CTEs (tok → per-token 64-bit
    * hash → per-bit majority votes → sim, one UBIGINT per document, 0 for
@@ -2733,6 +2788,9 @@ object PipelineQueries {
     "q23_dedup_components" ->
       s"""WITH RECURSIVE $componentsCtesSql
          |SELECT id, component_id FROM comps ORDER BY id""".stripMargin,
+    // The full 5-round power iteration restated as generated CTEs — same
+    // graph, same e12 integer arithmetic, value-exact.
+    "q138_pagerank_bipartite" -> pagerankSql(5),
     // q23's components left-joined onto the full doc universe (absent =
     // singleton cluster of itself), 1e6 integer-div weight per member.
     "q136_soft_dedup_weights" ->
