@@ -23,6 +23,9 @@ object DumpQueries {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      // Full library install (SQL functions + optimizer rules) — the same
+      // session shape a user of the packaged library runs.
+      .withExtensions(new graft.hll.GraftSparkExtensions)
       .master(s"local[$cpus]")
       .appName("graft-dump-queries")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // Full library install (SQL functions + optimizer rules) — the same
+      // session shape a user of the packaged library runs.
+      .withExtensions(new graft.hll.GraftSparkExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

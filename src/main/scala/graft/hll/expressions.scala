@@ -237,6 +237,51 @@ case class HllMerge(
     copy(child = newChild)
 }
 
+/** Fused `hll_cardinality(hll_merge(...))`: identical union state to
+ * [[HllMerge]], but `eval` estimates straight off the live buffer instead
+ * of serializing it — so a consumer that only wants the NUMBER never pays
+ * serialize+deserialize per output. That cost is invisible in a normal
+ * aggregation (one eval per group) but is the dominant constant in a
+ * RUNNING window, where eval fires per ROW: the cumulative-distinct frame
+ * re-serializes and re-parses the whole sketch at every step. Not exposed
+ * as a user function — [[FuseWindowSketchEval]] introduces it when the
+ * plan proves the sketch bytes are never observed. */
+case class HllMergeCardinality(
+    child: Expression,
+    format: HllFormat = HllFormat.resolve(null),
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName only supports binary input")
+  }
+
+  override def update(buffer: Option[HllInstance], input: InternalRow): Option[HllInstance] =
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        val incoming = format.deserialize(bytes)
+        buffer.map(_.merge(incoming)).orElse(Some(incoming))
+      case other =>
+        throw new IllegalStateException(s"$prettyName only supports Array[Byte], got $other")
+    }
+
+  override def eval(buffer: Option[HllInstance]): Any =
+    buffer.map(_.cardinality).map(Long.box).orNull
+
+  override def prettyName: String = "hll_merge_cardinality"
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeCardinality =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeCardinality =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `hll_row_merge(sketch1, ..., sketchN[, implName])` — scalar union of N
  * sketch columns within a row. Null arguments are skipped; all-null → null. */
 case class HllRowMerge(

@@ -161,5 +161,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     graft.freq.FreqFunctionRegistry.inject(extensions)
     graft.bloom.BloomFunctionRegistry.inject(extensions)
     graft.GraftFunctionRegistry.inject(extensions)
+    // Sketch-eval fusion: running windows estimate off the live buffer
+    // instead of serializing per row (see FuseWindowSketchEval).
+    extensions.injectOptimizerRule(_ => FuseWindowSketchEval)
   }
 }
