@@ -1278,11 +1278,7 @@ object Dedup {
    */
   def softDedupWeights(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
-    val clusters = docs.select(col(idCol).as("doc_id"))
-      .join(connectedComponents(pairs, maxIter),
-        col("doc_id") === col("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component_id"), col("doc_id")).as("cluster_id"))
+    val clusters = clusterAssignments(docs, pairs, idCol, maxIter)
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))
     clusters.join(sizes, Seq("cluster_id"))
@@ -1290,4 +1286,38 @@ object Dedup {
         // `div`, not `/`: all-integer across engines, no double rounding.
         expr("1000000L div n_members").as("weight_e6"))
   }
+
+  /** Every doc's near-dup cluster id over the FULL universe: its connected
+   * component when it pairs with anything, itself otherwise. One left
+   * coordinate join — shared by [[softDedupWeights]] and
+   * [[clusterSafeSplit]] so "cluster" means one thing. */
+  def clusterAssignments(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame =
+    docs.select(col(idCol).as("doc_id"))
+      .join(connectedComponents(pairs, maxIter),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("cluster_id"))
+
+  /**
+   * Leakage-free train/test split: membership is decided by the md5
+   * threshold rule on the CLUSTER id, not the doc id — so near-duplicate
+   * documents can never straddle the split boundary (a test doc whose
+   * near-copy sits in train is the classic silent-eval-leak; doc-keyed
+   * splits like q30's produce it whenever dedup is imperfect, cluster-keyed
+   * splits cannot). Same deterministic md5 rule as
+   * [[graft.operators.Sampling.deterministicSample]]: stable across runs
+   * and engines, auditable off-Spark, and nested (a 3/5 train set contains
+   * the 2/5 one).
+   *
+   * @return (doc_id, cluster_id, split) with split ∈ {"train", "test"}
+   */
+  def clusterSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainNum: Long, trainDen: Long,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame =
+    clusterAssignments(docs, pairs, idCol, maxIter)
+      .select(col("doc_id"), col("cluster_id"),
+        when(graft.operators.Sampling.sampleMembership(
+          col("cluster_id"), trainNum, trainDen), "train")
+          .otherwise("test").as("split"))
 }

@@ -58,4 +58,30 @@ object Dsir {
       .agg(count(lit(1)).as("n_tokens"), sum("w_e6").as("w_sum"))
       .withColumn("mean_w_e6", expr("w_sum div n_tokens"))
   }
+
+  /**
+   * The SELECTION step: turn [[unigramImportance]] weights into a
+   * deterministic importance-proportional subset — keep a doc with
+   * probability `min(weight_e6, 10^6) / 10^6` decided by an md5 uniform
+   * over `(seed, id)`, the Bernoulli form of DSIR's resampling (weights
+   * at/above the e6 cap always keep; weight 0 never keeps).
+   *
+   * Deterministic on purpose (same md5-threshold discipline as
+   * [[Sampling.deterministicSample]]): the kept set is identical on every
+   * run and engine and auditable off-Spark, where `rand()`-based
+   * resampling is not. A fresh `seed` draws an independent selection from
+   * the same weights. Purely map-side over the weight table — no shuffle,
+   * no state.
+   *
+   * @param weighted per-doc weights, e.g. [[unigramImportance]] output
+   * @return input columns + `u_e6` (the uniform in [0, 10^6)) + `kept`
+   */
+  def importanceSample(weighted: DataFrame, seed: Long,
+      idCol: String = "id", weightCol: String = "mean_w_e6"): DataFrame =
+    weighted
+      .withColumn("u_e6", pmod(
+        shiftrightunsigned(Sampling.md5Hash64(
+          concat_ws(":", lit(seed), col(idCol).cast("string"))), 1),
+        lit(1000000L)))
+      .withColumn("kept", col("u_e6") < least(col(weightCol), lit(1000000L)))
 }

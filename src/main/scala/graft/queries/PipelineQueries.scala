@@ -1336,6 +1336,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-free split: train/test membership keyed by the near-dup
+    // CLUSTER id (q23 components, singletons = own cluster), so near-copies
+    // can never straddle the boundary — the eval-contamination hole a
+    // doc-keyed split (q30) leaves open whenever dedup is imperfect.
+    "q139_cluster_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSafeSplit(docs,
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10),
+        trainNum = 4, trainDen = 5)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: q112's importance weights applied as deterministic
+    // Bernoulli keeps (md5 uniform over (seed, id) vs the e6-capped
+    // weight) — the resampling step that actually assembles the mix.
+    "q140_dsir_selection" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.Dsir
+        .unigramImportance(docs, col("source") === "src1")
+        .withColumnRenamed("id", "doc_id")
+      val weighted = docs.filter(col("source") =!= "src1").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("mean_w_e6"), lit(0L)).as("mean_w_e6"))
+      graft.operators.Dsir.importanceSample(weighted, seed = 7L, idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // PageRank (5 power iterations, e12 integer fixed-point) over the
     // user↔event-type bipartite graph — the authority-propagation shape
     // crawl curation runs over domain/link graphs to weight sources. Type
@@ -1478,6 +1506,31 @@ object PipelineQueries {
    * generator, so spec and audit cannot drift. */
   private val mixWeights: Seq[(String, (Long, Long))] =
     (1 to 12).map(i => s"src$i" -> (((i - 1) % 4 + 1).toLong, 4L))
+
+  /** q112's DSIR weight derivation (token counts → smoothed e6 likelihood
+   * ratios → per-raw-doc sums) — shared by the q112 oracle and q140's
+   * selection oracle so weights and selection cannot drift. */
+  private lazy val dsirCtesSql =
+    s"""toks AS (
+       |  SELECT doc_id, source = 'src1' AS tgt, unnest($tokensSql) AS w
+       |  FROM documents),
+       |counts AS (
+       |  SELECT w,
+       |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |    sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+       |  FROM toks GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr,
+       |    count(*)::BIGINT AS v
+       |  FROM counts),
+       |wt AS (
+       |  SELECT w, (1000000::BIGINT * (ct + 1) * (nr + v))
+       |    // ((cr + 1) * (nt + v)) AS w_e6
+       |  FROM counts, tot),
+       |per AS (
+       |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(w_e6)::BIGINT AS w_sum
+       |  FROM toks t JOIN wt USING (w) WHERE NOT t.tgt GROUP BY 1)""".stripMargin
 
   /** q138's PageRank restated as an unrolled CTE chain: the identical
    * bipartite graph (deterministic 1e9+rank type ids) and one CTE per
@@ -2791,6 +2844,18 @@ object PipelineQueries {
     // The full 5-round power iteration restated as generated CTEs — same
     // graph, same e12 integer arithmetic, value-exact.
     "q138_pagerank_bipartite" -> pagerankSql(5),
+    // q23's cluster universe + the q30 md5-threshold rule keyed by
+    // CLUSTER id (4/5 train): near-dups provably co-located per split.
+    "q139_cluster_safe_split" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |clust AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (('0x' || substr(md5(cluster_id::VARCHAR), 1, 16))::UBIGINT
+         |         >> 1) < 7378697629483820646::UBIGINT
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM clust ORDER BY doc_id""".stripMargin,
     // q23's components left-joined onto the full doc universe (absent =
     // singleton cluster of itself), 1e6 integer-div weight per member.
     "q136_soft_dedup_weights" ->
@@ -2884,26 +2949,7 @@ object PipelineQueries {
     // The same smoothed-ratio derivation end to end; sums cast ::BIGINT
     // before arithmetic because DuckDB's sum() yields HUGEINT.
     "q112_dsir_weights" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, source = 'src1' AS tgt, unnest($tokensSql) AS w
-         |  FROM documents),
-         |counts AS (
-         |  SELECT w,
-         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
-         |    sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
-         |  FROM toks GROUP BY 1),
-         |tot AS (
-         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr,
-         |    count(*)::BIGINT AS v
-         |  FROM counts),
-         |wt AS (
-         |  SELECT w, (1000000::BIGINT * (ct + 1) * (nr + v))
-         |    // ((cr + 1) * (nt + v)) AS w_e6
-         |  FROM counts, tot),
-         |per AS (
-         |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-         |    sum(w_e6)::BIGINT AS w_sum
-         |  FROM toks t JOIN wt USING (w) WHERE NOT t.tgt GROUP BY 1)
+      s"""WITH $dsirCtesSql
          |SELECT d.doc_id,
          |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
          |  coalesce(w_sum, 0)::BIGINT AS w_sum,
@@ -2911,6 +2957,23 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN per USING (doc_id)
          |WHERE d.source <> 'src1'
          |ORDER BY doc_id""".stripMargin,
+    // q112's weight chain + the md5('7:'||id) uniform vs the e6-capped
+    // weight — the identical Bernoulli keep rule, restated off-Spark.
+    "q140_dsir_selection" ->
+      s"""WITH $dsirCtesSql,
+         |wtd AS (
+         |  SELECT d.doc_id,
+         |    coalesce(w_sum // n_tokens, 0)::BIGINT AS mean_w_e6
+         |  FROM documents d LEFT JOIN per USING (doc_id)
+         |  WHERE d.source <> 'src1'),
+         |sel AS (
+         |  SELECT doc_id, mean_w_e6,
+         |    ((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+         |      >> 1) % 1000000::UBIGINT)::BIGINT AS u_e6
+         |  FROM wtd)
+         |SELECT doc_id, mean_w_e6, u_e6,
+         |  u_e6 < least(mean_w_e6, 1000000) AS kept
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // Same frame grid ((n+63)//64 frames, substr truncation = short last
     // frame), same md5-of-hex-slice key, re-biased to Spark's signed view.
     "q104_frame_dedup" ->

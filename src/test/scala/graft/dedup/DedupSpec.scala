@@ -246,6 +246,26 @@ class DedupSpec extends AnyFunSuite {
       (20L, 20L, 1L, 1000000L)))
   }
 
+  test("clusterSafeSplit never separates paired docs and covers every doc") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    // Chains and pairs scattered across the id space + many singletons.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 25L), (25L, 33L))
+      .toDF("id_a", "id_b")
+    val split = Dedup.clusterSafeSplit(docs, pairs, trainNum = 1, trainDen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(split.size === 40)
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "test")))
+    // The leakage guarantee: both ends of every pair share a split.
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 25L), (25L, 33L)).foreach {
+      case (a, b) =>
+        assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles the split")
+        assert(split(a)._1 === split(b)._1)
+    }
+    // Both splits are non-empty at 1/2 on 35 clusters (md5-uniform).
+    assert(split.values.map(_._2).toSet === Set("train", "test"))
+  }
+
   test("canonicalAssignment maps each greater member to its smallest partner") {
     import spark.implicits._
     val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id_a", "id_b")

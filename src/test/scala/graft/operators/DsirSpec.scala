@@ -60,4 +60,27 @@ class DsirSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scores(3L) > scores(4L))
   }
+
+  test("importanceSample: zero weight never keeps, capped weight always keeps, seeds are independent") {
+    import spark.implicits._
+    val weighted = ((1L to 200L).map(i => (i, 0L)) ++
+      (201L to 400L).map(i => (i, 1000000L + i)) ++
+      (401L to 600L).map(i => (i, 500000L))).toDF("id", "mean_w_e6")
+    val s7 = Dsir.importanceSample(weighted, seed = 7L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(s7.forall { case (_, (u, _)) => u >= 0L && u < 1000000L })
+    assert((1L to 200L).forall(!s7(_)._2), "zero weight kept a doc")
+    assert((201L to 400L).forall(s7(_)._2), "capped weight dropped a doc")
+    val kept7 = (401L to 600L).count(s7(_)._2)
+    assert(kept7 > 50 && kept7 < 150, s"p=0.5 kept $kept7/200") // md5-uniform
+    // Determinism per seed; a different seed redraws the p=0.5 band but
+    // never touches the degenerate bands.
+    val s7again = Dsir.importanceSample(weighted, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(s7.view.mapValues(_._2).toMap === s7again)
+    val s8 = Dsir.importanceSample(weighted, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((401L to 600L).exists(i => s8(i) != s7(i)._2))
+    assert((1L to 200L).forall(!s8(_)) && (201L to 400L).forall(s8(_)))
+  }
 }
