@@ -599,6 +599,30 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // transformWithState's MapState primitive: exact per-user distinct-type
+    // accounting with O(1) state I/O per arriving type (one map entry per
+    // distinct type, not a re-serialized collection). Both counters grow
+    // monotonically, so the per-user argmax equals the batch GROUP BY.
+    "q141_tws_distinct_types" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[graft.streaming.TransformWithStateOps.TypedEvent]
+      val counts = graft.streaming.TransformWithStateOps.distinctTypesTws(s, ev)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          counts.toDF().writeStream.format("memory").queryName("q141_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q141_mem")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_types"))).as("m"))
+        .select(col("user_id"), col("m.n_types").as("n_types"),
+          col("m.n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
     // semantics class: matches emit like q89, and a signup with NO
     // purchase inside its day window null-pads ONLY once the watermark
@@ -1471,6 +1495,11 @@ object CoreQueries {
       """SELECT user_id,
         |  epoch_us(min(ts)::TIMESTAMP) AS first_us,
         |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The MapState view's truth: exact distinct types + totals per user.
+    "q141_tws_distinct_types" ->
+      """SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types,
         |  count(*)::BIGINT AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q109's latest-wins window, tombstones kept (deleted flag instead of

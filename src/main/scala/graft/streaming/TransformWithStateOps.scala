@@ -28,6 +28,13 @@ import org.apache.spark.sql.streaming._
  */
 object TransformWithStateOps {
 
+  /** One typed event on the stream (input of [[distinctTypesTws]]). */
+  case class TypedEvent(user_id: Long, event_type: String)
+
+  /** Running per-user distinct-type accounting (output of
+   * [[distinctTypesTws]]). */
+  case class TypeCount(user_id: Long, n_types: Long, n_events: Long)
+
   /** Per-user running session summary via `transformWithState`: ValueState
    * holds the summary, an event-time timer retires it `idleMs` past the
    * user's latest event. Emission contract matches
@@ -104,6 +111,60 @@ object TransformWithStateOps {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTwsProcessor(idleMs),
         TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Per-user exact distinct-type accounting on `transformWithState`'s
+   * MapState — the composite-state primitive `mapGroupsWithState` can only
+   * fake by round-tripping a whole serialized collection per key per
+   * batch. MapState reads/writes individual entries against the store, so
+   * a batch touching one type of a 10,000-type user does O(1) state I/O,
+   * not O(types). State per user = one map entry per DISTINCT type seen
+   * (the minimal bound for exact per-type accounting) plus one value row
+   * for the event total.
+   *
+   * Emission contract (update mode): every touched user re-emits
+   * `(user_id, n_types, n_events)` per micro-batch; both counters grow
+   * monotonically, so the per-user argmax over emissions is
+   * batching-independent and equals the batch GROUP BY — the q141 oracle.
+   */
+  class DistinctTypesTwsProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+
+    @transient private var perType: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      perType = getHandle.getMapState[String, Long](
+        "perType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      var n = Option(total.get()).getOrElse(0L)
+      rows.foreach { e =>
+        n += 1
+        val seen = if (perType.containsKey(e.event_type))
+          perType.getValue(e.event_type) else 0L
+        perType.updateValue(e.event_type, seen + 1L)
+      }
+      total.update(n)
+      var types = 0L
+      perType.keys().foreach(_ => types += 1)
+      Iterator.single(TypeCount(userId, types, n))
+    }
+  }
+
+  /** Exact per-user distinct event types + event totals, continuously
+   * maintained (MapState). See [[DistinctTypesTwsProcessor]]. */
+  def distinctTypesTws(spark: SparkSession,
+      events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new DistinctTypesTwsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Runs `body` with the RocksDB state store provider set (required by

@@ -54,6 +54,36 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(finals(3L) === ((ts(9, 50), ts(9, 50), 1L)))
   }
 
+  test("MapState distinct-type counts accumulate per entry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TransformWithStateOps.{TypedEvent, TypeCount}
+
+    val input = MemoryStream[TypedEvent]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.distinctTypesTws(spark, input.toDS())
+        .toDF().writeStream.format("memory").queryName("tws_types")
+        .outputMode("update").start())
+
+    input.addData(TypedEvent(1L, "click"), TypedEvent(1L, "click"),
+      TypedEvent(2L, "view"))
+    query.processAllAvailable()
+    // Batch 2: user 1 repeats a known type (n_types stays 2 after "view")
+    // and adds a new one — per-entry map updates, not collection rewrite.
+    input.addData(TypedEvent(1L, "view"), TypedEvent(1L, "click"),
+      TypedEvent(1L, "buy"))
+    query.processAllAvailable()
+    query.stop()
+
+    val finals = spark.table("tws_types")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_types"))).as("m"))
+      .select(col("user_id"), col("m.n_types"), col("m.n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(finals(1L) === ((3L, 5L))) // click/view/buy over 5 events
+    assert(finals(2L) === ((1L, 1L)))
+  }
+
   test("event-time timer retires idle sessions (final re-emission, state cleared)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
