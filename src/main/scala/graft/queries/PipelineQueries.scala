@@ -1364,6 +1364,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Feature-hashed doc vectors (the hashing trick): fixed-dim signed
+    // token-count coordinates from md5 hashes alone — the vocabulary-free
+    // cheap embedding a pipeline uses before a learned encoder exists.
+    // Integer coordinates, so the oracle rebuilds every (doc, bucket, tf).
+    "q142_hashed_tf_vectors" -> ((s, dir) => {
+      graft.text.TextVectors.hashedTfCoords(Tables.documents(s, dir), dim = 32)
+        .orderBy("doc_id", "bucket")
+    }),
+
     // PageRank (5 power iterations, e12 integer fixed-point) over the
     // user↔event-type bipartite graph — the authority-propagation shape
     // crawl curation runs over domain/link graphs to weight sources. Type
@@ -2844,6 +2853,22 @@ object PipelineQueries {
     // The full 5-round power iteration restated as generated CTEs — same
     // graph, same e12 integer arithmetic, value-exact.
     "q138_pagerank_bipartite" -> pagerankSql(5),
+    // The same md5-64 top-63 value, bucket = u % 32, sign = bit 32,
+    // signed sums with exact-zero buckets dropped.
+    "q142_hashed_tf_vectors" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(t), 1, 16))::UBIGINT >> 1) AS u
+         |  FROM tok),
+         |coord AS (
+         |  SELECT doc_id, (u % 32)::BIGINT AS bucket,
+         |    CASE WHEN ((u >> 32) % 2) = 1 THEN 1 ELSE -1 END AS s
+         |  FROM u)
+         |SELECT doc_id, bucket, sum(s)::BIGINT AS tf
+         |FROM coord GROUP BY 1, 2 HAVING sum(s) <> 0
+         |ORDER BY doc_id, bucket""".stripMargin,
     // q23's cluster universe + the q30 md5-threshold rule keyed by
     // CLUSTER id (4/5 train): near-dups provably co-located per split.
     "q139_cluster_safe_split" ->
