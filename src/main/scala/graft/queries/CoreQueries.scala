@@ -175,6 +175,38 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // Kolmogorov–Smirnov drift, day over day: the sup-norm CDF gap between
+    // consecutive days' event-value distributions — q132's TVD sibling for
+    // SHIFT detection (TVD reads mass moved anywhere; KS reads ordered
+    // displacement, the right alarm when values creep upward). Exact and
+    // all-integer by cross-multiplication: running cumulative counts per
+    // cent bucket, max |cuma·nb − cumb·na|, one e6 division at the end.
+    // Cumulative sums ride a per-day window over (day, cents) coordinate
+    // rows; same 2^63 headroom note as q132 at petabyte day volumes.
+    "q143_ks_drift" -> ((s, dir) => {
+      val hist = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("cents"))
+        .groupBy("day", "cents").agg(count(lit(1)).as("c"))
+      val totals = hist.groupBy("day").agg(sum("c").as("n"))
+      val a = hist.select(col("day"), col("cents"), col("c").as("ca"))
+      val b = hist.select(date_sub(col("day"), 1).as("day"), col("cents"), col("c").as("cb"))
+      val w = Window.partitionBy("day").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.join(b, Seq("day", "cents"), "full")
+        .na.fill(0L, Seq("ca", "cb"))
+        .select(col("day"), col("cents"),
+          sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        .join(totals.select(col("day"), col("n").as("na")), "day")
+        .join(totals.select(date_sub(col("day"), 1).as("day"), col("n").as("nb")), "day")
+        .groupBy("day")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("num"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .select(col("day"), expr("num * 1000000 div (na * nb)").as("ks_e6"),
+          col("na").as("n_day"), col("nb").as("n_next"))
+        .orderBy("day")
+    }),
+
     // hll_convert: STRM sketch bytes transcoded to the GRAFT format and
     // estimated there — no recomputation from raw data.
     "hll_convert_graft" -> ((s, dir) => {
@@ -621,6 +653,31 @@ object CoreQueries {
         .select(col("user_id"), col("m.n_types").as("n_types"),
           col("m.n_events").as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // transformWithState's ListState primitive: per-user last-3 events,
+    // continuously maintained with at most k entries of state per user.
+    // The top-k by (ts, id) is order-insensitive over the arrival union,
+    // so the final snapshot equals the batch window ranking.
+    "q144_tws_recent_k" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[graft.streaming.TransformWithStateOps.RecentEvent]
+      val recents = graft.streaming.TransformWithStateOps.recentKTws(s, ev, k = 3)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          recents.toDF().writeStream.format("memory").queryName("q144_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q144_mem")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("recent"))).as("m"))
+        .select(col("user_id"), posexplode(col("m.recent")).as(Seq("pos", "e")))
+        .select(col("user_id"), (col("pos") + 1).as("rank"),
+          col("e.event_id").as("event_id"))
+        .orderBy("user_id", "rank")
     }),
 
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
@@ -1252,6 +1309,35 @@ object CoreQueries {
         |SELECT day, (num * 1000000) // (2 * na * nb) AS tvd_e6,
         |  na AS n_day, nb AS n_next
         |FROM d ORDER BY day""".stripMargin,
+    // Same alignment as q132's oracle plus the running-CDF window; the
+    // sup-norm in the identical cross-multiplied integers.
+    "q143_ks_drift" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(c)::BIGINT AS n FROM h GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.day, b.day) AS day,
+        |    coalesce(a.cents, b.cents) AS cents,
+        |    coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |  FROM h a FULL JOIN (SELECT day - 1 AS day, cents, c FROM h) b
+        |    ON a.day = b.day AND a.cents = b.cents),
+        |cum AS (
+        |  SELECT day, cents,
+        |    sum(ca) OVER (PARTITION BY day ORDER BY cents) AS cuma,
+        |    sum(cb) OVER (PARTITION BY day ORDER BY cents) AS cumb
+        |  FROM j),
+        |d AS (
+        |  SELECT c.day, max(abs(c.cuma * tb.n - c.cumb * ta.n))::BIGINT AS num,
+        |    min(ta.n) AS na, min(tb.n) AS nb
+        |  FROM cum c JOIN t ta ON ta.day = c.day
+        |       JOIN t tb ON tb.day = c.day + 1
+        |  GROUP BY 1)
+        |SELECT day, (num * 1000000) // (na * nb) AS ks_e6,
+        |  na AS n_day, nb AS n_next
+        |FROM d ORDER BY day""".stripMargin,
     "hll_convert_graft" ->
       """SELECT l_returnflag, count(DISTINCT month(l_shipdate))::BIGINT AS months
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -1497,6 +1583,14 @@ object CoreQueries {
         |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
         |  count(*)::BIGINT AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The ListState view's truth: the batch recency ranking, top 3.
+    "q144_tws_recent_k" ->
+      """SELECT user_id, rank::INT AS rank, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
     // The MapState view's truth: exact distinct types + totals per user.
     "q141_tws_distinct_types" ->
       """SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types,

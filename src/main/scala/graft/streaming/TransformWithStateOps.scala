@@ -167,6 +167,63 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One event for recent-history tracking (input of [[recentKTws]]). */
+  case class RecentEvent(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** A user's bounded recent history: the `k` latest events by
+   * (ts_us, event_id), newest first, plus the lifetime arrival count. */
+  case class RecentK(user_id: Long, n_seen: Long, recent: Seq[RecentEvent])
+
+  /** Bounded recent-history view on `transformWithState`'s ListState — the
+   * "last k interactions per user" feature store every personalization /
+   * session-context pipeline maintains. State per user is AT MOST k list
+   * entries (the store sees k-element rewrites, never the event firehose)
+   * plus one ValueState counter; unlike a window over the raw stream,
+   * nothing downstream ever holds a user's full history.
+   *
+   * Emission (update mode): every touched user re-emits its current top-k
+   * and lifetime count; `n_seen` grows monotonically, so the per-user
+   * argmax is batching-independent — and because the top-k by
+   * (ts_us, event_id) is ORDER-INSENSITIVE over the union of arrivals,
+   * the final list equals the batch window ranking (the q144 oracle).
+   */
+  class RecentKTwsProcessor(k: Int)
+      extends StatefulProcessor[Long, RecentEvent, RecentK] {
+
+    @transient private var recent: ListState[RecentEvent] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[RecentEvent](
+        "recent", Encoders.product[RecentEvent], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[RecentEvent],
+        timerValues: TimerValues): Iterator[RecentK] = {
+      val arrivals = rows.toArray
+      val merged = (recent.get().toArray ++ arrivals)
+        .sortBy(e => (-e.ts_us, -e.event_id))
+        .take(k)
+      recent.put(merged)
+      val n = Option(seen.get()).getOrElse(0L) + arrivals.length
+      seen.update(n)
+      Iterator.single(RecentK(userId, n, merged.toSeq))
+    }
+  }
+
+  /** Last-`k`-events-per-user view, continuously maintained (ListState).
+   * See [[RecentKTwsProcessor]]. */
+  def recentKTws(spark: SparkSession, events: Dataset[RecentEvent],
+      k: Int): Dataset[RecentK] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentKTwsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Runs `body` with the RocksDB state store provider set (required by
    * `transformWithState`), restoring the previous provider after. */
   def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {

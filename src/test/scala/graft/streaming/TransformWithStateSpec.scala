@@ -84,6 +84,36 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(finals(2L) === ((1L, 1L)))
   }
 
+  test("ListState recent-k keeps the latest k by (ts, id) across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TransformWithStateOps.RecentEvent
+
+    val input = MemoryStream[RecentEvent]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.recentKTws(spark, input.toDS(), k = 2)
+        .toDF().writeStream.format("memory").queryName("tws_recent")
+        .outputMode("update").start())
+
+    input.addData(RecentEvent(1L, 100L, 10L), RecentEvent(1L, 300L, 30L))
+    query.processAllAvailable()
+    // Batch 2: one NEWER and one OLDER event — the older one must not
+    // enter the top-2; a same-ts tie resolves by larger event_id.
+    input.addData(RecentEvent(1L, 400L, 40L), RecentEvent(1L, 50L, 5L),
+      RecentEvent(1L, 400L, 41L))
+    query.processAllAvailable()
+    query.stop()
+
+    val last = spark.table("tws_recent")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("recent"))).as("m"))
+      .select(col("user_id"), col("m.n_seen"), col("m.recent"))
+      .head()
+    assert(last.getLong(1) === 5L)
+    val ids = last.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(2))
+    assert(ids === Seq(41L, 40L))
+  }
+
   test("event-time timer retires idle sessions (final re-emission, state cleared)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
