@@ -370,6 +370,31 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("hashed-TF vectors shuffle integer coordinates only, never text") {
+    val p = plan(PipelineQueries.queries("q142_hashed_tf_vectors")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("hard negatives broadcast the anchors and bound the exchange via topk partials") {
+    val p = plan(PipelineQueries.queries("q137_hard_negatives")(spark, sf))
+    // Anchors ride a broadcast (the corpus is never the build side) …
+    assert(p.contains("Broadcast"), "anchor side is not broadcast")
+    assert(!p.contains("CartesianProduct"), "unbroadcast cartesian in hard negatives")
+    // … and the per-anchor top-k aggregates PARTIALLY below the exchange:
+    // at most k structs per anchor per task cross the wire, never whole
+    // scored groups (the q4-window formulation would shuffle them all).
+    val hashExchange = p.indexOf("Exchange hashpartitioning(query_id")
+    val partial = p.indexOf("partial_topk_structs")
+    assert(hashExchange >= 0 && partial >= 0)
+    assert(partial > hashExchange,
+      "topk partial aggregation did not plan below the exchange")
+  }
+
   test("incremental dedup anti-joins fingerprints only — text never shuffles") {
     val p = plan(PipelineQueries.queries("q61_incremental_dedup")(spark, sf))
     assert(p.contains("LeftAnti"), "corpus dedup is not an anti-join")
