@@ -884,6 +884,27 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Sequence assembly: each session's events as ONE ordered trajectory
+    // row — the step that turns an event log into training examples
+    // (conversations, clickstreams) BEFORE packing bins them. Ordering is
+    // total ((ts, event_id) — deterministic under same-ts ties) and the
+    // assembly is a per-session sort_array over collected structs: groups
+    // are session-sized, so nothing beyond one session ever sits in one
+    // buffer, and the shuffle carries (type, ts, id) coordinates only.
+    "q145_session_sequences" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("et")))).as("evs"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          size(col("evs")).cast("long").as("n_events"),
+          array_join(transform(col("evs"), e => e.getField("et")), ">")
+            .as("sequence"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Skew-safe salted join: lineitem (probe) joins orders (build) with
     // the build side replicated over 8 salts — the plan for a hot join
     // key when the build side is too big to broadcast. The result multiset
@@ -1719,6 +1740,29 @@ object CoreQueries {
         |  FROM d)
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |  count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // q44's sessions + an ordered string_agg — the same total order
+    // ((ts, event_id)) the Spark sort_array uses.
+    "q145_session_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               >= INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*)::BIGINT AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
     "q22_retained_users" ->
