@@ -172,4 +172,40 @@ object Layout {
         min("qx").as("min_x"), max("qx").as("max_x"),
         min("qy").as("min_y"), max("qy").as("max_y"))
   }
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * `ceil(totalBytes / targetFileBytes)` files. Streaming sinks, CDC
+   * upserts, and per-partition task writes all accumulate kilobyte files;
+   * at scan time each costs a footer read + a task schedule, so a
+   * million-file table can spend longer planning than reading — periodic
+   * compaction is the standing maintenance job of every large lake.
+   *
+   * File count is sized from the SOURCE's actual on-disk bytes (listing
+   * only — no data read), so compression survives the rewrite estimate.
+   * The rewrite is one `coalesce` job: no shuffle at all — existing rows
+   * just concatenate into fewer, larger files (row order within the new
+   * files is whatever the scan yields; layout-sensitive tables should
+   * re-run [[repartitionByZOrder]]/[[repartitionByHilbert]] instead,
+   * which pay one range exchange to also restore clustering).
+   *
+   * Writes to `destDir` (refusing an in-place rewrite: reading and
+   * overwriting the same path in one job loses the data on failure —
+   * callers atomically swap directories after the job succeeds).
+   *
+   * @return the number of output files written
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      destDir: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    require(new java.io.File(srcDir).getCanonicalPath !=
+      new java.io.File(destDir).getCanonicalPath,
+      "in-place compaction is unsafe: write to a new directory and swap")
+    val src = spark.read.parquet(srcDir)
+    val totalBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((totalBytes + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes))
+      .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
+    src.coalesce(nFiles).write.mode("overwrite").parquet(destDir)
+    nFiles
+  }
 }

@@ -182,4 +182,30 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       assert(r.getLong(1) === 64L) // uniform occupancy
     }
   }
+
+  test("compact merges a many-file directory, preserves rows, refuses in-place") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    val dest = java.nio.file.Files.createTempDirectory("compact-dest").toString + "/out"
+    // 64 tiny files — the streaming-sink/CDC debris shape.
+    (1L to 4096L).map(i => (i, s"row-$i")).toDF("id", "payload")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) === 64)
+
+    val n = graft.sources.Layout.compact(spark, src, dest,
+      targetFileBytes = 1L << 20)
+    assert(parquetFiles(dest) === n)
+    assert(n < 64, s"compaction did not reduce file count: $n")
+    // Content survives exactly (same multiset of rows).
+    val before = spark.read.parquet(src).collect().map(_.toString).sorted
+    val after = spark.read.parquet(dest).collect().map(_.toString).sorted
+    assert(after === before)
+
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, src, src + "/../" +
+        new java.io.File(src).getName)
+    }
+  }
 }
