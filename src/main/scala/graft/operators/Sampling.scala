@@ -291,4 +291,35 @@ object Sampling {
       when(h < lit(threshold(cum, den)), label).otherwise(elseCol)
     }
   }
+
+  /**
+   * EXACTLY-n-per-key deterministic sample: for every key, the `n` rows
+   * with the smallest `md5(seed:id)` values — balanced subset construction
+   * (n eval docs per source, n examples per class), where the fractional
+   * samplers above cannot promise per-key counts. Deterministic and
+   * engine-reproducible like everything in this file; a fresh `seed`
+   * draws an independent balanced sample; keys with fewer than `n` rows
+   * keep all of them.
+   *
+   * Scale shape: one map-side projection to (key, (u, id)) coordinates,
+   * then the bounded [[TopK.topKStructs]] aggregate — each task forwards
+   * AT MOST n structs per key into the exchange (a window formulation
+   * would shuffle and sort every row of every key).
+   *
+   * @return (key, rank, id) with rank in [1, n] in hash order — rank is
+   *         itself reproducible, so rank ≤ m is the same sample for any
+   *         m ≤ n (nested, like the fractional samplers)
+   */
+  def samplePerKey(df: DataFrame, keyCol: Column, idCol: Column,
+      n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = shiftrightunsigned(
+      md5Hash64(concat_ws(":", lit(seed), idCol.cast("string"))), 1)
+    df.select(keyCol.as("key"),
+        struct(u.as("u"), idCol.as("id")).as("sn"))
+      .groupBy("key")
+      .agg(sort_array(TopK.topKStructs(col("sn"), n)).as("tk"))
+      .select(col("key"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("key"), (col("pos") + 1).as("rank"), col("t.id").as("id"))
+  }
 }

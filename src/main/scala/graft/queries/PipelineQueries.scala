@@ -1364,6 +1364,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Balanced per-source sample: exactly 5 docs per source in md5(11:id)
+    // order — the per-key-count guarantee fractional sampling can't make,
+    // through the bounded topk aggregate (≤5 structs per source per task
+    // cross the exchange; a window would shuffle the whole corpus).
+    "q146_sample_per_key" -> ((s, dir) => {
+      graft.operators.Sampling.samplePerKey(
+        Tables.documents(s, dir), col("source"), col("doc_id"), n = 5, seed = 11L)
+        .withColumnRenamed("key", "source")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("source", "rank")
+    }),
+
     // Feature-hashed doc vectors (the hashing trick): fixed-dim signed
     // token-count coordinates from md5 hashes alone — the vocabulary-free
     // cheap embedding a pipeline uses before a learned encoder exists.
@@ -2853,6 +2865,14 @@ object PipelineQueries {
     // The full 5-round power iteration restated as generated CTEs — same
     // graph, same e12 integer arithmetic, value-exact.
     "q138_pagerank_bipartite" -> pagerankSql(5),
+    // The same md5('11:'||id) order, ranked per source, top 5.
+    "q146_sample_per_key" ->
+      """SELECT source, rank::INT AS rank, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY (('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+        |              >> 1) ASC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // The same md5-64 top-63 value, bucket = u % 32, sign = bit 32,
     // signed sums with exact-zero buckets dropped.
     "q142_hashed_tf_vectors" ->

@@ -226,4 +226,22 @@ class SamplingSpec extends AnyFunSuite {
         Seq("k0" -> 1L, "k0" -> 2L), seed = 9L)
     }
   }
+
+  test("samplePerKey returns exactly n per key (all rows for short keys), nested across n") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => ("big", i)) ++
+      (101L to 103L).map(i => ("small", i))).toDF("src", "id")
+    val s5 = Sampling.samplePerKey(df, col("src"), col("id"), n = 5, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(s5.count(_._1 == "big") === 5)
+    assert(s5.filter(_._1 == "small").map(_._3).toSet === Set(101L, 102L, 103L))
+    // Nested: the n=3 sample is exactly ranks 1..3 of the n=5 sample.
+    val s3 = Sampling.samplePerKey(df, col("src"), col("id"), n = 3, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s3 === s5.filter(_._2 <= 3).toSet)
+    // A different seed draws a different balanced subset of the big key.
+    val other = Sampling.samplePerKey(df, col("src"), col("id"), n = 5, seed = 4L)
+      .collect().filter(_.getString(0) == "big").map(_.getLong(2)).toSet
+    assert(other !== s5.filter(_._1 == "big").map(_._3).toSet)
+  }
 }
