@@ -224,6 +224,35 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One micro-batch's operational metrics (see [[progressReport]]). */
+  case class BatchProgress(
+      batch_id: Long,
+      num_input_rows: Long,
+      state_rows: Long,
+      state_memory_bytes: Long,
+      watermark: String)
+
+  /** The per-batch operational metrics of a drained streaming query —
+   * the numbers an operator actually watches on a long-running job:
+   * input volume, STATE SIZE (rows + bytes; the quantity every scaladoc
+   * bound in this package is about), and watermark progress. Pulled from
+   * `recentProgress`, so it works on any sink and any state backend.
+   * Bounded: one row per retained micro-batch (conf
+   * `spark.sql.streaming.numRecentProgressUpdates`, default 100). */
+  def progressReport(spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Dataset[BatchProgress] = {
+    import spark.implicits._
+    query.recentProgress.toSeq.map { p =>
+      val states = Option(p.stateOperators).getOrElse(Array.empty)
+      BatchProgress(
+        p.batchId,
+        p.numInputRows,
+        states.map(_.numRowsTotal).sum,
+        states.map(_.memoryUsedBytes).sum,
+        Option(p.eventTime).flatMap(m => Option(m.get("watermark"))).orNull)
+    }.toDS()
+  }
+
   /** Runs `body` with the RocksDB state store provider set (required by
    * `transformWithState`), restoring the previous provider after. */
   def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {

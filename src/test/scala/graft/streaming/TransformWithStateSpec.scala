@@ -114,6 +114,31 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(ids === Seq(41L, 40L))
   }
 
+  test("progressReport surfaces per-batch input volume, state size, and watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val agg = StreamingOps.windowedUserCounts(input.toDF(), "1 hour", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("prog_mem")
+      .outputMode("update").start()
+    input.addData(UserEvent(1L, ts(10, 0)), UserEvent(2L, ts(10, 30)))
+    query.processAllAvailable()
+    input.addData(UserEvent(3L, ts(11, 0)))
+    query.processAllAvailable()
+    val report = TransformWithStateOps.progressReport(spark, query)
+      .collect().sortBy(_.batch_id)
+    query.stop()
+
+    val withData = report.filter(_.num_input_rows > 0)
+    assert(withData.map(_.num_input_rows).sum === 3L)
+    // The windowed aggregation holds state: visible rows and bytes.
+    assert(withData.last.state_rows > 0L)
+    assert(withData.last.state_memory_bytes > 0L)
+    // The watermark advanced off the epoch once batch 1's max ts was seen.
+    assert(report.exists(p => p.watermark != null && p.watermark.startsWith("2026-")))
+  }
+
   test("event-time timer retires idle sessions (final re-emission, state cleared)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
