@@ -680,6 +680,49 @@ object CoreQueries {
         .orderBy("user_id", "rank")
     }),
 
+    // transformWithState WARM-START: q113's CDC view with two thirds of
+    // the changeset pre-applied as a batch snapshot loaded through
+    // handleInitialState, and the rest streamed under the same
+    // strictly-newer rule. The warm-started view must equal the batch
+    // latest-wins over the FULL changeset — state migration onto the new
+    // API is invisible in the values.
+    "q147_tws_cdc_warmstart" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      def changesOf(df: DataFrame) = df.select(
+        when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("k"),
+        // batch orders reads o_orderdate as NTZ; cast is micros-exact
+        // under the suite-wide UTC session (same rule as Tables.events)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("seq_us"),
+        col("o_orderkey").as("seq_id"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("acct_cents"),
+        col("o_orderpriority").as("segment"))
+      def argmaxState(df: DataFrame) = df
+        .select(col("k"), struct(col("seq_us"), col("seq_id"),
+          col("deleted"), col("acct_cents"), col("segment")).as("st"))
+        .groupBy("k").agg(max(col("st")).as("m"))
+        .select(col("k"), col("m.seq_us").as("seq_us"),
+          col("m.seq_id").as("seq_id"), col("m.deleted").as("deleted"),
+          col("m.acct_cents").as("acct_cents"), col("m.segment").as("segment"))
+      val snapshot = argmaxState(
+        changesOf(Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0))
+          .withColumn("deleted", col("op") === "D"))
+        .as[graft.streaming.CdcState]
+      val streamed = changesOf(
+        Tables.ordersStream(s, dir).filter(col("o_orderkey") % 3 =!= 0))
+        .as[graft.streaming.CdcChange]
+      val st = graft.streaming.TransformWithStateOps.cdcCurrentStateTws(s, streamed, snapshot)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          st.toDF().writeStream.format("memory").queryName("q147_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      argmaxState(s.table("q147_mem").unionByName(snapshot.toDF()))
+        .orderBy("k")
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
     // semantics class: matches emit like q89, and a signup with NO
     // purchase inside its day window null-pads ONLY once the watermark
@@ -1604,6 +1647,22 @@ object CoreQueries {
         |  epoch_us(max(ts)::TIMESTAMP) AS last_us,
         |  count(*)::BIGINT AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same truth as q113: warm-started state + streamed remainder must
+    // equal the batch latest-wins over the full changeset.
+    "q147_tws_cdc_warmstart" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS k,
+        |    epoch_us(o_orderdate) AS seq_us, o_orderkey AS seq_id,
+        |    o_orderstatus = 'F' AS deleted,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS acct_cents,
+        |    o_orderpriority AS segment
+        |  FROM orders)
+        |SELECT k, seq_us, seq_id, deleted, acct_cents, segment FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY k ORDER BY seq_us DESC, seq_id DESC) AS rn
+        |  FROM ch) WHERE rn = 1
+        |ORDER BY k""".stripMargin,
     // The ListState view's truth: the batch recency ranking, top 3.
     "q144_tws_recent_k" ->
       """SELECT user_id, rank::INT AS rank, event_id FROM (

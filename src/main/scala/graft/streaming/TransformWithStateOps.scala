@@ -224,6 +224,62 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** CDC latest-wins state on `transformWithState`, WARM-STARTED from a
+   * batch snapshot — the state-migration path a deployment takes when
+   * moving an existing continuously-maintained view onto this API: the
+   * accumulated state loads through `handleInitialState` (once per key,
+   * before any stream data), and the stream then applies the same
+   * strictly-newer `(seq_us, seq_id)` replacement rule as
+   * [[StreamingOps.cdcCurrentState]] — so a late stream change older than
+   * the snapshot can never regress the view, and the warm-started query
+   * is indistinguishable from one that had processed the history itself
+   * (q147's oracle: the batch latest-wins over the FULL changeset).
+   *
+   * Emission: update-mode snapshots for stream-touched keys only —
+   * initial-state loading emits nothing (the snapshot is already
+   * materialized wherever it came from); the continuous view is
+   * emissions ∪ untouched snapshot rows.
+   */
+  class CdcTwsProcessor
+      extends StatefulProcessorWithInitialState[Long, CdcChange, CdcState, CdcState] {
+
+    @transient private var current: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      current = getHandle.getValueState[CdcState](
+        "current", Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: CdcState,
+        timerValues: TimerValues): Unit =
+      current.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcChange],
+        timerValues: TimerValues): Iterator[CdcState] = {
+      var st = current.get() // null when the key is new to snapshot+stream
+      rows.foreach { c =>
+        val newer = st == null || c.seq_us > st.seq_us ||
+          (c.seq_us == st.seq_us && c.seq_id > st.seq_id)
+        if (newer)
+          st = CdcState(key, c.seq_us, c.seq_id, c.op == "D",
+            c.acct_cents, c.segment)
+      }
+      current.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  /** [[StreamingOps.cdcCurrentState]] on `transformWithState`, seeded with
+   * `snapshot` (one [[CdcState]] row per key) before the first batch. */
+  def cdcCurrentStateTws(spark: SparkSession, changes: Dataset[CdcChange],
+      snapshot: Dataset[CdcState]): Dataset[CdcState] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.k)
+      .transformWithState(new CdcTwsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.k))
+  }
+
   /** One micro-batch's operational metrics (see [[progressReport]]). */
   case class BatchProgress(
       batch_id: Long,

@@ -114,6 +114,49 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(ids === Seq(41L, 40L))
   }
 
+  test("warm-started CDC state: stale stream changes never regress the snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val snapshot = Seq(
+      CdcState(1L, 1000L, 5L, false, 100L, "A"), // will be updated by a newer change
+      CdcState(2L, 2000L, 9L, false, 200L, "B")  // untouched by the stream
+    ).toDS()
+    val input = MemoryStream[CdcChange]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.cdcCurrentStateTws(spark, input.toDS(), snapshot)
+        .toDF().writeStream.format("memory").queryName("tws_warm")
+        .outputMode("update").start())
+
+    // A STALE change for key 1 (older than the snapshot) then a newer one;
+    // key 3 is brand new (no snapshot row).
+    input.addData(CdcChange(1L, 900L, 4L, "U", 111L, "X"))
+    query.processAllAvailable()
+    input.addData(CdcChange(1L, 1500L, 6L, "U", 150L, "C"),
+      CdcChange(3L, 100L, 1L, "U", 300L, "N"))
+    query.processAllAvailable()
+    query.stop()
+
+    val byKey = spark.table("tws_warm")
+      .groupBy("k")
+      .agg(max(struct(col("seq_us"), col("seq_id"), col("deleted"),
+        col("acct_cents"), col("segment"))).as("m"))
+      .select(col("k"), col("m.seq_us"), col("m.acct_cents"), col("m.segment"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // Key 1: the stale 900-change lost to the 1000-snapshot, then 1500 won.
+    assert(byKey(1L) === ((1500L, 150L, "C")))
+    // Key 3: fresh key starts from the stream alone.
+    assert(byKey(3L) === ((100L, 300L, "N")))
+    // Key 2 was never touched by the stream → never emitted (the snapshot
+    // row itself remains the current view).
+    assert(!byKey.contains(2L))
+    // And the stale batch-1 emission for key 1 carried the SNAPSHOT values
+    // (proof the initial state was loaded before the first input row).
+    val firstEmit = spark.table("tws_warm").filter(col("k") === 1L)
+      .orderBy("seq_us").head()
+    assert(firstEmit.getLong(1) === 1000L && firstEmit.getLong(4) === 100L)
+  }
+
   test("progressReport surfaces per-batch input volume, state size, and watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
