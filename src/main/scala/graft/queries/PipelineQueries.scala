@@ -921,6 +921,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Contrastive TRIPLET assembly: per anchor, the nearest same-label
+    // pseudo-positive joined with its top-2 hard negatives — the
+    // (anchor, positive, negative) rows an embedding trainer consumes.
+    "q148_contrastive_triplets" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 10)
+      val pos = Similarity.labelPositives(anchors, emb, k = 1)
+        .select(col("query_id"), col("neighbor_id").as("positive_id"))
+      val neg = Similarity.hardNegatives(anchors, emb, k = 2)
+        .select(col("query_id"), col("rank").as("neg_rank"),
+          col("neighbor_id").as("negative_id"))
+      pos.join(neg, "query_id").orderBy("query_id", "neg_rank")
+    }),
+
     // ANN evaluation tooling: per-query recall of the IVF path against the
     // exact baseline — the "is my index good enough" diagnostic, composed
     // from the two verified operators. hits/k per query; a left join keeps
@@ -2650,6 +2664,29 @@ object PipelineQueries {
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
     "q17_ann_topk" -> annExactSql,
+    // Nearest same-label (self excluded) at rank 1 joined with the q137
+    // ranking's top 2 — the identical two constrained rankings.
+    "q148_contrastive_triplets" ->
+      """WITH pos AS (
+        |  SELECT query_id, neighbor_id AS positive_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.label = c.label AND q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 10) WHERE rn = 1),
+        |neg AS (
+        |  SELECT query_id, rank, neighbor_id AS negative_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |                 c.vec_id ASC) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |    WHERE q.vec_id < 10) WHERE rank <= 2)
+        |SELECT p.query_id, p.positive_id, n.rank::INT AS neg_rank, n.negative_id
+        |FROM pos p JOIN neg n USING (query_id)
+        |ORDER BY query_id, neg_rank""".stripMargin,
     // q17's exact ranking with the per-anchor different-label constraint.
     "q137_hard_negatives" ->
       """SELECT query_id, rank::INT AS rank, neighbor_id FROM (

@@ -153,13 +153,33 @@ object Similarity {
    */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label"): DataFrame =
+    labelConstrainedTopK(anchors, corpus, k, sameLabel = false,
+      idCol, vecCol, labelCol)
+
+  /** [[hardNegatives]]'s positive sibling: the k most-similar SAME-label
+   * neighbors (self excluded) per anchor — the pseudo-positive mining
+   * half of contrastive pair assembly (triplets = this at k=1 joined
+   * with [[hardNegatives]], see q148). Same plan. */
+  def labelPositives(anchors: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    labelConstrainedTopK(anchors, corpus, k, sameLabel = true,
+      idCol, vecCol, labelCol)
+
+  private def labelConstrainedTopK(anchors: DataFrame, corpus: DataFrame,
+      k: Int, sameLabel: Boolean, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
     val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col(labelCol).as("q_label"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col(labelCol).as("c_label"))
+    val constraint =
+      if (sameLabel) col("c_label") === col("q_label") &&
+        col("neighbor_id") =!= col("query_id")
+      else col("c_label") =!= col("q_label")
     c.crossJoin(broadcast(a))
-      .filter(col("c_label") =!= col("q_label"))
+      .filter(constraint)
       .select(col("query_id"), struct(
         (-cosine(col("q_vec"), col("c_vec"))).as("nscore"),
         col("neighbor_id").as("nid")).as("sn"))
