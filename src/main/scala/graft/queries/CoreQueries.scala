@@ -175,6 +175,29 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // Calendar gap filling: the (day × type) scaffold with explicit zero
+    // rows for silent days — the prerequisite for honest day-over-day
+    // drift (a MISSING day otherwise silently shifts every lag window to
+    // compare non-adjacent days). The spine is generated from the data's
+    // own bounds (sequence + explode — rows are never collected), and the
+    // scaffold sides are |days| and |types| rows: both broadcastable at
+    // any corpus scale, with the fact join left-keyed on the scaffold.
+    "q149_gap_filled_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+      val spine = ev.agg(to_date(min(col("ts"))).as("lo"),
+          to_date(max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
     // Kolmogorov–Smirnov drift, day over day: the sup-norm CDF gap between
     // consecutive days' event-value distributions — q132's TVD sibling for
     // SHIFT detection (TVD reads mass moved anywhere; KS reads ordered
@@ -1373,6 +1396,24 @@ object CoreQueries {
         |SELECT day, (num * 1000000) // (2 * na * nb) AS tvd_e6,
         |  na AS n_day, nb AS n_next
         |FROM d ORDER BY day""".stripMargin,
+    // The same data-bounded spine via generate_series.
+    "q149_gap_filled_daily" ->
+      """WITH b AS (
+        |  SELECT min(date_trunc('day', ts))::DATE AS lo,
+        |    max(date_trunc('day', ts))::DATE AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |    INTERVAL 1 DAY))::DATE AS day FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |d AS (
+        |  SELECT date_trunc('day', ts)::DATE AS day, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.day, t.event_type, coalesce(d.n, 0)::BIGINT AS n
+        |FROM spine s CROSS JOIN t
+        |LEFT JOIN d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY s.day, t.event_type""".stripMargin,
     // Same alignment as q132's oracle plus the running-CDF window; the
     // sup-norm in the identical cross-multiplied integers.
     "q143_ks_drift" ->
