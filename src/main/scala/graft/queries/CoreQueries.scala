@@ -913,6 +913,24 @@ object CoreQueries {
         .orderBy("user_id", "day")
     }),
 
+    // q62's running cumulative-distinct window on the THETA family — the
+    // second sketch family through the window seam, and the second
+    // pattern FuseWindowSketchEval rewrites (theta's per-row eval also
+    // pays a compact-ordering sort without the fusion). Exact mode (5
+    // types << 2^12 nominal entries), so the oracle is value-exact.
+    "q150_window_theta" -> ((s, dir) => {
+      import graft.theta.functions._
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          window(col("ts"), "1 day").getField("start").cast("date").as("day"))
+        .agg(theta_init_agg(col("event_type")).as("types_theta"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+        theta_estimate(theta_union(col("types_theta")).over(w)).as("cum_types"))
+        .orderBy("user_id", "day")
+    }),
+
     // Funnel analysis: users whose FIRST signup precedes their first click
     // precedes their first purchase. One shuffle to user_id with map-side
     // partial mins (conditional aggregation — no self-joins, no window);
@@ -1780,6 +1798,18 @@ object CoreQueries {
     // Windowed COUNT(DISTINCT) re-derived join-style: a type is in the
     // user's cumulative set on day d iff its first-seen day <= d.
     "q62_window_sketch" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(CAST(date_trunc('day', ts) AS DATE)) AS fday
+        |  FROM events GROUP BY 1, 2
+        |),
+        |days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        |)
+        |SELECT d.user_id, d.day, count(*)::BIGINT AS cum_types
+        |FROM days d JOIN f ON d.user_id = f.user_id AND f.fday <= d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q62's truth on the theta family (exact at this universe).
+    "q150_window_theta" ->
       """WITH f AS (
         |  SELECT user_id, event_type, min(CAST(date_trunc('day', ts) AS DATE)) AS fday
         |  FROM events GROUP BY 1, 2

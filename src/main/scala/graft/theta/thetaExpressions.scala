@@ -136,6 +136,52 @@ case class ThetaUnionAgg(
     copy(child = newChild)
 }
 
+/** Fused `theta_estimate(theta_union(...))`: identical union state to
+ * [[ThetaUnionAgg]], but eval estimates off the live union instead of
+ * compacting to ordered bytes that `theta_estimate` immediately re-wraps.
+ * Same running-window motivation as the HLL fusion (see
+ * `graft.hll.FuseWindowSketchEval`, which introduces this when the plan
+ * proves the sketch bytes are never observed): compaction sorts and
+ * copies the retained-hash array at EVERY row of an expanding frame. The
+ * estimate is identical — it depends only on the retained hashes and
+ * theta, not on compact ordering. Not exposed as a user function. */
+case class ThetaUnionCountAgg(
+    child: Expression,
+    lgK: Int = ThetaDefaults.LgK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends ThetaAgg {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => checkLgK()
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName only supports binary input")
+  }
+
+  override def update(buffer: Option[Union], input: InternalRow): Option[Union] =
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        val u = buffer.getOrElse(newUnion)
+        u.union(Memory.wrap(bytes))
+        Some(u)
+      case other =>
+        throw new IllegalStateException(s"$prettyName only supports Array[Byte], got $other")
+    }
+
+  override def eval(buffer: Option[Union]): Any =
+    buffer.map(u => Long.box(Math.round(u.getResult(false, null).getEstimate))).orNull
+
+  override def prettyName: String = "theta_union_count"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 private[theta] object ThetaEval {
   def sketch(bytes: Any): CompactSketch =
     Sketches.wrapCompactSketch(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))

@@ -78,6 +78,33 @@ class FusionSpec extends AnyFunSuite {
     assert(row.getAs[Long]("cum") === 1L)
   }
 
+  test("theta_estimate over a windowed theta_union fuses with identical values") {
+    import spark.implicits._
+    import graft.theta.functions._
+    val df = Seq[(Long, Int, java.lang.Long)](
+      (1L, 1, 1L), (1L, 1, 2L), (1L, 2, 3L), (2L, 1, null))
+      .toDF("user", "day", "v")
+      .groupBy("user", "day").agg(theta_init_agg(col("v")).as("h"))
+    val w = Window.partitionBy("user").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def query() = df.select(col("user"), col("day"),
+      theta_estimate(theta_union(col("h")).over(w)).as("cum"))
+
+    val fused = query()
+    val planStr = fused.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("theta_union_count"), s"no theta fusion in:\n$planStr")
+    val expected = {
+      spark.conf.set("spark.graft.fuse.windowSketchEval", "false")
+      try query().collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      finally spark.conf.unset("spark.graft.fuse.windowSketchEval")
+    }
+    val got = fused.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got === Set((1L, 1, 2L), (1L, 2, 3L), (2L, 1, null)))
+  }
+
   test("SQL-surface windows fuse too (extensions rule, not a DSL special case)") {
     import spark.implicits._
     Seq((1L, 1, 5L), (1L, 2, 6L)).toDF("user", "day", "v")
