@@ -1378,6 +1378,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Data-quality gate: the batch-admission constraint report, one
+    // aggregation pass for all checks (row count bounds, zero nulls, key
+    // uniqueness, a deliberately tight length ceiling so the report
+    // carries both outcomes). Guard.observedRun is the zero-extra-scan
+    // production variant of the same checks (spec-pinned).
+    "q151_quality_gate" -> ((s, dir) => {
+      import graft.operators.Guard
+      Guard.audit(Tables.documents(s, dir), Seq(
+        Guard.Check("n_rows", count(lit(1)), lo = 1L, hi = 1000000000L),
+        Guard.Check("null_text",
+          sum(when(col("text").isNull, 1L).otherwise(0L)), lo = 0L, hi = 0L),
+        Guard.Check("dup_ids",
+          count(lit(1)) - countDistinct(col("doc_id")), lo = 0L, hi = 0L),
+        Guard.Check("max_chars", max(col("n_chars")), lo = 0L, hi = 100L)))
+        .orderBy("check")
+    }),
+
     // Balanced per-source sample: exactly 5 docs per source in md5(11:id)
     // order — the per-key-count guarantee fractional sampling can't make,
     // through the bounded topk aggregate (≤5 structs per source per task
@@ -2902,6 +2919,23 @@ object PipelineQueries {
     // The full 5-round power iteration restated as generated CTEs — same
     // graph, same e12 integer arithmetic, value-exact.
     "q138_pagerank_bipartite" -> pagerankSql(5),
+    // The same four integer metrics and closed bounds, restated.
+    "q151_quality_gate" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+        |    (count(*) - count(DISTINCT doc_id))::BIGINT AS dup_ids,
+        |    max(n_chars)::BIGINT AS max_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'n_rows' AS "check", n_rows AS value,
+        |    1::BIGINT AS lo, 1000000000::BIGINT AS hi FROM m
+        |  UNION ALL SELECT 'null_text', null_text, 0, 0 FROM m
+        |  UNION ALL SELECT 'dup_ids', dup_ids, 0, 0 FROM m
+        |  UNION ALL SELECT 'max_chars', max_chars, 0, 100 FROM m)
+        |SELECT "check", value, lo, hi,
+        |  value >= lo AND value <= hi AS pass
+        |FROM r ORDER BY "check" """.stripMargin,
     // The same md5('11:'||id) order, ranked per source, top 5.
     "q146_sample_per_key" ->
       """SELECT source, rank::INT AS rank, doc_id FROM (
