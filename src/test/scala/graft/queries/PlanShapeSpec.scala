@@ -395,6 +395,19 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       "topk partial aggregation did not plan below the exchange")
   }
 
+  test("balanced per-key sampling aggregates topk partials below the exchange, text never shuffles") {
+    val p = plan(PipelineQueries.queries("q146_sample_per_key")(spark, sf))
+    val hashExchange = p.indexOf("Exchange hashpartitioning(key")
+    val partial = p.indexOf("partial_topk_structs")
+    assert(hashExchange >= 0 && partial >= 0)
+    assert(partial > hashExchange,
+      "per-key sample's topk partial did not plan below the exchange")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("incremental dedup anti-joins fingerprints only — text never shuffles") {
     val p = plan(PipelineQueries.queries("q61_incremental_dedup")(spark, sf))
     assert(p.contains("LeftAnti"), "corpus dedup is not an anti-join")
