@@ -746,6 +746,27 @@ object CoreQueries {
         .orderBy("k")
     }),
 
+    // ABSENCE detection: users silent ≥ 6 hours at the final watermark —
+    // the alert only event-time timers can produce (no input row exists
+    // to trigger it). Single-batch drain makes the batch restatement
+    // exact: last event ≤ max(ts) − 2h (watermark) − 6h (silence).
+    "q152_tws_silence_alerts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val alerts = graft.streaming.TransformWithStateOps.silenceAlertsTws(s, ev)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          alerts.toDF().writeStream.format("memory").queryName("q152_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q152_mem")
+        .select(col("user_id"), unix_micros(col("last_ts")).as("last_us"))
+        .orderBy("user_id")
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
     // semantics class: matches emit like q89, and a signup with NO
     // purchase inside its day window null-pads ONLY once the watermark
@@ -1722,6 +1743,16 @@ object CoreQueries {
         |    PARTITION BY k ORDER BY seq_us DESC, seq_id DESC) AS rn
         |  FROM ch) WHERE rn = 1
         |ORDER BY k""".stripMargin,
+    // Users whose last event precedes the final watermark (max ts − 2h)
+    // by at least the 6h silence horizon.
+    "q152_tws_silence_alerts" ->
+      """WITH m AS (SELECT max(ts)::TIMESTAMP AS mx FROM events)
+        |SELECT user_id, epoch_us(max(ts)::TIMESTAMP) AS last_us
+        |FROM events, m
+        |GROUP BY user_id, mx
+        |HAVING max(ts)::TIMESTAMP + INTERVAL 6 HOUR
+        |  <= mx - INTERVAL 2 HOUR
+        |ORDER BY user_id""".stripMargin,
     // The ListState view's truth: the batch recency ranking, top 3.
     "q144_tws_recent_k" ->
       """SELECT user_id, rank::INT AS rank, event_id FROM (

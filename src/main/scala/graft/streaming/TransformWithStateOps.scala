@@ -280,6 +280,77 @@ object TransformWithStateOps {
         snapshot.groupByKey(_.k))
   }
 
+  /** Silence alert: `user_id` has produced nothing for the configured
+   * horizon past `last_ts` (emitted by [[silenceAlertsTws]]). */
+  case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp)
+
+  /** ABSENCE detection — the streaming semantic only event-time timers
+   * can express: an alert must fire precisely when NO data arrives, so no
+   * input-driven operator (window, join, aggregation) can produce it. Per
+   * user: ValueState holds the latest event time, one live timer sits at
+   * `last + silence`; when the watermark passes it with no newer event,
+   * the alert emits and the state clears (a returning user later starts
+   * a fresh cycle — heartbeat/liveness monitoring over millions of keys
+   * with one row + one timer each).
+   *
+   * Mid-stream silences alert too (by design — that is the production
+   * point); under a single-batch drain (one file, AvailableNow) only
+   * final silences can fire, which is what makes q152's batch oracle
+   * exact: users whose last event precedes the final watermark by ≥ the
+   * silence horizon.
+   */
+  class SilenceTwsProcessor(silenceMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SilenceAlert] {
+
+    @transient private var last: ValueState[SilenceAlert] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[SilenceAlert](
+        "last", Encoders.product[SilenceAlert], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SilenceAlert] = {
+      var latest = Option(last.get()).map(_.last_ts).orNull
+      rows.foreach { e =>
+        if (latest == null || e.ts.after(latest)) latest = e.ts
+      }
+      last.update(SilenceAlert(userId, latest))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(latest.getTime + silenceMs,
+        timerValues.getCurrentWatermarkInMs + 1L))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SilenceAlert] = {
+      val st = last.get()
+      if (st == null) Iterator.empty
+      else if (timerValues.getCurrentWatermarkInMs >= st.last_ts.getTime + silenceMs) {
+        last.clear()
+        Iterator.single(st)
+      } else {
+        getHandle.registerTimer(math.max(st.last_ts.getTime + silenceMs,
+          timerValues.getCurrentWatermarkInMs + 1L))
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Per-user silence alerts (see [[SilenceTwsProcessor]]). */
+  def silenceAlertsTws(spark: SparkSession, events: Dataset[UserEvent],
+      silence: String = "6 hours", watermark: String = "2 hours"): Dataset[SilenceAlert] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(silence))
+    val silenceMs =
+      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SilenceTwsProcessor(silenceMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One micro-batch's operational metrics (see [[progressReport]]). */
   case class BatchProgress(
       batch_id: Long,

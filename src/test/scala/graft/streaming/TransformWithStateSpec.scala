@@ -157,6 +157,40 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(firstEmit.getLong(1) === 1000L && firstEmit.getLong(4) === 100L)
   }
 
+  test("silence alerts fire for quiet users only, once, and re-arm on return") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+      TransformWithStateOps.silenceAlertsTws(spark, input.toDS(),
+        silence = "1 hour", watermark = "0 seconds")
+        .toDF().writeStream.format("memory").queryName("tws_silence")
+        .outputMode("update").start())
+
+    input.addData(UserEvent(1L, ts(10, 0)), UserEvent(2L, ts(10, 0)))
+    query.processAllAvailable()
+    // User 2 stays active; watermark moves to 12:00 — user 1 crossed the
+    // 1-hour horizon (11:00) and must alert; user 2 (timer 13:00) must not.
+    input.addData(UserEvent(2L, ts(12, 0)))
+    query.processAllAvailable()
+    val afterFirst = spark.table("tws_silence")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(afterFirst === Seq((1L, ts(10, 0))))
+
+    // User 1 returns, then goes quiet again past the horizon: a SECOND
+    // alert with the new last_ts — the state cleared and re-armed.
+    input.addData(UserEvent(1L, ts(12, 30)))
+    query.processAllAvailable()
+    input.addData(UserEvent(2L, ts(15, 0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val all = spark.table("tws_silence")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._2.getTime)
+    assert(all === Seq((1L, ts(10, 0)), (1L, ts(12, 30))))
+  }
+
   test("progressReport surfaces per-batch input volume, state size, and watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
