@@ -322,4 +322,45 @@ object Sampling {
       .select(col("key"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("key"), (col("pos") + 1).as("rank"), col("t.id").as("id"))
   }
+
+  /**
+   * WEIGHTED sampling without replacement, deterministic: each row gets
+   * `weightCol` integer tickets (0 tickets → never sampled), every ticket
+   * draws a uniform `md5(seed:id:i)` value, and the row's priority is its
+   * SMALLEST ticket; the global sample is the `n` rows with the smallest
+   * priorities (ties by id). More tickets → stochastically smaller
+   * minimum → higher selection odds, monotonically in the weight — the
+   * integer-exact stand-in for Efraimidis–Sampaios exponential-key
+   * sampling, whose `u^(1/w)` keys cannot be reproduced bit-for-bit
+   * across engines (float pow), while this scheme is pure md5 + min and
+   * re-derivable anywhere (the oracle unrolls tickets with
+   * `generate_series`).
+   *
+   * Scale shape: the priority is computed MAP-SIDE inside one projection
+   * (a `transform`/`array_min` over a `sequence` of ticket indexes — no
+   * row explosion, no shuffle of tickets), and only (id, priority)
+   * coordinates enter the global top-n, which Spark executes as
+   * TakeOrderedAndProject: each task forwards at most `n` rows, the
+   * driver merges |tasks|·n — no global sort at any scale. `maxTickets`
+   * caps the per-row loop so a pathological weight can't stall a task;
+   * rows above the cap are clamped (and the clamp is part of the
+   * definition, so the oracle clamps identically).
+   *
+   * @return (id, weight, priority) for the n winners, priority ascending
+   */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      n: Int, seed: Long, maxTickets: Int = 64): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(maxTickets > 0, s"maxTickets must be positive, got $maxTickets")
+    val w = least(weightCol.cast("long"), lit(maxTickets.toLong))
+    // sequence(0, w-1) would COUNT DOWN for w=0 (step -1), so zero-weight
+    // rows are filtered before the ticket loop, not inside it.
+    val ticket = (i: Column) => shiftrightunsigned(
+      md5Hash64(concat_ws(":", lit(seed), idCol.cast("string"), i.cast("string"))), 1)
+    df.filter(w > 0)
+      .select(idCol.as("id"), w.as("weight"),
+        array_min(transform(sequence(lit(0L), w - 1L), ticket)).as("priority"))
+      .orderBy(col("priority"), col("id"))
+      .limit(n)
+  }
 }

@@ -767,6 +767,113 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // HOPPING (sliding) windows in append mode: 2-day windows advancing
+    // by 1 day, so every event belongs to exactly TWO windows — the
+    // overlap the tumbling family (q67/q73) never exercises. State holds
+    // size/slide = 2 open windows per slide instead of 1; the watermark
+    // closes a window when it passes the window's END, so with a 36-hour
+    // delay the final emitted set is every 2-day window ending at or
+    // before max(ts) − 36h — which the oracle re-derives by fanning each
+    // event into its two windows (start = its day and the day before).
+    // The 36h delay is again deliberately not a multiple of either the
+    // slide or the width, so closure never lands on a boundary.
+    "q153_streaming_hopping_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").as("win_start"), col("event_type"), col("n"))
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q153_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      s.table("q153_mem").orderBy("win_start", "event_type")
+    }),
+
+    // Rolling-MEDIAN anomaly detection: per (type, day) volume against
+    // the lower median of its trailing seven present days — the
+    // outlier-robust alarm (a mean-based band is dragged by the very
+    // spike it should flag; the median ignores it). All-integer: counts,
+    // an element_at pick from a sorted 7-element frame, one e6 ratio.
+    // Scale: the window runs over (type, day) COORDINATE rows — at most
+    // |types|×|days| — never over events; the frame holds ≤7 longs.
+    // Warm-up days (fewer than 4 trailing days) are excluded rather than
+    // compared against a 1–3 day "median".
+    "q156_rolling_median_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily
+        .select(col("event_type"), col("day"), col("n"),
+          sort_array(collect_list(col("n")).over(w)).as("trail"))
+        .filter(size(col("trail")) >= 4)
+        .select(col("event_type"), col("day"), col("n"),
+          expr("element_at(trail, cast((size(trail) + 1) div 2 as int))").as("med"))
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          expr("n * 1000000 div med").as("ratio_e6"))
+        .withColumn("alert",
+          col("ratio_e6") < 500000L || col("ratio_e6") > 2000000L)
+        .orderBy("event_type", "day")
+    }),
+
+    // STRICT sequential funnel with bounded step gaps: first signup, then
+    // the first view within 7 days AFTER it, then the first purchase
+    // within 7 days after THAT view — the order- and deadline-aware
+    // conversion q43's unordered first-occurrence triple cannot express
+    // (a user who viewed before signing up counts there, not here).
+    // Computed as a chain of conditional mins over ONE user partition:
+    // the three windows share the partitioning, so the plan pays a single
+    // exchange and no self-joins — at 100 TB the classic per-step join
+    // formulation shuffles the event log once per step.
+    "q157_multistep_funnel" -> ((s, dir) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view" && col("ts") > col("s_ts") &&
+            col("ts") <= col("s_ts") + expr("interval 7 days"), col("ts"))).over(wu))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("v_ts") &&
+            col("ts") <= col("v_ts") + expr("interval 7 days"), col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(first(col("s_ts")).as("s_ts"), first(col("v_ts")).as("v_ts"),
+          first(col("p_ts")).as("p_ts"))
+        .agg(count(col("s_ts")).as("n_signup"),
+          count(col("v_ts")).as("n_view_7d"),
+          count(col("p_ts")).as("n_purchase_7d"))
+    }),
+
+    // INCREMENTAL sketch-table maintenance: the materialized per-(user,
+    // day) sketch rollup is kept current by aggregating ONLY the new days
+    // and hll_merge-ing them with the stored generation — history is
+    // never rescanned. Here the two generations (days ≤ 20 / days > 20)
+    // are built in one plan for the harness, but the merge path is
+    // exactly the production one: same-key sketches from different
+    // generations union as rows and collapse with hll_merge, and the
+    // result must equal the single-pass answer — which the oracle states
+    // as a plain lifetime COUNT DISTINCT. p=8 is exact for the 5-type
+    // universe (q62's proven operating point). At 100 TB the stored side
+    // is |users|×|days| kilobyte rows and the delta aggregation touches
+    // one day of raw events.
+    "q158_incremental_hll_rollup" -> ((s, dir) => {
+      def gen(pred: org.apache.spark.sql.Column) =
+        Tables.events(s, dir).filter(pred)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(hll_init_agg(col("event_type"), 0.069).as("types_hll"))
+      val cutoff = to_date(lit("2024-01-20"))
+      val stored = gen(to_date(col("ts")) <= cutoff)
+      val delta = gen(to_date(col("ts")) > cutoff)
+      stored.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(hll_cardinality(hll_merge(col("types_hll"))).as("lifetime_types"),
+          count(lit(1)).as("n_day_sketches"))
+        .orderBy("user_id")
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join — the other streaming-join
     // semantics class: matches emit like q89, and a signup with NO
     // purchase inside its day window null-pads ONLY once the watermark
@@ -1753,6 +1860,74 @@ object CoreQueries {
         |HAVING max(ts)::TIMESTAMP + INTERVAL 6 HOUR
         |  <= mx - INTERVAL 2 HOUR
         |ORDER BY user_id""".stripMargin,
+    // Every event fans into its two 2-day hopping windows (start = its
+    // day and the day before); a window is emitted iff its END is at or
+    // before the final watermark max(ts) − 36h — q73's closure rule with
+    // the hop width.
+    "q153_streaming_hopping_windows" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events),
+        |fan AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) - k AS win_start,
+        |    event_type
+        |  FROM events, (SELECT unnest([0, 1]) AS k)),
+        |agg AS (
+        |  SELECT win_start, event_type, count(*)::BIGINT AS n
+        |  FROM fan GROUP BY 1, 2)
+        |SELECT win_start, event_type, n FROM agg, wm
+        |WHERE epoch_ms(win_start + INTERVAL 2 DAY) <= wm.wm_ms
+        |ORDER BY win_start, event_type""".stripMargin,
+    // Same trailing-7-present-days frame, lower median by 1-based pick
+    // from the sorted list, same e6 integer ratio and alert band.
+    "q156_rolling_median_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day, n,
+        |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS trail
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, day, n, trail[(len(trail) + 1) // 2] AS med
+        |  FROM tr WHERE len(trail) >= 4)
+        |SELECT event_type, day, n, med,
+        |  n * 1000000 // med AS ratio_e6,
+        |  (n * 1000000 // med < 500000 OR n * 1000000 // med > 2000000)
+        |    AS alert
+        |FROM m ORDER BY event_type, day""".stripMargin,
+    // The strict 3-step chain restated as per-step joins: each stage's
+    // first qualifying event strictly after the previous stage's, within
+    // its 7-day deadline.
+    "q157_multistep_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup')
+        |    AS s_ts
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS v_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s.s_ts
+        |    AND e.ts <= s.s_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(s_ts) FROM s)::BIGINT AS n_signup,
+        |  (SELECT count(*) FROM v)::BIGINT AS n_view_7d,
+        |  (SELECT count(*) FROM p)::BIGINT AS n_purchase_7d""".stripMargin,
+    // The merged two-generation sketch table must equal the single-pass
+    // lifetime answer; the row count per user is their distinct active
+    // days (each day's sketch lives in exactly one generation).
+    "q158_incremental_hll_rollup" ->
+      """SELECT user_id,
+        |  count(DISTINCT event_type)::BIGINT AS lifetime_types,
+        |  count(DISTINCT date_trunc('day', ts))::BIGINT AS n_day_sketches
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The ListState view's truth: the batch recency ranking, top 3.
     "q144_tws_recent_k" ->
       """SELECT user_id, rank::INT AS rank, event_id FROM (

@@ -1407,6 +1407,62 @@ object PipelineQueries {
         .orderBy("source", "rank")
     }),
 
+    // WEIGHTED sampling without replacement: length-proportional tickets
+    // (n_chars div 50, capped at 10), priority = the row's smallest
+    // md5(seed:id:ticket) draw, global 40 smallest priorities win. The
+    // integer-exact stand-in for exponential-key weighted sampling —
+    // min over unrolled tickets instead of u^(1/w), so any engine
+    // re-derives the winner set hash-for-hash. Priorities are computed
+    // map-side with NO ticket explosion (an array_min over a sequence
+    // inside one projection), and only (id, priority) coordinates enter
+    // the global top-n, which executes as TakeOrderedAndProject.
+    "q154_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir), col("doc_id"), expr("n_chars div 50"),
+        n = 40, seed = 7L, maxTickets = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Inverted index construction (posting lists): term → document
+    // frequency + the first 8 doc ids, the export shape a search/
+    // retrieval layer bulk-loads. df counts DISTINCT docs (within-doc
+    // repeats collapse map-side via array_distinct before the explode),
+    // and the posting cap rides the bounded topk aggregate — each task
+    // forwards at most 8 (doc_id) structs per term into the exchange, so
+    // a stopword's posting list never materializes beyond the cap.
+    "q155_posting_lists" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(graft.operators.TopK.topKStructs(
+            struct(col("doc_id").as("d")), 8)).as("tk"))
+        .filter(col("df") >= 2)
+        .select(col("term"), col("df"),
+          concat_ws(",", transform(col("tk"),
+            t => t.getField("d").cast("string"))).as("postings"))
+        .orderBy("term")
+    }),
+
+    // Conjunctive keyword search over the token relation: documents
+    // containing BOTH terms, via two cascaded LEFT SEMI joins on the
+    // exploded (doc, term) coordinates — the query side of q155's index.
+    // Semi joins carry no payload and keep each match single-counted;
+    // the text column itself never shuffles (ids rejoin at the end). The
+    // oracle restates it as direct token-membership scans.
+    "q159_conjunctive_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      def having(term: String) =
+        toks.filter(col("term") === term).select(col("doc_id"))
+      docs.join(having("spark"), Seq("doc_id"), "left_semi")
+        .join(having("window"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Feature-hashed doc vectors (the hashing trick): fixed-dim signed
     // token-count coordinates from md5 hashes alone — the vocabulary-free
     // cheap embedding a pipeline uses before a learned encoder exists.
@@ -2944,6 +3000,45 @@ object PipelineQueries {
         |              >> 1) ASC, doc_id ASC) AS rank
         |  FROM documents)
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // Tickets unrolled with generate_series, the same md5('7:'||id||':'||i)
+    // draws, min per doc, smallest 40 priorities.
+    "q154_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, least(n_chars // 50, 10) AS weight
+        |  FROM documents WHERE least(n_chars // 50, 10) > 0),
+        |t AS (
+        |  SELECT doc_id, weight,
+        |    unnest(generate_series(0, weight - 1)) AS i
+        |  FROM w),
+        |pr AS (
+        |  SELECT doc_id, weight,
+        |    min(('0x' || substr(md5('7:' || doc_id::VARCHAR || ':'
+        |      || i::VARCHAR), 1, 16))::UBIGINT >> 1)::BIGINT AS priority
+        |  FROM t GROUP BY 1, 2)
+        |SELECT doc_id, weight::BIGINT AS weight, priority
+        |FROM pr ORDER BY priority, doc_id LIMIT 40""".stripMargin,
+    // The same distinct (doc, term) relation; df per term, first-8
+    // postings by ranked string_agg.
+    "q155_posting_lists" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term FROM documents)),
+         |r AS (
+         |  SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY term) AS df
+         |  FROM tok)
+         |SELECT term, df::BIGINT AS df,
+         |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+         |    FILTER (WHERE rn <= 8) AS postings
+         |FROM r WHERE df >= 2 GROUP BY term, df
+         |ORDER BY term""".stripMargin,
+    // Direct token-membership restatement of the two semi joins.
+    "q159_conjunctive_search" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE list_contains($tokensSql, 'spark')
+         |  AND list_contains($tokensSql, 'window')
+         |ORDER BY doc_id""".stripMargin,
     // The same md5-64 top-63 value, bucket = u % 32, sign = bit 32,
     // signed sums with exact-zero buckets dropped.
     "q142_hashed_tf_vectors" ->

@@ -244,4 +244,48 @@ class SamplingSpec extends AnyFunSuite {
       .collect().filter(_.getString(0) == "big").map(_.getLong(2)).toSet
     assert(other !== s5.filter(_._1 == "big").map(_._3).toSet)
   }
+
+  /** Plain-Scala restatement of [[Sampling.weightedSample]]'s priority:
+   * min over tickets of md5_64("seed:id:i") >>> 1. */
+  private def refPriority(seed: Long, id: Long, w: Long): Long =
+    (0L until w).map { i =>
+      graft.dedup.SimHash64.md5Hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$id:$i")) >>> 1
+    }.min
+
+  test("weightedSample matches the min-ticket reference; zero weight never selected") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "w") // w in [0, 6]
+    val got = Sampling.weightedSample(df, col("id"), col("w"), n = 30, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 30)
+    // Priorities match the reference ticket-for-ticket, and the winner set
+    // is exactly the reference's global top 30 by (priority, id).
+    val ref = (1L to 500L).filter(_ % 7 != 0)
+      .map(i => (i, i % 7, refPriority(5L, i, i % 7)))
+    assert(got.toSet === ref.sortBy(t => (t._3, t._1)).take(30).toSet)
+    assert(got.forall(_._2 > 0), "zero-weight rows must never appear")
+  }
+
+  test("weightedSample clamps weights at maxTickets and is seed-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, 1000L), (2L, 4L), (3L, 4L), (4L, 0L)).toDF("id", "w")
+    def toPair(m: Array[(Long, Long, Long)]) = m.map(t => t._1 -> (t._2, t._3)).toMap
+    val by = toPair(Sampling.weightedSample(df, col("id"), col("w"),
+      n = 3, seed = 9L, maxTickets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // id=1's weight clamps to 4: same priority as four tickets, and the
+    // reported weight is the clamped value the decision used.
+    assert(by(1L) === (4L, refPriority(9L, 1L, 4L)))
+    assert(by(2L) === (4L, refPriority(9L, 2L, 4L)))
+    assert(!by.contains(4L))
+    // Selection probability is monotone in weight by construction (more
+    // tickets can only lower the min); across many seeds the heavy row
+    // must win at least as often as a light one. Spot-check determinism
+    // under a different seed instead (bit-exact, engine-independent).
+    val again = toPair(Sampling.weightedSample(df, col("id"), col("w"),
+      n = 3, seed = 10L, maxTickets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(again(1L)._2 === refPriority(10L, 1L, 4L))
+  }
 }
