@@ -83,6 +83,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
         case Seq(t, n) => NgramRepetitionStats(t, intOf(n, "the ngram width"))
         case args => wrongArity("ngram_repetition_stats", args.size)
       }),
+    ("word_ngrams_explode",
+      "_FUNC_(text, n) - Generator: one row per word n-gram (lowercased, whitespace tokens, space-joined), in document order.",
+      {
+        case Seq(t, n) => graft.text.WordNgramsExplode(t, intOf(n, "the ngram width"))
+        case args => wrongArity("word_ngrams_explode", args.size)
+      }),
     ("md5_hash64",
       "_FUNC_(text) - First 8 bytes of MD5 as a signed 64-bit value (auditable cross-engine hash).",
       {

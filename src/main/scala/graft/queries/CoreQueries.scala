@@ -1117,6 +1117,44 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Trajectory PATTERN matching (MATCH_RECOGNIZE-lite): sessions whose
+    // ordered event-type initials contain signup → {view|click}* →
+    // purchase — the user-journey mining query, as q145's assembly + one
+    // regex over the compact per-session string. The regex runs on
+    // session-sized strings AFTER aggregation (|sessions| evals, not
+    // |events|), and the pattern subset (literals, classes, star — no
+    // backrefs) means Java and RE2 agree symbol for symbol.
+    "q160_journey_pattern" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          substring(col("event_type"), 1, 1).as("c")))).as("evs"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          concat_ws("", transform(col("evs"), e => e.getField("c")))
+            .as("journey"))
+        .filter(col("journey").rlike("s[vc]*p"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // Shuffle-key SKEW report: the 20 heaviest user_ids with their e6
+    // share of total volume — the pre-flight diagnostic that decides
+    // whether a join/agg needs Salting or AQE skew splits before the job
+    // runs at 100 TB. One aggregation to per-key counts, the scalar total
+    // broadcast back (no driver round-trip), top-20 via
+    // TakeOrderedAndProject — at most 20 rows per task reach the driver.
+    "q161_key_skew_report" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val tot = ev.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"),
+          expr("n * 1000000 div total").as("share_e6"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Skew-safe salted join: lineitem (probe) joins orders (build) with
     // the build side replicated over 8 salts — the plan for a hot join
     // key when the build side is too big to broadcast. The result multiset
@@ -2101,6 +2139,38 @@ object CoreQueries {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // q145's gaps-and-islands sessions, initials string, same RE2-safe
+    // pattern.
+    "q160_journey_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+        |    substr(event_type, 1, 1) AS c
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_id, c,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               >= INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, event_id, c,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  string_agg(c, '' ORDER BY ts, event_id) AS journey
+        |FROM s GROUP BY user_id, sid
+        |HAVING regexp_matches(string_agg(c, '' ORDER BY ts, event_id),
+        |  's[vc]*p')
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // Per-key counts, share of the scalar total, top 20 by volume.
+    "q161_key_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS total FROM events)
+        |SELECT user_id, n, n * 1000000 // total AS share_e6
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "q22_retained_users" ->
       """SELECT user_id FROM events WHERE date_trunc('day', ts) = DATE '2024-01-01'
         |INTERSECT

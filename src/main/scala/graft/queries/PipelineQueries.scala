@@ -1445,6 +1445,24 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // The Generator extension surface, oracle-checked: word-3-gram
+    // document frequencies via `word_ngrams_explode` — a custom Catalyst
+    // Generator that STREAMS grams through GenerateExec instead of
+    // materializing each document's gram array before exploding (the
+    // explode(transform(...)) formulation holds |tokens|·n gram bytes
+    // live per document; the generator holds one gram). (doc, gram)
+    // duplicates collapse in the partial aggregate map-side, so the
+    // exchange carries distinct coordinates only; top-20 by (df, gram).
+    "q162_ngram_generator_df" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wordNgramsExplode(col("text"), 3).as("ngram"))
+        .distinct()
+        .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // Conjunctive keyword search over the token relation: documents
     // containing BOTH terms, via two cascaded LEFT SEMI joins on the
     // exploded (doc, term) coordinates — the query side of q155's index.
@@ -3033,6 +3051,18 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // The same 3-grams from the same token list, 1-based list slicing.
+    "q162_ngram_generator_df" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS l FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, ngram FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(greatest(len(l) - 2, 0)),
+         |      i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS ngram
+         |    FROM toks))
+         |SELECT ngram, count(*)::BIGINT AS df FROM g GROUP BY 1
+         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     // Direct token-membership restatement of the two semi joins.
     "q159_conjunctive_search" ->
       s"""SELECT doc_id, source, n_chars FROM documents

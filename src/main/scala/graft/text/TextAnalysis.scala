@@ -89,6 +89,14 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftSqlBridge.column(
       RepetitionStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
 
+  /** GENERATOR column: one output row per word n-gram of `text`, in
+   * document order — use in a `select` like `explode(...)`. Streams grams
+   * through GenerateExec instead of materializing the per-document gram
+   * array — see [[WordNgramsExplode]]. */
+  def wordNgramsExplode(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      WordNgramsExplode(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), n))
+
   /** Word-n-gram repetition signals (Gopher-family quality filters):
    * top-gram and duplicated-gram occurrence/char counts — see
    * [[NgramRepetitionStats]]. Integer struct fields; derive the paper's

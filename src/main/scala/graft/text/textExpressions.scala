@@ -447,3 +447,69 @@ object QualityScore64 {
     acc
   }
 }
+
+/**
+ * `word_ngrams_explode(text, n)` — a Catalyst GENERATOR emitting one
+ * output row per word n-gram of `text` (lowercased, ASCII-whitespace
+ * tokens, space-joined), in document order.
+ *
+ * This is the library's `Generator` extension-surface demonstration (the
+ * reference registers only scalar/aggregate expressions; generators are
+ * the third registrable kind — explode/inline-shaped). It also carries a
+ * real memory argument: the Column formulation
+ * `explode(transform(sequence(...), ...))` materializes the full n-gram
+ * ARRAY per document before exploding, so a long document holds
+ * |tokens|·n gram bytes live at once; the generator streams grams one at
+ * a time through GenerateExec — peak per-row extra memory is one gram
+ * plus the token offsets. Tokenization is [[AsciiWhitespace]], identical
+ * to every other kernel in this package and to the DuckDB oracle's
+ * `string_split_regex(lower(text), '\s+')`.
+ */
+case class WordNgramsExplode(child: Expression, n: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with CodegenFallback with ExpectsInputTypes {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ngram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val lower = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString
+      // Token OFFSETS only — gram strings are built lazily per yielded row.
+      val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+      val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      val len = lower.length
+      while (i < len) {
+        while (i < len && AsciiWhitespace.is(lower.charAt(i))) i += 1
+        val s = i
+        while (i < len && !AsciiWhitespace.is(lower.charAt(i))) i += 1
+        if (i > s) { starts += s; ends += i }
+      }
+      val nToks = starts.length
+      if (nToks < n) Nil
+      else (0 to nToks - n).iterator.map { j =>
+        val sb = new java.lang.StringBuilder(ends(j + n - 1) - starts(j))
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(lower, starts(j + k), ends(j + k))
+          k += 1
+        }
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      }
+    }
+  }
+
+  override def prettyName: String = "word_ngrams_explode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

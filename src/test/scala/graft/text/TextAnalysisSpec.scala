@@ -283,4 +283,40 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
       linearQualityScore(col("text"), Seq(1L, 2L, 3L))
     }
   }
+
+  test("wordNgramsExplode generator matches the Column formulation, handles edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick  brown\tfox jumps"),
+      (2L, "  leading and trailing  "),
+      (3L, "one two"),          // shorter than n=3 → no grams
+      (4L, ""),                 // empty → no grams
+      (5L, "a b c d"))
+    val df = docs.toDF("doc_id", "text")
+      .union(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val gen = df.select(col("doc_id"), wordNgramsExplode(col("text"), 3).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    // Column restatement: explode over a transform of the token array.
+    val colForm = df
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(when(size(col("t")) >= 3,
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .otherwise(array())).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(gen === colForm)
+    assert(gen.count(_._1 == 1L) === 3)
+    assert(gen.filter(_._1 == 2L).map(_._2).toSeq === Seq("leading and trailing"))
+    assert(gen.filter(_._1 == 5L).map(_._2).toSeq === Seq("a b c", "b c d"))
+    // Short, empty, and null docs produce no rows (not null rows).
+    assert(!gen.exists(t => Set(3L, 4L, 6L).contains(t._1)))
+    // SQL surface through the session-extension registration.
+    graft.GraftFunctionRegistry.registerFunctions(spark)
+    df.createOrReplaceTempView("wng_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, word_ngrams_explode(text, 3) AS ngram FROM wng_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaSql === gen)
+  }
 }
