@@ -476,6 +476,50 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("*("), "text stats fell out of whole-stage codegen")
   }
 
+  test("weighted sample plans a bounded top-n (TakeOrderedAndProject), no global sort") {
+    val p = plan(PipelineQueries.queries("q154_weighted_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample's top-n did not plan as TakeOrderedAndProject")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("rangepartitioning")),
+      s"weighted sample pays a global sort:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("posting lists aggregate topk partials below the term exchange, text never shuffles") {
+    val p = plan(PipelineQueries.queries("q155_posting_lists")(spark, sf))
+    val hashExchange = p.indexOf("Exchange hashpartitioning(term")
+    val partial = p.indexOf("partial_topk_structs")
+    assert(hashExchange >= 0 && partial >= 0)
+    assert(partial > hashExchange,
+      "posting cap's topk partial did not plan below the term exchange")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("key-skew report broadcasts the scalar total and bounds top-20 per task") {
+    val p = plan(CoreQueries.queries("q161_key_skew_report")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "skew report's top-20 did not plan as TakeOrderedAndProject")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "scalar total is not broadcast back")
+    assert(!p.contains("CartesianProduct"), "skew report plans a cartesian")
+  }
+
+  test("ngram generator streams through GenerateExec with no gram array below it") {
+    val p = plan(PipelineQueries.queries("q162_ngram_generator_df")(spark, sf))
+    assert(p.contains("Generate word_ngrams_explode"),
+      "q162 does not plan the custom generator")
+    // The (doc, gram) distinct collapse must aggregate partially before
+    // its exchange — stopword-scale grams never cross the wire raw.
+    val hashExchange = p.indexOf("Exchange hashpartitioning(ngram")
+    val partialAgg = p.indexOf("HashAggregate")
+    assert(hashExchange >= 0 && partialAgg >= 0 && partialAgg < hashExchange,
+      "distinct gram collapse did not aggregate below its exchange")
+  }
+
   test("semantic decontamination broadcasts the eval side, never shuffles train vectors") {
     val p = plan(PipelineQueries.queries("q117_semantic_decontam")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
