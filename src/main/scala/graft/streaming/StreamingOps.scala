@@ -461,4 +461,37 @@ object StreamingOps {
     q.stop()
     name
   }
+
+  /** Stream-to-LAKE sink: lands an append-mode stream as hive-partitioned
+   * parquet via `foreachBatch` with per-partition DYNAMIC overwrite — the
+   * production recipe for maintaining a queryable lake table from a
+   * stream.
+   *
+   * Why not the built-in file sink: it is append-only with its own
+   * `_spark_metadata` log, so a replayed micro-batch after a sink-side
+   * failure duplicates rows and the table is only correct when read
+   * through that log. Dynamic partition overwrite makes each batch write
+   * IDEMPOTENT at the partition grain instead: replaying batch N
+   * re-writes the same partitions with the same rows, and readers need no
+   * metadata log — the directory IS the table (partition pruning
+   * included). The contract is that `partitionCol` is stable for a given
+   * output row (true for event-time window/day columns under append mode,
+   * where a window is emitted exactly once, when the watermark closes
+   * it).
+   *
+   * Returns the started query; drive it with the caller's trigger
+   * (AvailableNow for drain-once, ProcessingTime for continuous).
+   */
+  def partitionedParquetSink(df: DataFrame, path: String,
+      partitionCol: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+      }
 }

@@ -15,6 +15,47 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
+  test("hive-partitioned writes prune partitions at the scan on a day filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("day") === "2024-01-05")
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    // The day predicate must become a PARTITION filter (directory-level
+    // listing prune), not a data filter evaluated per row: at 100 TB the
+    // difference is reading one day vs reading the lake.
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("isnotnull(day") || pf.contains("day#"),
+      s"day filter did not reach PartitionFilters: $pf")
+    assert(!pf.contains("PartitionFilters: []"), "partition filter list empty")
+    // And the row counts must agree with the unpartitioned read.
+    val expect = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() === expect)
+  }
+
+  test("schema evolution: mergeSchema unions generations, old rows null-fill") {
+    val out = java.nio.file.Files.createTempDirectory("graft-evol").toString
+    import spark.implicits._
+    // Generation 1: (doc_id, text). Generation 2 adds a lang column — the
+    // corpus-versioning reality a long-lived lake must read as ONE table.
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$out/gen=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "gen"))
+    val rows = merged.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows === Map(1L -> null, 2L -> null, 3L -> "en"))
+    // Column pruning still reaches the scan under the merged schema.
+    val p = merged.select("doc_id").queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"merged-schema scan reads unused column: $readSchema")
+  }
+
   test("joins between co-bucketed tables plan without an exchange") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, dir)
