@@ -1117,6 +1117,77 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // TTL deduplication (burst collapse with re-admission): repeated
+    // (user, type) arrivals within a rolling 2-hour chain collapse to
+    // their FIRST event, but the key is re-admitted once it stays quiet
+    // past the TTL — the retry-storm/re-crawl admission rule plain
+    // keep-first dedup (q12/q118) cannot express, because there the first
+    // occurrence suppresses forever. The chain rule IS session semantics,
+    // so the operator composes session_window per (user, type) with a
+    // min-struct pick — one shuffle, no self-join, state per open chain.
+    "q163_ttl_dedup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          session_window(col("ts"), "2 hours").as("sw"))
+        .agg(min(struct(col("ts").as("ts"), col("event_id").as("eid"))).as("first"),
+          count(lit(1)).as("n_burst"))
+        .select(col("user_id"), col("event_type"),
+          col("first.eid").as("kept_event_id"),
+          unix_micros(col("first.ts")).as("kept_us"),
+          (col("n_burst") - 1).as("n_suppressed"))
+        .orderBy("user_id", "event_type", "kept_us")
+    }),
+
+    // JOIN-EXPLOSION audit: the exact output cardinality of a prospective
+    // join and its top contributing keys, WITHOUT running the join —
+    // per-key counts from each side (two aggregations), a counts-only
+    // join (|keys| rows), contribution = na·nb. The pre-flight that
+    // catches a fan-out join before it materializes 10^13 rows at 100 TB;
+    // pairs with q161's single-side skew report. All-integer shares.
+    "q164_join_explosion_audit" -> ((s, dir) => {
+      val ec = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("na"))
+      val oc = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("nb"))
+      val contrib = ec.join(oc, "k")
+        .select(col("k"), col("na"), col("nb"), (col("na") * col("nb")).as("pairs"))
+      val tot = contrib.agg(sum(col("pairs")).as("total_pairs"))
+      contrib.crossJoin(broadcast(tot))
+        .select(col("k"), col("na"), col("nb"), col("pairs"),
+          col("total_pairs"),
+          expr("pairs * 1000000 div total_pairs").as("share_e6"))
+        .orderBy(col("pairs").desc, col("k"))
+        .limit(5)
+    }),
+
+    // LAST-TOUCH attribution: each purchase attributed to the user's
+    // latest non-purchase event at or before it, within a 1-day window —
+    // the as-of join composition (one shuffle + keyed window, never the
+    // left × right-within-range blow-up a time-inequality join plans).
+    // The attribution window is enforced AFTER the as-of attach: the
+    // attached touch is the latest overall, so if IT is outside the
+    // window, no touch is inside (monotonicity) — a null-out, not a
+    // re-join. The oracle restates it as a correlated LATERAL top-1.
+    "q166_last_touch_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+      val attached = graft.operators.AsOf.joinPrior(
+        purchases, touches, Seq("user_id"), "ts", "ts",
+        struct(col("ts").as("t_ts"), col("event_id").as("t_id"),
+          col("event_type").as("t_type")), "touch")
+      attached
+        .withColumn("in_window",
+          col("asof_touch.t_ts") >= col("ts") - expr("interval 1 day"))
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          when(col("in_window"), col("asof_touch.t_id")).as("touch_id"),
+          when(col("in_window"), col("asof_touch.t_type")).as("touch_type"),
+          when(col("in_window"), unix_micros(col("asof_touch.t_ts"))).as("touch_us"))
+        .orderBy("event_id")
+    }),
+
     // Trajectory PATTERN matching (MATCH_RECOGNIZE-lite): sessions whose
     // ordered event-type initials contain signup → {view|click}* →
     // purchase — the user-journey mining query, as q145's assembly + one
@@ -2139,6 +2210,63 @@ object CoreQueries {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // Gaps-and-islands per (user, type), first row of each chain by
+    // (ts, event_id), suppressed = chain size − 1.
+    "q163_ttl_dedup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+        |               ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+        |               ORDER BY ts) >= INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |r AS (
+        |  SELECT user_id, event_type, ts, event_id, sid,
+        |    row_number() OVER (PARTITION BY user_id, event_type, sid
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type, sid) AS n
+        |  FROM s)
+        |SELECT user_id, event_type, event_id AS kept_event_id,
+        |  epoch_us(ts) AS kept_us, (n - 1)::BIGINT AS n_suppressed
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, kept_us""".stripMargin,
+    // Per-key counts from each side, na·nb contributions, e6 shares,
+    // top 5.
+    "q164_join_explosion_audit" ->
+      """WITH ec AS (
+        |  SELECT user_id AS k, count(*)::BIGINT AS na FROM events GROUP BY 1),
+        |oc AS (
+        |  SELECT o_custkey AS k, count(*)::BIGINT AS nb FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT k, na, nb, na * nb AS pairs FROM ec JOIN oc USING (k)),
+        |t AS (SELECT sum(pairs)::BIGINT AS total_pairs FROM c)
+        |SELECT k, na, nb, pairs, total_pairs,
+        |  pairs * 1000000 // total_pairs AS share_e6
+        |FROM c, t ORDER BY pairs DESC, k LIMIT 5""".stripMargin,
+    // Correlated LATERAL top-1: the latest non-purchase touch at or
+    // before each purchase, inside the 1-day window, ties by event_id
+    // descending (the as-of payload-struct tie-break).
+    "q166_last_touch_attribution" ->
+      """SELECT p.event_id, epoch_us(p.ts::TIMESTAMP) AS purchase_us,
+        |  t.t_id AS touch_id, t.t_type AS touch_type, t.t_us AS touch_us
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS t_id, e.event_type AS t_type,
+        |    epoch_us(e.ts::TIMESTAMP) AS t_us
+        |  FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+        |    AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 1 DAY
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) t ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     // q145's gaps-and-islands sessions, initials string, same RE2-safe
     // pattern.
     "q160_journey_pattern" ->

@@ -1445,6 +1445,32 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // Vocabulary coverage curve (Zipf audit): top-30 tokens by corpus
+    // occurrence count with their CUMULATIVE e6 share — the "how big must
+    // the vocab be to cover X% of tokens" curve tokenizer sizing reads.
+    // The token explosion aggregates to |vocab| coordinate rows map-side;
+    // the ranking window is single-partition BY DESIGN over the
+    // vocab-bounded counts table (thousands of rows at any corpus scale —
+    // same bounded-model contract as the BPE merge table), never over
+    // occurrences.
+    "q165_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val rank = Window.orderBy(col("n").desc, col("t"))
+      val cum = rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.crossJoin(broadcast(tot))
+        .select(col("t"), col("n"),
+          row_number().over(rank).as("rank"),
+          sum(col("n")).over(cum).as("cum_n"),
+          col("total"))
+        .filter(col("rank") <= 30)
+        .select(col("t"), col("n"), col("rank"),
+          expr("cum_n * 1000000 div total").as("cum_share_e6"))
+        .orderBy("rank")
+    }),
+
     // The Generator extension surface, oracle-checked: word-3-gram
     // document frequencies via `word_ngrams_explode` — a custom Catalyst
     // Generator that STREAMS grams through GenerateExec instead of
@@ -3051,6 +3077,22 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // Same token counts, same (n desc, t) ranking and cumulative window.
+    "q165_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($tokensSql) AS t FROM documents),
+         |c AS (
+         |  SELECT t, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+         |tt AS (SELECT sum(n)::BIGINT AS total FROM c),
+         |r AS (
+         |  SELECT t, n,
+         |    row_number() OVER (ORDER BY n DESC, t) AS rank,
+         |    sum(n) OVER (ORDER BY n DESC, t
+         |      ROWS UNBOUNDED PRECEDING) AS cum_n
+         |  FROM c)
+         |SELECT t, n, rank::INT AS rank,
+         |  cum_n * 1000000 // total AS cum_share_e6
+         |FROM r, tt WHERE rank <= 30 ORDER BY rank""".stripMargin,
     // The same 3-grams from the same token list, 1-based list slicing.
     "q162_ngram_generator_df" ->
       s"""WITH toks AS (
