@@ -1117,6 +1117,46 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // n-of-m burst alerting: an error event alerts when it is the 3rd+
+    // error among the user's trailing 10 events — the rate-over-count
+    // alarm (a plain "3 errors today" threshold fires on slow trickles;
+    // n-of-m fires only on DENSITY). One rows-frame window per user over
+    // (event, flag) coordinates; the frame holds 10 longs.
+    "q167_error_burst" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+        .withColumn("n_err10", sum(col("is_err")).over(w))
+        .filter(col("is_err") === 1L && col("n_err10") >= 3L)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("n_err10"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Per-user MEDIAN inter-arrival gap — the engagement-cadence signal —
+    // through the q130 two-phase exact-quantile operator: gaps are lag
+    // differences in integer microseconds (one keyed window), and the
+    // median is found by histogram locate + target-bucket sliver sort —
+    // NO per-user collect, so a 10M-event user costs the same shuffle
+    // shape as a 10-event one (the collect_list median q156 uses is fine
+    // for 7-element frames, lethal for per-user event histories).
+    "q168_interarrival_median" -> ((s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(ord))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+      graft.operators.ExactQuantile.exactQuantilesByKey(
+        gaps, col("user_id"), col("gap_us"), Seq((1, 2)), shift = 8)
+        .select(col("g").as("user_id"), col("k"),
+          col("value").as("median_gap_us"))
+        .orderBy("user_id")
+    }),
+
     // TTL deduplication (burst collapse with re-admission): repeated
     // (user, type) arrivals within a rolling 2-hour chain collapse to
     // their FIRST event, but the key is re-admitted once it stays quiet
@@ -2210,6 +2250,38 @@ object CoreQueries {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // Same rows-frame density count, alerts on error rows only.
+    "q167_error_burst" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts, is_err,
+        |    sum(is_err) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_err10
+        |  FROM e)
+        |SELECT user_id, event_id, epoch_us(ts) AS us, n_err10::BIGINT AS n_err10
+        |FROM w WHERE is_err = 1 AND n_err10 >= 3
+        |ORDER BY user_id, event_id""".stripMargin,
+    // Lag gaps in integer microseconds, lower-median rank
+    // k = (n−1) div 2 + 1 by row_number — q130's definitional form.
+    "q168_interarrival_median" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) -
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |gg AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, gap_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM gg)
+        |SELECT user_id, ((n - 1) // 2 + 1)::BIGINT AS k,
+        |  gap_us AS median_gap_us
+        |FROM r WHERE rn = (n - 1) // 2 + 1
+        |ORDER BY user_id""".stripMargin,
     // Gaps-and-islands per (user, type), first row of each chain by
     // (ts, event_id), suppressed = chain size − 1.
     "q163_ttl_dedup" ->
