@@ -1601,6 +1601,36 @@ object CoreQueries {
         .select(col("k"), col("valid_from"), col("valid_to"),
           col("is_current"), col("price_cents"), col("status"))
         .orderBy("k", "valid_from")
+    }),
+
+    // POINT-IN-TIME (temporal) join against the SCD-2 dimension: each
+    // event enriches with the order-status version VALID AT its event
+    // day — the time-correct enrichment that prevents feature leakage
+    // (joining today's dimension onto last month's events trains on the
+    // future). Shape: per-key equi-join fanning out to that key's few
+    // intervals, then the containment filter keeps at most one (the
+    // intervals partition the timeline) — never a global inequality
+    // join. Events before the key's first version, or with no dimension
+    // row at all, survive as 'none' through the left join.
+    "q169_scd2_temporal_join" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val perDay = Tables.orders(s, dir).select(
+          col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"), col("o_orderstatus").as("status"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("d")).orderBy(col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+      val iv = Cdc.scd2Intervals(perDay, Seq("k"), "d")
+        .select(col("k").as("ik"), col("valid_from"), col("valid_to"), col("status"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), to_date(col("ts")).as("d"))
+      ev.join(iv,
+          ev("k") === iv("ik") && ev("d") >= iv("valid_from") &&
+            (iv("valid_to").isNull || ev("d") < iv("valid_to")), "left")
+        .groupBy(coalesce(col("status"), lit("none")).as("status"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(ev("k")).as("n_users"))
+        .orderBy("status")
     })
   )
 
@@ -2547,6 +2577,31 @@ object CoreQueries {
         |  lead(d) OVER (PARTITION BY k ORDER BY d) AS valid_to,
         |  lead(d) OVER (PARTITION BY k ORDER BY d) IS NULL AS is_current,
         |  price_cents, status
-        |FROM perday ORDER BY k, valid_from""".stripMargin
+        |FROM perday ORDER BY k, valid_from""".stripMargin,
+
+    // q110's intervals + the containment left join, aggregated.
+    "q169_scd2_temporal_join" ->
+      """WITH perday AS (
+        |  SELECT k, d, status FROM (
+        |    SELECT o_custkey AS k,
+        |      CAST(date_trunc('day', o_orderdate) AS DATE) AS d, o_orderkey,
+        |      o_orderstatus AS status,
+        |      row_number() OVER (
+        |        PARTITION BY o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE)
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |iv AS (
+        |  SELECT k, d AS valid_from,
+        |    lead(d) OVER (PARTITION BY k ORDER BY d) AS valid_to, status
+        |  FROM perday),
+        |e AS (
+        |  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events)
+        |SELECT coalesce(i.status, 'none') AS status,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT e.k)::BIGINT AS n_users
+        |FROM e LEFT JOIN iv i ON e.k = i.k AND e.d >= i.valid_from
+        |  AND (i.valid_to IS NULL OR e.d < i.valid_to)
+        |GROUP BY 1 ORDER BY status""".stripMargin
   )
 }

@@ -479,8 +479,9 @@ object StreamingOps {
    * where a window is emitted exactly once, when the watermark closes
    * it).
    *
-   * Returns the started query; drive it with the caller's trigger
-   * (AvailableNow for drain-once, ProcessingTime for continuous).
+   * Returns the configured writer; the caller picks the trigger and
+   * starts it (AvailableNow for drain-once, ProcessingTime for
+   * continuous).
    */
   def partitionedParquetSink(df: DataFrame, path: String,
       partitionCol: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
