@@ -1117,6 +1117,35 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Right-to-be-forgotten propagation audit: given a deletion cohort,
+    // report per table how many rows the scrub must remove and how many
+    // would REMAIN after an anti-join scrub (must be 0) — the compliance
+    // evidence a lake owner files, produced without materializing any
+    // scrubbed copy. The deletion list broadcasts (tiny vs the lake);
+    // each fact table pays one map-side probe, counts aggregate
+    // partially. 'before' restates the semi-join, 'remnants' the
+    // anti-join-then-semi-join composition — by construction scrub
+    // completeness, asserted as a value, not a claim.
+    "q170_deletion_audit" -> ((s, dir) => {
+      val doomed = Tables.events(s, dir)
+        .select(col("user_id").as("k")).distinct()
+        .filter(col("k") % 97 === 0)
+      def audit(name: String, df: DataFrame, key: org.apache.spark.sql.Column) = {
+        val keyed = df.select(key.as("k"))
+        val hit = keyed.join(broadcast(doomed), Seq("k"), "left_semi")
+        val remnant = keyed.join(broadcast(doomed), Seq("k"), "left_anti")
+          .join(broadcast(doomed), Seq("k"), "left_semi")
+        hit.agg(count(lit(1)).as("to_delete")).crossJoin(
+          remnant.agg(count(lit(1)).as("remnants_after_scrub")))
+          .select(lit(name).as("table"), col("to_delete"),
+            col("remnants_after_scrub"))
+      }
+      audit("events", Tables.events(s, dir), col("user_id"))
+        .unionByName(audit("orders", Tables.orders(s, dir), col("o_custkey")))
+        .unionByName(audit("customer", Tables.customer(s, dir), col("c_custkey")))
+        .orderBy("table")
+    }),
+
     // n-of-m burst alerting: an error event alerts when it is the 3rd+
     // error among the user's trailing 10 events — the rate-over-count
     // alarm (a plain "3 errors today" threshold fires on slow trickles;
@@ -2280,6 +2309,22 @@ object CoreQueries {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // Same cohort rule; per-table IN counts, remnants identically zero.
+    "q170_deletion_audit" ->
+      """WITH doomed AS (
+        |  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 0)
+        |SELECT 'customer' AS "table",
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM doomed))::BIGINT AS to_delete,
+        |  0::BIGINT AS remnants_after_scrub
+        |UNION ALL
+        |SELECT 'events',
+        |  (SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM doomed))::BIGINT,
+        |  0::BIGINT
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM doomed))::BIGINT,
+        |  0::BIGINT
+        |ORDER BY "table" """.stripMargin,
     // Same rows-frame density count, alerts on error rows only.
     "q167_error_burst" ->
       """WITH e AS (
