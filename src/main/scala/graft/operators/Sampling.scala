@@ -330,7 +330,7 @@ object Sampling {
    * SMALLEST ticket; the global sample is the `n` rows with the smallest
    * priorities (ties by id). More tickets → stochastically smaller
    * minimum → higher selection odds, monotonically in the weight — the
-   * integer-exact stand-in for Efraimidis–Sampaios exponential-key
+   * integer-exact stand-in for Efraimidis–Spirakis exponential-key
    * sampling, whose `u^(1/w)` keys cannot be reproduced bit-for-bit
    * across engines (float pow), while this scheme is pure md5 + min and
    * re-derivable anywhere (the oracle unrolls tickets with
