@@ -1041,6 +1041,25 @@ object CoreQueries {
         .orderBy("user_id", "day")
     }),
 
+    // SLIDING-window sketch re-merge: distinct event types over each
+    // user's trailing 7 ACTIVE days — the bounded-frame sibling of q62's
+    // expanding frame, i.e. the rolling-engagement metric ("distinct
+    // actions this week") that cumulative windows cannot express because
+    // old days must FALL OUT. Same daily-sketch table, same
+    // FuseWindowSketchEval seam (the rule is frame-agnostic); the frame
+    // re-merges ≤7 sub-kilobyte sketches per row of the |user|×|day|
+    // coordinate table. p=8 exact for the 5-type universe (q62's proven
+    // operating point).
+    "q171_sliding_window_sketch" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(hll_init_agg(col("event_type"), 0.069).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("user_id"), col("day"),
+        hll_cardinality(hll_merge(col("h")).over(w)).as("types_7d"))
+        .orderBy("user_id", "day")
+    }),
+
     // q62's running cumulative-distinct window on the THETA family — the
     // second sketch family through the window seam, and the second
     // pattern FuseWindowSketchEval rewrites (theta's per-row eval also
@@ -2309,6 +2328,26 @@ object CoreQueries {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // The trailing-7-ACTIVE-days frame restated by rank self-join: day
+    // ranks per user, each day joined to ranks [rn−6, rn], distinct
+    // types over the joined day set.
+    "q171_sliding_window_sketch" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM ud),
+        |e AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type
+        |  FROM events)
+        |SELECT a.user_id, a.day, count(DISTINCT e.event_type)::BIGINT AS types_7d
+        |FROM r a
+        |JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
+        |JOIN e ON e.user_id = a.user_id AND e.day = b.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same cohort rule; per-table IN counts, remnants identically zero.
     "q170_deletion_audit" ->
       """WITH doomed AS (
