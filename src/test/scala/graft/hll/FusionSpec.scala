@@ -60,6 +60,23 @@ class FusionSpec extends AnyFunSuite {
     assert(got === Set((1L, 1, 2L), (1L, 2, 3L), (2L, 1, null), (3L, 1, 1L)))
   }
 
+  test("BOUNDED (sliding) frames fuse too, and old rows fall out of the merge") {
+    import spark.implicits._
+    // user 1, three days with types a / b / c: a 2-row trailing frame sees
+    // {a}, {a,b}, {b,c} — the third day PROVES day-1 fell out (a cumulative
+    // frame would report 3).
+    val df = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c"))
+      .toDF("user", "day", "v")
+      .groupBy("user", "day").agg(hll_init_agg(col("v")).as("h"))
+    val w = Window.partitionBy("user").orderBy("day").rowsBetween(-1, 0)
+    val slid = df.select(col("user"), col("day"),
+      hll_cardinality(hll_merge(col("h")).over(w)).as("win2"))
+    assert(slid.queryExecution.optimizedPlan.toString.contains("hll_merge_cardinality"),
+      "bounded frame did not fuse")
+    val got = slid.collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((1, 1L), (2, 2L), (3, 2L)))
+  }
+
   test("no fusion when the sketch bytes are also observed directly") {
     import spark.implicits._
     val df = Seq((1L, 1, 1L)).toDF("user", "day", "v")
