@@ -1445,6 +1445,29 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // Per-source PARETO frontier (2-D skyline): documents not strictly
+    // dominated on (quality, length) within their source — multi-criteria
+    // selection where a single blended score would hide the trade-off
+    // curve. Dominance rule: doc A dominates B iff quality_A > quality_B
+    // AND len_A >= len_B; the frontier falls out of ONE windowed running
+    // max (max length over strictly-higher-quality rows, a RANGE frame on
+    // the integer score) — no pairwise join. Partitioned by source, so
+    // the window is per-group, never a global sort; quality is the fused
+    // integer q85 kernel score.
+    "q172_pareto_frontier" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.linearQualityScore(col("text")).as("quality"))
+        // Descending RANGE frame ending at -1 = rows with STRICTLY higher
+        // quality (current + 1 and beyond in the sort direction).
+        .withColumn("shadow", max(col("n_chars")).over(
+          Window.partitionBy("source").orderBy(col("quality").desc)
+            .rangeBetween(Window.unboundedPreceding, -1)))
+        .filter(col("shadow").isNull || col("shadow") < col("n_chars"))
+        .select(col("source"), col("doc_id"), col("quality"), col("n_chars"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Vocabulary coverage curve (Zipf audit): top-30 tokens by corpus
     // occurrence count with their CUMULATIVE e6 share — the "how big must
     // the vocab be to cover X% of tokens" curve tokenizer sizing reads.
@@ -3077,6 +3100,21 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // Dominance stated definitionally: a doc survives iff NO same-source
+    // doc has strictly higher q85 score and at-least-equal length.
+    "q172_pareto_frontier" ->
+      s"""WITH toks AS (SELECT doc_id, source, n_chars, $tokensSql AS ts
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, n_chars,
+         |    coalesce(list_sum(list_transform(ts,
+         |      t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+         |             & 2047::UBIGINT)::BIGINT - 1024))), 0)::BIGINT AS quality
+         |  FROM toks)
+         |SELECT source, doc_id, quality, n_chars FROM sc b
+         |WHERE NOT EXISTS (SELECT 1 FROM sc a WHERE a.source = b.source
+         |  AND a.quality > b.quality AND a.n_chars >= b.n_chars)
+         |ORDER BY source, doc_id""".stripMargin,
     // Same token counts, same (n desc, t) ranking and cumulative window.
     "q165_vocab_coverage" ->
       s"""WITH tok AS (
