@@ -87,6 +87,25 @@ object Bench {
         name -> dt
       }
     }
+
+    // Per-query shuffled bytes — the scale-evidence number next to each
+    // timing: a row whose time grows at 100× data but whose shuffled
+    // bytes stay coordinate-sized is scan-bound (fine); growing shuffle
+    // bytes mark the real scale risks. One extra UNTIMED execution per
+    // query, driving the DataFrame's own QueryExecution (the noop-sink
+    // write above runs a separate command execution whose metrics the
+    // frame does not see).
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    queries.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        shuffleBytes(name) = graft.util.ShuffleAudit.shuffledBytes(df)
+      } catch {
+        case t: Throwable => System.err.println(s"WARN shuffle audit $name failed: $t")
+      }
+      clearCacheState(spark)
+    }
     val results = queries.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).sorted.apply(1)
     }
@@ -94,8 +113,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
+    val sb = shuffleBytes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_3",""" +
-      s""""pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}"""
+      s""""pass_totals":$passTotals,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout, which has been observed to truncate on
     // long runs (BENCH_r06 lost 26 of 81 per-query rows). Mirror the same

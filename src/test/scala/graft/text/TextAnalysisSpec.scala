@@ -311,12 +311,18 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
     assert(gen.filter(_._1 == 5L).map(_._2).toSeq === Seq("a b c", "b c d"))
     // Short, empty, and null docs produce no rows (not null rows).
     assert(!gen.exists(t => Set(3L, 4L, 6L).contains(t._1)))
-    // SQL surface through the session-extension registration.
+    // SQL surface through the session-extension registration — both the
+    // projection form and the LATERAL VIEW form a generator must support.
     graft.GraftFunctionRegistry.registerFunctions(spark)
     df.createOrReplaceTempView("wng_docs")
     val viaSql = spark.sql(
       "SELECT doc_id, word_ngrams_explode(text, 3) AS ngram FROM wng_docs")
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(viaSql === gen)
+    val viaLateral = spark.sql(
+      "SELECT doc_id, g.ngram FROM wng_docs " +
+        "LATERAL VIEW word_ngrams_explode(text, 3) g AS ngram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaLateral === gen)
   }
 }
