@@ -215,3 +215,49 @@ final class StubDecoder extends Serializable {
       checksum = sum)
   }
 }
+
+/** One fixed-width analysis window of a decoded PCM stream:
+ * `energy` = Σ sample², `peak` = max |sample| — the integer primitives a
+ * silence detector / loudness normalizer consumes (RMS is √(energy/n),
+ * left to the caller: the square root would break integer oracle parity
+ * for no analytical gain). */
+case class AudioWindow(doc_id: Long, win: Int, n_samples: Int,
+    energy: Long, peak: Int)
+
+/** The audio face of the stub-decode layer: payload bytes as little-endian
+ * signed 16-bit PCM samples (a trailing odd byte is dropped, documented),
+ * windowed energy/peak per `window` samples. Same batch shape as the
+ * image path: one decoder per partition, narrow typed output, the binary
+ * column never survives the projection. A real PCM/Opus decoder swaps in
+ * without a plan change. */
+object AudioStub {
+  def windowedEnergy(spark: org.apache.spark.sql.SparkSession,
+      payloads: org.apache.spark.sql.DataFrame,
+      window: Int = 50): org.apache.spark.sql.Dataset[AudioWindow] = {
+    require(window > 0, s"window must be positive, got $window")
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { batch =>
+      batch.flatMap { p =>
+        val nSamples = p.payload.length / 2
+        val out = scala.collection.mutable.ArrayBuffer[AudioWindow]()
+        var k = 0
+        while (k < nSamples) {
+          val winIdx = k / window
+          val end = math.min(nSamples, (winIdx + 1) * window)
+          var energy = 0L
+          var peak = 0
+          while (k < end) {
+            val raw = (p.payload(2 * k) & 0xFF) | ((p.payload(2 * k + 1) & 0xFF) << 8)
+            val s = if (raw >= 32768) raw - 65536 else raw
+            energy += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            k += 1
+          }
+          out += AudioWindow(p.doc_id, winIdx,
+            end - winIdx * window, energy, peak)
+        }
+        out
+      }
+    }
+  }
+}

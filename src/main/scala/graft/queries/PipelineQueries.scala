@@ -1445,6 +1445,21 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // AUDIO-shaped multimodal plumbing: payload bytes as little-endian
+    // int16 PCM, windowed integer energy (Σs²) + peak per 50 samples —
+    // the silence-detection/loudness primitives, through the same
+    // one-decoder-per-partition batch shape as the image path (the
+    // binary column never survives the projection). RMS = √(energy/n) is
+    // the caller's float; keeping the stored signal integer is what lets
+    // the oracle re-derive every window off the hex dump.
+    "q173_audio_energy" -> ((s, dir) => {
+      val payloads = graft.multimodal.Multimodal
+        .withPayload(Tables.documents(s, dir))
+        .withColumn("media_type", lit("audio/stub"))
+      graft.multimodal.AudioStub.windowedEnergy(s, payloads, window = 50)
+        .toDF().orderBy("doc_id", "win")
+    }),
+
     // Per-source PARETO frontier (2-D skyline): documents not strictly
     // dominated on (quality, length) within their source — multi-criteria
     // selection where a single blended score would hide the trade-off
@@ -3100,6 +3115,32 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // Little-endian int16 samples off the hex dump (bytes 2k, 2k+1 →
+    // hex chars 4k+1..4k+4), signed re-bias at 32768, same 50-sample
+    // windows.
+    "q173_audio_energy" ->
+      """WITH base AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+        |         hex(encode(text)) AS hx
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, hx, unnest(range((n // 2)::INT)) AS k FROM base),
+        |hv AS (
+        |  SELECT doc_id, k,
+        |    (ord(substr(hx, (4*k+1)::INT, 1)) - CASE WHEN substr(hx, (4*k+1)::INT, 1) <= '9' THEN 48 ELSE 55 END) AS h1,
+        |    (ord(substr(hx, (4*k+2)::INT, 1)) - CASE WHEN substr(hx, (4*k+2)::INT, 1) <= '9' THEN 48 ELSE 55 END) AS h2,
+        |    (ord(substr(hx, (4*k+3)::INT, 1)) - CASE WHEN substr(hx, (4*k+3)::INT, 1) <= '9' THEN 48 ELSE 55 END) AS h3,
+        |    (ord(substr(hx, (4*k+4)::INT, 1)) - CASE WHEN substr(hx, (4*k+4)::INT, 1) <= '9' THEN 48 ELSE 55 END) AS h4
+        |  FROM samp),
+        |sm AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN (16*h3 + h4) * 256 + (16*h1 + h2) >= 32768
+        |         THEN (16*h3 + h4) * 256 + (16*h1 + h2) - 65536
+        |         ELSE (16*h3 + h4) * 256 + (16*h1 + h2) END AS s
+        |  FROM hv)
+        |SELECT doc_id, (k // 50)::INT AS win, count(*)::INT AS n_samples,
+        |  sum(s::BIGINT * s)::BIGINT AS energy, max(abs(s))::INT AS peak
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
     // Dominance stated definitionally: a doc survives iff NO same-source
     // doc has strictly higher q85 score and at-least-equal length.
     "q172_pareto_frontier" ->
