@@ -1136,6 +1136,39 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Behavioral twins: pairs of users whose event-type count profiles
+    // are ≥ 0.95 cosine-similar — segment discovery over the DERIVED
+    // profile table (|users| rows of 5 bounded integers), not the event
+    // log. The similarity test is INTEGER-exact by cross-multiplication:
+    // (a·b)²·10000 ≥ 9025·(a·a)(b·b) avoids the float-boundary ties a
+    // cosine threshold invites across engines (dot products of counts
+    // stay well under 2^63). The profile table is broadcast for the
+    // self-join — at 100 TB the EVENT LOG is huge but |users|×5 ints is
+    // dimension-table-sized; a profile table that outgrows broadcast
+    // moves to the library's sign-LSH banding instead.
+    "q174_behavior_twins" -> ((s, dir) => {
+      val prof = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("c1"), col("error").as("c2"),
+          col("purchase").as("c3"), col("signup").as("c4"), col("view").as("c5"))
+      val a = prof.columns.tail.map(c => prof(c).as(s"a_$c"))
+      val b = prof.columns.tail.map(c => prof(c).as(s"b_$c"))
+      val left = prof.select(col("user_id").as("ua") +: a: _*)
+      val right = prof.select(col("user_id").as("ub") +: b: _*)
+      val dims = (1 to 5)
+      val dot = dims.map(i => col(s"a_c$i") * col(s"b_c$i")).reduce(_ + _)
+      val na = dims.map(i => col(s"a_c$i") * col(s"a_c$i")).reduce(_ + _)
+      val nb = dims.map(i => col(s"b_c$i") * col(s"b_c$i")).reduce(_ + _)
+      left.join(broadcast(right), col("ua") < col("ub"))
+        .select(col("ua"), col("ub"), dot.as("dot"), na.as("na"), nb.as("nb"))
+        .filter(col("dot") * col("dot") * 10000L >= lit(9025L) * col("na") * col("nb"))
+        .select(col("ua"), col("ub"), col("dot"))
+        .orderBy("ua", "ub")
+    }),
+
     // Right-to-be-forgotten propagation audit: given a deletion cohort,
     // report per table how many rows the scrub must remove and how many
     // would REMAIN after an anti-join scrub (must be 0) — the compliance
@@ -2348,6 +2381,25 @@ object CoreQueries {
         |JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
         |JOIN e ON e.user_id = a.user_id AND e.day = b.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same pivoted profiles, same integer cross-multiplied 0.95² test.
+    "q174_behavior_twins" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'click')::BIGINT AS c1,
+        |    count(*) FILTER (WHERE event_type = 'error')::BIGINT AS c2,
+        |    count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS c3,
+        |    count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS c4,
+        |    count(*) FILTER (WHERE event_type = 'view')::BIGINT AS c5
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id AS ua, b.user_id AS ub,
+        |  (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5) AS dot
+        |FROM p a JOIN p b ON a.user_id < b.user_id
+        |WHERE (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)
+        |    * (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)
+        |    * 10000
+        |  >= 9025 * (a.c1*a.c1 + a.c2*a.c2 + a.c3*a.c3 + a.c4*a.c4 + a.c5*a.c5)
+        |          * (b.c1*b.c1 + b.c2*b.c2 + b.c3*b.c3 + b.c4*b.c4 + b.c5*b.c5)
+        |ORDER BY ua, ub""".stripMargin,
     // Same cohort rule; per-table IN counts, remnants identically zero.
     "q170_deletion_audit" ->
       """WITH doomed AS (

@@ -1445,6 +1445,29 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // Mix PLANNING (water-filling): given target proportions over a
+    // source whitelist, the largest total corpus T whose per-source
+    // demand num_s·T/den fits each source's supply — then the per-source
+    // planned keeps and WHICH source binds the whole mix. The solver
+    // step BEFORE weightedMix/tokenBudgetSampleByKey executes a plan:
+    // all-integer (T = min over sources of n_s·den div num_s), counts
+    // only — |whitelist| rows ever exist past the first aggregation.
+    "q175_mix_plan" -> ((s, dir) => {
+      val spec = Seq(("src0", 40L), ("src1", 35L), ("src2", 25L))
+      val den = 100L
+      val specDf = s.createDataFrame(spec).toDF("source", "t_num")
+      val avail = Tables.documents(s, dir)
+        .join(broadcast(specDf), Seq("source"))
+        .groupBy(col("source"), col("t_num"))
+        .agg(count(lit(1)).as("available"))
+      val t = avail.agg(min(expr(s"available * $den div t_num")).as("t_total"))
+      avail.crossJoin(broadcast(t))
+        .select(col("source"), col("available"), col("t_num"),
+          expr(s"t_num * t_total div $den").as("planned_keep"),
+          (expr(s"available * $den div t_num") === col("t_total")).as("binding"))
+        .orderBy("source")
+    }),
+
     // AUDIO-shaped multimodal plumbing: payload bytes as little-endian
     // int16 PCM, windowed integer energy (Σs²) + peak per 50 samples —
     // the silence-detection/loudness primitives, through the same
@@ -3115,6 +3138,21 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // Same integer water-filling restated.
+    "q175_mix_plan" ->
+      """WITH spec(source, t_num) AS (VALUES
+        |  ('src0', 40), ('src1', 35), ('src2', 25)),
+        |avail AS (
+        |  SELECT d.source, s.t_num::BIGINT AS t_num,
+        |    count(*)::BIGINT AS available
+        |  FROM documents d JOIN spec s USING (source)
+        |  GROUP BY 1, 2),
+        |t AS (SELECT min(available * 100 // t_num)::BIGINT AS t_total
+        |      FROM avail)
+        |SELECT source, available, t_num,
+        |  t_num * t_total // 100 AS planned_keep,
+        |  available * 100 // t_num = t_total AS binding
+        |FROM avail, t ORDER BY source""".stripMargin,
     // Little-endian int16 samples off the hex dump (bytes 2k, 2k+1 →
     // hex chars 4k+1..4k+4), signed re-bias at 32768, same 50-sample
     // windows.
