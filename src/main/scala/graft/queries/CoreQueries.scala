@@ -1497,6 +1497,30 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // The remaining sketch EVALUATORS through the gate in one row per
+    // type: kll_rank (inclusive fraction ≤ v), kll_pmf (3 inclusive
+    // buckets, unpacked to scalar columns — arrays don't hash stably
+    // across engines in the compare), freq_estimate (exact: 31-day
+    // universe << maxMapSize 64) and freq_stream_length. k=16384 keeps
+    // KLL exact at gate scale (q24's operating point), so every fraction
+    // is an integer ratio both engines compute with one IEEE division.
+    "q176_sketch_eval_matrix" -> ((s, dir) => {
+      import graft.kll.functions._
+      import graft.freq.functions._
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(kll_init_agg(col("value"), 16384).as("sk"),
+          freq_init_agg(dayofmonth(col("ts")).cast("string"), 64).as("f"))
+        .select(col("event_type"),
+          kll_rank(col("sk"), 50.0).as("rank_50"),
+          element_at(kll_pmf(col("sk"), Seq(25.0, 75.0)), 1).as("pmf_lo"),
+          element_at(kll_pmf(col("sk"), Seq(25.0, 75.0)), 2).as("pmf_mid"),
+          element_at(kll_pmf(col("sk"), Seq(25.0, 75.0)), 3).as("pmf_hi"),
+          freq_estimate(col("f"), lit("15")).as("est_day15"),
+          freq_stream_length(col("f")).as("stream_len"))
+        .orderBy("event_type")
+    }),
+
     "q24_quantile_sketch" -> ((s, dir) => {
       import graft.kll.functions._
       Tables.events(s, dir)
@@ -2624,6 +2648,22 @@ object CoreQueries {
         |  ((r.n - 1) * q.q_num) // q.q_den + 1 AS k, r.v AS value
         |FROM r JOIN q ON r.rn = ((r.n - 1) * q.q_num) // q.q_den + 1
         |ORDER BY l_returnflag, q_den, q_num""".stripMargin,
+    // Every evaluator restated as integer counts over the same rows; the
+    // fractions are single IEEE divisions of those integers.
+    "q176_sketch_eval_matrix" ->
+      """SELECT event_type,
+        |  (count(*) FILTER (WHERE value <= 50.0))::DOUBLE
+        |    / count(value) AS rank_50,
+        |  (count(*) FILTER (WHERE value <= 25.0))::DOUBLE
+        |    / count(value) AS pmf_lo,
+        |  ((count(*) FILTER (WHERE value <= 75.0))
+        |   - (count(*) FILTER (WHERE value <= 25.0)))::DOUBLE
+        |    / count(value) AS pmf_mid,
+        |  (count(value) - count(*) FILTER (WHERE value <= 75.0))::DOUBLE
+        |    / count(value) AS pmf_hi,
+        |  (count(*) FILTER (WHERE day(ts) = 15))::BIGINT AS est_day15,
+        |  count(ts)::BIGINT AS stream_len
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_quantile_sketch" ->
       """SELECT event_type, count(value)::BIGINT AS n,
         |  quantile_disc(value, 0.5) AS p50,
