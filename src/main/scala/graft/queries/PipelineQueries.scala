@@ -1445,6 +1445,28 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // EXACT-proportion stratified sampling: exactly ceil(n_k/5) docs per
+    // source, in md5(seed:id) order — where q30's hash-threshold rule
+    // delivers proportions only in expectation (a 20-doc stratum can
+    // yield 1 or 7 under the 1/5 rule) and samplePerKey needs a FIXED n,
+    // this keeps the per-stratum count exact for whatever each stratum
+    // holds: rank-within-stratum ≤ ceil-threshold from the same window's
+    // count. Deterministic, nested in seed like every sampler here; the
+    // shuffle carries (source, id, hash) coordinates once.
+    "q177_stratified_split" -> ((s, dir) => {
+      val u = shiftrightunsigned(graft.operators.Sampling.md5Hash64(
+        concat_ws(":", lit(23L), col("doc_id"))), 1)
+      val wRank = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+      val wAll = Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), u.as("u"))
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("n_k", count(lit(1)).over(wAll))
+        .filter(col("rank") <= expr("(n_k + 4) div 5"))
+        .select(col("source"), col("rank"), col("doc_id"), col("n_k"))
+        .orderBy("source", "rank")
+    }),
+
     // Mix PLANNING (water-filling): given target proportions over a
     // source whitelist, the largest total corpus T whose per-source
     // demand num_s·T/den fits each source's supply — then the per-source
@@ -3138,6 +3160,18 @@ object PipelineQueries {
          |    FILTER (WHERE rn <= 8) AS postings
          |FROM r WHERE df >= 2 GROUP BY term, df
          |ORDER BY term""".stripMargin,
+    // Same hash order ranked per source, same ceil(n/5) cut.
+    "q177_stratified_split" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      (('0x' || substr(md5('23:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+        |       >> 1) ASC, doc_id ASC) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS n_k
+        |  FROM documents)
+        |SELECT source, rank::INT AS rank, doc_id, n_k::BIGINT AS n_k
+        |FROM r WHERE rank <= (n_k + 4) // 5
+        |ORDER BY source, rank""".stripMargin,
     // Same integer water-filling restated.
     "q175_mix_plan" ->
       """WITH spec(source, t_num) AS (VALUES
