@@ -1136,6 +1136,33 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Training-set construction with a TEMPORAL feature/label split:
+    // features from the observation window (days before the data-derived
+    // cutoff = max day − 7), label = churned iff ZERO activity in the
+    // 7-day outcome window after it. The cutoff discipline is the point —
+    // every feature column is computed strictly before the label window,
+    // so the label can never leak into the features (the q169 temporal
+    // join is the enrichment-side twin of this rule). One conditional
+    // aggregation pass; users only active in the outcome window are
+    // excluded (no observation history to featurize).
+    "q178_churn_labels" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = ev.agg(date_sub(to_date(max(col("ts"))), 7).as("cut"))
+      ev.crossJoin(broadcast(cutoff))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) <= col("cut"), 1L).otherwise(0L)).as("n_obs"),
+          sum(when(to_date(col("ts")) <= col("cut") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases_obs"),
+          max(when(to_date(col("ts")) <= col("cut"),
+            unix_micros(col("ts")))).as("last_obs_us"),
+          sum(when(to_date(col("ts")) > col("cut"), 1L).otherwise(0L)).as("n_out"))
+        .filter(col("n_obs") > 0)
+        .select(col("user_id"), col("n_obs"), col("n_purchases_obs"),
+          col("last_obs_us"), (col("n_out") === 0L).as("churned"))
+        .orderBy("user_id")
+    }),
+
     // Behavioral twins: pairs of users whose event-type count profiles
     // are ≥ 0.95 cosine-similar — segment discovery over the DERIVED
     // profile table (|users| rows of 5 bounded integers), not the event
@@ -2405,6 +2432,23 @@ object CoreQueries {
         |JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
         |JOIN e ON e.user_id = a.user_id AND e.day = b.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same cutoff (max day − 7), same windowed conditional counts.
+    "q178_churn_labels" ->
+      """WITH cut AS (
+        |  SELECT CAST(date_trunc('day', max(ts)) AS DATE) - 7 AS c
+        |  FROM events)
+        |SELECT user_id,
+        |  (count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE) <= c))::BIGINT AS n_obs,
+        |  (count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE) <= c
+        |     AND event_type = 'purchase'))::BIGINT AS n_purchases_obs,
+        |  max(CASE WHEN CAST(date_trunc('day', ts) AS DATE) <= c
+        |      THEN epoch_us(ts::TIMESTAMP) END) AS last_obs_us,
+        |  (count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE) > c))
+        |    = 0 AS churned
+        |FROM events, cut
+        |GROUP BY user_id, c
+        |HAVING count(*) FILTER (WHERE CAST(date_trunc('day', ts) AS DATE) <= c) > 0
+        |ORDER BY user_id""".stripMargin,
     // Same pivoted profiles, same integer cross-multiplied 0.95² test.
     "q174_behavior_twins" ->
       """WITH p AS (
