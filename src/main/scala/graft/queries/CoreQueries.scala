@@ -1136,6 +1136,54 @@ object CoreQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Survival (time-to-event) labels with CENSORING — q178's regression
+    // sibling: per signed-up user, microseconds from first signup to
+    // first subsequent purchase; users never purchasing after signup are
+    // CENSORED at the corpus horizon (duration to max ts, event=false) —
+    // dropping them would bias any duration model toward fast
+    // converters. Conditional mins in one pass over the user partition's
+    // coordinates; the horizon broadcasts.
+    "q179_survival_labels" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("h_us"))
+      ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup",
+          unix_micros(col("ts")))).as("s_us"))
+        .filter(col("s_us").isNotNull)
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_micros(col("ts")).as("p_us")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("s_us"))
+        .agg(min(when(col("p_us") > col("s_us"), col("p_us"))).as("fp_us"))
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("s_us").as("signup_us"),
+          coalesce(col("fp_us") - col("s_us"), col("h_us") - col("s_us"))
+            .as("duration_us"),
+          col("fp_us").isNotNull.as("event_observed"))
+        .orderBy("user_id")
+    }),
+
+    // Session co-visitation counts: how often each PAIR of event types
+    // co-occurs inside one behavioral session — the co-occurrence
+    // statistic recommendation candidate-generation precomputes. Distinct
+    // (session, type-pair) coordinates only: per session the type set is
+    // ≤|types|, pairs expand combinatorially in the TYPE universe (25
+    // here), never in events; the output is a |types|² table at any
+    // corpus scale.
+    "q180_covisitation" -> ((s, dir) => {
+      val st = Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+        .agg(collect_set(col("event_type")).as("ts_set"))
+        .select(col("user_id"), col("sw"), explode(col("ts_set")).as("t"))
+      val a = st.select(col("user_id"), col("sw"), col("t").as("ta"))
+      val b = st.select(col("user_id"), col("sw"), col("t").as("tb"))
+      a.join(b, Seq("user_id", "sw"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("ta", "tb")
+    }),
+
     // Training-set construction with a TEMPORAL feature/label split:
     // features from the observation window (days before the data-derived
     // cutoff = max day − 7), label = churned iff ZERO activity in the
@@ -2431,6 +2479,46 @@ object CoreQueries {
         |FROM r a
         |JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 6 AND a.rn
         |JOIN e ON e.user_id = a.user_id AND e.day = b.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // First signup, first strictly-later purchase, horizon-censored.
+    "q179_survival_labels" ->
+      """WITH h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS h_us FROM events),
+        |s AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP))
+        |    FILTER (WHERE event_type = 'signup') AS s_us
+        |  FROM events GROUP BY 1),
+        |su AS (SELECT user_id, s_us FROM s WHERE s_us IS NOT NULL),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS fp_us
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts::TIMESTAMP) > su.s_us
+        |  GROUP BY 1)
+        |SELECT su.user_id, su.s_us AS signup_us,
+        |  coalesce(fp.fp_us - su.s_us, h.h_us - su.s_us) AS duration_us,
+        |  fp.fp_us IS NOT NULL AS event_observed
+        |FROM su LEFT JOIN fp USING (user_id), h
+        |ORDER BY su.user_id""".stripMargin,
+    // q44's sessions, distinct types per session, ordered pairs counted.
+    "q180_covisitation" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               >= INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s)
+        |SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS n_sessions
+        |FROM st a JOIN st b
+        |  ON a.user_id = b.user_id AND a.sid = b.sid AND a.t < b.t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same cutoff (max day − 7), same windowed conditional counts.
     "q178_churn_labels" ->
