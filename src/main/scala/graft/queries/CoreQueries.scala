@@ -791,6 +791,27 @@ object CoreQueries {
       s.table("q153_mem").orderBy("win_start", "event_type")
     }),
 
+    // HOPPING windows × SKETCH state — the last cell of the streaming
+    // matrix (tumbling×{count,freq,kll,hll} and hopping×count are
+    // proven): each event's HLL contribution lands in TWO overlapping
+    // windows' aggregation buffers, both round-tripping the state store
+    // independently, evicted separately as the watermark passes each
+    // window's end. p=8 exact on the 5-type universe (q62's operating
+    // point), so the oracle is the fan-out + closure + COUNT DISTINCT.
+    "q181_streaming_hopping_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "36 hours")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(hll_cardinality(hll_init_agg(col("event_type"), 0.069)).as("n_types"))
+        .select(col("w.start").cast("date").as("win_start"), col("n_types"))
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        agg.writeStream.format("memory").queryName("q181_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      s.table("q181_mem").orderBy("win_start")
+    }),
+
     // Rolling-MEDIAN anomaly detection: per (type, day) volume against
     // the lower median of its trailing seven present days — the
     // outlier-robust alarm (a mean-based band is dragged by the very
@@ -2236,6 +2257,20 @@ object CoreQueries {
         |SELECT win_start, event_type, n FROM agg, wm
         |WHERE epoch_ms(win_start + INTERVAL 2 DAY) <= wm.wm_ms
         |ORDER BY win_start, event_type""".stripMargin,
+    // q153's fan-out + closure rule, distinct types per closed window.
+    "q181_streaming_hopping_sketch" ->
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 36 * 3600 * 1000 AS wm_ms FROM events),
+        |fan AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) - k AS win_start,
+        |    event_type
+        |  FROM events, (SELECT unnest([0, 1]) AS k)),
+        |agg AS (
+        |  SELECT win_start, count(DISTINCT event_type)::BIGINT AS n_types
+        |  FROM fan GROUP BY 1)
+        |SELECT win_start, n_types FROM agg, wm
+        |WHERE epoch_ms(win_start + INTERVAL 2 DAY) <= wm.wm_ms
+        |ORDER BY win_start""".stripMargin,
     // Same trailing-7-present-days frame, lower median by 1-based pick
     // from the sorted list, same e6 integer ratio and alert band.
     "q156_rolling_median_anomaly" ->
