@@ -2657,7 +2657,7 @@ object PipelineQueries {
          |  SELECT source, t, tf, df, tf * ((n * 1000000) // df) AS score
          |  FROM tf JOIN dfreq USING (t), tot
          |)
-         |SELECT source, rank, t AS term, tf, df, score FROM (
+         |SELECT source, rank::INT AS rank, t AS term, tf, df, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY score DESC, t) AS rank
          |  FROM scored)
@@ -3242,7 +3242,7 @@ object PipelineQueries {
          |      ROWS UNBOUNDED PRECEDING) AS cum_n
          |  FROM c)
          |SELECT t, n, rank::INT AS rank,
-         |  cum_n * 1000000 // total AS cum_share_e6
+         |  (cum_n * 1000000 // total)::BIGINT AS cum_share_e6
          |FROM r, tt WHERE rank <= 30 ORDER BY rank""".stripMargin,
     // The same 3-grams from the same token list, 1-based list slicing.
     "q162_ngram_generator_df" ->

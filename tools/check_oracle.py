@@ -2,6 +2,14 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle SQL and compare sorted-column/sorted-row values.
 
+Type-strict since round 9: the driver's hasher is type-sensitive (it caught
+q165's DuckDB HUGEINT vs Spark int64 even though every value was equal), so
+before comparing values we compare per-column arrow type *kinds* between the
+engine parquet and the oracle result. Kinds distinguish int vs decimal vs
+float bitwidths but deliberately collapse representation-only differences
+(string vs large_string, dictionary encoding, timestamp unit) that the
+driver's value hash does not see.
+
 Usage: python3 tools/check_oracle.py [sfDir] [verifyOut]
 """
 import sys, json, math
@@ -9,6 +17,41 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_kind(t):
+    """Collapse an arrow DataType to the signature the driver's hasher sees."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        return type_kind(t.value_type)
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_kind(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_kind(t.key_type)},{type_kind(t.item_type)}>"
+    return str(t)
+
+
+def schema_sig(tbl):
+    return {f.name: type_kind(f.type) for f in tbl.schema}
 
 
 def norm_cell(v):
@@ -40,9 +83,18 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            mine = con.execute(
-                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
-            theirs = con.execute(sql).df()
+            mine_t = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").arrow()
+            theirs_t = con.execute(sql).arrow()
+            sig_m, sig_t = schema_sig(mine_t), schema_sig(theirs_t)
+            if sig_m != sig_t:
+                n_fail += 1
+                diffs = sorted(set(sig_m.items()) ^ set(sig_t.items()))
+                print(f"FAIL  {name}: TYPE mismatch")
+                for col in sorted({c for c, _ in diffs}):
+                    print(f"      {col}: mine={sig_m.get(col)} oracle={sig_t.get(col)}")
+                continue
+            mine, theirs = mine_t.to_pandas(), theirs_t.to_pandas()
             a, b = norm_df(mine), norm_df(theirs)
             if a == b:
                 print(f"PASS  {name}  ({len(a)} rows)")
