@@ -51,7 +51,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Preflight.check(spark, sfDir)
 
+    // Optional subset for local iteration: SPARK_GRAFT_ONLY=q62_...,q171_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Streaming queries run through a memory sink, so the DataFrame a
+    // query function RETURNS is only the sink-table read — its shuffle
+    // metrics say nothing about the streaming job's cost. Detect them at
+    // runtime (onQueryStarted is delivered synchronously on the starting
+    // thread) and report null instead of a misleading sink-read number.
+    val streamStarts = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        streamStarts.incrementAndGet()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
 
     // Untimed warmup at the smallest scale factor: same query shapes, so
     // JIT, catalyst rule batches, and the codegen cache are hot before the
@@ -95,12 +114,15 @@ object Bench {
     // query, driving the DataFrame's own QueryExecution (the noop-sink
     // write above runs a separate command execution whose metrics the
     // frame does not see).
-    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Option[Long]]()
     queries.foreach { case (name, fn) =>
       try {
+        val startsBefore = streamStarts.get()
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.foreach(_ => ())
-        shuffleBytes(name) = graft.util.ShuffleAudit.shuffledBytes(df)
+        shuffleBytes(name) =
+          if (streamStarts.get() != startsBefore) None // streaming: sink-read bytes would lie
+          else Some(graft.util.ShuffleAudit.shuffledBytes(df))
       } catch {
         case t: Throwable => System.err.println(s"WARN shuffle audit $name failed: $t")
       }
@@ -113,7 +135,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
-    val sb = shuffleBytes.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sb = shuffleBytes.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_3",""" +
       s""""pass_totals":$passTotals,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""

@@ -133,6 +133,29 @@ sealed abstract class SketchAgg extends TypedImperativeAggregate[Option[HllInsta
 
   override def deserialize(storageFormat: Array[Byte]): Option[HllInstance] =
     Option(storageFormat).map(format.deserialize)
+
+  /** Fold one serialized incoming sketch into the buffer. Merge-only
+   * consumers never observe the instance type, so the STRM format takes the
+   * lean dense parse ([[FastStrmInstance]]) — same registers, same
+   * estimator, none of the per-row Builder allocation that dominates
+   * windowed merges. The merge ARGUMENT may be a shared cached instance
+   * (read-only in every merge implementation); adoption as the mutable
+   * buffer always gets a privately-owned parse. */
+  protected final def mergeIncoming(
+      buffer: Option[HllInstance], bytes: Array[Byte]): Option[HllInstance] = buffer match {
+    case Some(b) =>
+      val shared = format match {
+        case StreamLibHll => StreamLibHll.deserializeFastShared(bytes)
+        case other => other.deserialize(bytes)
+      }
+      Some(b.merge(shared))
+    case None =>
+      val owned = format match {
+        case StreamLibHll => StreamLibHll.deserializeFast(bytes)
+        case other => other.deserialize(bytes)
+      }
+      Some(owned)
+  }
 }
 
 /** Aggregate init: one sketch per group; nulls skipped; empty group → null. */
@@ -222,8 +245,7 @@ case class HllMerge(
     child.eval(input) match {
       case null => buffer
       case bytes: Array[Byte] =>
-        val incoming = format.deserialize(bytes)
-        buffer.map(_.merge(incoming)).orElse(Some(incoming))
+        mergeIncoming(buffer, bytes)
       case other =>
         throw new IllegalStateException(s"$prettyName only supports Array[Byte], got $other")
     }
@@ -264,8 +286,7 @@ case class HllMergeCardinality(
     child.eval(input) match {
       case null => buffer
       case bytes: Array[Byte] =>
-        val incoming = format.deserialize(bytes)
-        buffer.map(_.merge(incoming)).orElse(Some(incoming))
+        mergeIncoming(buffer, bytes)
       case other =>
         throw new IllegalStateException(s"$prettyName only supports Array[Byte], got $other")
     }

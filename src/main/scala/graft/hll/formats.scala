@@ -105,6 +105,7 @@ final class StreamLibInstance(val hll: HyperLogLogPlus) extends HllInstance {
   }
   override def merge(other: HllInstance): HllInstance = other match {
     case s: StreamLibInstance => hll.addAll(s.hll); this
+    case f: FastStrmInstance => hll.addAll(f.wrapper); this
     case _ => HllFormat.mixedMerge(this, other)
   }
   override def serialize: Array[Byte] = hll.getBytes
@@ -116,6 +117,26 @@ case object StreamLibHll extends HllFormat {
   override def create(p: Int): HllInstance = new StreamLibInstance(new HyperLogLogPlus(p, 0))
   override def deserialize(bytes: Array[Byte]): HllInstance = HllFormat.decoding(this, bytes) {
     new StreamLibInstance(HyperLogLogPlus.Builder.build(bytes))
+  }
+
+  /** Decode for a merge-only consumer: the lean dense parse when the bytes
+   * allow it (every sketch this library writes), stock decoder otherwise.
+   * [[FastStrmInstance]] serializes and estimates through the real
+   * stream-lib object over the same registers, so the two decoders are
+   * observationally identical — the fast one just skips the Builder
+   * allocation chain, which is the per-row constant in windowed merges. */
+  def deserializeFast(bytes: Array[Byte]): HllInstance = {
+    val f = FastStrm.parse(bytes)
+    if (f != null) f else deserialize(bytes)
+  }
+
+  /** Like [[deserializeFast]] but may return a SHARED cached instance —
+   * only valid as the read-only right side of a merge (sliding window
+   * frames re-decode the same bytes once per frame position; the content-
+   * keyed cache makes those re-decodes a lookup). */
+  def deserializeFastShared(bytes: Array[Byte]): HllInstance = {
+    val f = FastStrm.parseShared(bytes)
+    if (f != null) f else deserialize(bytes)
   }
 }
 
