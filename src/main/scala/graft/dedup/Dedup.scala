@@ -922,22 +922,64 @@ object Dedup {
    * arrays bounded by document length). Output: (idCol, n_tokens,
    * n_removed, clean_text).
    */
+  /**
+   * (id, start, gh) for every `w`-token window whose CONTENT may repeat
+   * across documents: a Rabin–Karp fingerprint pass finds the windows
+   * whose fingerprints collide across docs (lossless — equal strings
+   * fingerprint equal), and only that sliver pays the md5-64 the repeat
+   * identity is defined by (auditable off-Spark; the oracle re-derives
+   * it). The fingerprint pass is one O(bytes) kernel per document
+   * ([[graft.text.RollingSpanHashes]]) versus an md5 per window — md5 was
+   * ~2/3 of q64/q78's runtime at sf0.1, and the sliver is the set of
+   * genuinely-repeated windows, which a healthy corpus keeps small.
+   * Callers must still apply their own per-gh filters: this table holds
+   * ALL occurrences of every fingerprint-candidate group (a superset of
+   * every cross-doc md5 group).
+   */
+  private def confirmedSpans(base: DataFrame, w: Int): DataFrame = {
+    val rolled = base.select(col("id"),
+      posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
+        GraftSqlBridge.expression(col("ts")), w))).as(Seq("pos0", "rh")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("rh"))
+    val candidates = rolled.groupBy("rh")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("rh")
+    // Re-attach the token arrays for candidate windows only, then compute
+    // the md5 identity on that sliver. Tokens bound to a column FIRST:
+    // referenced from inside a lambda as a raw expression they would
+    // re-tokenize once per window (the q64 cliff — see PERF.md).
+    rolled.join(candidates, "rh")
+      .select(col("id"), col("start"))
+      .join(base, "id")
+      .select(col("id"), col("start"),
+        graft.operators.Sampling.md5Hash64(
+          concat_ws(" ", slice(col("ts"), col("start"), lit(w)))).as("gh"))
+  }
+
+  /** All occurrences of every CROSS-DOCUMENT repeated `w`-token span, as
+   * (id, start, gh) coordinates — q64's detection surface and the input
+   * to [[spanDedupScrub]]'s keeper selection. */
+  def repeatedSpans(docs: DataFrame, w: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w > 0, s"span width must be positive, got $w")
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val spans = confirmedSpans(base, w)
+    val repeated = spans.groupBy("gh")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gh")
+    spans.join(repeated, "gh")
+      .select(col("id").as(idCol), col("start"), col("gh"))
+  }
+
   def spanDedupScrub(docs: DataFrame, w: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
-    // Tokens bound to a column FIRST: referenced from inside the transform
-    // lambda as a raw expression they would re-tokenize once per window
-    // (the q64 cliff — see PERF.md).
-    val hashes = when(size(col("ts")) >= w, transform(
-      sequence(lit(1), size(col("ts")) - (w - 1)),
-      i => graft.operators.Sampling.md5Hash64(
-        concat_ws(" ", slice(col("ts"), i, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
-    val spans = base
-      .select(col("id"), posexplode(hashes).as(Seq("pos0", "gh")))
-      .select(col("id"), (col("pos0") + 1).as("start"), col("gh"))
+    val spans = confirmedSpans(base, w)
     val repeated = spans.groupBy("gh")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") > 1)

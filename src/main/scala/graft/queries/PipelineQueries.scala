@@ -325,28 +325,14 @@ object PipelineQueries {
     // scan. Within-doc repetition is deliberately excluded (q34's job);
     // the distinct-doc count is what makes a span cross-document.
     "q64_repeated_spans" -> ((s, dir) => {
-      val w = 16
-      // Tokens bind to a column in their own projection: referenced from
-      // inside the transform lambda as a raw expression they would
-      // re-tokenize the whole document once PER WINDOW (measured 6.6 s →
-      // 1.5 s at sf0.1). A bound attribute evaluates once per row.
-      val hashes = when(size(col("ts")) >= w, transform(
-        sequence(lit(1), size(col("ts")) - (w - 1)),
-        i => graft.operators.Sampling.md5Hash64(
-          concat_ws(" ", slice(col("ts"), i, lit(w))))))
-        .otherwise(array().cast("array<bigint>"))
-      val spans = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-        .select(col("doc_id"), posexplode(hashes).as(Seq("pos0", "gh")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("start"), col("gh"))
-      val repeated = spans.groupBy("gh")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select("gh")
-      spans.join(repeated, "gh")
+      // Rabin–Karp fingerprints find the cross-doc window candidates in
+      // one O(bytes) pass per doc; only that sliver pays the md5-64 the
+      // repeat identity (and the oracle) is defined by — see
+      // Dedup.repeatedSpans. md5-per-window was ~2/3 of this query.
+      Dedup.repeatedSpans(Tables.documents(s, dir), w = 16)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_repeated_spans"),
-          min(col("start")).as("first_repeated_start"))
+          min(col("start").cast("long")).as("first_repeated_start"))
         .orderBy("doc_id")
     }),
 
@@ -755,8 +741,14 @@ object PipelineQueries {
     // oracle, proving the expansion exact where template spam would make
     // it the right default.
     "q59_ngram_jaccard" -> ((s, dir) => {
+      // materializeCandidates: one cached corpus gram pass feeds the prefix
+      // chain AND both verify branches — measured 2.4 s -> 1.9 s at sf0.1
+      // (the second gram build was the single heaviest stage). The cache is
+      // hash arrays only, lazy, MEMORY_AND_DISK — the documented bounded
+      // trade (see ngramJaccardPairs).
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        thresholdNum = 1, thresholdDen = 2, n = 3, collapseIdentical = false)
+        thresholdNum = 1, thresholdDen = 2, n = 3,
+        materializeCandidates = true, collapseIdentical = false)
     }),
 
     // The identity-collapse mode of q59's operator: fingerprint-collapse
@@ -769,7 +761,8 @@ object PipelineQueries {
     "q76_ngram_jaccard_collapsed" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("source").isin(dupSources: _*)),
-        thresholdNum = 1, thresholdDen = 2, n = 3, collapseIdentical = true)
+        thresholdNum = 1, thresholdDen = 2, n = 3,
+        materializeCandidates = true, collapseIdentical = true)
     }),
 
     // PPJoin candidate-volume accounting (the q59 counterpart of q74's

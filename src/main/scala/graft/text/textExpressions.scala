@@ -513,3 +513,91 @@ case class WordNgramsExplode(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `rolling_span_hashes(array<string>, w)` → array<bigint>: the
+ * [[RollingHash64]] fingerprint of every `w`-token window (stride 1),
+ * where window `i`'s fingerprint is exactly
+ * `rolling_hash64(concat_ws(" ", tokens[i..i+w-1]))` — pinned by
+ * RollingSpanHashesSpec against that very composition.
+ *
+ * This is the cheap half of the span-dedup hash split: md5 per window
+ * costs ~250 ns × (|tokens| − w + 1) windows per document and dominated
+ * q64/q78 (the md5 was ~2/3 of the query). A polynomial fingerprint
+ * computes ALL windows in one O(bytes) pass — prefix hashes at token
+ * boundaries plus a power table give each window as
+ * `H_end − H_start · B^len` — so the md5 (kept for the oracle-auditable
+ * repeat identity) only ever runs on windows whose fingerprint already
+ * collides across documents. Lossless as a prefilter: equal strings have
+ * equal fingerprints, so no true repeat is ever missed; a fingerprint
+ * collision between different strings just sends a few extra windows to
+ * the md5 confirm.
+ *
+ * Null tokens hash as empty strings (the tokenizer never produces nulls;
+ * documented for the expression's general contract).
+ */
+case class RollingSpanHashes(child: Expression, w: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(w > 0, s"span width must be positive, got $w")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val B = RollingHash64.Base
+    // One virtual byte stream t_0 ' ' t_1 ' ' ... t_{n-1}: prefix hashes
+    // and byte offsets at each token's start (just after its separator)
+    // and end, plus a power table over the stream length.
+    val tokenBytes = new Array[Array[Byte]](n)
+    var total = n - 1 // separators
+    var j = 0
+    while (j < n) {
+      tokenBytes(j) =
+        if (arr.isNullAt(j)) Array.emptyByteArray else arr.getUTF8String(j).getBytes
+      total += tokenBytes(j).length
+      j += 1
+    }
+    val startHash = new Array[Long](n)
+    val endHash = new Array[Long](n)
+    val startPos = new Array[Int](n)
+    val endPos = new Array[Int](n)
+    var h = 0L
+    var pos = 0
+    j = 0
+    while (j < n) {
+      if (j > 0) { h = h * B + ' '.toInt; pos += 1 }
+      startHash(j) = h
+      startPos(j) = pos
+      val tb = tokenBytes(j)
+      var k = 0
+      while (k < tb.length) {
+        h = h * B + (tb(k) & 0xFF)
+        k += 1
+      }
+      pos += tb.length
+      endHash(j) = h
+      endPos(j) = pos
+      j += 1
+    }
+    val pow = new Array[Long](total + 1)
+    pow(0) = 1L
+    j = 1
+    while (j <= total) { pow(j) = pow(j - 1) * B; j += 1 }
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      val e = i + w - 1
+      out(i) = endHash(e) - startHash(i) * pow(endPos(e) - startPos(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "rolling_span_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

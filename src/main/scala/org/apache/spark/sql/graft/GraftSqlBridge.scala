@@ -31,4 +31,15 @@ object GraftSqlBridge {
   def orderingFor(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
       .asInstanceOf[Ordering[Any]]
+
+  /** Re-root a logical plan onto another session of the same SparkContext
+   * (`Dataset.ofRows` is `private[sql]`). The cache manager lives in
+   * sharedState, so persisted subtrees still substitute — this exists so
+   * an iterative operator can run its tiny per-round queries on a child
+   * session with driver-latency-heavy features (AQE stage-jobs) tuned
+   * off, without mutating the caller's session conf. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -73,4 +73,57 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     val got = merges(Bpe.learnMerges(docs("abab"), nMerges = 2))
     assert(got === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
   }
+
+  // ---- strict one-merge-per-round reference, for fuzzing the safe-batch
+  // adoption rule in learnMergesSegmented ------------------------------------
+
+  private def greedyApply(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+      else acc :+ s
+    }
+
+  private def strictLearn(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var v: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } (_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- v; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((round, a, b, cnt))
+        v = v.toSeq.map { case (syms, c) => (greedyApply(syms, a, b), c) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  test("batched adoption == strict one-merge-per-round BPE (fuzz)") {
+    // The batch rule adopts several merges from one pair-count job when
+    // they are provably what sequential rounds would pick. Random small
+    // corpora over a 4-letter alphabet maximize pair interaction (the
+    // regime where unsafe batching would diverge) — every seed must match
+    // the strict reference row-for-row, counts included.
+    val rnd = new scala.util.Random(20260814)
+    for (seed <- 1 to 12) {
+      val alphabet = "abcd"
+      val nWords = 12 + rnd.nextInt(12)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val weights = words.map(_ -> (1L + rnd.nextInt(4))).toMap
+      val text = weights.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+      val expected = strictLearn(weights, nMerges = 6)
+      val got = merges(Bpe.learnMerges(docs(text), nMerges = 6))
+      assert(got === expected, s"seed=$seed corpus=$text")
+    }
+  }
 }
