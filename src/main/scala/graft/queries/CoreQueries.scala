@@ -1236,9 +1236,14 @@ object CoreQueries {
     // are ≥ 0.95 cosine-similar — segment discovery over the DERIVED
     // profile table (|users| rows of 5 bounded integers), not the event
     // log. The similarity test is INTEGER-exact by cross-multiplication:
-    // (a·b)²·10000 ≥ 9025·(a·a)(b·b) avoids the float-boundary ties a
-    // cosine threshold invites across engines (dot products of counts
-    // stay well under 2^63). The profile table is broadcast for the
+    // (a·b)²·10000 ≥ 9025·(a·a)(b·b), which avoids the float-boundary
+    // ties a cosine threshold invites across engines. The squared terms
+    // outgrow BIGINT long before the dot product does (dot²·10⁴ needs
+    // dot < ~3·10⁷ to stay under 2^63 — real per-user counts exceed
+    // that), so the COMPARISON runs in decimal(38) on the Spark side and
+    // HUGEINT in the oracle: identical exact integer arithmetic to
+    // dot < ~10^17, far past any real profile. The emitted dot column
+    // itself stays BIGINT. The profile table is broadcast for the
     // self-join — at 100 TB the EVENT LOG is huge but |users|×5 ints is
     // dimension-table-sized; a profile table that outgrows broadcast
     // moves to the library's sign-LSH banding instead.
@@ -1258,9 +1263,11 @@ object CoreQueries {
       val dot = dims.map(i => col(s"a_c$i") * col(s"b_c$i")).reduce(_ + _)
       val na = dims.map(i => col(s"a_c$i") * col(s"a_c$i")).reduce(_ + _)
       val nb = dims.map(i => col(s"b_c$i") * col(s"b_c$i")).reduce(_ + _)
+      val dec = org.apache.spark.sql.types.DecimalType(20, 0)
       left.join(broadcast(right), col("ua") < col("ub"))
         .select(col("ua"), col("ub"), dot.as("dot"), na.as("na"), nb.as("nb"))
-        .filter(col("dot") * col("dot") * 10000L >= lit(9025L) * col("na") * col("nb"))
+        .filter(col("dot").cast(dec) * col("dot").cast(dec) * 10000L >=
+          lit(9025L) * col("na").cast(dec) * col("nb").cast(dec))
         .select(col("ua"), col("ub"), col("dot"))
         .orderBy("ua", "ub")
     }),
@@ -2585,11 +2592,12 @@ object CoreQueries {
         |SELECT a.user_id AS ua, b.user_id AS ub,
         |  (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5) AS dot
         |FROM p a JOIN p b ON a.user_id < b.user_id
-        |WHERE (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)
-        |    * (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)
+        |WHERE (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)::HUGEINT
+        |    * (a.c1*b.c1 + a.c2*b.c2 + a.c3*b.c3 + a.c4*b.c4 + a.c5*b.c5)::HUGEINT
         |    * 10000
-        |  >= 9025 * (a.c1*a.c1 + a.c2*a.c2 + a.c3*a.c3 + a.c4*a.c4 + a.c5*a.c5)
-        |          * (b.c1*b.c1 + b.c2*b.c2 + b.c3*b.c3 + b.c4*b.c4 + b.c5*b.c5)
+        |  >= 9025::HUGEINT
+        |          * (a.c1*a.c1 + a.c2*a.c2 + a.c3*a.c3 + a.c4*a.c4 + a.c5*a.c5)::HUGEINT
+        |          * (b.c1*b.c1 + b.c2*b.c2 + b.c3*b.c3 + b.c4*b.c4 + b.c5*b.c5)::HUGEINT
         |ORDER BY ua, ub""".stripMargin,
     // Same cohort rule; per-table IN counts, remnants identically zero.
     "q170_deletion_audit" ->

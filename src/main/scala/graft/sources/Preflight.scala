@@ -62,6 +62,19 @@ object Preflight {
     try {
       val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text").head()
       if (d.isNullAt(1)) problems += "documents.text null on first row"
+      // ASCII invariant (sampled; FixtureCanarySpec full-scans): several
+      // oracles' tokenization parity silently depends on it — Java's \s
+      // and DuckDB/RE2's \s disagree on Unicode whitespace, so a fixture
+      // regeneration that introduces non-ASCII text would split the
+      // engines on q10/q60/q165-family queries without any error. chars
+      // == bytes iff pure ASCII.
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .select("text").limit(2000)
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      if (nonAscii > 0)
+        problems += s"documents.text: $nonAscii of 2000 sampled rows contain non-ASCII — " +
+          "Java-regex vs RE2 \\s tokenization parity is no longer guaranteed"
     } catch { case e: Throwable => problems += s"documents sample failed: ${e.getMessage.take(120)}" }
     try {
       val e = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding").head()

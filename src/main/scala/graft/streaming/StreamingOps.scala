@@ -479,20 +479,93 @@ object StreamingOps {
    * where a window is emitted exactly once, when the watermark closes
    * it).
    *
+   * The stable-partition contract is ENFORCED, not just documented: a
+   * partition-value ledger next to the checkpoint records which batch
+   * last wrote each partition value, and a later batch touching an
+   * already-written value fails the stream BEFORE the overwrite would
+   * silently delete the earlier batch's rows (the failure mode of any
+   * non-windowed append stream, or late rows under a day-grain
+   * partitionCol). A REPLAYED batch (same batchId after a sink-side
+   * failure) passes — that is the idempotent case the dynamic overwrite
+   * exists for. Set `enforceStablePartitions = false` only for flows
+   * that deliberately re-emit a partition's FULL contents every time.
+   *
    * Returns the configured writer; the caller picks the trigger and
    * starts it (AvailableNow for drain-once, ProcessingTime for
    * continuous).
    */
   def partitionedParquetSink(df: DataFrame, path: String,
-      partitionCol: String, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      partitionCol: String, checkpoint: String,
+      enforceStablePartitions: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionCol)
-          .parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ledgerPath = s"$checkpoint/_graft_partition_ledger.tsv"
+        if (enforceStablePartitions) {
+          val touched = batch.select(partitionCol).distinct()
+            .collect().map(r => String.valueOf(r.get(0)))
+          val ledger = readLedger(batch.sparkSession, ledgerPath)
+          val violations = touched.filter(v => ledger.get(v).exists(_ < batchId))
+          if (violations.nonEmpty)
+            throw new IllegalStateException(
+              s"partitionedParquetSink: batch $batchId writes partition value(s) " +
+                s"${violations.mkString(", ")} already written by earlier batch(es) " +
+                s"${violations.map(v => ledger(v)).distinct.sorted.mkString(", ")} — " +
+                "dynamic overwrite would silently drop those batches' rows. This sink " +
+                "requires a stable partition column (each value emitted by exactly one " +
+                "batch, e.g. a watermark-closed event-time window); aggregate upstream " +
+                "or pass enforceStablePartitions = false for deliberate full-partition " +
+                "re-emission.")
+          batch.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(path)
+          writeLedger(batch.sparkSession, ledgerPath,
+            ledger ++ touched.map(_ -> batchId))
+        } else {
+          batch.write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(path)
+        }
       }
+
+  /** partition value → last batchId that wrote it. Tiny (one entry per
+   * partition value ever written); lives next to the checkpoint so its
+   * lifecycle matches the stream's exactly-once bookkeeping. */
+  private def readLedger(spark: SparkSession, path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+    }
+  }
+
+  private def writeLedger(spark: SparkSession, path: String,
+      ledger: Map[String, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(ledger.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // Rename is atomic on HDFS-like stores; on object stores the window
+    // is a copy, acceptable for a guard whose absence only weakens the
+    // check back to the documented contract.
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
 }

@@ -32,6 +32,31 @@ class FixtureCanarySpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCh
     Preflight.check(spark, dir) // throws IllegalStateException on drift
   }
 
+  test("documents.text and embeddings payloads hold the oracle-parity invariants (full scan)") {
+    assume(fixturesPresent, s"$dir not present; skipping canary")
+    import org.apache.spark.sql.functions._
+    // ASCII-only text is load-bearing: Java \s (engine tokenizer) and
+    // RE2 \s (DuckDB oracle) agree on ASCII whitespace only. A fixture
+    // regeneration introducing Unicode (NBSP, ideographic space, curly
+    // quotes) would silently split tokenization in the q10/q60/q165
+    // families. chars == bytes iff pure ASCII, so this is one cheap scan.
+    val badText = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNull || length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(badText === 0L,
+      s"$badText documents rows null or non-ASCII — oracle tokenization parity broken")
+    // Embeddings: fixed dimension, finite values — the invariants the
+    // ANN/cosine oracles assume without checking.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dims = emb.select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.length === 1 && dims.head > 0, s"embedding dims not uniform: ${dims.toSeq}")
+    val nonFinite = emb
+      .filter(exists(col("embedding"), v => isnan(v) || v === Float.PositiveInfinity ||
+        v === Float.NegativeInfinity))
+      .count()
+    assert(nonFinite === 0L, s"$nonFinite embeddings contain NaN/Inf")
+  }
+
   test("events.ts lands in real calendar time under the adaptive loader") {
     assume(fixturesPresent, s"$dir not present; skipping canary")
     val row = Tables.events(spark, dir)

@@ -482,4 +482,45 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(replayed === landed, "replay duplicated or dropped rows")
   }
+
+  test("partitionedParquetSink fails fast when a partition value spans batches instead of silently dropping rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-lake-guard").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-lake-guard-cp").toString
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("day", "v")
+
+    // Batch 0: day=a lands.
+    input.addData(("a", 1L))
+    val q1 = StreamingOps.partitionedParquetSink(df, out, "day", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 1)
+
+    // Batch 1: day=a AGAIN — dynamic overwrite would replace batch 0's
+    // rows; the ledger guard must fail the query before the write.
+    input.addData(("a", 2L), ("b", 3L))
+    val q2 = StreamingOps.partitionedParquetSink(df, out, "day", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("already written by earlier batch")), s"got: $err")
+    // Batch 0's row survived untouched.
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet === Set((1L, "a")))
+
+    // Opt-out restores raw dynamic-overwrite semantics for deliberate
+    // full-partition re-emission flows.
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-lake-guard-cp2").toString
+    val q3 = StreamingOps.partitionedParquetSink(df, out, "day", cp2,
+      enforceStablePartitions = false)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() === 2) // a overwritten, b added
+  }
 }
