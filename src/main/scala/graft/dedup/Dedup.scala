@@ -576,16 +576,16 @@ object Dedup {
     // Expand per-gram groups instead of self-joining: one aggregation over
     // the prefix rows, no re-evaluation of the ranking subtree per side.
     // No cap — this is the exact join; see the identity-class note above.
-    // Each element pairs only with its successors (i, j > i), so exactly
-    // m·(m−1)/2 structs materialize per group — half of the naive m×m
-    // expand-then-filter; ids normalize to (a.id < b.id) inline.
+    // [[PairCollisionsExplode]] STREAMS the m·(m−1)/2 (i, j > i) pairs per
+    // group through GenerateExec, ids normalized to a.id < b.id — the
+    // former nested-lambda Column formulation materialized the full pair
+    // array per group and its tree was a measurable slice of this
+    // pipeline's driver planning time.
     val collisions = tap("collisions", tap("grouped",
       prefix.groupBy("g").agg(collect_list(col("m")).as("ms")))
       .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (a: Column, i: Column) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), b =>
-          when(a.getField("id") < b.getField("id"), struct(a.as("a"), b.as("b")))
-            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p")))
+      .select(GraftSqlBridge.column(
+        PairCollisionsExplode(GraftSqlBridge.expression(col("ms"))))))
 
     // LOSSLESS prune 1 — length filter: J >= t forces
     // num·max(|A|,|B|) <= den·min(|A|,|B|). Pair-uniform (every collision

@@ -568,3 +568,79 @@ case class SortedLongContains(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * `pair_collisions_explode(array<struct>)` — a Catalyst GENERATOR
+ * emitting the m·(m−1)/2 unordered element pairs of a collision group as
+ * `p: struct(a, b)`, normalized so `a` is the member with the smaller
+ * FIRST field (ties keep the (later, earlier) orientation, matching the
+ * Column formulation's `otherwise` branch; first fields are distinct in
+ * the PPJoin group anyway — one prefix row per (gram, id)).
+ *
+ * Replaces the prefix-group expansion
+ * `explode(flatten(transform(ms, (a,i) -> transform(slice(ms, i+2, …), …))))`
+ * in [[graft.dedup.Dedup]]'s PPJoin: that tree materializes the full
+ * pair ARRAY per group before exploding (a hot gram's group holds
+ * m²-ish structs live), evaluates nested interpreted lambdas per
+ * element, and — repeated across the ranking/verify branches — was a
+ * measurable slice of q59/q75/q76's ~0.5 s driver planning time. The
+ * generator streams pairs through GenerateExec with one upfront copy of
+ * each member row.
+ */
+case class PairCollisionsExplode(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with CodegenFallback {
+
+  private lazy val elemType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val idType: DataType = elemType.fields(0).dataType
+  private lazy val idOrdering =
+    org.apache.spark.sql.graft.GraftSqlBridge.orderingFor(idType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.fields.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct> input, got ${child.dataType.catalogString}")
+    }
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("p", StructType(Seq(
+      StructField("a", elemType, nullable = false),
+      StructField("b", elemType, nullable = false))), nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < 2) return Nil
+    val rows = new Array[InternalRow](m)
+    val ids = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val r = arr.getStruct(i, elemType.length).copy()
+      rows(i) = r
+      ids(i) = r.get(0, idType)
+      i += 1
+    }
+    new Iterator[InternalRow] {
+      private var x = 0
+      private var y = 1
+      override def hasNext: Boolean = x < m - 1
+      override def next(): InternalRow = {
+        val (a, b) =
+          if (idOrdering.lt(ids(x), ids(y))) (rows(x), rows(y)) else (rows(y), rows(x))
+        y += 1
+        if (y >= m) { x += 1; y = x + 1 }
+        InternalRow(new GenericInternalRow(Array[Any](a, b)))
+      }
+    }
+  }
+
+  override def prettyName: String = "pair_collisions_explode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
