@@ -320,6 +320,22 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("BroadcastHashJoin"), "removal apply join is not broadcast")
   }
 
+  test("repeated-span detection explodes FINGERPRINTS; md5 runs only on the post-join sliver") {
+    val p = plan(graft.dedup.Dedup.repeatedSpans(
+      graft.sources.Tables.documents(spark, sf), w = 16))
+    // The corpus-wide window explode must be the O(bytes) rolling kernel —
+    // an md5 inside the Generate means every window of every document pays
+    // the hash again (the regression this pin exists to catch).
+    assert(p.contains("rolling_span_hashes"), "rolling prefilter kernel missing from plan")
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty)
+    assert(!gens.exists(_.contains("md5")),
+      s"window explode computes md5 corpus-wide again:\n${gens.mkString("\n")}")
+    // The md5 identity still exists — downstream of the candidates join.
+    assert(p.linesIterator.exists(l => l.contains("md5") && l.contains("Project")),
+      "md5 confirm projection missing — oracle identity lost")
+  }
+
   test("boilerplate removal rewrites map-side: text never rides an exchange") {
     val p = plan(graft.text.Cleanup.removeBoilerplateLines(
       graft.sources.Tables.documents(spark, sf), minDocs = 3))
