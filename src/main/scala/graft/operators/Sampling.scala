@@ -363,4 +363,94 @@ object Sampling {
       .orderBy(col("priority"), col("id"))
       .limit(n)
   }
+
+  /** floor(sqrt(2^63 − 1)) — the largest exact 64-bit integer square root. */
+  private val IsqrtMax = 3037000499L
+
+  /**
+   * EXACT integer square root of a non-negative BIGINT column. Double
+   * `sqrt` is within one of the truth everywhere (the argument loses at
+   * most 2^-52 relatively going to double, and sqrt halves relative
+   * error), so a ±1 correction over exact long squares makes it exact for
+   * the full int64 range; the cap keeps the `(s+1)²` probe from wrapping
+   * near 2^63. The same three-branch CASE re-derives it in DuckDB, so
+   * temperature weights are engine-identical — the reason this exists
+   * instead of a float `pow(n, alpha)`.
+   */
+  def isqrt(n: Column): Column = {
+    val s0 = least(floor(sqrt(n.cast("double"))).cast("long"), lit(IsqrtMax))
+    when(s0 < IsqrtMax && (s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /**
+   * Temperature-balanced budget allocation across keys — the multilingual
+   * / multi-source sampling standard (sample source k proportionally to
+   * n_k^alpha with alpha < 1, so small sources are up-weighted relative
+   * to their share): per-key totals n_k, weights w_k = isqrt(n_k)
+   * (alpha = 1/2, the common T = 2 operating point, chosen because it is
+   * the one temperature with an EXACT integer weight — float pow would
+   * make every downstream budget engine-dependent), and a
+   * largest-remainder split of `totalBudget` over the weights:
+   * t_k = q·w_k + floor(rem·w_k / W) with the leftover units going to the
+   * largest remainders (ties to the smaller key). Sum of budgets ==
+   * totalBudget exactly whenever any key has weight.
+   *
+   * Scale contract: one partial-aggregating pass over the corpus builds
+   * the |keys|-row totals; everything after is |keys|-bounded (the
+   * remainder ranking is a single-partition window over |keys| rows —
+   * the same bounded-model contract as the vocab queries; two one-row
+   * collects feed the scalar q/rem/leftover arithmetic). Overflow guard:
+   * rem·max(w) must fit a long — |keys|·max(w)² < 2^63, amply true for
+   * source/domain/language keys.
+   *
+   * @return (key, n, w, budget) — one row per key present in `df`.
+   */
+  def temperatureBudgets(df: DataFrame, keyCol: Column, weightCol: Column,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    val wtd = df.groupBy(keyCol.as("key"))
+      .agg(sum(weightCol.cast("long")).as("n"))
+      .withColumn("w", isqrt(col("n")))
+    val scalars = wtd.agg(
+      coalesce(sum(col("w")), lit(0L)), coalesce(max(col("w")), lit(0L))).head()
+    val bigW = scalars.getLong(0)
+    val maxW = scalars.getLong(1)
+    if (bigW == 0L)
+      return wtd.withColumn("budget", lit(0L)).select("key", "n", "w", "budget")
+    val q = totalBudget / bigW
+    val rem = totalBudget % bigW
+    require(rem == 0 || maxW <= Long.MaxValue / rem,
+      s"rem*w overflows long (rem=$rem, max w=$maxW) — totalBudget/key-count out of range")
+    val alloc = wtd
+      .withColumn("rw", lit(rem) * col("w"))
+      .withColumn("base", lit(q) * col("w") + expr(s"rw div ${bigW}L"))
+      .withColumn("r", expr(s"rw % ${bigW}L"))
+    val leftover = totalBudget - alloc.agg(coalesce(sum(col("base")), lit(0L)))
+      .head().getLong(0) // < |keys| by construction
+    val rk = Window.orderBy(col("r").desc, col("key"))
+    alloc
+      .withColumn("budget",
+        col("base") + when(row_number().over(rk) <= lit(leftover), 1L).otherwise(0L))
+      .select("key", "n", "w", "budget")
+  }
+
+  /**
+   * Temperature-balanced corpus selection: [[temperatureBudgets]] to
+   * derive per-key token budgets from the data itself, then the
+   * deterministic admit-in-md5-order rule of [[tokenBudgetSampleByKey]]
+   * under those budgets. The spec collect is |keys|-bounded (same
+   * contract as the allocation itself). Grown budgets extend the
+   * per-key slices (prefix property inherited from the budget sampler).
+   *
+   * @return (key, id, weight, cum_before) for admitted rows.
+   */
+  def temperatureMix(df: DataFrame, keyCol: Column, idCol: Column,
+      weightCol: Column, totalBudget: Long, seed: Long): DataFrame = {
+    val spec = temperatureBudgets(df, keyCol, weightCol, totalBudget)
+      .select(col("key").cast("string"), col("budget"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    tokenBudgetSampleByKey(df, keyCol, idCol, weightCol, spec, seed)
+  }
 }

@@ -1277,6 +1277,40 @@ object PipelineQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // Temperature-balanced budget allocation (the multilingual /
+    // multi-source sampling standard: sample source k proportionally to
+    // n_k^alpha, alpha < 1, so small sources are up-weighted): per-source
+    // token totals, EXACT integer sqrt weights (alpha = 1/2 — the one
+    // temperature with an engine-identical integer weight; float pow
+    // would make every budget engine-dependent), largest-remainder split
+    // of the total budget. Sum of budgets == 20000 exactly; DuckDB
+    // re-derives the isqrt correction, the q·w + floor(rem·w/W) split,
+    // and the remainder ranking value-for-value.
+    "q182_temperature_budgets" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureBudgets(
+        Tables.documents(s, dir)
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("w")),
+        col("source"), col("w"), totalBudget = 20000L)
+        .select(col("key").as("source"), col("n"), col("w"), col("budget"))
+        .orderBy("source")
+    }),
+
+    // The composed selection: q182's data-derived budgets feeding q88's
+    // deterministic admit-in-md5-order rule — temperature mixing as one
+    // operator call. The oracle chains both derivations, so a wrong
+    // weight, a wrong remainder unit, OR a wrong admit order anywhere
+    // shifts the admitted set.
+    "q183_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+      graft.operators.Sampling.temperatureMix(docs, col("source"),
+          col("doc_id"), col("w"), totalBudget = 20000L, seed = 13L)
+        .select(col("key").as("source"), col("id").as("doc_id"),
+          col("weight").as("n_tokens"), col("cum_before"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -3585,6 +3619,65 @@ object PipelineQueries {
          |    xor(('0x' || substr(md5('11:' || d.doc_id::VARCHAR), 1, 16))::UBIGINT,
          |        9223372036854775808::UBIGINT) AS hkey
          |  FROM documents d JOIN spec s USING (source)),
+         |o AS (
+         |  SELECT source, doc_id, n_tokens, budget,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY hkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_before FROM o
+         |WHERE cum_before < budget ORDER BY source, doc_id""".stripMargin,
+
+    // Same totals, same exact-isqrt correction, same largest-remainder
+    // arithmetic — every intermediate integer, so equality is bit-level.
+    "q182_temperature_budgets" ->
+      s"""WITH tot AS (
+         |  SELECT source, sum(len($tokensSql))::BIGINT AS n
+         |  FROM documents GROUP BY 1),
+         |w0 AS (SELECT source, n,
+         |  least(CAST(floor(sqrt(n::DOUBLE)) AS BIGINT), 3037000499) AS s0 FROM tot),
+         |wt AS (SELECT source, n,
+         |  CASE WHEN s0 < 3037000499 AND (s0+1)*(s0+1) <= n THEN s0+1
+         |       WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS w FROM w0),
+         |s AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+         |p AS (SELECT source, n, w,
+         |  (20000 // tw) * w + ((20000 % tw) * w) // tw AS base,
+         |  ((20000 % tw) * w) % tw AS r
+         |  FROM wt, s),
+         |l AS (SELECT (20000 - sum(base))::BIGINT AS leftover FROM p)
+         |SELECT source, n, w,
+         |  (base + CASE WHEN row_number() OVER (ORDER BY r DESC, source)
+         |     <= leftover THEN 1 ELSE 0 END)::BIGINT AS budget
+         |FROM p, l ORDER BY source""".stripMargin,
+
+    // q182's spec chained into q88's admit rule (same md5 permutation
+    // key, signed re-bias, per-source running sum).
+    "q183_temperature_mix" ->
+      s"""WITH tot AS (
+         |  SELECT source, sum(len($tokensSql))::BIGINT AS n
+         |  FROM documents GROUP BY 1),
+         |w0 AS (SELECT source, n,
+         |  least(CAST(floor(sqrt(n::DOUBLE)) AS BIGINT), 3037000499) AS s0 FROM tot),
+         |wt AS (SELECT source, n,
+         |  CASE WHEN s0 < 3037000499 AND (s0+1)*(s0+1) <= n THEN s0+1
+         |       WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS w FROM w0),
+         |s AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+         |p AS (SELECT source, n, w,
+         |  (20000 // tw) * w + ((20000 % tw) * w) // tw AS base,
+         |  ((20000 % tw) * w) % tw AS r
+         |  FROM wt, s),
+         |l AS (SELECT (20000 - sum(base))::BIGINT AS leftover FROM p),
+         |spec AS (
+         |  SELECT source, (base + CASE WHEN row_number()
+         |    OVER (ORDER BY r DESC, source) <= leftover THEN 1 ELSE 0
+         |    END)::BIGINT AS budget FROM p, l),
+         |t AS (
+         |  SELECT d.source, d.doc_id, len($tokensSql)::BIGINT AS n_tokens,
+         |    sp.budget,
+         |    xor(('0x' || substr(md5('13:' || d.doc_id::VARCHAR), 1, 16))::UBIGINT,
+         |        9223372036854775808::UBIGINT) AS hkey
+         |  FROM documents d JOIN spec sp USING (source)),
          |o AS (
          |  SELECT source, doc_id, n_tokens, budget,
          |    coalesce(sum(n_tokens) OVER (PARTITION BY source

@@ -288,4 +288,62 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
     assert(again(1L)._2 === refPriority(10L, 1L, 4L))
   }
+
+  test("isqrt is exact across the full long range (boundaries + random)") {
+    import spark.implicits._
+    def ref(n: Long): Long = {
+      val s = math.sqrt(n.toDouble).toLong
+      Seq(s - 2, s - 1, s, s + 1, s + 2).filter(x => x >= 0)
+        .filter(x => BigInt(x) * BigInt(x) <= BigInt(n)).max
+    }
+    val rnd = new scala.util.Random(3)
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L,
+      (1L << 52) - 1, 1L << 52, (1L << 52) + 1,
+      3037000498L * 3037000498L, 3037000499L * 3037000499L,
+      3037000499L * 3037000499L + 1, Long.MaxValue) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) max 0L)
+    val got = cases.toDF("n")
+      .select(col("n"), Sampling.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { n => assert(got(n) === ref(n), s"isqrt($n)") }
+  }
+
+  test("temperatureBudgets: sums to the total, within one of the real-valued share") {
+    import spark.implicits._
+    val rows = Seq(("a", 100L), ("a", 44L), ("b", 900L), ("c", 10000L),
+      ("d", 1L), ("e", 0L)).toDF("k", "w")
+    val B = 777L
+    val got = Sampling.temperatureBudgets(rows, col("k"), col("w"), B)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).sum === B, "largest remainder must allocate exactly the total")
+    val bigW = got.map(_._3).sum
+    got.foreach { case (k, _, w, b) =>
+      val exact = BigInt(B) * BigInt(w)
+      assert(BigInt(b) * bigW >= exact - bigW && BigInt(b) * bigW <= exact + bigW,
+        s"key $k budget $b more than one unit from its share")
+    }
+    // weights are the exact integer sqrt of the per-key totals
+    assert(got.map { case (k, n, w, _) => k -> ((n, w)) }.toMap.apply("a") === ((144L, 12L)))
+    assert(got.collectFirst { case ("e", n, w, b) => (n, w, b) } === Some((0L, 0L, 0L)))
+  }
+
+  test("temperatureMix admits within derived budgets and nests as the total grows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map { i =>
+      (s"s${i % 4}", i.toLong, 1L + rnd.nextInt(40).toLong) }.toDF("k", "id", "w")
+    val spec = Sampling.temperatureBudgets(docs, col("k"), col("w"), 1500L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val small = Sampling.temperatureMix(docs, col("k"), col("id"), col("w"), 1500L, seed = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(small.nonEmpty)
+    small.groupBy(_._1).foreach { case (k, rows) =>
+      // admit rule: every admitted row STARTED under the key's budget
+      assert(rows.map(_._4).max < spec(k), s"key $k admitted past its budget")
+    }
+    val grown = Sampling.temperatureMix(docs, col("k"), col("id"), col("w"), 3000L, seed = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(small.map(r => (r._1, r._2)).toSet.subsetOf(grown),
+      "grown total must extend, not reshuffle, the admitted set")
+  }
 }
