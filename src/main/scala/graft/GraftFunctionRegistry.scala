@@ -175,6 +175,24 @@ object GraftFunctionRegistry extends FunctionRegistration {
           org.apache.spark.sql.catalyst.expressions.Cast(x, org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.catalyst.expressions.Cast(y, org.apache.spark.sql.types.LongType))
         case args => wrongArity("hilbert2", args.size)
+      }),
+    ("rolling_hash64",
+      "_FUNC_(text) - Rabin-Karp polynomial fingerprint of the UTF-8 bytes (base 257, wrapping 64-bit); composes: h(a||b) = h(a)*B^|b| + h(b).",
+      {
+        case Seq(t) => graft.text.RollingHash64(t)
+        case args => wrongArity("rolling_hash64", args.size)
+      }),
+    ("rolling_span_hashes",
+      "_FUNC_(tokens, w) - Rabin-Karp fingerprint of every w-token window (stride 1), each equal to rolling_hash64 of the space-joined window.",
+      {
+        case Seq(t, w) => graft.text.RollingSpanHashes(t, intOf(w, "the span width"))
+        case args => wrongArity("rolling_span_hashes", args.size)
+      }),
+    ("pair_collisions_explode",
+      "_FUNC_(array_of_structs) - Generator: the m*(m-1)/2 unordered element pairs as p:struct(a,b), a holding the smaller first field.",
+      {
+        case Seq(e) => graft.dedup.PairCollisionsExplode(e)
+        case args => wrongArity("pair_collisions_explode", args.size)
       })
   )
 

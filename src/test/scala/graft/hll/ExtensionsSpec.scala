@@ -101,6 +101,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.catalog.functionExists(n), s"$n missing from catalog")
     }
 
+    // The round-9 kernels through pure SQL: window fingerprints must
+    // equal the scalar fingerprint of the joined window (the identity
+    // RollingSpanHashesSpec pins on the DSL path), and the pair
+    // generator must emit normalized (a, b) combinations.
+    val spanRow = spark.sql(
+      """SELECT rolling_span_hashes(array('a','bb','c'), 2) AS hs,
+        |       rolling_hash64('a bb') AS h0, rolling_hash64('bb c') AS h1""".stripMargin)
+      .head()
+    assert(spanRow.getSeq[Long](0) === Seq(spanRow.getLong(1), spanRow.getLong(2)))
+    val pairs = spark.sql(
+      """SELECT p.a.id AS a, p.b.id AS b FROM (SELECT
+        |  pair_collisions_explode(array(named_struct('id', 3L),
+        |    named_struct('id', 1L), named_struct('id', 2L))) AS p)
+        |ORDER BY a, b""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+
     // Heavy-hitters through SQL: 0 appears 34 times in range(100) % 3.
     val freqTop = spark.sql(
       """SELECT freq_items(freq_init_agg(CAST(id % 3 AS STRING)), 34L) AS hh
