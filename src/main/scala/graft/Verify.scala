@@ -19,12 +19,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    // SPARK_GRAFT_VERIFY_THREADS > 1 is the LOCAL-ITERATION mode: queries
+    // dump concurrently on the shared session. Values are unaffected
+    // (every query is partition-count-neutral — oracle-proven at 4 and 32
+    // shuffle partitions — and the one shared-conf mutation,
+    // withStatePartitions around streaming starts, can only change a
+    // concurrent plan's width); the default stays sequential so the
+    // driver's runs are maximally deterministic.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "1").toInt
+    if (threads <= 1) {
+      SparkEntry.queries.foreach { case (name, fn) => dump(name, fn) }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+          pool.submit(new Runnable { override def run(): Unit = dump(name, fn) })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
