@@ -30,7 +30,12 @@ class ConcurrencySpec extends AnyFunSuite {
     "hll_agg_months", "q12_text_fingerprint", "q14_dedup_minhash",
     "q10_text_stats", "q4_top_orders_per_priority", "q130_exact_quantiles",
     "q24_quantile_sketch", "q37_freq_heavyhitters", "q161_key_skew_report",
-    "q154_weighted_sample")
+    "q154_weighted_sample",
+    // Round-9 shared-state paths: the BPE learner's cached AQE-off child
+    // session (two concurrent learns share one quiet session), the
+    // windowed-sketch thread-local parse/estimate caches, and the
+    // fingerprint-prefiltered span detection.
+    "q91_bpe_learn", "q62_window_sketch", "q64_repeated_spans")
 
   private def run(name: String): Seq[Seq[String]] =
     SparkEntry.queries(name)(spark, sf).collect().toSeq
