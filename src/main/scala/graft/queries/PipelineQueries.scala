@@ -550,6 +550,28 @@ object PipelineQueries {
         thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
     }),
 
+    // Near-dup FLOW matrix: q14's verified near-dup pairs rolled up to
+    // (source_a, source_b) cells — "which sources copy from which", the
+    // curation signal that decides whether a source is a mirror, a
+    // scraper, or original. Sources normalize to src_a <= src_b; only
+    // (id, source) coordinates join the pair list (pairs are tiny next to
+    // the corpus, so the lookups broadcast at scale). The oracle rolls up
+    // the same definitional all-pairs set.
+    "q184_neardup_flow" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDupPairs(docs,
+        thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // SimHash near-dup pairs (Hamming <= 3 via complete SQS(8) 4-chunk
     // banding, 32-bit band keys), with the auditable MD5 token hash so the
     // oracle can recompute every simhash bit-for-bit and re-derive the same
@@ -2166,8 +2188,12 @@ object PipelineQueries {
    * (batch LSH) and q102 (streaming LSH index + batch verify), which must
    * agree pair-for-pair. `lazy`: interpolates [[shingleSql]] declared
    * below (the object-init-order trap). */
-  private lazy val minhashNearDupOracleSql =
-    s"""WITH sh AS (
+  /** Definitional all-pairs near-dup CTE chain ending in `ndpairs(id_a,
+   * id_b, inter, uni)` — shared by q14/q102 (the pair list itself) and
+   * q184 (the source-flow rollup), so the pair semantics cannot drift
+   * between the three oracles. */
+  private lazy val minhashNearDupCteSql =
+    s"""sh AS (
        |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
        |),
        |pair_inter AS (
@@ -2175,12 +2201,17 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |),
-       |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1)
-       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
-       |FROM pair_inter
-       |JOIN sizes sa ON id_a = sa.doc_id
-       |JOIN sizes sb ON id_b = sb.doc_id
-       |WHERE inter * 4 >= (sa.n + sb.n - inter) * 3
+       |sizes AS (SELECT doc_id, count(*)::INT AS n FROM sh GROUP BY 1),
+       |ndpairs AS (
+       |  SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::INT AS uni
+       |  FROM pair_inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE inter * 4 >= (sa.n + sb.n - inter) * 3)"""
+
+  private lazy val minhashNearDupOracleSql =
+    s"""WITH $minhashNearDupCteSql
+       |SELECT id_a, id_b, inter, uni FROM ndpairs
        |ORDER BY id_a, id_b""".stripMargin
 
   private val shingleSql =
@@ -2590,6 +2621,17 @@ object PipelineQueries {
     // near-dup pair set as the batch path — one definitional oracle, two
     // execution engines (see the q102 query comment).
     "q102_streaming_neardup" -> minhashNearDupOracleSql,
+    // The same definitional pair set rolled up to normalized source cells.
+    "q184_neardup_flow" ->
+      s"""WITH $minhashNearDupCteSql,
+         |j AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM ndpairs p
+         |  JOIN documents da ON p.id_a = da.doc_id
+         |  JOIN documents db ON p.id_b = db.doc_id)
+         |SELECT src_a, src_b, count(*)::BIGINT AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The DEFINITIONAL all-pairs word-3-gram Jaccard — no prefix filter on
     // the oracle side, so a row-for-row match proves the Spark-side prefix
     // filtering lossless (its entire contract). Gram identity is the same
