@@ -140,7 +140,14 @@ object Bpe {
 
     // The vocabulary is re-read every round: materialize the corpus pass
     // once. Lazy + lineage-preserving, same policy as the dedup operators.
+    // Unpersist DISCIPLINE matters here: each round's vocabulary is only
+    // MATERIALIZED by the next round's collect (persist is lazy), so the
+    // previous round's cache must stay alive until that collect has run —
+    // an eager unpersist makes every round silently re-run the corpus
+    // tokenize from scratch (measured: the whole cache was dead weight
+    // and each batch re-paid the corpus pass).
     var v = vocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
     val adopted = Seq.newBuilder[(Int, String, String, Long)]
     var nAdopted = 0
     var exhausted = false
@@ -187,6 +194,9 @@ object Bpe {
       val top = org.apache.spark.sql.graft.GraftSqlBridge
         .ofRows(quiet, topDf.queryExecution.logical)
         .collect()
+      // This collect just materialized v's cache — only now is the
+      // PREVIOUS round's cache (v's parent) safe to drop.
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val pairs = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -219,9 +229,18 @@ object Bpe {
         val next = adoptedNow.foldLeft(v) { case (d, (a, b, _)) =>
           d.withColumn("syms", applyMerge(col("syms"), a, b))
         }.persist(StorageLevel.MEMORY_AND_DISK)
-        v.unpersist(blocking = false)
+        prev = v
         v = next
       }
+    }
+    // The final vocabulary is still lazy; materialize it off its parent's
+    // cache (one vocabulary-bounded job, no corpus pass) so the caller's
+    // first use — and the parent unpersist below — cannot trigger a full
+    // lineage recompute.
+    if (prev != null) {
+      org.apache.spark.sql.graft.GraftSqlBridge
+        .ofRows(quiet, v.queryExecution.logical).count()
+      prev.unpersist(blocking = false)
     }
     (adopted.result().toDF("round", "sym_a", "sym_b", "pair_count"), v)
   }
