@@ -797,4 +797,28 @@ class DedupSpec extends AnyFunSuite {
         size(array_intersect(col("a"), col("b"))).as("reference"))
     assert(df.filter(col("merged") =!= col("reference")).count() === 0)
   }
+
+  test("PairCollisionsExplode: all combinations, normalized orientation, tie branch (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 15) {
+      val m = rnd.nextInt(7) // includes 0 and 1 (no pairs)
+      val elems = (1 to m).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(100)))
+      val got = Seq(elems).toDF("ms")
+        .select(GraftSqlBridge.column(PairCollisionsExplode(
+          GraftSqlBridge.expression(col("ms")))))
+        .select(col("p.a._1").as("aid"), col("p.a._2").as("ap"),
+          col("p.b._1").as("bid"), col("p.b._2").as("bp"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getInt(3)))).toSeq
+      // Reference: the Column formulation's exact semantics — successors
+      // only, a = smaller FIRST FIELD, ties keep (later, earlier).
+      val expected = for {
+        i <- elems.indices; j <- (i + 1) until m
+      } yield if (elems(i)._1 < elems(j)._1) (elems(i), elems(j)) else (elems(j), elems(i))
+      assert(got.sorted === expected.sorted, s"elems=$elems")
+      assert(got.size === m * (m - 1) / 2)
+    }
+  }
 }
