@@ -4,7 +4,7 @@ import graft.dedup.SimHash64
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -410,30 +410,59 @@ object Sampling {
   def temperatureBudgets(df: DataFrame, keyCol: Column, weightCol: Column,
       totalBudget: Long): DataFrame = {
     require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
-    val wtd = df.groupBy(keyCol.as("key"))
+    val spark = df.sparkSession
+    // ONE distributed job (the partial-aggregating totals pass); the
+    // allocation itself runs on the driver over the collected |keys|-row
+    // table — it was never distributed anyway (the largest-remainder
+    // ranking is a single-partition sort by construction), and the
+    // driver formulation costs two fewer sequential jobs. Same bounded
+    // contract as the spec collect in [[temperatureMix]].
+    val totals = df.groupBy(keyCol.as("key"))
       .agg(sum(weightCol.cast("long")).as("n"))
-      .withColumn("w", isqrt(col("n")))
-    val scalars = wtd.agg(
-      coalesce(sum(col("w")), lit(0L)), coalesce(max(col("w")), lit(0L))).head()
-    val bigW = scalars.getLong(0)
-    val maxW = scalars.getLong(1)
-    if (bigW == 0L)
-      return wtd.withColumn("budget", lit(0L)).select("key", "n", "w", "budget")
-    val q = totalBudget / bigW
-    val rem = totalBudget % bigW
-    require(rem == 0 || maxW <= Long.MaxValue / rem,
-      s"rem*w overflows long (rem=$rem, max w=$maxW) — totalBudget/key-count out of range")
-    val alloc = wtd
-      .withColumn("rw", lit(rem) * col("w"))
-      .withColumn("base", lit(q) * col("w") + expr(s"rw div ${bigW}L"))
-      .withColumn("r", expr(s"rw % ${bigW}L"))
-    val leftover = totalBudget - alloc.agg(coalesce(sum(col("base")), lit(0L)))
-      .head().getLong(0) // < |keys| by construction
-    val rk = Window.orderBy(col("r").desc, col("key"))
-    alloc
-      .withColumn("budget",
-        col("base") + when(row_number().over(rk) <= lit(leftover), 1L).otherwise(0L))
-      .select("key", "n", "w", "budget")
+    val keyType = totals.schema("key").dataType
+    val rows = totals.collect().map(r => (r.get(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    def isqrtL(n: Long): Long = {
+      val s0 = math.min(math.sqrt(n.toDouble).toLong, IsqrtMax)
+      if (s0 < IsqrtMax && (s0 + 1) * (s0 + 1) <= n) s0 + 1
+      else if (s0 * s0 > n) s0 - 1
+      else s0
+    }
+    val wts = rows.map { case (k, n) => (k, n, isqrtL(math.max(n, 0L))) }
+    val bigW = wts.map(_._3).sum
+    val maxW = if (wts.isEmpty) 0L else wts.map(_._3).max
+    val out: Seq[(Any, Long, Long, Long)] =
+      if (bigW == 0L) wts.map { case (k, n, w) => (k, n, w, 0L) }.toSeq
+      else {
+        val q = totalBudget / bigW
+        val rem = totalBudget % bigW
+        require(rem == 0 || maxW <= Long.MaxValue / rem,
+          s"rem*w overflows long (rem=$rem, max w=$maxW) — totalBudget/key-count out of range")
+        val alloc = wts.map { case (k, n, w) =>
+          (k, n, w, q * w + (rem * w) / bigW, (rem * w) % bigW)
+        }
+        val leftover = totalBudget - alloc.map(_._4).sum // < |keys| by construction
+        // Tie-break in Spark's OWN ordering for the key type (binary UTF8
+        // for strings), on internal representations — collect() returned
+        // external values.
+        val toInternal =
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(keyType)
+        val keyOrd = org.apache.spark.sql.graft.GraftSqlBridge.orderingFor(keyType)
+        val bonus = alloc.sortBy { case (k, _, _, _, r) => (-r, toInternal(k)) }(
+          Ordering.Tuple2(Ordering.Long, keyOrd.asInstanceOf[Ordering[Any]]))
+          .take(leftover.toInt).map(_._1).toSet
+        alloc.map { case (k, n, w, base, _) =>
+          (k, n, w, base + (if (bonus.contains(k)) 1L else 0L))
+        }.toSeq
+      }
+    val schema = StructType(Seq(
+      StructField("key", keyType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("budget", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.map { case (k, n, w, b) => org.apache.spark.sql.Row(k, n, w, b) }, 1),
+      schema)
   }
 
   /**
