@@ -1333,6 +1333,26 @@ object PipelineQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // NO-SPLIT packing utilization: greedy whole-document bins per source
+    // at a 2048-token budget (the SFT/long-context packing mode — concat-
+    // then-chunk's q39 sibling that must not truncate documents), audited
+    // as the numbers a training team reads before accepting a budget:
+    // bins, padded tokens, utilization. The greedy fold is sequential per
+    // stream, so the oracle re-derives it with a RECURSIVE CTE walking
+    // the same (md5 hex, id) order — bin boundaries, padding, and the e6
+    // utilization all integer-exact.
+    "q185_pack_nosplit_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+      graft.operators.Packing.packAudit(
+        graft.operators.Packing.packNoSplit(docs, col("source"),
+          col("doc_id"), col("w"), budget = 2048L), budget = 2048L)
+        .select(col("part").as("source"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("padded_tokens"), col("utilization_e6"))
+        .orderBy("source")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -3729,6 +3749,37 @@ object PipelineQueries {
          |  FROM t)
          |SELECT source, doc_id, n_tokens, cum_before FROM o
          |WHERE cum_before < budget ORDER BY source, doc_id""".stripMargin,
+
+    // The greedy fold re-walked row-by-row: a recursive CTE carries
+    // (pack_id, fill) down each source's (md5 hex, doc_id) order with the
+    // same open-new-bin rule, then the audit aggregates bins exactly.
+    "q185_pack_nosplit_audit" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source, doc_id, len($tokensSql)::BIGINT AS w,
+         |    md5(doc_id::VARCHAR) AS rk
+         |  FROM documents),
+         |seq AS (
+         |  SELECT source, doc_id, w,
+         |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS i
+         |  FROM t),
+         |fold AS (
+         |  SELECT source, i, doc_id, w, 0::BIGINT AS pack_id, w::BIGINT AS fill
+         |  FROM seq WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.source, s.i, s.doc_id, s.w,
+         |    CASE WHEN f.fill > 0 AND f.fill + s.w > 2048
+         |         THEN f.pack_id + 1 ELSE f.pack_id END,
+         |    CASE WHEN f.fill > 0 AND f.fill + s.w > 2048
+         |         THEN s.w ELSE f.fill + s.w END
+         |  FROM fold f JOIN seq s ON s.source = f.source AND s.i = f.i + 1),
+         |bins AS (
+         |  SELECT source, pack_id, sum(w)::BIGINT AS fill, count(*)::BIGINT AS nd
+         |  FROM fold GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_bins, sum(nd)::BIGINT AS n_docs,
+         |  sum(fill)::BIGINT AS total_tokens,
+         |  sum(greatest(2048 - fill, 0))::BIGINT AS padded_tokens,
+         |  (sum(fill) * 1000000 // (count(*) * 2048))::BIGINT AS utilization_e6
+         |FROM bins GROUP BY source ORDER BY source""".stripMargin,
 
     // Same tokens, same md5-64 low-bit bucket (2048 is a power of two, so
     // signed Spark longs and DuckDB's UBIGINT agree on the mask), exact
