@@ -193,6 +193,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
       {
         case Seq(e) => graft.dedup.PairCollisionsExplode(e)
         case args => wrongArity("pair_collisions_explode", args.size)
+      }),
+    ("greedy_pack_explode",
+      "_FUNC_(array_of_structs, budget) - Generator: no-split greedy packing of a stream (last struct field = bigint token count) as p:struct(e, pack_id, pack_offset).",
+      {
+        case Seq(e, b) => graft.operators.GreedyPackExplode(e, intOf(b, "the token budget").toLong)
+        case args => wrongArity("greedy_pack_explode", args.size)
       })
   )
 
