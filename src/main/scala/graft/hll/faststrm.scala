@@ -67,15 +67,32 @@ final class FastStrmInstance(val p: Int, val rs: RegisterSet) extends HllInstanc
 
 object FastStrm {
 
-  private val registerSetCtor: Constructor[HyperLogLogPlus] = {
-    val c = classOf[HyperLogLogPlus].getDeclaredConstructor(
-      java.lang.Integer.TYPE, java.lang.Integer.TYPE, classOf[RegisterSet])
-    c.setAccessible(true)
-    c
-  }
+  /** The one reflective seam: stream-lib's package-private
+   * `HyperLogLogPlus(p, sp, RegisterSet)` constructor. Looked up ONCE,
+   * and strictly optional — if a stream-lib upgrade ever removes or
+   * reshapes it, `available` turns false and every entry point below
+   * returns null, so callers take the stock Builder path and estimates
+   * cannot change (FastStrmSpec asserts the force-disabled path). */
+  private val registerSetCtor: Option[Constructor[HyperLogLogPlus]] =
+    try {
+      val c = classOf[HyperLogLogPlus].getDeclaredConstructor(
+        java.lang.Integer.TYPE, java.lang.Integer.TYPE, classOf[RegisterSet])
+      c.setAccessible(true)
+      Some(c)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Test hook: force the stock path even when the constructor resolved. */
+  @volatile private[graft] var forceDisabled: Boolean = false
+
+  private def available: Boolean = registerSetCtor.isDefined && !forceDisabled
 
   private[hll] def wrap(p: Int, rs: RegisterSet): HyperLogLogPlus =
-    registerSetCtor.newInstance(Int.box(p), Int.box(0), rs)
+    registerSetCtor match {
+      case Some(c) => c.newInstance(Int.box(p), Int.box(0), rs)
+      case None => throw new IllegalStateException(
+        "FastStrm.wrap reached without the register-set constructor — " +
+          "parse() should have returned null")
+    }
 
   /**
    * Parse dense-normal STRM bytes (the encoding every sketch this library
@@ -86,7 +103,7 @@ object FastStrm {
    * decoder and its diagnostics.
    */
   def parse(bytes: Array[Byte]): FastStrmInstance = {
-    if (bytes == null || bytes.length < 8) return null
+    if (!available || bytes == null || bytes.length < 8) return null
     val version = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
       ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
     if (version >= 0) return null // legacy non-varint encoding
@@ -164,8 +181,35 @@ object FastStrm {
 
   private val parseCache = ThreadLocal.withInitial[ParseCache](() => new ParseCache)
 
+  /** Per-thread caches hold register-word copies (~12 KB each at p=14) and
+   * executor threads are long-lived, so both ThreadLocals are cleared when
+   * the owning TASK completes (completion listeners run on the task
+   * thread). One threadlocal read + long compare per call registers the
+   * listener at most once per task. Outside a task (driver-side eval,
+   * tests) there is nothing to hook — the caches just stay bounded. */
+  private val clearHookTask = ThreadLocal.withInitial[java.lang.Long](() => java.lang.Long.valueOf(-1L))
+
+  private def armTaskClear(): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      val id = tc.taskAttemptId()
+      if (clearHookTask.get().longValue() != id) {
+        clearHookTask.set(java.lang.Long.valueOf(id))
+        tc.addTaskCompletionListener[Unit] { _ =>
+          memo.remove()
+          parseCache.remove()
+          clearHookTask.remove()
+        }
+      }
+    }
+  }
+
   /** Shared read-only decode (see [[ParseCache]]); null when not dense STRM. */
-  def parseShared(bytes: Array[Byte]): FastStrmInstance = parseCache.get().get(bytes)
+  def parseShared(bytes: Array[Byte]): FastStrmInstance = {
+    if (!available) return null
+    armTaskClear()
+    parseCache.get().get(bytes)
+  }
 
   /** Memo key: a defensive copy of the packed register words + precision,
    * content-hashed once. Full equality on hit candidates — never a
@@ -178,7 +222,12 @@ object FastStrm {
     }
   }
 
-  private val MemoMax = 1024
+  /** A running window's register state converges (the memo's whole point),
+   * so a handful of in-flight groups per thread is the realistic working
+   * set; 64 entries × ~12 KB at p=14 bounds the per-thread footprint at
+   * ~0.8 MB (vs ~12 MB at the previous 1024), and the task-completion
+   * clear releases even that. */
+  private val MemoMax = 64
 
   private val memo =
     ThreadLocal.withInitial[java.util.LinkedHashMap[RegState, java.lang.Long]](() =>
@@ -188,6 +237,7 @@ object FastStrm {
       })
 
   private[hll] def memoizedCardinality(inst: FastStrmInstance): Long = {
+    armTaskClear()
     val key = new RegState(inst.p, inst.rs.bits()) // bits() copies — key is stable
     val m = memo.get()
     val hit = m.get(key)

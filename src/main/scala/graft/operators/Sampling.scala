@@ -443,12 +443,19 @@ object Sampling {
         val leftover = totalBudget - alloc.map(_._4).sum // < |keys| by construction
         // Tie-break in Spark's OWN ordering for the key type (binary UTF8
         // for strings), on internal representations — collect() returned
-        // external values.
+        // external values. NULLS FIRST wrapper: the schema allows a null
+        // key group and catalyst orderings are not null-safe on their own.
         val toInternal =
           org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(keyType)
         val keyOrd = org.apache.spark.sql.graft.GraftSqlBridge.orderingFor(keyType)
+          .asInstanceOf[Ordering[Any]]
+        val nullsFirst: Ordering[Any] = (a: Any, b: Any) =>
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else keyOrd.compare(a, b)
         val bonus = alloc.sortBy { case (k, _, _, _, r) => (-r, toInternal(k)) }(
-          Ordering.Tuple2(Ordering.Long, keyOrd.asInstanceOf[Ordering[Any]]))
+          Ordering.Tuple2(Ordering.Long, nullsFirst))
           .take(leftover.toInt).map(_._1).toSet
         alloc.map { case (k, n, w, base, _) =>
           (k, n, w, base + (if (bonus.contains(k)) 1L else 0L))
@@ -479,7 +486,18 @@ object Sampling {
       weightCol: Column, totalBudget: Long, seed: Long): DataFrame = {
     val spec = temperatureBudgets(df, keyCol, weightCol, totalBudget)
       .select(col("key").cast("string"), col("budget"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      .collect().map { r =>
+        // Fail FAST on a null group: [[temperatureBudgets]] allows it
+        // (nullable key schema), but the admit rule joins budgets per key
+        // with an equi-join, which null never matches — the null group's
+        // budget would be silently allocated and then unspendable. Callers
+        // with null keys must filter or coalesce them first.
+        require(!r.isNullAt(0),
+          "temperatureMix requires non-null keys: a null key group cannot " +
+            "match the per-key budget equi-join — filter null keys or " +
+            "coalesce the key column to a sentinel before mixing")
+        r.getString(0) -> r.getLong(1)
+      }.toSeq.sortBy(_._1)
     tokenBudgetSampleByKey(df, keyCol, idCol, weightCol, spec, seed)
   }
 }

@@ -501,11 +501,11 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ledgerPath = s"$checkpoint/_graft_partition_ledger.tsv"
+        val ledgerDir = s"$checkpoint/_graft_partition_ledger"
         if (enforceStablePartitions) {
           val touched = batch.select(partitionCol).distinct()
             .collect().map(r => String.valueOf(r.get(0)))
-          val ledger = readLedger(batch.sparkSession, ledgerPath)
+          val ledger = readLedger(batch.sparkSession, ledgerDir)
           val violations = touched.filter(v => ledger.get(v).exists(_ < batchId))
           if (violations.nonEmpty)
             throw new IllegalStateException(
@@ -522,8 +522,7 @@ object StreamingOps {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionCol)
             .parquet(path)
-          writeLedger(batch.sparkSession, ledgerPath,
-            ledger ++ touched.map(_ -> batchId))
+          writeLedgerEntry(batch.sparkSession, ledgerDir, batchId, touched)
         } else {
           batch.write
             .mode("overwrite")
@@ -533,39 +532,57 @@ object StreamingOps {
         }
       }
 
-  /** partition value → last batchId that wrote it. Tiny (one entry per
-   * partition value ever written); lives next to the checkpoint so its
+  /** partition value → last batchId that wrote it, folded from the
+   * batch-versioned ledger DIRECTORY: each committed batch appends its own
+   * immutable `<batchId>.tsv` (one partition value per line), so no write
+   * ever rewrites or deletes prior entries and a crash mid-write can lose
+   * AT MOST the in-flight batch's file — never the accumulated ledger
+   * (the failure mode of the previous delete-then-rename single file,
+   * which silently reverted the guard to unprotected dynamic overwrite).
+   * Tiny either way: one line per partition value ever written, one file
+   * per batch that wrote any; lives next to the checkpoint so its
    * lifecycle matches the stream's exactly-once bookkeeping. */
-  private def readLedger(spark: SparkSession, path: String): Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
+  private def readLedger(spark: SparkSession, dir: String): Map[String, Long] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Map.empty
     else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      txt.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
+      val entries = fs.listStatus(d).toSeq
+        .filter(_.getPath.getName.endsWith(".tsv"))
+        .map(st => st.getPath.getName.stripSuffix(".tsv").toLong -> st.getPath)
+        .sortBy(_._1) // fold in batch order: later batch wins a value
+      entries.foldLeft(Map.empty[String, Long]) { case (acc, (batchId, p)) =>
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        acc ++ txt.linesIterator.filter(_.nonEmpty).map(_ -> batchId)
+      }
     }
   }
 
-  private def writeLedger(spark: SparkSession, path: String,
-      ledger: Map[String, Long]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** One immutable file per batch, written through a temp + rename so a
+   * partially-written entry is never visible under its final name. A
+   * REPLAYED batch rewrites its own file with the same content —
+   * idempotent like the data write it records. */
+  private def writeLedgerEntry(spark: SparkSession, dir: String,
+      batchId: Long, touched: Seq[String]): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    val p = new org.apache.hadoop.fs.Path(d, s"$batchId.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(d, s".$batchId.tsv.tmp")
     val out = fs.create(tmp, true)
-    try out.write(ledger.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    try out.write(touched.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // Rename is atomic on HDFS-like stores; on object stores the window
-    // is a copy, acceptable for a guard whose absence only weakens the
-    // check back to the documented contract.
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // Overwriting rename where the FS supports it; the fallback delete
+    // only ever targets THIS batch's own file (a replay), so a crash
+    // between the two ops cannot lose any other batch's entry.
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
   }
 }

@@ -200,28 +200,7 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val pairs = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val kthCnt = if (pairs.length < k) Long.MinValue else pairs.last._3
-        val batch = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-        var s = Set.empty[String]
-        var i = 0
-        var stop = false
-        while (!stop && i < pairs.length && nAdopted + batch.size < nMerges) {
-          val (a, b, cnt) = pairs(i)
-          if (s.contains(a) || s.contains(b)) stop = true
-          else {
-            val overlapMax = pairs.iterator
-              .filter { case (x, y, _) => s.contains(x) || s.contains(y) }
-              .map(_._3).maxOption.getOrElse(Long.MinValue)
-            val bound = math.max(kthCnt, overlapMax)
-            if (s.isEmpty || cnt > bound) {
-              batch += ((a, b, cnt))
-              s += a
-              s += b
-            } else stop = true
-          }
-          i += 1
-        }
-        val adoptedNow = batch.toList
+        val adoptedNow = selectBatch(pairs, k, nMerges - nAdopted)
         for ((a, b, cnt) <- adoptedNow) {
           nAdopted += 1
           adopted += ((nAdopted, a, b, cnt))
@@ -243,6 +222,55 @@ object Bpe {
       prev.unpersist(blocking = false)
     }
     (adopted.result().toDF("round", "sym_a", "sym_b", "pair_count"), v)
+  }
+
+  /** Driver-side safe-batch selection over one collected top-`k` pair list
+   * (sorted by count desc, then pair asc): the longest prefix of mutually
+   * symbol-disjoint pairs that sequential one-merge rounds would provably
+   * also pick, capped at `maxAdopt`.
+   *
+   * Pure function so the rule is testable in isolation; the safety
+   * argument lives in the comment at the call site and on `overlapMax`
+   * below. Exposed package-private for BpeSpec.
+   */
+  private[text] def selectBatch(pairs: Array[(String, String, Long)], k: Int,
+      maxAdopt: Int): List[(String, String, Long)] = {
+    val kthCnt = if (pairs.length < k) Long.MinValue else pairs.last._3
+    val batch = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    val adoptedIdx = scala.collection.mutable.Set.empty[Int]
+    var s = Set.empty[String]
+    var i = 0
+    var stop = false
+    while (!stop && i < pairs.length && batch.size < maxAdopt) {
+      val (a, b, cnt) = pairs(i)
+      if (s.contains(a) || s.contains(b)) stop = true
+      else {
+        // Ceiling over every count that adopting S can have changed or
+        // created. Pairs ALREADY ADOPTED this batch are excluded: greedy
+        // application drives their counts to zero, and every new pair
+        // they spawn is dominated by a DIFFERENT S-overlapping pair
+        // ((x,ab) by (x,a), (ab,y) by (b,y) — neither adoptable once
+        // a,b are in S, so both stay in this filter). The one exception
+        // is a SELF-pair (a,a): its merge spawns (aa,a)/(a,aa) pairs
+        // dominated by (a,a) ITSELF, so a self-pair keeps contributing
+        // its own count to the ceiling even after adoption.
+        val overlapMax = pairs.iterator.zipWithIndex
+          .filter { case ((x, y, _), idx) =>
+            (!adoptedIdx.contains(idx) || x == y) &&
+              (s.contains(x) || s.contains(y))
+          }
+          .map(_._1._3).maxOption.getOrElse(Long.MinValue)
+        val bound = math.max(kthCnt, overlapMax)
+        if (s.isEmpty || cnt > bound) {
+          batch += ((a, b, cnt))
+          adoptedIdx += i
+          s += a
+          s += b
+        } else stop = true
+      }
+      i += 1
+    }
+    batch.toList
   }
 
   /** Piece histogram over an already-segmented (w, syms) vocabulary —

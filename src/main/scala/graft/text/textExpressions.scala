@@ -533,8 +533,12 @@ case class WordNgramsExplode(child: Expression, n: Int)
  * collision between different strings just sends a few extra windows to
  * the md5 confirm.
  *
- * Null tokens hash as empty strings (the tokenizer never produces nulls;
- * documented for the expression's general contract).
+ * Null tokens are REJECTED (fail fast): the md5 confirm identity uses
+ * `concat_ws`, which drops null elements AND their separators, so any
+ * null-token hashing convention here would diverge from it and silently
+ * break the lossless-prefilter contract (a true cross-doc repeat could be
+ * missed). The library's tokenizers never produce nulls; a future
+ * tokenizer that does must be fixed, not silently absorbed.
  */
 case class RollingSpanHashes(child: Expression, w: Int)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -556,8 +560,14 @@ case class RollingSpanHashes(child: Expression, w: Int)
     var total = n - 1 // separators
     var j = 0
     while (j < n) {
-      tokenBytes(j) =
-        if (arr.isNullAt(j)) Array.emptyByteArray else arr.getUTF8String(j).getBytes
+      if (arr.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          "rolling_span_hashes: null token at position " + j + " — the md5 " +
+            "confirm identity (concat_ws) drops nulls with their separators, " +
+            "so hashing them would make the span prefilter lossy; fix the " +
+            "tokenizer or filter null tokens first")
+      }
+      tokenBytes(j) = arr.getUTF8String(j).getBytes
       total += tokenBytes(j).length
       j += 1
     }

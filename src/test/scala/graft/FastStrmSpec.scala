@@ -73,6 +73,35 @@ class FastStrmSpec extends AnyFunSuite {
     assert(after == StreamLibHll.deserialize(a.serialize).cardinality)
   }
 
+  test("force-disabled fast path falls back to the stock decoder with identical estimates") {
+    // The register-set constructor is reached reflectively; if a stream-lib
+    // upgrade ever removes it the lookup yields None and every FastStrm
+    // entry point must return null so deserializeFast* take the stock
+    // Builder path. forceDisabled simulates exactly that failure mode.
+    val p = 12
+    val rnd = new Random(99)
+    val parts = Seq.fill(6)(stockSketch(p, Iterator.fill(4000)(rnd.nextLong())).serialize)
+    val expectMerged = parts.map(StreamLibHll.deserialize).reduce(_ merge _)
+    FastStrm.forceDisabled = true
+    try {
+      assert(FastStrm.parse(parts.head) == null)
+      assert(FastStrm.parseShared(parts.head) == null)
+      // The public decode seams must silently take the stock path...
+      val viaFast = parts.map(StreamLibHll.deserializeFast).reduce(_ merge _)
+      val viaShared = parts.map(StreamLibHll.deserializeFastShared).reduce(_ merge _)
+      assert(viaFast.isInstanceOf[StreamLibInstance])
+      assert(viaShared.isInstanceOf[StreamLibInstance])
+      // ...with byte- and estimate-identical results.
+      assert(java.util.Arrays.equals(viaFast.serialize, expectMerged.serialize))
+      assert(viaFast.cardinality == expectMerged.cardinality)
+      assert(java.util.Arrays.equals(viaShared.serialize, expectMerged.serialize))
+    } finally FastStrm.forceDisabled = false
+    // Re-enabled: fast path agrees with what the disabled path produced.
+    val fastAgain = parts.map(StreamLibHll.deserializeFast).reduce(_ merge _)
+    assert(java.util.Arrays.equals(fastAgain.serialize, expectMerged.serialize))
+    assert(fastAgain.cardinality == expectMerged.cardinality)
+  }
+
   test("parse rejects foreign and sparse bytes (falls back to stock decoder)") {
     assert(FastStrm.parse(Array[Byte](1, 2, 3)) == null)
     assert(FastStrm.parse(graft.hll.GraftHll.create(9).serialize) == null)

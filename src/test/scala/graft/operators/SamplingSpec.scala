@@ -346,4 +346,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.map(r => (r._1, r._2)).toSet.subsetOf(grown),
       "grown total must extend, not reshuffle, the admitted set")
   }
+
+  test("temperatureMix fails fast on a null key instead of NPE-ing or losing budget") {
+    import spark.implicits._
+    val docs = Seq((Some("a"), 1L, 10L), (None, 2L, 10L), (Some("b"), 3L, 10L))
+      .toDF("k", "id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, col("k"), col("id"), col("w"), 10L, seed = 1L)
+    }
+    assert(e.getMessage.contains("non-null keys"))
+    // The documented remedy works: filter the null group, mix the rest.
+    val ok = Sampling.temperatureMix(docs.filter(col("k").isNotNull),
+      col("k"), col("id"), col("w"), 10L, seed = 1L).collect()
+    assert(ok.nonEmpty)
+  }
 }

@@ -499,6 +499,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     q1.awaitTermination()
     assert(spark.read.parquet(out).count() === 1)
 
+    // Simulate a crash mid-write of a later ledger entry: a torn tmp file
+    // in the ledger directory. Batch-versioned entries mean this can lose
+    // AT MOST that in-flight entry — batch 0's file must keep protecting
+    // its partitions (the old delete-then-rename single file lost the
+    // ENTIRE ledger here and the guard silently passed).
+    val ledgerDir = java.nio.file.Paths.get(cp, "_graft_partition_ledger")
+    assert(java.nio.file.Files.list(ledgerDir).toArray.map(_.toString)
+      .exists(_.endsWith("0.tsv")), "batch 0 ledger entry missing")
+    java.nio.file.Files.write(ledgerDir.resolve(".9.tsv.tmp"),
+      "torn".getBytes("UTF-8"))
+
     // Batch 1: day=a AGAIN — dynamic overwrite would replace batch 0's
     // rows; the ledger guard must fail the query before the write.
     input.addData(("a", 2L), ("b", 3L))

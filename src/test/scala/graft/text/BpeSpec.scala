@@ -105,6 +105,78 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     out.result()
   }
 
+  test("selectBatch adopts more than one merge when pairs do not interact") {
+    // Regression for the round-9 no-op: the overlapMax ceiling used to
+    // include the batch's OWN adopted pairs, so bound >= the first adopted
+    // count >= every later candidate and batches degenerated to size 1.
+    // Four symbol-disjoint pairs with strictly falling counts and a short
+    // collected list (kthCnt = -inf): all four must adopt in one batch.
+    val pairs = Array(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L), ("g", "h", 7L))
+    assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 6) === pairs.toList)
+    // maxAdopt caps the batch.
+    assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 2) === pairs.take(2).toList)
+  }
+
+  test("selectBatch stops at the first pair sharing a symbol with the batch") {
+    // (a,c) shares 'a' with the adopted (a,b): its count is stale, the
+    // batch must end there even though a disjoint pair follows.
+    val pairs = Array(("a", "b", 10L), ("a", "c", 9L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 6) === List(("a", "b", 10L)))
+  }
+
+  test("selectBatch keeps a self-pair's own count in the ceiling after adoption") {
+    // Merging (a,a) spawns (aa,a)/(a,aa) pairs whose counts are bounded by
+    // cnt(a,a) itself — not by any other collected pair. A later disjoint
+    // candidate below that ceiling must NOT batch with it.
+    val pairs = Array(("a", "a", 10L), ("c", "d", 6L))
+    assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 6) === List(("a", "a", 10L)))
+    // ...but a NON-self pair's count leaves the ceiling once adopted, so
+    // the same shape with (a,b) does batch.
+    val pairs2 = Array(("a", "b", 10L), ("c", "d", 6L))
+    assert(Bpe.selectBatch(pairs2, k = 64, maxAdopt = 6) === pairs2.toList)
+  }
+
+  test("selectBatch respects the kth-count ceiling when the collected list is full") {
+    // With pairs.length == k the tail of the distribution is unseen: any
+    // unseen pair can hold up to kthCnt, so a candidate must strictly
+    // exceed it to batch. Here k=3, kth=8 — (c,d,8) fails 8 > 8.
+    val pairs = Array(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(pairs, k = 3, maxAdopt = 6) === List(("a", "b", 10L)))
+  }
+
+  test("batch of size > 1 forms end-to-end on a non-interacting corpus") {
+    // Two disjoint high-count pairs, everything else far below: one
+    // pair-count job must adopt both (asserted via Spark job count — the
+    // fixed pattern is jobs(2 merges batched) < jobs(2 merges strictly
+    // sequential would need). We count jobs via a listener.)
+    // Count only the pair-count collect jobs (by call-site in the stage
+    // names): other jobs on the bus — async SQLExecution futures, cache
+    // materializations — are noise for this assertion.
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.stageInfos.exists(si => si.name.contains("collect at Bpe")))
+          jobs.incrementAndGet()
+    }
+    // 'ab' and 'cd' each ×8 → (a,b)=8, (c,d)=8 disjoint; tie breaks (a,b)
+    // first and both adopt in one batch. Learned rows must equal strict.
+    val corpus = (Seq.fill(8)("ab") ++ Seq.fill(8)("cd")).mkString(" ")
+    val expected = strictLearn(Map("ab" -> 8L, "cd" -> 8L), nMerges = 2)
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val got = merges(Bpe.learnMerges(docs(corpus), nMerges = 2))
+      assert(got === expected)
+    } finally spark.sparkContext.removeSparkListener(counter)
+    // Batched: ONE pair-count collect adopts both merges. Sequential
+    // (the round-9 no-op regression) would pay one per merge.
+    // The listener bus is async: poll until the count is stable.
+    var last = -1
+    var now = counter.jobs.get()
+    while (now != last) { last = now; Thread.sleep(200); now = counter.jobs.get() }
+    assert(counter.jobs.get() == 1,
+      s"expected a single batched pair-count job, saw ${counter.jobs.get()}")
+  }
+
   test("batched adoption == strict one-merge-per-round BPE (fuzz)") {
     // The batch rule adopts several merges from one pair-count job when
     // they are provably what sequential rounds would pick. Random small

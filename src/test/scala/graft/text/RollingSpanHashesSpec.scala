@@ -51,6 +51,22 @@ class RollingSpanHashesSpec extends AnyFunSuite with graft.testutil.OpenStreamLe
       Seq(RollingHash64.hashBytes("a b c".getBytes("UTF-8"))))
   }
 
+  test("null tokens fail fast: the md5 confirm (concat_ws) would render them differently") {
+    // concat_ws drops null elements AND separators, so any null-hashing
+    // convention diverges from the confirm identity and silently makes
+    // the prefilter lossy — the expression must refuse instead.
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(Seq("a", null, "c")).toDF("ts")
+        .select(GraftSqlBridge.column(RollingSpanHashes(
+          GraftSqlBridge.expression(col("ts")), 2)).as("h"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null token")), s"unexpected error: $e")
+  }
+
   test("repeatedSpans (prefiltered) == the definitional md5-only formulation") {
     import spark.implicits._
     import graft.operators.Sampling
