@@ -40,25 +40,6 @@ import org.apache.spark.storage.StorageLevel
  */
 object Bpe {
 
-  /** One AQE-off child session per caller session, created lazily and
-   * reused across learn calls — newSession() pays a full SessionState
-   * build, which would otherwise recur per training run. Weak keys: the
-   * cache must not outlive the parent session. */
-  private val quietSessions =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]
-
-  private def quietSession(
-      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
-    quietSessions.synchronized {
-      var q = quietSessions.get(spark)
-      if (q == null) {
-        q = spark.newSession()
-        q.conf.set("spark.sql.adaptive.enabled", "false")
-        quietSessions.put(spark, q)
-      }
-      q
-    }
-
   /** (word, w) vocabulary with each word split into its initial
    * single-character symbols. */
   private def vocab(docs: DataFrame, textCol: String): DataFrame =
@@ -136,7 +117,7 @@ object Bpe {
     // Child session for the per-round argmax collects: same SparkContext
     // and cache, AQE off (see the collect below). Iterative-driver
     // pattern; the caller's session conf is never touched.
-    val quiet = Bpe.quietSession(spark)
+    val quiet = graft.util.QuietSessions.of(spark)
 
     // The vocabulary is re-read every round: materialize the corpus pass
     // once. Lazy + lineage-preserving, same policy as the dedup operators.
