@@ -484,7 +484,17 @@ object Sampling {
    */
   def temperatureMix(df: DataFrame, keyCol: Column, idCol: Column,
       weightCol: Column, totalBudget: Long, seed: Long): DataFrame = {
-    val spec = temperatureBudgets(df, keyCol, weightCol, totalBudget)
+    // Both halves scan the input — the totals pass here and the admit
+    // pass in tokenBudgetSampleByKey — and the caller's weight column is
+    // typically a tokenizer over full text. Persist the SLIM projection
+    // (key, id, weight — coordinates only, never text): the totals
+    // collect below materializes it, so the admit join reads the cache
+    // instead of re-tokenizing the corpus. Lazy, lineage-preserving;
+    // the caller owns eviction (the usual bounded-intermediate contract).
+    val slim = df.select(keyCol.as("__k"), idCol.as("__i"),
+        weightCol.cast("long").as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spec = temperatureBudgets(slim, col("__k"), col("__w"), totalBudget)
       .select(col("key").cast("string"), col("budget"))
       .collect().map { r =>
         // Fail FAST on a null group: [[temperatureBudgets]] allows it
@@ -498,6 +508,6 @@ object Sampling {
             "coalesce the key column to a sentinel before mixing")
         r.getString(0) -> r.getLong(1)
       }.toSeq.sortBy(_._1)
-    tokenBudgetSampleByKey(df, keyCol, idCol, weightCol, spec, seed)
+    tokenBudgetSampleByKey(slim, col("__k"), col("__i"), col("__w"), spec, seed)
   }
 }

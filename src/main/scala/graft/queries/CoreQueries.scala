@@ -1251,13 +1251,23 @@ object CoreQueries {
     // dimension-table-sized; a profile table that outgrows broadcast
     // moves to the library's sign-LSH banding instead.
     "q174_behavior_twins" -> ((s, dir) => {
-      val prof = Tables.events(s, dir)
+      val profDist = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
         .select(col("user_id"), col("click").as("c1"), col("error").as("c2"),
           col("purchase").as("c3"), col("signup").as("c4"), col("view").as("c5"))
+      // ONE distributed profile build: the broadcast-self-join used to
+      // re-run the whole scan+pivot chain to build its broadcast side (two
+      // event-log passes per run). Collecting the |users|×5 profile is
+      // bounded by the SAME dimension-table contract that makes it
+      // broadcastable at all (see above — profiles that outgrow broadcast
+      // move to sign-LSH banding); both join sides then feed from the
+      // local table, parallelized without any exchange on the pair side.
+      val profRows = profDist.collect()
+      val prof = s.createDataFrame(
+        s.sparkContext.parallelize(profRows.toIndexedSeq, 32), profDist.schema)
       val a = prof.columns.tail.map(c => prof(c).as(s"a_$c"))
       val b = prof.columns.tail.map(c => prof(c).as(s"b_$c"))
       val left = prof.select(col("user_id").as("ua") +: a: _*)
