@@ -147,6 +147,12 @@ object GraftFunctionRegistry extends FunctionRegistration {
         case Seq(t) => graft.text.Cleanup.scrubExpr(t)
         case args => wrongArity("scrub", args.size)
       }),
+    ("bpe_encode",
+      "_FUNC_(text, merges) - BPE piece array of the whitespace-lowercase tokens under an ordered array<array<string>> merge table (greedy left-to-right per merge, adoption order).",
+      {
+        case Seq(t, m) => graft.text.BpeEncode(t, m)
+        case args => wrongArity("bpe_encode", args.size)
+      }),
     ("quality_score64",
       "_FUNC_(text) - Hashed bag-of-words linear quality score: md5-bucketed integer token weights, one fused pass.",
       {

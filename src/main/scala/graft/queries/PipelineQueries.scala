@@ -494,28 +494,46 @@ object PipelineQueries {
     // Tokenizer fertility per language: pieces-per-word under the learned
     // 4-merge BPE — the number a tokenizer team watches per language
     // before committing a vocabulary (high fertility = the language pays
-    // more sequence length per word). Composes learnMergesSegmented's
-    // vocabulary (word reconstructed by concatenating its pieces) with
-    // per-(lang, word) counts; both joins are vocabulary-bounded, the
-    // corpus never shuffles text, and the ratio is the library's e6
+    // more sequence length per word). Reformulated over the bpe_encode
+    // KERNEL: learn the merges (one corpus pass + vocabulary-bounded
+    // rounds, 4-row collect), then count words and pieces per document in
+    // one codegen'd projection and aggregate 5 language groups — the
+    // earlier vocabulary-join formulation shuffled every (lang, word)
+    // coordinate to reconstruct pieces; the kernel pays zero shuffle
+    // before the 5-group aggregate. Ratio is the library's e6
     // integer-division convention (engine-exact, no floats).
     "q120_bpe_fertility" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (_, segmented) =
-        graft.text.Bpe.learnMergesSegmented(docs, nMerges = 4)
-      val wordPieces = segmented.select(
-        array_join(col("syms"), "").as("word"),
-        size(col("syms")).cast("long").as("n_pieces"))
-      val langWords = docs
-        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .groupBy("lang", "word").agg(count(lit(1)).as("w"))
-      langWords.join(wordPieces, Seq("word"))
+      val learned = graft.text.Bpe.learnMerges(docs, nMerges = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nw"),
+          size(graft.text.Bpe.encode(col("text"), learned)).cast("long").as("np"))
         .groupBy("lang")
-        .agg(sum(col("w")).as("n_words"),
-          sum(col("w") * col("n_pieces")).as("n_pieces_total"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("np")).as("n_pieces_total"))
         .withColumn("fertility_e6",
           expr("n_pieces_total * 1000000 div n_words"))
         .orderBy("lang")
+    }),
+
+    // The bpe_encode kernel itself, oracled at full per-document
+    // resolution: every document's complete piece sequence (joined with
+    // '|') plus its piece count, under the four merges learned from the
+    // corpus. The oracle replays learning relationally (bpeChain4Sql) and
+    // reassembles each document's pieces from its word sequence, so a
+    // wrong merge, a wrong greedy fuse, OR a wrong word order in the
+    // kernel shifts some document's string.
+    "q186_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val learned = graft.text.Bpe.learnMerges(docs, nMerges = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          graft.text.Bpe.encode(col("text"), learned).as("p"))
+        .select(col("doc_id"), size(col("p")).as("n_pieces"),
+          array_join(col("p"), "|").as("pieces_str"))
+        .orderBy("doc_id")
     }),
 
     // Rolling (Rabin–Karp base-257, wrapping 64-bit) fingerprints of the
@@ -3870,6 +3888,26 @@ object PipelineQueries {
          |     // sum(lw.w)::BIGINT)::BIGINT AS fertility_e6
          |FROM lw JOIN wp USING (word)
          |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Same four-round segmentation, reassembled per document: each doc's
+    // ordered word list joined to the segmented vocabulary, pieces
+    // string_agg'd back in word order.
+    "q186_bpe_encode" ->
+      s"""WITH $bpeChain4Sql,
+         |toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |tw AS (
+         |  SELECT doc_id, i.i AS i, ts[i.i::INT] AS word
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i),
+         |wp AS (SELECT word, len(syms)::BIGINT AS np,
+         |         array_to_string(syms, '|') AS ps FROM bper4),
+         |agg AS (
+         |  SELECT tw.doc_id, sum(wp.np) AS n_pieces,
+         |    string_agg(wp.ps, '|' ORDER BY tw.i) AS pieces_str
+         |  FROM tw JOIN wp USING (word) GROUP BY tw.doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_pieces, 0)::INT AS n_pieces,
+         |  coalesce(agg.pieces_str, '') AS pieces_str
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Identical pattern, identical leftmost-first alternation in RE2.
     "q58_bpe_pretokens" -> {

@@ -254,6 +254,20 @@ object Bpe {
     batch.toList
   }
 
+  /**
+   * Column DSL for the [[BpeEncode]] kernel: the per-document piece array
+   * under an ordered merge list, one codegen'd pass, zero shuffle. The
+   * merge table enters the plan as a foldable literal (a model artifact,
+   * like the learned-merge literals [[pieceHistogram]] folds in), so the
+   * kernel parses it once per task, not per row.
+   */
+  def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    bridge.column(graft.text.BpeEncode(
+      bridge.expression(text),
+      bridge.expression(typedLit(merges.map(p => Seq(p._1, p._2))))))
+  }
+
   /** Piece histogram over an already-segmented (w, syms) vocabulary —
    * the vocabulary-bounded tail of [[pieceHistogram]], for callers that
    * hold [[learnMergesSegmented]]'s output. */

@@ -2,8 +2,8 @@ package graft.text
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** The ASCII `\\s` class Java regexes match — the ONE whitespace
@@ -610,4 +610,174 @@ case class RollingSpanHashes(child: Expression, w: Int)
   override def prettyName: String = "rolling_span_hashes"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * `bpe_encode(text, merges)` — corpus-scale BPE tokenization as ONE
+ * codegen'd kernel: lowercase, tokenize on ASCII whitespace (the
+ * package-wide [[AsciiWhitespace]] definition), and segment every word
+ * under the ordered merge list, emitting the full piece array for the
+ * document in a single pass. `merges` is `array<array<string>>`, each
+ * inner array exactly `[sym_a, sym_b]`, in ADOPTION order — the first
+ * two columns of [[Bpe.learnMerges]]'s result.
+ *
+ * Semantics are exactly [[Bpe]]'s (and the DuckDB oracle's): merges apply
+ * STRICTLY in adoption order, each as one greedy left-to-right pass over
+ * the word's symbols (a symbol consumed by a fuse cannot start the next
+ * fuse of the same pass), starting from single-character symbols. This is
+ * the original Sennrich formulation, NOT lowest-rank-first re-ranking —
+ * the two differ when a later merge creates an earlier merge's pair, and
+ * the library picks the one its learning loop and oracles already pin
+ * (BpeEncodeSpec fuzzes equality against [[Bpe.pieceHistogram]]'s
+ * fold-based application).
+ *
+ * Why a kernel: tokenizing a corpus through the vocabulary-join
+ * formulation ([[Bpe.pieceHistogram]]) is right for LEARNING (everything
+ * after the one corpus pass is vocabulary-bounded), but producing
+ * per-document pieces that way pays a |docs|-to-vocabulary join — at
+ * 100 TB that shuffles every (doc, word) coordinate. This expression
+ * pays zero shuffle: the merge table is a model artifact (foldable
+ * literal in the plan, embedded once per task via a codegen reference,
+ * not re-parsed per row), and the scan stays inside whole-stage codegen.
+ *
+ * Per-word cost is O(m) symbol-set probes + O(len) per APPLICABLE merge
+ * (a merge whose symbols aren't both present in the word is skipped in
+ * O(1)), with m = |merges|. The learned-prefix merge lists this library
+ * trains are small; a production 50k-merge vocabulary would want the
+ * rank-indexed variant — out of scope, as is byte-level fallback (the
+ * same simplification note as [[Bpe]]).
+ */
+case class BpeEncode(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** Merge table parsed ONCE when the merges argument is foldable (the
+   * model-artifact call shape) — flat [a0, b0, a1, b1, ...]. */
+  @transient private lazy val staticMerges: Array[String] =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null else BpeEncode.parseMerges(v.asInstanceOf[ArrayData])
+    } else null
+
+  override def nullSafeEval(text: Any, merges: Any): Any = {
+    val flat =
+      if (staticMerges != null) staticMerges
+      else BpeEncode.parseMerges(merges.asInstanceOf[ArrayData])
+    BpeEncode.encode(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], flat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) =>
+      if (right.foldable && staticMerges != null) {
+        val ref = ctx.addReferenceObj("bpeMerges", staticMerges, "java.lang.String[]")
+        s"${ev.value} = graft.text.BpeEncode.encode($t, $ref);"
+      } else {
+        s"${ev.value} = graft.text.BpeEncode.encode($t, graft.text.BpeEncode.parseMerges($m));"
+      })
+
+  override def prettyName: String = "bpe_encode"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeEncode {
+
+  /** Validate and flatten an `array<array<string>>` merge table to
+   * [a0, b0, a1, b1, ...]; fail fast on nulls or non-pair entries (a
+   * silently skipped merge would change every downstream piece count). */
+  def parseMerges(arr: ArrayData): Array[String] = {
+    val m = arr.numElements()
+    val flat = new Array[String](2 * m)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"bpe_encode: merge $i is null — the merge table must be complete")
+      }
+      val pair = arr.getArray(i)
+      if (pair.numElements() != 2 || pair.isNullAt(0) || pair.isNullAt(1)) {
+        throw new IllegalArgumentException(
+          s"bpe_encode: merge $i must be exactly [sym_a, sym_b] with no nulls, " +
+            s"got ${pair.numElements()} element(s)")
+      }
+      flat(2 * i) = pair.getUTF8String(0).toString
+      flat(2 * i + 1) = pair.getUTF8String(1).toString
+      i += 1
+    }
+    flat
+  }
+
+  def encode(text: org.apache.spark.unsafe.types.UTF8String,
+      flat: Array[String]): ArrayData = {
+    val lower = text.toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = lower.length
+    var i = 0
+    while (i < n) {
+      while (i < n && AsciiWhitespace.is(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !AsciiWhitespace.is(lower.charAt(i))) i += 1
+      if (i > start) encodeWord(lower, start, i, flat, out)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Segment `lower[start, end)` under the flat merge list, appending the
+   * pieces (as UTF8String) to `out`. */
+  private def encodeWord(lower: String, start: Int, end: Int,
+      flat: Array[String], out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val len = end - start
+    if (len == 1) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        lower.substring(start, end))
+      return
+    }
+    // Initial symbols: single UTF-16 chars — the `split(word, "")` /
+    // `word[i]` convention the learn loop and the oracles share.
+    val cur = new Array[String](len)
+    var curLen = len
+    val present = new java.util.HashSet[String](len * 2)
+    var k = 0
+    while (k < len) {
+      cur(k) = String.valueOf(lower.charAt(start + k))
+      present.add(cur(k))
+      k += 1
+    }
+    val m = flat.length / 2
+    var t = 0
+    while (t < m && curLen > 1) {
+      val a = flat(2 * t)
+      val b = flat(2 * t + 1)
+      // O(1) skip: a merge can only fire if both symbols occur. `present`
+      // is an over-approximation (consumed symbols are not removed) —
+      // a false positive just costs one linear pass that fuses nothing.
+      if (present.contains(a) && present.contains(b)) {
+        val ab = a + b
+        var w = 0
+        k = 0
+        var merged = false
+        while (k < curLen) {
+          if (k + 1 < curLen && cur(k) == a && cur(k + 1) == b) {
+            cur(w) = ab; k += 2; merged = true
+          } else {
+            cur(w) = cur(k); k += 1
+          }
+          w += 1
+        }
+        curLen = w
+        if (merged) present.add(ab)
+      }
+      t += 1
+    }
+    k = 0
+    while (k < curLen) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(cur(k))
+      k += 1
+    }
+  }
 }

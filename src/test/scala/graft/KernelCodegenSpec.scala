@@ -41,6 +41,28 @@ class KernelCodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_encode compiles under CODEGEN_ONLY and matches interpreted eval") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val merges = Seq(("a", "b"), ("ab", "c"))
+      val gen = Seq("Abc abd  a", "xyz").toDF("t")
+        .select(graft.text.Bpe.encode(col("t"), merges).as("p"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      assert(gen === List(List("abc", "ab", "d", "a"), List("x", "y", "z")))
+      // Interpreted eval (direct static call) agrees.
+      val interp = graft.text.BpeEncode.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString("Abc abd  a"),
+        Array("a", "b", "ab", "c"))
+      assert((0 until interp.numElements()).map(interp.getUTF8String(_).toString)
+        === Seq("abc", "ab", "d", "a"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("hilbert2 compiles under CODEGEN_ONLY and matches interpreted eval") {
     import spark.implicits._
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
