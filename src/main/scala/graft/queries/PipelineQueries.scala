@@ -519,18 +519,19 @@ object PipelineQueries {
 
     // The bpe_encode kernel itself, oracled at full per-document
     // resolution: every document's complete piece sequence (joined with
-    // '|') plus its piece count, under the four merges learned from the
-    // corpus. The oracle replays learning relationally (bpeChain4Sql) and
-    // reassembles each document's pieces from its word sequence, so a
-    // wrong merge, a wrong greedy fuse, OR a wrong word order in the
-    // kernel shifts some document's string.
+    // '|') plus its piece count, under a FIXED 8-merge table — the
+    // production tokenize shape (a model artifact ships WITH the
+    // pipeline; learning it is q91's job, and learned-merge application
+    // is already oracled at vocabulary/language resolution by q95/q120).
+    // The oracle applies the SAME table relationally merge-by-merge
+    // (greedy-runs formulation), so a wrong fuse, a wrong merge order,
+    // OR a wrong word order in the kernel shifts some document's string.
+    // One corpus pass, zero learning barriers, zero shuffle before the
+    // output sort.
     "q186_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val learned = graft.text.Bpe.learnMerges(docs, nMerges = 4)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
       docs.select(col("doc_id"),
-          graft.text.Bpe.encode(col("text"), learned).as("p"))
+          graft.text.Bpe.encode(col("text"), FixedBpeMerges).as("p"))
         .select(col("doc_id"), size(col("p")).as("n_pieces"),
           array_join(col("p"), "|").as("pieces_str"))
         .orderBy("doc_id")
@@ -1806,6 +1807,63 @@ object PipelineQueries {
        |  GROUP BY a.word
        |)""".stripMargin
   }
+
+  /** The shipped-tokenizer merge table q186 applies — FIXED (a model
+   * artifact, deliberately NOT derived from the fixture, because the
+   * production tokenize step ships its merges with the pipeline), with
+   * chained merges (th→the, an→and) so adoption order is load-bearing.
+   * Single source of truth for the engine query AND the oracle chain. */
+  private[queries] lazy val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("s", "t"))
+
+  /** One GIVEN-merge application round over the `fper{k-1}` distinct-word
+   * vocabulary — [[bpeRoundSql]]'s greedy-runs application half with the
+   * merge as literals (no count/argmax: the table is shipped, not
+   * learned). */
+  private def fixedBpeApplySql(k: Int, a: String, b: String): String = {
+    val prev = s"fper${k - 1}"
+    val qa = a.replace("'", "''")
+    val qb = b.replace("'", "''")
+    s"""fapp$k AS MATERIALIZED (
+       |  SELECT word, i, syms[i] AS s,
+       |    CASE WHEN i < len(syms) AND syms[i] = '$qa' AND syms[i + 1] = '$qb'
+       |         THEN 1 ELSE 0 END AS e
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) ix
+       |),
+       |fruns$k AS (
+       |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |  FROM fapp$k WHERE e = 1
+       |),
+       |fstart$k AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |    FROM fruns$k) r
+       |  WHERE rn % 2 = 1
+       |),
+       |fper$k AS MATERIALIZED (
+       |  SELECT a.word,
+       |    list(CASE WHEN st.i IS NOT NULL THEN a.s || nx.s ELSE a.s END ORDER BY a.i) AS syms
+       |  FROM fapp$k a
+       |  LEFT JOIN fstart$k st ON a.word = st.word AND a.i = st.i
+       |  LEFT JOIN fapp$k nx ON a.word = nx.word AND nx.i = a.i + 1
+       |  WHERE NOT EXISTS (SELECT 1 FROM fstart$k c WHERE c.word = a.word AND c.i = a.i - 1)
+       |  GROUP BY a.word
+       |)""".stripMargin
+  }
+
+  /** Distinct-word vocabulary + the full [[FixedBpeMerges]] application
+   * chain (fper0 → fperN) for the q186 oracle. Lazy: interpolates
+   * [[tokensSql]], declared later in this object. */
+  private lazy val fixedBpeApplyChainSql: String =
+    (s"""fper0 AS MATERIALIZED (
+        |  SELECT word,
+        |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+        |  FROM (SELECT DISTINCT unnest($tokensSql) AS word FROM documents) t
+        |)""".stripMargin +:
+      FixedBpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        fixedBpeApplySql(i + 1, a, b)
+      }).mkString(",\n")
 
   /** The vocabulary + four-BPE-round CTE chain (bper0 → bper4 with each
    * round's adopted merge in bpm1..bpm4) — shared by the q91 (learn) and
@@ -3889,17 +3947,18 @@ object PipelineQueries {
          |FROM lw JOIN wp USING (word)
          |GROUP BY 1 ORDER BY lang""".stripMargin,
 
-    // Same four-round segmentation, reassembled per document: each doc's
-    // ordered word list joined to the segmented vocabulary, pieces
-    // string_agg'd back in word order.
+    // The same fixed merge table applied relationally, merge by merge
+    // (greedy-runs formulation over the DISTINCT corpus words), then each
+    // doc's pieces reassembled from its ordered word list.
     "q186_bpe_encode" ->
-      s"""WITH $bpeChain4Sql,
+      s"""WITH $fixedBpeApplyChainSql,
          |toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          |tw AS (
          |  SELECT doc_id, i.i AS i, ts[i.i::INT] AS word
          |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i),
          |wp AS (SELECT word, len(syms)::BIGINT AS np,
-         |         array_to_string(syms, '|') AS ps FROM bper4),
+         |         array_to_string(syms, '|') AS ps
+         |       FROM fper${FixedBpeMerges.size}),
          |agg AS (
          |  SELECT tw.doc_id, sum(wp.np) AS n_pieces,
          |    string_agg(wp.ps, '|' ORDER BY tw.i) AS pieces_str
