@@ -1372,6 +1372,28 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // The end-to-end sequence-prep composition: tokenize every document
+    // with the SHIPPED tokenizer (the q186 bpe_encode kernel + fixed
+    // merge table — pieces, not whitespace tokens, are what sequence
+    // budgets count) and no-split-pack the piece counts per source at a
+    // 2048-piece budget. This is the pipeline step a training run
+    // actually executes before writing shards; chaining the two kernels
+    // means a wrong piece count ANYWHERE shifts some bin boundary and
+    // the audit numbers move. One codegen'd tokenize pass, coordinates
+    // only into the pack fold.
+    "q187_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(graft.text.Bpe.encode(col("text"), FixedBpeMerges))
+            .cast("long").as("w"))
+      graft.operators.Packing.packAudit(
+        graft.operators.Packing.packNoSplit(docs, col("source"),
+          col("doc_id"), col("w"), budget = 2048L), budget = 2048L)
+        .select(col("part").as("source"), col("n_bins"), col("n_docs"),
+          col("total_tokens"), col("padded_tokens"), col("utilization_e6"))
+        .orderBy("source")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -3834,6 +3856,48 @@ object PipelineQueries {
          |  SELECT source, doc_id, len($tokensSql)::BIGINT AS w,
          |    md5(doc_id::VARCHAR) AS rk
          |  FROM documents),
+         |seq AS (
+         |  SELECT source, doc_id, w,
+         |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS i
+         |  FROM t),
+         |fold AS (
+         |  SELECT source, i, doc_id, w, 0::BIGINT AS pack_id, w::BIGINT AS fill
+         |  FROM seq WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.source, s.i, s.doc_id, s.w,
+         |    CASE WHEN f.fill > 0 AND f.fill + s.w > 2048
+         |         THEN f.pack_id + 1 ELSE f.pack_id END,
+         |    CASE WHEN f.fill > 0 AND f.fill + s.w > 2048
+         |         THEN s.w ELSE f.fill + s.w END
+         |  FROM fold f JOIN seq s ON s.source = f.source AND s.i = f.i + 1),
+         |bins AS (
+         |  SELECT source, pack_id, sum(w)::BIGINT AS fill, count(*)::BIGINT AS nd
+         |  FROM fold GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_bins, sum(nd)::BIGINT AS n_docs,
+         |  sum(fill)::BIGINT AS total_tokens,
+         |  sum(greatest(2048 - fill, 0))::BIGINT AS padded_tokens,
+         |  (sum(fill) * 1000000 // (count(*) * 2048))::BIGINT AS utilization_e6
+         |FROM bins GROUP BY source ORDER BY source""".stripMargin,
+
+    // The fixed-merge piece counts (q186's chain, counts only) driven
+    // through q185's recursive greedy fold — tokenize and pack re-derived
+    // end to end.
+    "q187_tokenize_pack" ->
+      s"""WITH RECURSIVE $fixedBpeApplyChainSql,
+         |toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |tw AS (
+         |  SELECT doc_id, i.i AS i, ts[i.i::INT] AS word
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i),
+         |wp AS (SELECT word, len(syms)::BIGINT AS np
+         |       FROM fper${FixedBpeMerges.size}),
+         |pc AS (
+         |  SELECT d.source, d.doc_id, coalesce(agg.w, 0)::BIGINT AS w
+         |  FROM documents d LEFT JOIN (
+         |    SELECT tw.doc_id, sum(wp.np) AS w
+         |    FROM tw JOIN wp USING (word) GROUP BY tw.doc_id) agg
+         |  USING (doc_id)),
+         |t AS (
+         |  SELECT source, doc_id, w, md5(doc_id::VARCHAR) AS rk FROM pc),
          |seq AS (
          |  SELECT source, doc_id, w,
          |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS i
