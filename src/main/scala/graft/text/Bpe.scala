@@ -91,7 +91,12 @@ object Bpe {
    *         rows) only if the vocabulary runs out of adjacent pairs.
    */
   def learnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
-    val (merges, v) = learnMergesSegmented(docs, nMerges, textCol)
+    // materializeFinal = false: the segmented vocabulary is discarded, so
+    // the final off-cache materialization job (which exists to protect a
+    // CALLER's first use of it from a full lineage recompute) would be a
+    // wasted barrier — the merge table itself was already collected by
+    // the round loop. One sequential job saved per learn.
+    val (merges, v) = learnMergesImpl(docs, nMerges, textCol, materializeFinal = false)
     v.unpersist(blocking = false)
     merges
   }
@@ -109,7 +114,11 @@ object Bpe {
    * lineage-preserving); the caller owns the `unpersist` once done.
    */
   def learnMergesSegmented(docs: DataFrame, nMerges: Int,
-      textCol: String = "text"): (DataFrame, DataFrame) = {
+      textCol: String = "text"): (DataFrame, DataFrame) =
+    learnMergesImpl(docs, nMerges, textCol, materializeFinal = true)
+
+  private def learnMergesImpl(docs: DataFrame, nMerges: Int,
+      textCol: String, materializeFinal: Boolean): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
