@@ -430,6 +430,17 @@ object Dedup {
    * reuse cannot apply; it additionally persists the gram sets (hash
    * arrays and id pairs only, never text).
    *
+   * PREPARED-PLAN MEMO + IMMUTABILITY ASSUMPTION: repeat invocations with
+   * the same (input plan, parameters) return a memoized DataFrame whose
+   * persisted intermediates may hold data materialized by an EARLIER run —
+   * the same assumption Spark's own table cache makes. If the files behind
+   * `docs` are rewritten IN PLACE at an unchanged path, call
+   * [[clearPreparedPlans]] (or read under a new path) or stale candidate
+   * pairs can be served. The memo is per-session, LRU-bounded
+   * ([[PreparedPpjoinMax]] parameterizations; evictions unpersist their
+   * intermediates), and soft-referenced (GC-clearable, never pins a
+   * session).
+   *
    * @return (id_a, id_b, inter, uni) — integer columns only. UNORDERED
    *         (like every relational result; callers needing a stable order
    *         sort): the former trailing orderBy was a full extra exchange +
@@ -459,8 +470,21 @@ object Dedup {
     preparedPpjoin.synchronized {
       val entries = preparedPpjoin.get(spark)
       if (entries != null) {
-        entries.find { case (k, p, _, _) => k == prepKey && p.sameResult(inputPlan) }
-          .foreach { case (_, _, df, repersist) => repersist(); return df }
+        // Expunge entries whose soft payload was GC-cleared, then LRU:
+        // a hit moves to the end, so a threshold-sweeping session evicts
+        // its stalest parameterization, not its hottest.
+        { var i = 0
+          while (i < entries.size) {
+            if (entries(i).payload.isEmpty) entries.remove(i) else i += 1
+          } }
+        val hit = entries.zipWithIndex.find { case (e, _) =>
+          e.key == prepKey && e.payload.exists(_._1.sameResult(inputPlan))
+        }
+        hit.foreach { case (e, i) =>
+          entries.remove(i); entries += e
+          e.repersist()
+          return e.payload.get._2
+        }
       }
     }
     // Execution profile note (negative result, measured round 10): running
@@ -569,30 +593,73 @@ object Dedup {
         entries = scala.collection.mutable.Buffer.empty
         preparedPpjoin.put(spark, entries)
       }
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val frames = toPersist.toSeq
-      entries += ((prepKey, inputPlan, result, () => frames.foreach { f =>
-        // Quiet idempotent re-persist: only re-register frames the caller
-        // actually evicted (persist on a live entry logs a warning).
-        if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE) f.persist(lvl)
-      }))
-      if (entries.size > PreparedPpjoinMax) entries.remove(0)
+      entries += new PreparedPpjoinEntry(prepKey, inputPlan, result, toPersist.toSeq)
+      // LRU cap: evict the stalest parameterization AND release its
+      // persisted intermediates — a session sweeping thresholds must not
+      // accumulate pinned caches (one cache entry per sweep point).
+      while (entries.size > PreparedPpjoinMax)
+        entries.remove(0).unpersistFrames()
     }
     result
   }
 
+  /** Drop every prepared PPJoin plan memoized for `spark` and unpersist
+   * their intermediate frames — the invalidation hook for callers whose
+   * input files are REWRITTEN IN PLACE at an unchanged path (the memo, like
+   * Spark's own table cache, assumes immutable inputs: `sameResult` keys on
+   * the plan, not the bytes behind it). */
+  def clearPreparedPlans(spark: org.apache.spark.sql.SparkSession): Unit =
+    preparedPpjoin.synchronized {
+      val entries = preparedPpjoin.remove(spark)
+      if (entries != null) entries.foreach(_.unpersistFrames())
+    }
+
   /** Key + bounded per-session store for [[ngramJaccardPairs]]'s prepared
-   * plans. Entries hold plans only (the data lives in the cache manager,
-   * which callers control); the WeakHashMap lets a closed session's
-   * entries be collected. */
+   * plans. The payload (analyzed plan, result frame, persisted
+   * intermediates) is held through a SoftReference: a DataFrame strongly
+   * references its SparkSession, so a strong value chain from this map
+   * would pin the WeakHashMap KEY forever and no session's entries could
+   * ever be collected. Softly-held payloads are released under memory
+   * pressure; a CLOSED session then becomes weakly reachable and the
+   * whole map entry is expunged, while a LIVE session just re-prepares on
+   * the next call (cache semantics, not correctness). */
   private final case class PreparedPpjoinKey(num: Int, den: Int, n: Int,
       idCol: String, textCol: String, mat: Boolean, collapse: Boolean)
-  private val PreparedPpjoinMax = 16
+  private final class PreparedPpjoinEntry(
+      val key: PreparedPpjoinKey,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      df: DataFrame, frames: Seq[DataFrame]) {
+    private val ref = new java.lang.ref.SoftReference((plan, df, frames))
+    def payload: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        DataFrame, Seq[DataFrame])] = Option(ref.get())
+    /** Quiet idempotent re-persist on a memo hit: only re-register frames
+     * the caller actually evicted (persist on a live entry logs a
+     * warning). */
+    def repersist(): Unit = payload.foreach(_._3.foreach { f =>
+      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    def unpersistFrames(): Unit = payload.foreach(_._3.foreach { f =>
+      if (f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        f.unpersist(blocking = false)
+    })
+  }
+  private val PreparedPpjoinMax = 8
   private val preparedPpjoin = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Buffer[(PreparedPpjoinKey,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame,
-      () => Unit)]]
+    scala.collection.mutable.Buffer[PreparedPpjoinEntry]]
+
+  /** Test hook: (live memo entries, intermediate frames still persisted)
+   * for `spark` — the bound the LRU eviction spec pins. */
+  private[dedup] def preparedPpjoinStats(
+      spark: org.apache.spark.sql.SparkSession): (Int, Int) =
+    preparedPpjoin.synchronized {
+      val entries = Option(preparedPpjoin.get(spark))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      val persisted = entries.flatMap(_.payload).flatMap(_._3)
+        .count(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (entries.size, persisted)
+    }
 
   /** Intermediate relations of the PPJoin pipeline — one builder shared by
    * [[ngramJaccardPairs]] and [[ppjoinCandidateStats]] so the diagnostic

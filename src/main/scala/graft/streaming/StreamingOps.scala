@@ -541,23 +541,46 @@ object StreamingOps {
    * which silently reverted the guard to unprotected dynamic overwrite).
    * Tiny either way: one line per partition value ever written, one file
    * per batch that wrote any; lives next to the checkpoint so its
-   * lifecycle matches the stream's exactly-once bookkeeping. */
+   * lifecycle matches the stream's exactly-once bookkeeping.
+   *
+   * MIGRATION: a checkpoint written by the pre-directory sink kept one
+   * `_graft_partition_ledger.tsv` file (lines `value<TAB>batchId`) where
+   * the directory now stands. Ignoring it would silently reset the
+   * stable-partition guard for an upgraded-in-place stream — the exact
+   * failure the directory format exists to prevent — so it is folded in
+   * as the BASE map (batch-versioned files override its values). Files in
+   * the directory whose basename is not a parseable batch id (stray
+   * editor/tool droppings) are skipped: every file this sink writes is
+   * `<digits>.tsv`, so skipping foreign names can never lose an entry. */
   private def readLedger(spark: SparkSession, dir: String): Map[String, Long] = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) Map.empty
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val legacyFile = new org.apache.hadoop.fs.Path(dir + ".tsv")
+    val legacy: Map[String, Long] =
+      if (!fs.exists(legacyFile)) Map.empty
+      else slurp(legacyFile).linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        require(i > 0, s"malformed legacy ledger line in $legacyFile: '$line'")
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+    if (!fs.exists(d)) legacy
     else {
+      val batchFile = """(\d+)\.tsv""".r
       val entries = fs.listStatus(d).toSeq
-        .filter(_.getPath.getName.endsWith(".tsv"))
-        .map(st => st.getPath.getName.stripSuffix(".tsv").toLong -> st.getPath)
+        .flatMap(st => st.getPath.getName match {
+          case batchFile(id) => Some(id.toLong -> st.getPath)
+          case _ => None
+        })
         .sortBy(_._1) // fold in batch order: later batch wins a value
-      entries.foldLeft(Map.empty[String, Long]) { case (acc, (batchId, p)) =>
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        val txt = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        acc ++ txt.linesIterator.filter(_.nonEmpty).map(_ -> batchId)
+      entries.foldLeft(legacy) { case (acc, (batchId, p)) =>
+        acc ++ slurp(p).linesIterator.filter(_.nonEmpty).map(_ -> batchId)
       }
     }
   }

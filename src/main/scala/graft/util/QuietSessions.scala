@@ -1,7 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.SparkSession
 
 /**
  * One AQE-off child session per caller session, created lazily and shared
@@ -37,14 +36,5 @@ object QuietSessions {
       cache.put(spark, q)
     }
     q
-  }
-
-  /** Re-root `df`'s logical plan onto the caller session's quiet child —
-   * the frame's lineage is unchanged, only the execution profile. No-op
-   * if the frame already lives on a quiet child. */
-  def rebase(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    if (cache.synchronized(cache.containsValue(s))) df
-    else GraftSqlBridge.ofRows(of(s), df.queryExecution.logical)
   }
 }

@@ -42,12 +42,4 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
-
-  /** Fork a session that INHERITS the parent's full session state —
-   * runtime conf included — unlike `newSession()`, which resets to the
-   * builder options (`cloneSession` is `private[sql]`). The child shares
-   * SparkContext and cache manager; its conf can then diverge without
-   * touching the parent. */
-  def cloneSession(spark: SparkSession): SparkSession =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -821,4 +821,36 @@ class DedupSpec extends AnyFunSuite {
       assert(got.size === m * (m - 1) / 2)
     }
   }
+
+  // ------------------------------------------- prepared-plan memo bounds
+
+  test("ngramJaccardPairs memo: a threshold-sweeping session stays LRU-bounded and evictions unpersist") {
+    val d = docs((1L to 20L).map(i => i -> s"the quick brown fox $i jumps"): _*)
+    Dedup.clearPreparedPlans(spark)
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    // 12 distinct parameterizations > the LRU cap; each runs an action so
+    // its candidates cache actually materializes (persist is lazy).
+    val dens = Seq(10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21)
+    dens.foreach { den => ngramJaccardPairs(d, 7, den).count() }
+    val (entries, persisted) = Dedup.preparedPpjoinStats(spark)
+    assert(entries <= 8, s"memo holds $entries entries — LRU cap lost")
+    val newRdds = spark.sparkContext.getPersistentRDDs.keySet -- baseRdds
+    // One persisted frame (candidates) per LIVE entry; evicted sweeps'
+    // frames must be gone from the block manager, not just the memo.
+    assert(newRdds.size <= 8,
+      s"${newRdds.size} persisted RDDs after a 12-point sweep — evictions leak caches")
+    assert(persisted <= entries)
+    // A hit on a live entry returns the memoized frame (same result).
+    val again = ngramJaccardPairs(d, 7, 21)
+    assert(Dedup.preparedPpjoinStats(spark)._1 === entries)
+    assert(again.count() >= 0L)
+    // Invalidation hook: everything dropped and unpersisted.
+    Dedup.clearPreparedPlans(spark)
+    assert(Dedup.preparedPpjoinStats(spark) === ((0, 0)))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseRdds).isEmpty,
+      "clearPreparedPlans left persisted intermediates behind")
+    // And the operator still works from a cold memo.
+    assert(ngramJaccardPairs(d, 7, 10).columns.toSeq ===
+      Seq("id_a", "id_b", "inter", "uni"))
+  }
 }

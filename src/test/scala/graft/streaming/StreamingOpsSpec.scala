@@ -534,4 +534,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(spark.read.parquet(out).count() === 2) // a overwritten, b added
   }
+
+  test("partitionedParquetSink folds a pre-directory legacy ledger file and skips stray tsv names") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-lake-mig").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-lake-mig-cp").toString
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("day", "v")
+
+    // Batch 0 lands day=a under the directory-format ledger.
+    input.addData(("a", 1L))
+    val q1 = StreamingOps.partitionedParquetSink(df, out, "day", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+
+    // Simulate an upgraded-in-place checkpoint: the guard history lives in
+    // the LEGACY single file (old format: value<TAB>batchId), and the
+    // directory holds only foreign junk a tool dropped there.
+    val ledgerDir = java.nio.file.Paths.get(cp, "_graft_partition_ledger")
+    java.nio.file.Files.list(ledgerDir).toArray.foreach(p =>
+      java.nio.file.Files.delete(p.asInstanceOf[java.nio.file.Path]))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cp, "_graft_partition_ledger.tsv"),
+      "a\t0\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(ledgerDir.resolve("notes.tsv"),
+      "not a batch file".getBytes("UTF-8"))
+
+    // Batch 1 re-emits day=a: the legacy entry must still protect it (the
+    // silent failure mode would be an ignored legacy file = unguarded
+    // dynamic overwrite), and the stray notes.tsv must not crash the read.
+    input.addData(("a", 2L))
+    val q2 = StreamingOps.partitionedParquetSink(df, out, "day", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("already written by earlier batch")), s"got: $err")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
 }
