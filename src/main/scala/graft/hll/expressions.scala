@@ -132,7 +132,14 @@ sealed abstract class SketchAgg extends TypedImperativeAggregate[Option[HllInsta
     buffer.map(_.serialize).orNull
 
   override def deserialize(storageFormat: Array[Byte]): Option[HllInstance] =
-    Option(storageFormat).map(format.deserialize)
+    Option(storageFormat).map {
+      // A deserialized buffer is adopted as the MUTABLE merge target, so
+      // STRM takes the lean dense parse in its privately-owned form
+      // (never the shared cache) — this is the per-partial constant of
+      // the final-aggregation side of every sketch exchange.
+      case bytes if format == StreamLibHll => StreamLibHll.deserializeFast(bytes)
+      case bytes => format.deserialize(bytes)
+    }
 
   /** Fold one serialized incoming sketch into the buffer. Merge-only
    * consumers never observe the instance type, so the STRM format takes the

@@ -60,7 +60,7 @@ final class FastStrmInstance(val p: Int, val rs: RegisterSet) extends HllInstanc
     case _ => HllFormat.mixedMerge(this, other)
   }
 
-  override def serialize: Array[Byte] = wrapper.getBytes
+  override def serialize: Array[Byte] = FastStrm.serializeDense(this)
 
   override def cardinality: Long = FastStrm.memoizedCardinality(this)
 }
@@ -209,6 +209,47 @@ object FastStrm {
     if (!available) return null
     armTaskClear()
     parseCache.get().get(bytes)
+  }
+
+  /** A fresh dense instance — the allocation-lean sibling of
+   * `new HyperLogLogPlus(p, 0)` for aggregation buffers. Null when the
+   * reflective seam is unavailable (callers fall back to stock). */
+  def create(p: Int): FastStrmInstance =
+    if (!available) null else new FastStrmInstance(p, new RegisterSet(1 << p))
+
+  /** Dense serialization, BIT-IDENTICAL to stream-lib's `getBytes` by
+   * construction: for a fixed precision the dense layout is
+   * [4-byte version][varint p][varint sp=0][varint format=0][varint size]
+   * [big-endian register words] — everything before the words is a
+   * CONSTANT for that p, so it is taken verbatim from one real
+   * `getBytes` of an empty sketch (cached per p, per JVM) and only the
+   * word fill is hand-rolled. The stock path pays a fresh
+   * ByteArrayOutputStream/DataOutputStream chain and a per-word stream
+   * write on EVERY call — the top of the daily-sketch aggregation's
+   * profile (each group serializes at the partial boundary and again at
+   * eval). Falls back to the wrapper for anything non-dense. */
+  private val headerCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]
+
+  private[hll] def serializeDense(inst: FastStrmInstance): Array[Byte] = {
+    val words = inst.rs.bits()
+    val header = headerCache.computeIfAbsent(inst.p, (p: Int) => {
+      val full = new HyperLogLogPlus(p, 0).getBytes
+      java.util.Arrays.copyOfRange(full, 0, full.length - words.length * 4)
+    })
+    val out = new Array[Byte](header.length + words.length * 4)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    var o = header.length
+    while (i < words.length) {
+      val w = words(i)
+      out(o) = (w >>> 24).toByte
+      out(o + 1) = (w >>> 16).toByte
+      out(o + 2) = (w >>> 8).toByte
+      out(o + 3) = w.toByte
+      i += 1
+      o += 4
+    }
+    out
   }
 
   /** Memo key: a defensive copy of the packed register words + precision,

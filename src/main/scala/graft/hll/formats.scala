@@ -114,7 +114,15 @@ final class StreamLibInstance(val hll: HyperLogLogPlus) extends HllInstance {
 
 case object StreamLibHll extends HllFormat {
   override val name = "STRM"
-  override def create(p: Int): HllInstance = new StreamLibInstance(new HyperLogLogPlus(p, 0))
+  /** Fresh buffers are FastStrm-backed when the seam is available: same
+   * registers, same estimator, same (bit-identical, template-derived)
+   * serialization — but creation skips the Builder plumbing and
+   * serialize skips the stream-writer chain, which together dominate
+   * sketch-aggregation profiles (one create + 1-2 serializes per group). */
+  override def create(p: Int): HllInstance = {
+    val f = FastStrm.create(p)
+    if (f != null) f else new StreamLibInstance(new HyperLogLogPlus(p, 0))
+  }
   override def deserialize(bytes: Array[Byte]): HllInstance = HllFormat.decoding(this, bytes) {
     new StreamLibInstance(HyperLogLogPlus.Builder.build(bytes))
   }

@@ -4,7 +4,7 @@ import graft.dedup.SimHash64
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.GraftSqlBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -250,8 +250,22 @@ object Sampling {
     require(dup.isEmpty, s"duplicate keys in budget spec: ${dup.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
+    tokenBudgetSampleByKeyFrame(df, keyCol, idCol, weightCol,
+      budgets.toDF("key", "__budget"), seed)
+  }
+
+  /**
+   * [[tokenBudgetSampleByKey]] with the budget spec as a DATAFRAME of
+   * `(key, __budget)` instead of a driver-side Seq — for specs DERIVED
+   * from the data in the same plan ([[temperatureMix]]), where collecting
+   * them first would insert a barrier between derivation and use. The
+   * spec frame must be |keys|-bounded and duplicate-free (true by
+   * construction for any aggregate over the key); it rides a broadcast,
+   * exactly like the literal spec.
+   */
+  private def tokenBudgetSampleByKeyFrame(df: DataFrame, keyCol: Column,
+      idCol: Column, weightCol: Column, bdf: DataFrame, seed: Long): DataFrame = {
     val nBuckets = 1 << BudgetBucketBits
-    val bdf = budgets.toDF("key", "__budget")
     val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
     val slim = df
       .select(keyCol.as("key"), idCol.as("id"),
@@ -399,77 +413,69 @@ object Sampling {
    *
    * Scale contract: one partial-aggregating pass over the corpus builds
    * the |keys|-row totals; everything after is |keys|-bounded (the
-   * remainder ranking is a single-partition window over |keys| rows —
-   * the same bounded-model contract as the vocab queries; two one-row
-   * collects feed the scalar q/rem/leftover arithmetic). Overflow guard:
-   * rem·max(w) must fit a long — |keys|·max(w)² < 2^63, amply true for
-   * source/domain/language keys.
+   * q/rem/leftover arithmetic and the remainder ranking are
+   * single-partition window passes over the |keys|-row aggregate — the
+   * same bounded-model contract as the vocab queries). FULLY LAZY: the
+   * whole allocation is one declarative plan with NO driver collect, so a
+   * caller composing it (temperatureMix's broadcast join, a sink) pays a
+   * single action — the former driver formulation cost a mandatory
+   * collect barrier before any downstream work could even plan. Overflow
+   * guard: rem·max(w) must fit a long — |keys|·max(w)² < 2^63, amply true
+   * for source/domain/language keys (checked in-plan, same message).
    *
    * @return (key, n, w, budget) — one row per key present in `df`.
    */
   def temperatureBudgets(df: DataFrame, keyCol: Column, weightCol: Column,
       totalBudget: Long): DataFrame = {
     require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
-    val spark = df.sparkSession
-    // ONE distributed job (the partial-aggregating totals pass); the
-    // allocation itself runs on the driver over the collected |keys|-row
-    // table — it was never distributed anyway (the largest-remainder
-    // ranking is a single-partition sort by construction), and the
-    // driver formulation costs two fewer sequential jobs. Same bounded
-    // contract as the spec collect in [[temperatureMix]].
     val totals = df.groupBy(keyCol.as("key"))
-      .agg(sum(weightCol.cast("long")).as("n"))
-    val keyType = totals.schema("key").dataType
-    val rows = totals.collect().map(r => (r.get(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
-    def isqrtL(n: Long): Long = {
-      val s0 = math.min(math.sqrt(n.toDouble).toLong, IsqrtMax)
-      if (s0 < IsqrtMax && (s0 + 1) * (s0 + 1) <= n) s0 + 1
-      else if (s0 * s0 > n) s0 - 1
-      else s0
-    }
-    val wts = rows.map { case (k, n) => (k, n, isqrtL(math.max(n, 0L))) }
-    val bigW = wts.map(_._3).sum
-    val maxW = if (wts.isEmpty) 0L else wts.map(_._3).max
-    val out: Seq[(Any, Long, Long, Long)] =
-      if (bigW == 0L) wts.map { case (k, n, w) => (k, n, w, 0L) }.toSeq
-      else {
-        val q = totalBudget / bigW
-        val rem = totalBudget % bigW
-        require(rem == 0 || maxW <= Long.MaxValue / rem,
-          s"rem*w overflows long (rem=$rem, max w=$maxW) — totalBudget/key-count out of range")
-        val alloc = wts.map { case (k, n, w) =>
-          (k, n, w, q * w + (rem * w) / bigW, (rem * w) % bigW)
-        }
-        val leftover = totalBudget - alloc.map(_._4).sum // < |keys| by construction
-        // Tie-break in Spark's OWN ordering for the key type (binary UTF8
-        // for strings), on internal representations — collect() returned
-        // external values. NULLS FIRST wrapper: the schema allows a null
-        // key group and catalyst orderings are not null-safe on their own.
-        val toInternal =
-          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(keyType)
-        val keyOrd = org.apache.spark.sql.graft.GraftSqlBridge.orderingFor(keyType)
-          .asInstanceOf[Ordering[Any]]
-        val nullsFirst: Ordering[Any] = (a: Any, b: Any) =>
-          if (a == null && b == null) 0
-          else if (a == null) -1
-          else if (b == null) 1
-          else keyOrd.compare(a, b)
-        val bonus = alloc.sortBy { case (k, _, _, _, r) => (-r, toInternal(k)) }(
-          Ordering.Tuple2(Ordering.Long, nullsFirst))
-          .take(leftover.toInt).map(_._1).toSet
-        alloc.map { case (k, n, w, base, _) =>
-          (k, n, w, base + (if (bonus.contains(k)) 1L else 0L))
-        }.toSeq
-      }
-    val schema = StructType(Seq(
-      StructField("key", keyType, nullable = true),
-      StructField("n", LongType, nullable = false),
-      StructField("w", LongType, nullable = false),
-      StructField("budget", LongType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        out.map { case (k, n, w, b) => org.apache.spark.sql.Row(k, n, w, b) }, 1),
-      schema)
+      .agg(coalesce(sum(weightCol.cast("long")), lit(0L)).as("n"))
+      // coalesce, not an exchange: the global windows below need one
+      // partition, and folding the aggregate's reducers beats shuffling
+      // |keys| rows again (one fewer stage barrier under AQE). The merged
+      // final aggregation stays |keys|-bounded per the operator contract.
+      .coalesce(1)
+    // Everything below is |keys|-row single-partition work. The empty
+    // partitionBy is deliberate (and the plan's one "no partition defined"
+    // warning is the documented cost): the largest-remainder rule is a
+    // GLOBAL ranking by definition.
+    val everything = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Tie-break ties-to-the-smaller-key in the engine's own type ordering
+    // (binary UTF8 for strings), nulls first — `asc` is NULLS FIRST in
+    // Spark, matching the former driver-side nullsFirst wrapper.
+    val remainderRank = Window.partitionBy()
+      .orderBy(col("__rpart").desc, col("key").asc)
+    val tb = s"CAST($totalBudget AS BIGINT)"
+    totals
+      .withColumn("w", isqrt(greatest(col("n"), lit(0L))))
+      .withColumn("__W", sum(col("w")).over(everything))
+      .withColumn("__maxw", max(col("w")).over(everything))
+      // All integer arithmetic, W = 0 guarded in every branch (ANSI mode
+      // would otherwise fail the division before the CASE could skip it —
+      // CaseWhen evaluates lazily, so the guard is sufficient).
+      .withColumn("__rem", expr(s"CASE WHEN __W > 0 THEN $tb % __W ELSE 0L END"))
+      // The former driver `require`: rem·max(w) must not overflow. CASE
+      // branches evaluate lazily, so assert_true only fires on violation.
+      .withColumn("__ovf", expr(
+        "CASE WHEN __rem > 0 AND __maxw > 9223372036854775807 div __rem THEN " +
+          "CAST(assert_true(false, 'rem*w overflows long (rem=' || __rem || " +
+          "', max w=' || __maxw || ') — totalBudget/key-count out of range') " +
+          "AS BIGINT) ELSE 0L END"))
+      .withColumn("__base", expr(
+        s"CASE WHEN __W > 0 THEN ($tb div __W) * w + (__rem * w) div __W + __ovf " +
+          "ELSE 0L END"))
+      .withColumn("__rpart",
+        expr("CASE WHEN __W > 0 THEN (__rem * w) % __W ELSE 0L END"))
+      .withColumn("__allocated", sum(col("__base")).over(everything))
+      .withColumn("__rk", row_number().over(remainderRank))
+      // leftover = totalBudget − Σbase < |keys| by construction; the
+      // first `leftover` keys in (rpart desc, key asc) order get +1.
+      .withColumn("budget", expr(
+        s"CASE WHEN __W > 0 THEN __base + " +
+          s"(CASE WHEN CAST(__rk AS BIGINT) <= $tb - __allocated THEN 1L ELSE 0L END) " +
+          "ELSE 0L END"))
+      .select(col("key"), col("n"), col("w"), col("budget"))
   }
 
   /**
@@ -484,30 +490,69 @@ object Sampling {
    */
   def temperatureMix(df: DataFrame, keyCol: Column, idCol: Column,
       weightCol: Column, totalBudget: Long, seed: Long): DataFrame = {
-    // Both halves scan the input — the totals pass here and the admit
-    // pass in tokenBudgetSampleByKey — and the caller's weight column is
-    // typically a tokenizer over full text. Persist the SLIM projection
-    // (key, id, weight — coordinates only, never text): the totals
-    // collect below materializes it, so the admit join reads the cache
-    // instead of re-tokenizing the corpus. Lazy, lineage-preserving;
-    // the caller owns eviction (the usual bounded-intermediate contract).
-    val slim = df.select(keyCol.as("__k"), idCol.as("__i"),
-        weightCol.cast("long").as("__w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spec = temperatureBudgets(slim, col("__k"), col("__w"), totalBudget)
-      .select(col("key").cast("string"), col("budget"))
-      .collect().map { r =>
-        // Fail FAST on a null group: [[temperatureBudgets]] allows it
-        // (nullable key schema), but the admit rule joins budgets per key
-        // with an equi-join, which null never matches — the null group's
-        // budget would be silently allocated and then unspendable. Callers
-        // with null keys must filter or coalesce them first.
-        require(!r.isNullAt(0),
-          "temperatureMix requires non-null keys: a null key group cannot " +
-            "match the per-key budget equi-join — filter null keys or " +
-            "coalesce the key column to a sentinel before mixing")
-        r.getString(0) -> r.getLong(1)
-      }.toSeq.sortBy(_._1)
-    tokenBudgetSampleByKey(slim, col("__k"), col("__i"), col("__w"), spec, seed)
+    // ONE action, ONE corpus pass, ZERO driver collects: the former
+    // formulation collected the spec (a mandatory barrier between
+    // derivation and admission) and persisted a corpus-wide slim
+    // projection that nothing ever unpersisted. Here a PLANTED (key,
+    // bucket) exchange is the single materialization point — the weight
+    // column (typically a tokenizer over full text) is evaluated exactly
+    // once, on the map side of that shuffle — and all three consumers
+    // (per-key totals for the spec, the in-bucket running sums, the
+    // cross-bucket offsets) read the SAME exchange via reuse: their
+    // subtrees are identical below it, so the scheduler materializes it
+    // once. Everything above the exchange is |keys|- or |keys·buckets|-
+    // bounded except the in-bucket window, which is the admit rule's own
+    // distributed phase.
+    val nBuckets = 1 << BudgetBucketBits
+    val h = md5Hash64(concat_ws(":", lit(seed), idCol.cast("string")))
+    val slimX = df
+      .select(keyCol.as("key"), idCol.as("id"),
+        weightCol.cast("long").as("weight"), h.as("h"))
+      .withColumn("b",
+        (shiftright(col("h"), 64 - BudgetBucketBits) + lit(nBuckets / 2)).cast("int"))
+      .repartition(col("key"), col("b"))
+    // Fail FAST on a null group: [[temperatureBudgets]] allows it
+    // (nullable key schema), but the admit rule joins budgets per key
+    // with an equi-join, which null never matches — the null group's
+    // budget would be silently allocated and then unspendable. Callers
+    // with null keys must filter or coalesce them first. In-plan, and
+    // deliberately inside a WINDOW aggregate: the inner join plants an
+    // `isnotnull(key)` filter that would prune the null row before a
+    // plain projection-level assert could see it, but a predicate cannot
+    // push below an unpartitioned Window, so this guard observes EVERY
+    // spec row (the asserting branch only evaluates for a null key —
+    // CaseWhen is lazy).
+    val everything = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nullGuard = max(when(col("key").isNull,
+      coalesce(
+        assert_true(lit(false),
+          lit("temperatureMix requires non-null keys: a null key group " +
+            "cannot match the per-key budget equi-join — filter null keys " +
+            "or coalesce the key column to a sentinel before mixing"))
+          .cast("long"),
+        lit(0L))).otherwise(lit(0L))).over(everything)
+    val spec = temperatureBudgets(slimX, col("key"), col("weight"), totalBudget)
+      .select(col("key"), (col("budget") + nullGuard).as("__budget"))
+    // The admit rule of [[tokenBudgetSampleByKey]], re-rooted on the shared
+    // exchange. Same math, same hash, same output — offsets here derive
+    // from the exchanged rows (a no-shuffle complete aggregation: the
+    // planted partitioning already clusters (key, b)) instead of a second
+    // scan of the input.
+    val inBucket = Window.partitionBy(col("key"), col("b"))
+      .orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = slimX.withColumn("cum_local", sum(col("weight")).over(inBucket))
+    val acrossBuckets = Window.partitionBy(col("key")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slimX.groupBy(col("key"), col("b"))
+      .agg(sum(col("weight")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(acrossBuckets), lit(0L)))
+      .select(col("key"), col("b"), col("off"))
+    local.join(broadcast(offsets), Seq("key", "b"))
+      .join(broadcast(spec), Seq("key"))
+      .withColumn("cum_before", col("off") + col("cum_local") - col("weight"))
+      .filter(col("cum_before") < col("__budget"))
+      .select(col("key"), col("id"), col("weight"), col("cum_before"))
   }
 }

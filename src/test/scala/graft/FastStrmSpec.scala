@@ -17,7 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class FastStrmSpec extends AnyFunSuite {
 
   private def stockSketch(p: Int, values: Iterator[Long]): StreamLibInstance = {
-    val s = StreamLibHll.create(p).asInstanceOf[StreamLibInstance]
+    // Deliberately the STOCK object (create() now returns the lean
+    // instance): these specs compare the fast path against it.
+    val s = new StreamLibInstance(new HyperLogLogPlus(p, 0))
     values.foreach(s.offer)
     s
   }
@@ -113,5 +115,29 @@ class FastStrmSpec extends AnyFunSuite {
     val f = FastStrm.parse(StreamLibHll.create(9).serialize).asInstanceOf[FastStrmInstance]
     f.offer(987654321L)
     assert(f.cardinality == 1L)
+  }
+
+  test("serializeDense is bit-identical to stock getBytes across precisions, fills, and merges") {
+    val rnd = new scala.util.Random(41)
+    for (p <- Seq(4, 8, 11, 14); n <- Seq(0, 1, 7, 500, 20000)) {
+      val stock = new HyperLogLogPlus(p, 0)
+      val fast = StreamLibHll.create(p)
+      assert(fast.isInstanceOf[FastStrmInstance], "create() must take the lean path here")
+      val values = Seq.fill(n)(rnd.nextLong())
+      values.foreach { v => stock.offerHashed(v); fast.offer(v) }
+      assert(java.util.Arrays.equals(fast.serialize, stock.getBytes),
+        s"byte drift at p=$p n=$n")
+      assert(fast.cardinality === stock.cardinality(), s"estimate drift at p=$p n=$n")
+      // Survives a merge (the aggregation path: deserialize partial, merge,
+      // re-serialize at eval).
+      val otherVals = Seq.fill(50)(rnd.nextLong())
+      val otherStock = new HyperLogLogPlus(p, 0)
+      val otherFast = StreamLibHll.create(p)
+      otherVals.foreach { v => otherStock.offerHashed(v); otherFast.offer(v) }
+      stock.addAll(otherStock)
+      val merged = fast.merge(StreamLibHll.deserializeFast(otherFast.serialize))
+      assert(java.util.Arrays.equals(merged.serialize, stock.getBytes),
+        s"post-merge byte drift at p=$p n=$n")
+    }
   }
 }

@@ -351,10 +351,15 @@ class SamplingSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((Some("a"), 1L, 10L), (None, 2L, 10L), (Some("b"), 3L, 10L))
       .toDF("k", "id", "w")
-    val e = intercept[IllegalArgumentException] {
+    // The guard is in-plan now (the operator is fully lazy — no driver
+    // collect to host an eager require), so it fires on the first action.
+    val e = intercept[Throwable] {
       Sampling.temperatureMix(docs, col("k"), col("id"), col("w"), 10L, seed = 1L)
+        .collect()
     }
-    assert(e.getMessage.contains("non-null keys"))
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("non-null keys"), s"got: $msgs")
     // The documented remedy works: filter the null group, mix the rest.
     val ok = Sampling.temperatureMix(docs.filter(col("k").isNotNull),
       col("k"), col("id"), col("w"), 10L, seed = 1L).collect()
