@@ -505,7 +505,11 @@ object Dedup {
     // Returns (gramSets, verified pairs) — the collapsed path also needs
     // the gram sets for its within-class expansion.
     def ppjoin(d: DataFrame): (DataFrame, DataFrame) = {
-      val st = ppjoinStages(d, thresholdNum, thresholdDen, n, idCol, textCol)
+      // fanOut only on the UNCOLLAPSED path: the collapse path feeds the
+      // already-exchange-fed canonical-docs join, where the guard measured
+      // as a regression at both sf0.1 and 10x (q76 2.92 -> 3.50 s).
+      val st = ppjoinStages(d, thresholdNum, thresholdDen, n, idCol, textCol,
+        fanOut = !collapseIdentical)
       // Persisting gramSets AFTER stage construction still de-duplicates
       // the prefix chain's copy: the cache manager substitutes
       // InMemoryRelation for every canonicalized-equal subtree at
@@ -678,10 +682,38 @@ object Dedup {
     greatest(col("p.a.sz"), col("p.b.sz")).cast("long") * thresholdNum <=
       least(col("p.a.sz"), col("p.b.sz")).cast("long") * thresholdDen
 
-  private def ppjoinStages(docs: DataFrame, thresholdNum: Int, thresholdDen: Int,
+  /** SMALL-INPUT parallelization guard (round 11, from a cold stage
+   * profile): a corpus below `maxPartitionBytes` arrives as ONE scan
+   * split, so the tokenize+shingle+hash+sort gram build — this
+   * operator's dominant map work — ran single-threaded while the rest of
+   * the machine idled (0.46 s of the 4.5 s cold q59 at sf0.1, ~4 s at
+   * 10×). Fan such scans out to the cluster's parallelism before the
+   * gram build. The text shuffle this plants is bounded by the very
+   * smallness that triggers it; at real scale the scan has ample splits
+   * and this is a no-op. Applied at the gram-build input (not the whole
+   * operator): the identity-collapse path's canonical-docs join is
+   * already exchange-fed, and repartitioning ahead of its fingerprint
+   * window measured as a pure regression (extra exchange, no
+   * parallelism gained — the fp pass is md5-cheap). A SIZE floor keeps
+   * the guard off genuinely tiny inputs (sub-megabyte corpora, e.g. a
+   * filtered dup slice at sf0.1), where the planted exchange measured as
+   * a pure loss (7-pass A/B: 1.31 -> 1.51 s) because the gram build is
+   * already cheaper than a shuffle barrier. */
+  private val FanOutMinBytes = 2L << 20
+
+  private def fanOutSmallScan(docs: DataFrame): DataFrame = {
+    val defaultPar = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes > FanOutMinBytes &&
+      docs.rdd.getNumPartitions * 2 < defaultPar) docs.repartition(defaultPar)
+    else docs
+  }
+
+  private def ppjoinStages(docsIn: DataFrame, thresholdNum: Int, thresholdDen: Int,
       n: Int, idCol: String, textCol: String,
       tap: (String, DataFrame) => DataFrame = (_, d) => d,
-      gramSetsTransform: DataFrame => DataFrame = identity): PpjoinStages = {
+      gramSetsTransform: DataFrame => DataFrame = identity,
+      fanOut: Boolean = true): PpjoinStages = {
+    val docs = if (fanOut) fanOutSmallScan(docsIn) else docsIn
     // sort_array establishes SortedLongIntersectCount's input contract at
     // set-build time: one O(m log m) sort per document buys an O(|a|+|b|)
     // allocation-free merge count per candidate pair in the verify join
