@@ -205,57 +205,85 @@ object Bpe {
     // The final vocabulary is still lazy; materialize it off its parent's
     // cache (one vocabulary-bounded job, no corpus pass) so the caller's
     // first use — and the parent unpersist below — cannot trigger a full
-    // lineage recompute.
+    // lineage recompute. ONLY when the caller keeps the vocabulary
+    // (materializeFinal): learnMerges discards it immediately, so the
+    // count was a pure wasted barrier there — one job per learn, and with
+    // the affected-form batch rule often the second of only two.
     if (prev != null) {
-      org.apache.spark.sql.graft.GraftSqlBridge
-        .ofRows(quiet, v.queryExecution.logical).count()
+      if (materializeFinal) {
+        org.apache.spark.sql.graft.GraftSqlBridge
+          .ofRows(quiet, v.queryExecution.logical).count()
+      }
       prev.unpersist(blocking = false)
     }
     (adopted.result().toDF("round", "sym_a", "sym_b", "pair_count"), v)
   }
 
   /** Driver-side safe-batch selection over one collected top-`k` pair list
-   * (sorted by count desc, then pair asc): the longest prefix of mutually
-   * symbol-disjoint pairs that sequential one-merge rounds would provably
-   * also pick, capped at `maxAdopt`.
+   * (sorted by count desc, then pair asc): the longest prefix that
+   * sequential one-merge rounds would provably also pick, capped at
+   * `maxAdopt`.
    *
-   * Pure function so the rule is testable in isolation; the safety
-   * argument lives in the comment at the call site and on `overlapMax`
-   * below. Exposed package-private for BpeSpec.
+   * AFFECTED-FORM rule (round 11 — provably sharper than the former
+   * symbol-disjointness rule, which re-counted after any shared symbol):
+   * merging (a, b) fuses exactly the occurrences "a b", so the ONLY
+   * existing pairs whose counts change are
+   *
+   *   (x, a) — the a was consumed by a following b ("x a b"), and
+   *   (b, y) — the b was consumed by a preceding a ("a b y"),
+   *
+   * plus (a, b) itself. A pair like (o, r) after adopting (e, r) shares
+   * the symbol r but is NEITHER form — its r is preceded by o, which the
+   * (e, r) merge can never touch — so its count is exact and it can join
+   * the same batch (this is precisely the sf0.1 fixture shape, where the
+   * former rule split 4 merges over 2 collects). New pairs are dominated
+   * by affected forms: every (x, ab) occurrence was an (x, a), every
+   * (ab, y) was a (b, y), and every (ab, ab) was a (b, a).
+   *
+   * The ceiling B per candidate = max(kth collected count, max count of
+   * collected AFFECTED pairs) bounds every changed, spawned, or uncollected
+   * count (uncollected pairs are <= the kth count). A candidate in an
+   * affected form stops the batch (its own count is stale); a clean
+   * candidate with count STRICTLY above B is provably the sequential
+   * algorithm's next pick (strictness settles ties against changed/new
+   * pairs; ties among clean pairs keep the (a, b) order, which IS the
+   * sequential tie-break). Affected pairs can never themselves be adopted
+   * (the stop fires first), so they remain in the ceiling; an adopted
+   * pair's own count drops to zero and its spawned pairs are dominated by
+   * different, still-counted affected forms — except a SELF-pair (a, a),
+   * whose spawns (x, aa) <= cnt(x, a) may be dominated by (a, a) itself,
+   * so adopted self-pairs keep contributing their count to the ceiling.
+   *
+   * Pure function so the rule is testable in isolation; BatchedBpeSpec
+   * fuzzes the whole learn against a strict one-merge-per-round
+   * reference. Exposed package-private for BpeSpec.
    */
   private[text] def selectBatch(pairs: Array[(String, String, Long)], k: Int,
       maxAdopt: Int): List[(String, String, Long)] = {
     val kthCnt = if (pairs.length < k) Long.MinValue else pairs.last._3
     val batch = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
     val adoptedIdx = scala.collection.mutable.Set.empty[Int]
-    var s = Set.empty[String]
+    var firsts = Set.empty[String] // adopted b's: (b, y) counts are stale
+    var seconds = Set.empty[String] // adopted a's: (x, a) counts are stale
+    def affected(x: String, y: String): Boolean =
+      firsts.contains(x) || seconds.contains(y)
     var i = 0
     var stop = false
     while (!stop && i < pairs.length && batch.size < maxAdopt) {
       val (a, b, cnt) = pairs(i)
-      if (s.contains(a) || s.contains(b)) stop = true
+      if (batch.nonEmpty && affected(a, b)) stop = true
       else {
-        // Ceiling over every count that adopting S can have changed or
-        // created. Pairs ALREADY ADOPTED this batch are excluded: greedy
-        // application drives their counts to zero, and every new pair
-        // they spawn is dominated by a DIFFERENT S-overlapping pair
-        // ((x,ab) by (x,a), (ab,y) by (b,y) — neither adoptable once
-        // a,b are in S, so both stay in this filter). The one exception
-        // is a SELF-pair (a,a): its merge spawns (aa,a)/(a,aa) pairs
-        // dominated by (a,a) ITSELF, so a self-pair keeps contributing
-        // its own count to the ceiling even after adoption.
         val overlapMax = pairs.iterator.zipWithIndex
           .filter { case ((x, y, _), idx) =>
-            (!adoptedIdx.contains(idx) || x == y) &&
-              (s.contains(x) || s.contains(y))
+            (!adoptedIdx.contains(idx) || x == y) && affected(x, y)
           }
           .map(_._1._3).maxOption.getOrElse(Long.MinValue)
         val bound = math.max(kthCnt, overlapMax)
-        if (s.isEmpty || cnt > bound) {
+        if (batch.isEmpty || cnt > bound) {
           batch += ((a, b, cnt))
           adoptedIdx += i
-          s += a
-          s += b
+          firsts += b
+          seconds += a
         } else stop = true
       }
       i += 1

@@ -117,11 +117,22 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 2) === pairs.take(2).toList)
   }
 
-  test("selectBatch stops at the first pair sharing a symbol with the batch") {
-    // (a,c) shares 'a' with the adopted (a,b): its count is stale, the
-    // batch must end there even though a disjoint pair follows.
-    val pairs = Array(("a", "b", 10L), ("a", "c", 9L), ("e", "f", 8L))
+  test("selectBatch stops at the first pair whose count the batch made stale") {
+    // (c,a) is an (x,a) affected form after adopting (a,b) — its a may
+    // have been consumed by a following b ("c a b"), so its count is
+    // stale and the batch must end there even though a clean pair
+    // follows.
+    val pairs = Array(("a", "b", 10L), ("c", "a", 9L), ("e", "f", 8L))
     assert(Bpe.selectBatch(pairs, k = 64, maxAdopt = 6) === List(("a", "b", 10L)))
+    // (b,c) is a (b,y) affected form ("a b c" loses its b) — also stale.
+    val pairs2 = Array(("a", "b", 10L), ("b", "c", 9L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(pairs2, k = 64, maxAdopt = 6) === List(("a", "b", 10L)))
+    // (a,c) merely SHARES the symbol a but is NEITHER affected form — its
+    // a is followed by c, which the (a,b) merge can never consume, so its
+    // count is provably exact and it batches (the former symbol-
+    // disjointness rule split here, paying an extra collect round).
+    val pairs3 = Array(("a", "b", 10L), ("a", "c", 9L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(pairs3, k = 64, maxAdopt = 6) === pairs3.toList)
   }
 
   test("selectBatch keeps a self-pair's own count in the ceiling after adoption") {
@@ -196,6 +207,58 @@ class BpeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       val expected = strictLearn(weights, nMerges = 6)
       val got = merges(Bpe.learnMerges(docs(text), nMerges = 6))
       assert(got === expected, s"seed=$seed corpus=$text")
+    }
+  }
+
+  test("selectBatch batching == strict under k-TRUNCATED pair lists (driver fuzz)") {
+    // The Spark fuzz above never truncates (tiny vocab, k=64): this one
+    // replays learnMergesImpl's batch loop driver-side with SMALL k, so
+    // the kth-count ceiling — the guard against unseen tail pairs — is
+    // exercised hard, across heavy pair interaction (3-4 letter
+    // alphabets) and the new affected-form rule's clean-share cases.
+    def batchedLearn(words: Map[String, Long], nMerges: Int, k: Int)
+        : Seq[(Int, String, String, Long)] = {
+      var v: Map[Vector[String], Long] =
+        words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } (_._2)(_ + _)
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var n = 0
+      var done = false
+      while (n < nMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- v; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        val top = counts.toArray
+          .map { case ((a, b), c) => (a, b, c) }
+          .sortBy { case (a, b, c) => (-c, a, b) }
+          .take(k)
+        if (top.isEmpty) done = true
+        else {
+          val batch = Bpe.selectBatch(top, k, nMerges - n)
+          assert(batch.nonEmpty, "batch must adopt at least the argmax")
+          for ((a, b, cnt) <- batch) {
+            n += 1
+            out += ((n, a, b, cnt))
+            v = v.toSeq.map { case (syms, c) => (greedyApply(syms, a, b), c) }
+              .groupMapReduce(_._1)(_._2)(_ + _)
+          }
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(1137)
+    for (trial <- 1 to 400) {
+      val alphabet = if (trial % 2 == 0) "abc" else "abcd"
+      val nWords = 6 + rnd.nextInt(20)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val weights = words.map(_ -> (1L + rnd.nextInt(5))).toMap
+      val k = Seq(3, 5, 8, 64)(rnd.nextInt(4))
+      val nMerges = 1 + rnd.nextInt(8)
+      val expected = strictLearn(weights, nMerges)
+      val got = batchedLearn(weights, nMerges, k)
+      assert(got === expected, s"trial=$trial k=$k corpus=${words.mkString(" ")}")
     }
   }
 }
