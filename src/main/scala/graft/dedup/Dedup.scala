@@ -1177,6 +1177,44 @@ object Dedup {
       .select(col("id").as(idCol), col("start"), col("gh"))
   }
 
+  /**
+   * Cross-split SPAN-LEAKAGE audit: documents whose `w`-token spans also
+   * appear verbatim in a DIFFERENT split of the same corpus — the classic
+   * train/eval contamination bug (a benchmark answer, a license block, a
+   * boilerplate paragraph shared across the boundary inflates eval
+   * scores), caught at span resolution where document-level dedup sees
+   * nothing. `splitCol` is any assignment expression; the deterministic
+   * [[graft.operators.Sampling.splitColumn]] is the intended producer, so
+   * the audit re-derives in any engine.
+   *
+   * A span leaks iff its md5-64 content hash occurs in ≥2 DISTINCT
+   * splits (cross-split implies cross-document, so the repeated-span
+   * pipeline's Rabin–Karp prefilter applies losslessly). Output is one
+   * row per (document, split) carrying how many of its span occurrences
+   * are leaky and where the first one starts — q64's per-doc shape, fed
+   * by the same windows, so the two audits compose.
+   *
+   * Scale contract: identical to [[repeatedSpans]] (coordinate rows,
+   * never text) plus one narrow (id, split) join and |leaky-hash|-bounded
+   * aggregations.
+   *
+   * @return (idCol, split, n_leaky_spans, first_leaky_start)
+   */
+  def crossSplitSpanLeakage(docs: DataFrame, splitCol: Column, w: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(docs, w, idCol, textCol)
+    val assign = docs.select(col(idCol), splitCol.as("split"))
+    val spl = spans.join(assign, Seq(idCol))
+    val leaky = spl.groupBy("gh")
+      .agg(count_distinct(col("split")).as("nsp"))
+      .filter(col("nsp") > 1)
+      .select("gh")
+    spl.join(leaky, "gh")
+      .groupBy(col(idCol), col("split"))
+      .agg(count(lit(1)).as("n_leaky_spans"),
+        min(col("start")).cast("long").as("first_leaky_start"))
+  }
+
   def spanDedupScrub(docs: DataFrame, w: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")

@@ -1394,6 +1394,19 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Cross-split span leakage: documents whose 16-token spans appear
+    // verbatim on the OTHER side of the q30 train/val/test assignment —
+    // the eval-contamination audit document-level dedup cannot see. Same
+    // windows and md5-64 span identity as q64; the split is the
+    // deterministic md5 rule, so DuckDB re-derives assignment, spans,
+    // and the ≥2-distinct-splits test value-for-value.
+    "q188_split_leakage_audit" -> ((s, dir) => {
+      Dedup.crossSplitSpanLeakage(Tables.documents(s, dir),
+          graft.operators.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), 10L))
+        .orderBy("doc_id", "split")
+    }),
+
     // Model-based quality filtering (the stage a fastText classifier fills
     // in CCNet/RefinedWeb curation): hashed bag-of-words linear scorer
     // with deterministic stand-in weights — one codegen'd map pass,
@@ -2864,6 +2877,31 @@ object PipelineQueries {
          |  min(start)::BIGINT AS first_repeated_start
          |FROM sp JOIN rep USING (gh)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q64's windows and hash + q30's deterministic split rule: a span
+    // leaks iff its hash occurs in >= 2 distinct splits.
+    "q188_split_leakage_audit" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         |assign AS (SELECT doc_id,
+         |  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+         |         < 7378697629483820646::UBIGINT THEN 'train'
+         |       WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+         |         < 8301034833169298227::UBIGINT THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |spl AS (SELECT s.doc_id, s.start, s.gh, a.split
+         |        FROM sp s JOIN rep USING (gh) JOIN assign a USING (doc_id)),
+         |leaky AS (SELECT gh FROM spl GROUP BY gh HAVING count(DISTINCT split) > 1)
+         |SELECT doc_id, split, count(*)::BIGINT AS n_leaky_spans,
+         |  min(start)::BIGINT AS first_leaky_start
+         |FROM spl JOIN leaky USING (gh)
+         |GROUP BY 1, 2 ORDER BY doc_id, split""".stripMargin,
     // Same spans and keeper rule as q64's windows: first (doc_id, start)
     // per repeated hash survives, every other occurrence's 16 positions
     // are removed (coverage union), and the cleaned token stream is

@@ -822,6 +822,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ cross-split span leakage
+
+  test("crossSplitSpanLeakage flags spans crossing the split, not same-split repeats") {
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 16).map(i => s"alt$i").mkString(" ")
+    val d = docs(
+      1L -> s"$span filler one two three",
+      2L -> s"prefix words here $span",  // same span, other split → leaks
+      3L -> s"$other some tail content",
+      4L -> s"lead in text $other")      // repeated but SAME split → clean
+    // Odd ids train, even ids eval: the shared spans cross the boundary.
+    val assign = when(col("doc_id") % 2L === 0L, "eval").otherwise("train")
+    val got = Dedup.crossSplitSpanLeakage(d, assign, w = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.exists(t => t._1 == 1L && t._2 == "train"))
+    assert(got.exists(t => t._1 == 2L && t._2 == "eval"))
+    val d2 = docs(
+      1L -> s"$span filler one two three",
+      3L -> s"$other some tail content",
+      5L -> s"lead in text $other") // 3 and 5 both odd → both train
+    val got2 = Dedup.crossSplitSpanLeakage(d2, assign, w = 16)
+      .collect()
+    assert(got2.isEmpty, "same-split repeats must not be flagged")
+  }
+
   // ------------------------------------------- prepared-plan memo bounds
 
   test("ngramJaccardPairs memo: a threshold-sweeping session stays LRU-bounded and evictions unpersist") {
