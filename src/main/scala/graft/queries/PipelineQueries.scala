@@ -1394,6 +1394,21 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Margin-based parallel-pair mining (bitext mining): best cross-side
+    // partner per even-label vector under the ratio-margin criterion —
+    // raw cosine top-1 overselects hub vectors; the margin divides by
+    // each endpoint's k-NN average similarity. Output is ids + the
+    // chosen pair's raw-cosine rank (all integers — floats never cross
+    // the engine boundary); the oracle re-derives neighborhood averages
+    // with ORDERED sums so the double arithmetic matches bit-for-bit.
+    "q189_margin_bitext" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Similarity.marginMinedPairs(
+          emb.filter(col("label") % 2 === 0), emb.filter(col("label") % 2 === 1),
+          k = 4)
+        .orderBy("a_id")
+    }),
+
     // Cross-split span leakage: documents whose 16-token spans appear
     // verbatim on the OTHER side of the q30 train/val/test assignment —
     // the eval-contamination audit document-level dedup cannot see. Same
@@ -2877,6 +2892,41 @@ object PipelineQueries {
          |  min(start)::BIGINT AS first_repeated_start
          |FROM sp JOIN rep USING (gh)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Same cosine, same ratio margin, same tie rules; neighborhood
+    // averages via ORDERED sums (cos desc) matching the engine's
+    // sorted-array fold, so the double margins agree bit-for-bit and the
+    // integer outputs (ids, raw-cos rank) compare exactly.
+    "q189_margin_bitext" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding FROM embeddings WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, embedding FROM embeddings WHERE label % 2 = 1),
+        |sc AS (
+        |  SELECT a_id, b_id,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |  FROM a, b),
+        |ra AS (
+        |  SELECT a_id, sum(cos ORDER BY cos DESC) / count(*) AS avg_a FROM (
+        |    SELECT a_id, cos,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC) AS rn
+        |    FROM sc) WHERE rn <= 4 GROUP BY 1),
+        |rb AS (
+        |  SELECT b_id, sum(cos ORDER BY cos DESC) / count(*) AS avg_b FROM (
+        |    SELECT b_id, cos,
+        |      row_number() OVER (PARTITION BY b_id ORDER BY cos DESC) AS rn
+        |    FROM sc) WHERE rn <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT s.a_id, s.b_id, s.cos,
+        |    s.cos / ((ra.avg_a + rb.avg_b) / 2) AS margin
+        |  FROM sc s JOIN ra USING (a_id) JOIN rb USING (b_id)),
+        |pick AS (
+        |  SELECT a_id, b_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY margin DESC, b_id) AS mr FROM m)
+        |  WHERE mr = 1)
+        |SELECT p.a_id, p.b_id,
+        |  (1 + count(*) FILTER (WHERE s.cos > p.cos
+        |     OR (s.cos = p.cos AND s.b_id < p.b_id)))::INT AS cos_rank
+        |FROM pick p JOIN sc s USING (a_id)
+        |GROUP BY 1, 2 ORDER BY a_id""".stripMargin,
     // q64's windows and hash + q30's deterministic split rule: a span
     // leaks iff its hash occurs in >= 2 distinct splits.
     "q188_split_leakage_audit" ->

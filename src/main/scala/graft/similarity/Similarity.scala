@@ -191,6 +191,76 @@ object Similarity {
   }
 
   /**
+   * Margin-based parallel-pair mining (the bitext-mining scorer): for
+   * every vector on side A, its best side-B partner under the RATIO
+   * MARGIN criterion — raw cosine top-1 systematically overselects "hub"
+   * vectors that sit near everything, and dividing by the average
+   * similarity of each endpoint's k-nearest neighborhood penalizes
+   * exactly those hubs (Artetxe & Schwenk 2019, the standard mined-pair
+   * selection for parallel-corpus construction):
+   *
+   *   margin(x, y) = cos(x, y) / ((avgNN_k(x→B) + avgNN_k(y→A)) / 2)
+   *
+   * where avgNN_k is the mean cosine of the endpoint's k nearest
+   * cross-side neighbors (all of them when a side holds fewer than k).
+   *
+   * Plan (hardNegatives' broadcast discipline, applied four times over
+   * the SAME map-side scored stream rather than materializing it — each
+   * pass is shuffle-free until its bounded aggregation, the 100 TB
+   * trade): (1)+(2) per-endpoint neighborhood averages via the k-bounded
+   * [[graft.operators.TopK.topKStructs]] heap — at most k structs per
+   * endpoint cross each exchange; (3) the per-A argmax margin, again
+   * heap-bounded (k=1) with the tiny average tables broadcast back;
+   * (4) the chosen pair's RAW-cosine rank as a counting aggregation
+   * (how far the margin pick sits from the naive pick — the audit
+   * column, and an all-integer one, so the oracle compares ids and
+   * ranks, never floats).
+   *
+   * @param a (idCol, vecCol) — the query side; must be broadcastable
+   * @param b (idCol, vecCol) — the candidate side; must be broadcastable
+   * @return (a_id, b_id, cos_rank): b = argmax margin for a (ties to the
+   *         smaller b id), cos_rank = 1-based rank of that b in a's raw
+   *         cosine order (1 = margin agrees with naive top-1)
+   */
+  def marginMinedPairs(a: DataFrame, b: DataFrame, k: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qa = a.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val cb = b.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    def scored = cb.crossJoin(broadcast(qa))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("cos"))
+    def avgTopK(side: String) = scored
+      .select(col(side), struct((-col("cos")).as("nc")).as("sn"))
+      .groupBy(side)
+      .agg(graft.operators.TopK.topKStructs(col("sn"), k).as("tk"))
+      // sort_array fixes the SUMMATION ORDER (cos descending) so the
+      // double result is deterministic and the oracle's ordered-sum
+      // aggregation reproduces it bit-for-bit.
+      .select(col(side), (-aggregate(sort_array(col("tk")), lit(0.0d),
+        (acc, t) => acc + t.getField("nc")) / size(col("tk"))).as(s"avg_$side"))
+    val withMargin = scored
+      .join(broadcast(avgTopK("a_id")), Seq("a_id"))
+      .join(broadcast(avgTopK("b_id")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"),
+        (col("cos") / ((col("avg_a_id") + col("avg_b_id")) / 2.0d)).as("margin"))
+    val picked = withMargin
+      .select(col("a_id"), struct((-col("margin")).as("nm"),
+        col("b_id").as("pb_id"), col("cos").as("pcos")).as("sn"))
+      .groupBy("a_id")
+      .agg(graft.operators.TopK.topKStructs(col("sn"), 1).as("tk"))
+      .select(col("a_id"), col("tk").getItem(0).getField("pb_id").as("pb_id"),
+        col("tk").getItem(0).getField("pcos").as("pcos"))
+    scored.join(broadcast(picked), Seq("a_id"))
+      .groupBy("a_id")
+      .agg(min(col("pb_id")).as("b_id"),
+        (sum(when(col("cos") > col("pcos") ||
+            (col("cos") === col("pcos") && col("b_id") < col("pb_id")),
+          1L).otherwise(0L)) + 1L).cast("int").as("cos_rank"))
+      .select(col("a_id"), col("b_id"), col("cos_rank"))
+  }
+
+  /**
    * All pairs with cosine similarity >= threshold.
    *
    * With `lshBits > 0`, candidate pairs are generated by banded

@@ -427,4 +427,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("64-dim"))
   }
+
+  test("marginMinedPairs demotes the hub and matches a brute-force margin computation") {
+    // b=10 is a HUB: moderately similar to everything (it sits between the
+    // clusters), so raw cosine picks it for a=1 — but its k-NN average is
+    // high, the margin divides it away, and the true partner b=11 wins.
+    val a = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0.7f, 0.2f, 0.68f))
+    val b = vecs(
+      10L -> Seq(0.95f, 0.2f, 0.2f), // hub: raw-cos winner for BOTH a's
+      11L -> Seq(0.93f, 0.37f, 0f), // a=1's real partner
+      12L -> Seq(0f, 0.1f, 1f)) // a=2's real partner
+    val got = marginMinedPairs(a, b, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sorted
+    // Brute-force reference in plain Scala doubles.
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d / (math.sqrt(x.map(p => p.toDouble * p).sum) *
+        math.sqrt(y.map(q => q.toDouble * q).sum))
+    }
+    val av = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val bv = b.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def avgTop(c: Map[Long, Double], k: Int) =
+      c.values.toSeq.sorted.reverse.take(k).sum / math.min(k, c.size)
+    val expected = av.keys.toList.sorted.map { aid =>
+      val cosRow = bv.map { case (bid, v) => bid -> cos(av(aid), v) }
+      val aAvg = avgTop(cosRow, 2)
+      val margins = cosRow.map { case (bid, c) =>
+        val bAvg = avgTop(av.map { case (x, v) => x -> cos(bv(bid), v) }, 2)
+        bid -> c / ((aAvg + bAvg) / 2)
+      }
+      val pick = margins.toSeq.minBy { case (bid, m) => (-m, bid) }._1
+      val rank = 1 + cosRow.count { case (bid, c) =>
+        c > cosRow(pick) || (c == cosRow(pick) && bid < pick) }
+      (aid, pick, rank)
+    }
+    assert(got === expected)
+    // The hub correction actually did something: at least one pick
+    // differs from the naive cosine top-1 (cos_rank > 1).
+    assert(got.exists(_._3 > 1), s"test fixture no longer exercises the margin: $got")
+  }
 }
