@@ -678,6 +678,36 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming DETERMINISTIC reservoir sample: a uniform k-sample per
+    // source over the document stream, maintained with O(k) coordinate
+    // state per key (min-ticket formulation — batching-independent, so
+    // the continuously-maintained sample equals the batch md5-order
+    // ranking, which is the oracle). The ingest-QA stage: "keep ~k
+    // inspectable docs per source from the firehose" without storing it.
+    "q190_streaming_reservoir" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val docs = Tables.documentsStream(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.operators.Sampling.md5Hash64(
+            concat(lit("rsv:"), col("doc_id").cast("string"))).as("ticket"))
+        .as[graft.streaming.TransformWithStateOps.RsvDoc]
+      val rsv = graft.streaming.TransformWithStateOps
+        .reservoirSampleTws(s, docs, k = 5)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          rsv.toDF().writeStream.format("memory").queryName("q190_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q190_mem")
+        .groupBy("source")
+        .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+        .select(col("source"), col("m.n_seen").as("n_seen"),
+          posexplode(col("m.sample")).as(Seq("pos", "d")))
+        .select(col("source"), col("n_seen"), (col("pos") + 1).as("rank"),
+          col("d.doc_id").as("doc_id"))
+    }),
+
     // transformWithState's ListState primitive: per-user last-3 events,
     // continuously maintained with at most k entries of state per user.
     // The top-k by (ts, id) is order-insensitive over the arrival union,
@@ -2352,6 +2382,27 @@ object CoreQueries {
         |  count(DISTINCT date_trunc('day', ts))::BIGINT AS n_day_sketches
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The ListState view's truth: the batch recency ranking, top 3.
+    // The reservoir's truth: the SAME md5-64 ticket order, re-derived as
+    // a batch ranking per source (rebias to two's-complement to match
+    // Spark's signed ticket sort; ties broken by doc_id both sides).
+    "q190_streaming_reservoir" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('rsv:' || doc_id::VARCHAR), 1, 16))::UBIGINT AS hu
+        |  FROM documents),
+        |hs AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN hu >= 9223372036854775808::UBIGINT
+        |         THEN hu::HUGEINT - 18446744073709551616::HUGEINT
+        |         ELSE hu::HUGEINT END AS hsig
+        |  FROM h),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    count(*) OVER (PARTITION BY source) AS n_seen,
+        |    row_number() OVER (PARTITION BY source ORDER BY hsig, doc_id) AS rank
+        |  FROM hs)
+        |SELECT source, n_seen::BIGINT AS n_seen, rank::INT AS rank, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q144_tws_recent_k" ->
       """SELECT user_id, rank::INT AS rank, event_id FROM (
         |  SELECT user_id, event_id, row_number() OVER (

@@ -224,6 +224,79 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One sampling-candidate row on the stream (input of
+   * [[reservoirSampleTws]]): `ticket` is the deterministic md5-64 draw
+   * (computed in the stream projection, so the state store never sees
+   * text — the reservoir shuffles 24-byte coordinates). */
+  case class RsvDoc(source: String, doc_id: Long, ticket: Long)
+
+  /** A key's current reservoir: the `k` members with the SMALLEST
+   * (ticket, doc_id), ascending, plus the lifetime arrival count. */
+  case class Reservoir(source: String, n_seen: Long, sample: Seq[RsvDoc])
+
+  /** Streaming DETERMINISTIC reservoir sample — a uniform-without-
+   * replacement k-sample per key over an unbounded stream, continuously
+   * maintained with O(k) state. The QA-sample stage of a production
+   * ingest: "keep ~k inspectable documents per source from the firehose"
+   * without ever storing the firehose.
+   *
+   * Classic reservoir sampling (Vitter's Algorithm R) is arrival-order-
+   * dependent — replaying the stream in a different batching draws a
+   * DIFFERENT sample, which makes the stage untestable and the sample
+   * unauditable. This is the min-ticket formulation instead (the same
+   * hash-order trick as [[graft.operators.Sampling.weightedSample]], unit
+   * weights): every row draws the deterministic ticket md5-64("rsv:"+id),
+   * and the reservoir keeps the k smallest (ticket, id). Min-k of a union
+   * is the min-k of min-ks, so the result is BATCHING-INDEPENDENT — any
+   * replay, any micro-batch boundaries, same sample — and equals the
+   * batch ranking `row_number() OVER (ORDER BY ticket, id) <= k` per key,
+   * which is the q190 oracle. Uniformity is the hash's: every subset of
+   * size k is equally likely under the md5 order of fresh ids.
+   *
+   * State per key: ONE ListState rewrite of ≤ k coordinate entries per
+   * touched batch plus a ValueState counter — the store never sees the
+   * event volume. Emission (update mode): every touched key re-emits its
+   * current reservoir; `n_seen` grows monotonically, so max-by-n_seen per
+   * key is the final view under any batching.
+   */
+  class ReservoirTwsProcessor(k: Int)
+      extends StatefulProcessor[String, RsvDoc, Reservoir] {
+
+    @transient private var sample: ListState[RsvDoc] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sample = getHandle.getListState[RsvDoc](
+        "sample", Encoders.product[RsvDoc], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(source: String, rows: Iterator[RsvDoc],
+        timerValues: TimerValues): Iterator[Reservoir] = {
+      val arrivals = rows.toArray
+      val merged = (sample.get().toArray ++ arrivals)
+        .sortBy(d => (d.ticket, d.doc_id))
+        .take(k)
+      sample.put(merged)
+      val n = Option(seen.get()).getOrElse(0L) + arrivals.length
+      seen.update(n)
+      Iterator.single(Reservoir(source, n, merged.toSeq))
+    }
+  }
+
+  /** Deterministic k-per-key reservoir over a stream of ticketed rows.
+   * See [[ReservoirTwsProcessor]]; tickets come from the caller's
+   * projection (md5-64 of the row id — auditable off-engine). */
+  def reservoirSampleTws(spark: SparkSession, docs: Dataset[RsvDoc],
+      k: Int): Dataset[Reservoir] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new ReservoirTwsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** CDC latest-wins state on `transformWithState`, WARM-STARTED from a
    * batch snapshot — the state-migration path a deployment takes when
    * moving an existing continuously-maintained view onto this API: the

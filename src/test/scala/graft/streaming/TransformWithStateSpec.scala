@@ -114,6 +114,52 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(ids === Seq(41L, 40L))
   }
 
+  test("deterministic reservoir keeps the min-k tickets and is batching-independent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TransformWithStateOps.RsvDoc
+
+    // Tickets exercise the signed order (negative < positive) and a tie
+    // (docs 6 and 7 share a ticket — doc_id breaks it).
+    val docs = Seq(
+      RsvDoc("a", 1L, 500L), RsvDoc("a", 2L, -100L), RsvDoc("a", 3L, 700L),
+      RsvDoc("a", 4L, 0L), RsvDoc("a", 5L, -900L),
+      RsvDoc("a", 6L, 42L), RsvDoc("a", 7L, 42L),
+      RsvDoc("b", 8L, 9L))
+    // min-3 for key a by (ticket, doc_id): 5 (-900), 2 (-100), 4 (0).
+    val expectA = Seq(5L, 2L, 4L)
+
+    def runWith(batches: Seq[Seq[RsvDoc]], name: String): Map[String, (Long, Seq[Long])] = {
+      val input = MemoryStream[RsvDoc]
+      val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+        TransformWithStateOps.reservoirSampleTws(spark, input.toDS(), k = 3)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start())
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      query.stop()
+      spark.table(name)
+        .groupBy("source")
+        .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+        .select(col("source"), col("m.n_seen"), col("m.sample"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)))))
+        .toMap
+    }
+
+    // Two hostile batchings: all-at-once vs the winners arriving LAST
+    // (the early reservoir fills with losers that must all be evicted).
+    val oneShot = runWith(Seq(docs), "tws_rsv1")
+    val adversarial = runWith(
+      Seq(Seq(docs(0), docs(2), docs(5), docs(6)), // 500, 700, 42, 42 fill k=3
+        Seq(docs(7)), Seq(docs(1), docs(3), docs(4))), // then -100, 0, -900
+      "tws_rsv2")
+    for (finals <- Seq(oneShot, adversarial)) {
+      assert(finals("a")._1 === 7L)
+      assert(finals("a")._2 === expectA)
+      assert(finals("b") === ((1L, Seq(8L))))
+    }
+  }
+
   test("warm-started CDC state: stale stream changes never regress the snapshot") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
