@@ -419,6 +419,17 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Deterministic fill-in-the-middle span selection: each eligible
+    // doc's (prefix, middle, suffix) split from md5-64 draws on its id —
+    // the reproducible infilling-training prep step. Offsets AND the
+    // middle's content fingerprint re-derive engine-exactly (pure
+    // integer arithmetic + md5 of the same substring); zero shuffle,
+    // text never leaves the scan stage.
+    "q191_fim_spans" -> ((s, dir) => {
+      TextAnalysis.fimSpans(Tables.documents(s, dir),
+        idCol = col("doc_id"), textCol = col("text"))
+    }),
+
     // Content fingerprints (md5 of normalized text) — the dedup key.
     "q12_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2419,6 +2430,21 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    // Same two md5-64 draws (top 63 bits — non-negative, so % agrees),
+    // same integer span arithmetic, md5 of the identical substring.
+    "q191_fim_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS L,
+        |    (('0x' || substr(md5('fim-a:' || doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)::BIGINT AS h1,
+        |    (('0x' || substr(md5('fim-b:' || doc_id::VARCHAR), 1, 16))::UBIGINT >> 1)::BIGINT AS h2
+        |  FROM documents WHERE length(text) >= 32),
+        |m AS (
+        |  SELECT doc_id, text, L, h1, 1 + (h2 % (L // 4)) AS mid_len FROM d),
+        |p AS (
+        |  SELECT doc_id, text, L, mid_len, h1 % (L - mid_len + 1) AS pre_len FROM m)
+        |SELECT doc_id, pre_len, mid_len, (L - pre_len - mid_len) AS suf_len,
+        |  md5(substr(text, (pre_len + 1)::INT, mid_len::INT)) AS mid_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
     // Replicates the full pipeline: the Cleanup.scrub stage, canonical ids
     // per fingerprint group, 8-gram contamination against src0, the integer
     // quality rationals, then the md5-threshold split (9/10 cumulative =

@@ -192,6 +192,59 @@ object TextAnalysis {
    * land updates in exactly the buckets [[linearQualityScore]] reads
    * ([[PerceptronTrainer]]). */
   def tokenBucket(t: Column): Column = md5Hash64Bucket(t)
+
+  /**
+   * Deterministic fill-in-the-middle (FIM) span selection — the
+   * prefix/middle/suffix split infilling-capable model training applies
+   * to a slice of the corpus (PSM/SPM formats; code models especially).
+   * Randomized span choice makes the training set irreproducible and the
+   * transform unauditable, so this picks each document's middle span from
+   * md5-64 draws on the doc id: the same doc splits identically on every
+   * run and engine, and any engine with `md5()` re-derives the exact
+   * offsets AND content fingerprint (the q191 oracle).
+   *
+   * Spec over L = char length (the corpus contract is single-byte chars,
+   * as in the span-dedup family):
+   *   - documents with L < `minChars` are DROPPED (too short to split
+   *     usefully — the standard FIM eligibility gate);
+   *   - `mid_len` = 1 + h2 mod (L/4), i.e. 1..L/4 — the middle is a
+   *     bounded fraction so prefix+suffix retain context;
+   *   - `pre_len` = h1 mod (L − mid_len + 1), i.e. 0..L−mid_len — the
+   *     span may touch either edge;
+   *   - `suf_len` = L − pre_len − mid_len;
+   *   - `mid_fp` = md5 of the middle substring — the content receipt a
+   *     downstream assembler can check without re-reading the corpus;
+   * with h1/h2 the top-63-bit md5-64 of "fim-a:"/"fim-b:" ‖ id (two
+   * independent draws; non-negative, so `%` agrees across engines).
+   *
+   * Scale contract: a pure projection — text is consumed inside the scan
+   * stage and only (id, 3 offsets, one 32-hex fingerprint) leave it; zero
+   * shuffle, scan-bound at any corpus size.
+   */
+  def fimSpans(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, minChars: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(minChars >= 4, s"minChars must be >= 4 (mid_len needs L/4 >= 1), got $minChars")
+    val h1 = shiftrightunsigned(
+      graft.operators.Sampling.md5Hash64(concat(lit("fim-a:"), idCol.cast("string"))), 1)
+    val h2 = shiftrightunsigned(
+      graft.operators.Sampling.md5Hash64(concat(lit("fim-b:"), idCol.cast("string"))), 1)
+    val L = length(textCol).cast("long")
+    docs
+      .filter(L >= minChars)
+      .select(idCol, textCol.as("__fim_text"), L.as("L"),
+        // floor-divide in INTEGER domain: Spark's `/` is fractional, and a
+        // double modulus of a 2^63-scale draw loses low bits — the exact
+        // bits the oracle's `%` keeps. L itself is small, so the quarter
+        // is exact; the draw never leaves long arithmetic.
+        (h2 % floor(L / 4L).cast("long") + 1L).as("mid_len"), h1.as("h1"))
+      .select(idCol, col("__fim_text"), col("L"), col("mid_len"),
+        (col("h1") % (col("L") - col("mid_len") + 1L)).as("pre_len"))
+      .select(idCol, col("pre_len"), col("mid_len"),
+        (col("L") - col("pre_len") - col("mid_len")).as("suf_len"),
+        md5(col("__fim_text").substr(
+          (col("pre_len") + 1L).cast("int"), col("mid_len").cast("int"))
+          .cast("binary")).as("mid_fp"))
+  }
 }
 
 object Stopwords {

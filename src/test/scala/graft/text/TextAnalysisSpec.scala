@@ -325,4 +325,37 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(viaLateral === gen)
   }
+
+  test("FIM spans: eligibility gate, span invariants, content fingerprint, determinism") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("x" * 31),                      // below the 32-char gate
+      2L -> ("The quick brown fox jumps over the lazy dog again."),
+      3L -> ("a" * 32),                      // exactly at the gate
+      4L -> ("Line one.\nLine two with more text.\nLine three ends here."))
+    val df = texts.toDF("doc_id", "text")
+    def run() = TextAnalysis.fimSpans(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    val spans = run()
+    // Doc 1 is dropped by the gate; everything else splits.
+    assert(spans.keySet === Set(2L, 3L, 4L))
+    val byId = texts.toMap
+    spans.foreach { case (id, (pre, mid, suf, fp)) =>
+      val text = byId(id)
+      val L = text.length.toLong
+      assert(pre >= 0L && suf >= 0L, s"doc $id: negative affix")
+      assert(mid >= 1L && mid <= L / 4, s"doc $id: mid_len $mid out of [1, L/4]")
+      assert(pre + mid + suf === L, s"doc $id: lengths must partition the doc")
+      // The fingerprint is md5 of EXACTLY the selected middle substring.
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.substring(pre.toInt, (pre + mid).toInt)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(fp === expected, s"doc $id: middle fingerprint mismatch")
+    }
+    // Deterministic: a second evaluation selects bit-identical spans.
+    assert(run() === spans)
+  }
 }
