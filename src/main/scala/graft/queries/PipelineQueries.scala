@@ -316,6 +316,20 @@ object PipelineQueries {
         .orderBy("shard", "pos")
     }),
 
+    // Integrity manifest of q79's shard layout: per shard, row count,
+    // content mass, id range, and the order-independent xor-of-row-md5
+    // checksum a release consumer re-derives on its own copy. Rides the
+    // REAL epochShards assignment; the unused within-shard `pos` window
+    // is pruned by the optimizer (LayoutSpec pins that), so the manifest
+    // costs one map-side-combined aggregation — |shards| rows of shuffle.
+    "q192_shard_manifest" -> ((s, dir) => {
+      val sharded = graft.operators.Sampling.epochShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        idCol = col("doc_id"), seed = 7L, nShards = 8)
+      graft.sources.Layout.shardManifest(sharded,
+        col("shard"), col("doc_id"), col("text"))
+    }),
+
     // Cross-document repeated spans: every 16-token window (stride 1,
     // rolling over the whole corpus as md5-64 window hashes) that appears
     // in MORE THAN ONE document, reported per doc as (count, first
@@ -2599,6 +2613,29 @@ object PipelineQueries {
         |SELECT doc_id, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY hsig, doc_id)::INT AS pos
         |FROM hs ORDER BY shard, pos""".stripMargin,
+    // Same "7:id" shard rule (power-of-two mod = pmod), same per-row
+    // md5-64 of id‖':'‖content-md5 rebiased to two's-complement, folded
+    // with bit_xor — order-independent, so no ORDER BY is needed inside
+    // the fold for the checksums to match.
+    "q192_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    (('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 16))::UBIGINT % 8)::INT AS shard
+        |  FROM documents),
+        |x AS (
+        |  SELECT shard, doc_id, length(text)::BIGINT AS n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 16))::UBIGINT AS hu
+        |  FROM h),
+        |xs AS (
+        |  SELECT shard, doc_id, n_chars,
+        |    (CASE WHEN hu >= 9223372036854775808::UBIGINT
+        |          THEN hu::HUGEINT - 18446744073709551616::HUGEINT
+        |          ELSE hu::HUGEINT END)::BIGINT AS hsig
+        |  FROM x)
+        |SELECT shard, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS n_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(hsig) AS content_xor
+        |FROM xs GROUP BY shard ORDER BY shard""".stripMargin,
     // Kept counts re-derived from the same md5-threshold rule; the spec
     // VALUES and thresholds are GENERATED from the q41/q77 weights list.
     "q77_mix_audit" ->

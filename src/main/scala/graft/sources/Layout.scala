@@ -208,4 +208,42 @@ object Layout {
     src.coalesce(nFiles).write.mode("overwrite").parquet(destDir)
     nFiles
   }
+
+  /**
+   * Shard manifest — the per-shard integrity/provenance record a training
+   * run publishes next to its data release: row count, content byte mass,
+   * the id range, and an ORDER-INDEPENDENT content checksum (bit-XOR of
+   * per-row md5-64 over id ‖ ':' ‖ content-md5). A consumer re-derives the
+   * manifest on its own copy — any engine with `md5()` can — and a single
+   * flipped byte, dropped row, duplicated row, or cross-shard misfile
+   * changes the corresponding shard line. XOR is the right fold here: it
+   * is commutative/associative (shard-internal row order, partition
+   * count, and engine are all free to differ), overflow-free, and its
+   * partial values combine map-side, so the manifest is one aggregation
+   * whose shuffle is |shards| rows.
+   *
+   * The checksum hashes CONTENT through its md5, not raw text bytes, so
+   * the manifest row stays ~40 bytes regardless of document size, and the
+   * id is folded in so two swapped texts between docs of one shard cannot
+   * cancel. (A per-row xor of ids alone would miss content edits; content
+   * alone would miss re-labeling.)
+   *
+   * @param df       sharded corpus (e.g. [[graft.operators.Sampling.epochShards]] output)
+   * @param shardCol shard assignment column
+   * @param idCol    stable row id
+   * @param contentCol document payload (string)
+   */
+  def shardManifest(df: DataFrame, shardCol: Column, idCol: Column,
+      contentCol: Column): DataFrame = {
+    val rowHash = graft.operators.Sampling.md5Hash64(
+      concat(idCol.cast("string"), lit(":"), md5(contentCol.cast("binary"))))
+    // bit_xor has no Column-API builder — bind the row hash to a named
+    // column and reference it from the SQL aggregate.
+    df.withColumn("__row_hash", rowHash)
+      .groupBy(shardCol.as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(contentCol).cast("long")).as("n_chars"),
+        min(idCol).as("min_id"), max(idCol).as("max_id"),
+        expr("bit_xor(__row_hash)").as("content_xor"))
+  }
 }

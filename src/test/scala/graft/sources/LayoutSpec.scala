@@ -249,4 +249,53 @@ class LayoutSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
         new java.io.File(src).getName)
     }
   }
+
+  test("shard manifest: order-independent checksum catches every corruption class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      (1L, 0, "alpha doc"), (2L, 0, "beta doc"), (3L, 0, "gamma doc"),
+      (4L, 1, "delta doc"), (5L, 1, "epsilon doc"))
+    def manifest(rows: Seq[(Long, Int, String)], parts: Int = 1): Map[Int, (Long, Long, Long, Long, Long)] =
+      graft.sources.Layout.shardManifest(
+        rows.toDF("doc_id", "shard", "text").repartition(parts),
+        col("shard"), col("doc_id"), col("text"))
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+
+    val m = manifest(base)
+    assert(m(0)._1 === 3L && m(1)._1 === 2L)
+    assert(m(0)._2 === ("alpha doc".length + "beta doc".length + "gamma doc".length).toLong)
+    assert((m(0)._3, m(0)._4) === ((1L, 3L)))
+
+    // Row order and partitioning are free: shuffled input, many
+    // partitions — identical manifest (xor is commutative/associative,
+    // partials combine map-side).
+    assert(manifest(scala.util.Random.shuffle(base), parts = 4) === m)
+
+    // Every corruption class moves the touched shard's line and ONLY it:
+    val flipped = base.updated(1, (2L, 0, "beta dox"))           // one byte
+    val dropped = base.take(4)                                    // lost row (shard 1)
+    val duped = base :+ ((3L, 0, "gamma doc"))                    // double-counted row
+    val swapped = base.updated(0, (1L, 0, "beta doc"))            // texts traded between
+      .updated(1, (2L, 0, "alpha doc"))                           // ids — mass unchanged
+    assert(manifest(flipped)(0)._5 !== m(0)._5)
+    assert(manifest(flipped)(1) === m(1))
+    assert(manifest(dropped)(1)._1 === 1L)
+    assert(manifest(duped)(0)._1 === 4L)
+    val sm = manifest(swapped)
+    assert((sm(0)._2 === m(0)._2) && (sm(0)._5 !== m(0)._5),
+      "id-folded hash must catch content re-labeling that preserves byte mass")
+
+    // The q192 composition prunes epochShards' unused `pos` window: the
+    // manifest plan must contain no Window node (one aggregation only).
+    val composed = graft.sources.Layout.shardManifest(
+      graft.operators.Sampling.epochShards(
+        base.toDF("doc_id", "ignored_shard", "text").select(col("doc_id"), col("text")),
+        idCol = col("doc_id"), seed = 7L, nShards = 8),
+      col("shard"), col("doc_id"), col("text"))
+    assert(!composed.queryExecution.executedPlan.toString.contains("Window"),
+      "unused pos window must be pruned from the manifest plan")
+  }
 }
