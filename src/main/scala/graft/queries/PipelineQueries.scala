@@ -1242,6 +1242,20 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // Embedding-space release drift per label: quantized-centroid
+    // dot/norm integers between the previous release (synthesized as the
+    // vec_id % 10 != 0 subset, q119's pattern) and the current one —
+    // cosine is scale-invariant, so these three integers ARE the
+    // centroid-drift score, engine-exactly. One corpus pass; the shuffle
+    // is |labels|x|dims| coordinate sums.
+    "q193_embedding_drift" -> ((s, dir) => {
+      Similarity.quantizedReleaseDrift(
+        Tables.embeddings(s, dir),
+        keyCol = col("label"), vecCol = col("embedding"),
+        inPrev = col("vec_id") % 10 =!= 0)
+        .withColumnRenamed("key", "label")
+    }),
+
     // Quantized ANN: top-5 by integer int8 dot (4x smaller scoring pass).
     // Integer scores + id tie-breaks make the approximate ranking exactly
     // reproducible, so it oracles value-for-value like the float paths.
@@ -3293,6 +3307,36 @@ object PipelineQueries {
     // Recomputes the absmax int8 quantization in pure SQL: scale = amax/127,
     // code = floor(x/scale + 0.5) clamped — all IEEE-double ops, so codes
     // match the Spark kernel bit-for-bit.
+    // q32's quantizer, then per-(label, dim) integer sums (prev = the
+    // vec_id % 10 != 0 subset) reduced to dot/norm integers per label.
+    "q193_embedding_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, (vec_id % 10 != 0) AS prev, i.i AS dim,
+        |    (CASE WHEN amax = 0 THEN 0
+        |          ELSE CAST(least(greatest(
+        |            floor(embedding[(i.i + 1)::INT]::DOUBLE / (amax / 127) + 0.5),
+        |            -127.0), 127.0) AS BIGINT) END) AS qv
+        |  FROM base, LATERAL (SELECT unnest(range(len(embedding))) AS i) i),
+        |cd AS (
+        |  SELECT label, dim,
+        |    sum(CASE WHEN prev THEN qv ELSE 0 END)::BIGINT AS sa,
+        |    sum(qv)::BIGINT AS sb
+        |  FROM q GROUP BY label, dim),
+        |g AS (
+        |  SELECT label, sum(sa * sb)::BIGINT AS dot,
+        |    sum(sa * sa)::BIGINT AS norm_prev2,
+        |    sum(sb * sb)::BIGINT AS norm_curr2
+        |  FROM cd GROUP BY label),
+        |c AS (
+        |  SELECT label, count(*)::BIGINT AS n_curr,
+        |    sum(CASE WHEN vec_id % 10 != 0 THEN 1 ELSE 0 END)::BIGINT AS n_prev
+        |  FROM embeddings GROUP BY label)
+        |SELECT c.label, n_curr, n_prev, dot, norm_prev2, norm_curr2
+        |FROM c JOIN g USING (label) ORDER BY c.label""".stripMargin,
     "q32_embed_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

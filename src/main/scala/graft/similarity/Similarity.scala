@@ -839,4 +839,44 @@ object Similarity {
     }
     array(hashes: _*)
   }
+
+  /**
+   * Embedding-space RELEASE drift per key — the monitoring row a corpus
+   * pipeline publishes when a new release lands: has a key's (source's,
+   * topic's) embedding population MOVED, or merely grown? Float centroids
+   * are engine- and order-dependent, so this works on the [[QuantizeInt8]]
+   * coordinates instead: per key, the element-wise INTEGER sums of the
+   * quantized vectors for the previous release (rows satisfying `inPrev`)
+   * and the current one, reduced to `dot`, `norm_prev2`, `norm_curr2` —
+   * cosine is scale-invariant, so cos(sum_prev, sum_curr) IS the quantized
+   * centroid drift, and the three integers re-derive exactly in any engine
+   * (the q193 oracle re-runs q32's quantizer in DuckDB). One corpus pass;
+   * the only shuffle is |keys|×|dims| coordinate sums.
+   *
+   * Deliberate semantics: absmax quantization gives every vector a uniform
+   * amplitude, so this is the drift of the DIRECTION population (outlier-
+   * robust — one huge-norm vector cannot drag the centroid), not of the
+   * raw float mean. Long arithmetic bounds: |q| ≤ 127, so per-key sums
+   * need n_key·127 < 2^31.5-ish per dim before dot products stress 2^63 —
+   * ~10^8 vectors per key; beyond that, lift `sa`/`sb` to decimal.
+   *
+   * @return (key, n_curr, n_prev, dot, norm_prev2, norm_curr2), integers.
+   */
+  def quantizedReleaseDrift(emb: DataFrame, keyCol: Column, vecCol: Column,
+      inPrev: Column): DataFrame = {
+    val coords = emb
+      .select(keyCol.as("key"), inPrev.as("__prev"),
+        posexplode(quantizeInt8(vecCol).getField("q")).as(Seq("dim", "qv")))
+      .groupBy("key", "dim")
+      .agg(sum(when(col("__prev"), col("qv").cast("long")).otherwise(0L)).as("sa"),
+        sum(col("qv").cast("long")).as("sb"))
+    val geom = coords.groupBy("key")
+      .agg(sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("norm_prev2"),
+        sum(col("sb") * col("sb")).as("norm_curr2"))
+    val counts = emb.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("n_curr"),
+        sum(when(inPrev, 1L).otherwise(0L)).as("n_prev"))
+    counts.join(geom, "key")
+  }
 }

@@ -468,4 +468,34 @@ class SimilaritySpec extends AnyFunSuite {
     // differs from the naive cosine top-1 (cos_rank > 1).
     assert(got.exists(_._3 > 1), s"test fixture no longer exercises the margin: $got")
   }
+
+  test("quantizedReleaseDrift: hand-checked integers, drifted vs stable key") {
+    import spark.implicits._
+    // Entries in {-1, 0, 1} make the absmax quantizer exact (amax = 1,
+    // q = ±127/0), so every expected value is hand-computable. ids with
+    // % 10 == 0 are current-only (the \"new release\" rows).
+    val emb = Seq(
+      // label 0: prev points along e1; the release ADDS an e2 vector -> drift
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), (10L, Seq(0f, 1f), 0),
+      // label 1: the release adds a PARALLEL vector -> no drift (cos = 1)
+      (11L, Seq(0f, 1f), 1), (21L, Seq(0f, 1f), 1), (20L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.quantizedReleaseDrift(emb,
+      keyCol = col("label"), vecCol = col("embedding"),
+      inPrev = col("vec_id") % 10 =!= 0)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+    // label 0: sa = (254, 0), sb = (254, 127)
+    assert(got(0) === ((3L, 2L, 254L * 254L, 254L * 254L, 254L * 254L + 127L * 127L)))
+    // label 1: sa = (0, 254), sb = (0, 381) — parallel, cos exactly 1
+    val (n1, p1, dot1, np1, nc1) = got(1)
+    assert((n1, p1) === ((3L, 2L)))
+    assert(dot1 === 254L * 381L && np1 === 254L * 254L && nc1 === 381L * 381L)
+    assert(dot1 * dot1 === np1 * nc1, "parallel populations must score cos = 1 exactly")
+    // and the drifted key scores strictly below 1 (Cauchy-Schwarz strict)
+    val (_, _, dot0, np0, nc0) = got(0)
+    assert(dot0 * dot0 < np0 * nc0)
+  }
 }
