@@ -139,10 +139,13 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_3",""" +
       s""""pass_totals":$passTotals,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
-    println(json)
-    // The driver captures stdout, which has been observed to truncate on
-    // long runs (BENCH_r06 lost 26 of 81 per-query rows). Mirror the same
-    // line to files so the artifact is robust to tail truncation.
+    // The driver captures a BOUNDED amount of stdout (BENCH_r11 shows the
+    // capture cut mid-line at ~12 KB, leaving `parsed: None`), so the full
+    // artifact — 202 query timings at double precision plus the per-query
+    // shuffle-bytes map — goes to files only, and stdout gets a COMPACT
+    // final line: seconds rounded to 3 decimals, no shuffle_bytes (~6 KB).
+    // 1 ms resolution loses nothing a cross-round diff can use on a box
+    // with ±0.4 s run-to-run noise.
     for (path <- Seq("/tmp/bench_out.json", "bench_out.json")) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
@@ -151,6 +154,11 @@ object Bench {
         System.err.println(s"WARN could not write $path: $t")
       }
     }
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""agg":"median_of_3","pass_totals":$passTotals,"queries":$qsCompact,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }
