@@ -470,20 +470,39 @@ object Dedup {
     preparedPpjoin.synchronized {
       val entries = preparedPpjoin.get(spark)
       if (entries != null) {
-        // Expunge entries whose soft payload was GC-cleared, then LRU:
-        // a hit moves to the end, so a threshold-sweeping session evicts
-        // its stalest parameterization, not its hottest.
+        // Expunge entries whose soft payload was GC-cleared — releasing
+        // their still-registered cached RDDs through the id fallback (the
+        // frames themselves are unreachable) — then LRU: a hit moves to
+        // the end, so a threshold-sweeping session evicts its stalest
+        // parameterization, not its hottest.
         { var i = 0
           while (i < entries.size) {
-            if (entries(i).payload.isEmpty) entries.remove(i) else i += 1
+            if (entries(i).payload.isEmpty) {
+              entries(i).unpersistFrames()
+              entries.remove(i)
+            } else i += 1
           } }
-        val hit = entries.zipWithIndex.find { case (e, _) =>
-          e.key == prepKey && e.payload.exists(_._1.sameResult(inputPlan))
+        // Single payload SNAPSHOT per entry: `payload` re-reads a
+        // SoftReference, which GC can clear BETWEEN calls — exactly under
+        // memory pressure — so deciding "hit" on one read and then
+        // dereferencing again would turn a cache hit into a crash. The
+        // snapshot strongly pins the payload from here on.
+        var hit: Option[(PreparedPpjoinEntry, Int, DataFrame, Seq[DataFrame])] = None
+        val it = entries.zipWithIndex.iterator
+        while (hit.isEmpty && it.hasNext) {
+          val (e, i) = it.next()
+          if (e.key == prepKey) {
+            e.payload match {
+              case Some((plan, df, frames)) if plan.sameResult(inputPlan) =>
+                hit = Some((e, i, df, frames))
+              case _ =>
+            }
+          }
         }
-        hit.foreach { case (e, i) =>
+        hit.foreach { case (e, i, df, frames) =>
           entries.remove(i); entries += e
-          e.repersist()
-          return e.payload.get._2
+          e.repersist(frames)
+          return df
         }
       }
     }
@@ -627,31 +646,70 @@ object Dedup {
    * pressure; a CLOSED session then becomes weakly reachable and the
    * whole map entry is expunged, while a LIVE session just re-prepares on
    * the next call (cache semantics, not correctness). */
-  private final case class PreparedPpjoinKey(num: Int, den: Int, n: Int,
+  private[dedup] final case class PreparedPpjoinKey(num: Int, den: Int, n: Int,
       idCol: String, textCol: String, mat: Boolean, collapse: Boolean)
-  private final class PreparedPpjoinEntry(
+  private[dedup] final class PreparedPpjoinEntry(
       val key: PreparedPpjoinKey,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       df: DataFrame, frames: Seq[DataFrame]) {
     private val ref = new java.lang.ref.SoftReference((plan, df, frames))
+    // Unpersist handle that SURVIVES the soft payload: once GC clears the
+    // reference, the frames (the only strong path to their cached plans)
+    // are unreachable and a frame-based unpersist is a silent no-op — the
+    // still-registered MEMORY_AND_DISK blocks would leak with no handle
+    // left but spark.catalog.clearCache(). Cache RDD ids are plain Ints
+    // (no session/plan pinned through the WeakHashMap value chain), and
+    // the context rides a WeakReference for the same reason; ids refresh
+    // opportunistically on every memo hit (the only moment the frames are
+    // both reachable and possibly materialized), so the residual window
+    // is a frame materialized and GC-cleared with no intervening access.
+    private val weakCtx = new java.lang.ref.WeakReference(df.sparkSession.sparkContext)
+    @volatile private var cacheRddIds: Set[Int] = Set.empty
     def payload: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         DataFrame, Seq[DataFrame])] = Option(ref.get())
     /** Quiet idempotent re-persist on a memo hit: only re-register frames
      * the caller actually evicted (persist on a live entry logs a
-     * warning). */
-    def repersist(): Unit = payload.foreach(_._3.foreach { f =>
-      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-    def unpersistFrames(): Unit = payload.foreach(_._3.foreach { f =>
-      if (f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        f.unpersist(blocking = false)
-    })
+     * warning). Takes the caller's payload SNAPSHOT — re-reading the soft
+     * reference here would reopen the TOCTOU this signature closes. */
+    def repersist(frames: Seq[DataFrame]): Unit = {
+      frames.foreach { f =>
+        if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      cacheRddIds ++= frames.flatMap(
+        org.apache.spark.sql.graft.GraftSqlBridge.materializedCacheRddId)
+    }
+    def unpersistFrames(): Unit = payload match {
+      case Some((_, _, fs)) =>
+        fs.foreach { f =>
+          if (f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            f.unpersist(blocking = false)
+        }
+        cacheRddIds = Set.empty
+      case None =>
+        // Payload GC-cleared: free the orphaned cache blocks by RDD id.
+        // The cache manager keeps a stale (tiny, driver-only) registry
+        // entry for the unreachable plan; the blocks themselves release.
+        for (ctx <- Option(weakCtx.get()); if !ctx.isStopped; id <- cacheRddIds;
+             rdd <- ctx.getPersistentRDDs.get(id))
+          rdd.unpersist(blocking = false)
+        cacheRddIds = Set.empty
+    }
+    /** Test seam: drop the soft payload as GC would under pressure. */
+    private[dedup] def simulatePayloadClear(): Unit = ref.clear()
+    private[dedup] def knownCacheRddIds: Set[Int] = cacheRddIds
   }
   private val PreparedPpjoinMax = 8
   private val preparedPpjoin = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Buffer[PreparedPpjoinEntry]]
+
+  /** Test seam: the raw memo entries for `spark` (GC-clear simulation). */
+  private[dedup] def preparedPpjoinEntries(
+      spark: org.apache.spark.sql.SparkSession): Seq[PreparedPpjoinEntry] =
+    preparedPpjoin.synchronized {
+      Option(preparedPpjoin.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
+    }
 
   /** Test hook: (live memo entries, intermediate frames still persisted)
    * for `spark` — the bound the LRU eviction spec pins. */
@@ -698,14 +756,45 @@ object Dedup {
    * the guard off genuinely tiny inputs (sub-megabyte corpora, e.g. a
    * filtered dup slice at sf0.1), where the planted exchange measured as
    * a pure loss (7-pass A/B: 1.31 -> 1.51 s) because the gram build is
-   * already cheaper than a shuffle barrier. */
-  private val FanOutMinBytes = 2L << 20
+   * already cheaper than a shuffle barrier.
+   *
+   * Size/split signals come from the plan's FILE LEAVES, not
+   * `stats.sizeInBytes` / `df.rdd` (round-12 advice): plan-level stats
+   * default to a huge sentinel for no-stats relations (the 2 MB floor
+   * never bites, planting the exact tiny-input regression the guard
+   * documents avoiding), and `.rdd` forces physical planning — with AQE
+   * it can materialize upstream stages eagerly at PREPARE time. Split
+   * count is estimated as ceil(fileBytes / maxPartitionBytes), the same
+   * arithmetic the file-scan planner applies; any leaf that is not a
+   * file relation yields no reliable size, so the guard declines to act
+   * (a no-op is always safe — the fan-out is an optimization). */
+  private[graft] val FanOutMinBytes = 2L << 20
 
-  private def fanOutSmallScan(docs: DataFrame): DataFrame = {
-    val defaultPar = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes > FanOutMinBytes &&
-      docs.rdd.getNumPartitions * 2 < defaultPar) docs.repartition(defaultPar)
-    else docs
+  private[graft] def fanOutSmallScan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val leafBytes = docs.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(fs.sizeInBytes)
+          case _ => None
+        }
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        // Driver-local data: exact size, parallelized (never split-starved
+        // by file geometry) — contributes bytes but no single-split risk.
+        Some(lr.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong)
+      case _ => None
+    }
+    if (leafBytes.isEmpty || leafBytes.exists(_.isEmpty)) docs
+    else {
+      val total = leafBytes.flatten.sum
+      val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val estSplits = (total + maxSplit - 1) / maxSplit
+      if (total > FanOutMinBytes && estSplits * 2 < defaultPar)
+        docs.repartition(defaultPar)
+      else docs
+    }
   }
 
   private def ppjoinStages(docsIn: DataFrame, thresholdNum: Int, thresholdDen: Int,

@@ -32,6 +32,22 @@ object GraftSqlBridge {
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
       .asInstanceOf[Ordering[Any]]
 
+  /** The MATERIALIZED cache RDD id behind `df`, if the frame is registered
+   * in the session's cache manager AND its columnar buffers have actually
+   * been built (a lazy `persist` registers the plan but creates no RDD
+   * until the first materializing action). The id is a plain Int handle —
+   * it references neither the session nor the plan — so a memo can retain
+   * it after every strong/soft reference to the frame is gone and still
+   * release the cached blocks via `SparkContext.getPersistentRDDs`
+   * (see [[graft.dedup.Dedup]]'s prepared-plan store). */
+  def materializedCacheRddId(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).flatMap { cd =>
+      val b = cd.cachedRepresentation.cacheBuilder
+      if (b.isCachedColumnBuffersLoaded) Some(b.cachedColumnBuffers.id) else None
+    }
+  }
+
   /** Re-root a logical plan onto another session of the same SparkContext
    * (`Dataset.ofRows` is `private[sql]`). The cache manager lives in
    * sharedState, so persisted subtrees still substitute — this exists so

@@ -878,4 +878,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ngramJaccardPairs(d, 7, 10).columns.toSeq ===
       Seq("id_a", "id_b", "inter", "uni"))
   }
+
+  test("ngramJaccardPairs memo: a GC-cleared payload still releases its cached RDDs") {
+    val d = docs((1L to 20L).map(i => i -> s"the quick brown fox $i jumps"): _*)
+    Dedup.clearPreparedPlans(spark)
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet
+    // Materialize once (registers + builds the candidates cache), then hit
+    // once more: the hit path is where the entry refreshes its RDD-id
+    // unpersist handles from the now-materialized frames.
+    ngramJaccardPairs(d, 7, 10).count()
+    ngramJaccardPairs(d, 7, 10).count()
+    val entries = Dedup.preparedPpjoinEntries(spark)
+    assert(entries.nonEmpty)
+    val ids = entries.flatMap(_.knownCacheRddIds).toSet
+    assert(ids.nonEmpty, "memo hit captured no cache RDD ids — the " +
+      "GC-cleared unpersist fallback would have nothing to release")
+    assert(ids.subsetOf(spark.sparkContext.getPersistentRDDs.keySet))
+    // Simulate the soft payload being cleared under memory pressure, then
+    // invalidate: the frames are unreachable, so only the id fallback can
+    // free the blocks. Before this fix, these RDDs leaked unboundedly.
+    entries.foreach(_.simulatePayloadClear())
+    Dedup.clearPreparedPlans(spark)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseRdds).isEmpty,
+      "GC-cleared memo payload leaked persisted intermediates")
+    Dedup.clearPreparedPlans(spark)
+  }
 }
