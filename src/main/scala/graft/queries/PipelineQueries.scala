@@ -173,23 +173,46 @@ object PipelineQueries {
     // the src0 eval set) → quality filtering (length bounds,
     // distinct-token ratio >= 30%, duplicate-line and top-bigram caps,
     // all integer rationals) → deterministic 90/10 train/val split.
-    // Everything composes from the individually-verified operators, and
-    // the whole result still oracles value-for-value.
+    //
+    // SINGLE-SCAN shape (round-12 sweep): the naive composition of
+    // exactDupGroups + ngramContamination + repetitionStats re-runs the
+    // scrub+tokenize kernels once per consumer subtree (4 corpus scans —
+    // Catalyst can't share scans across plan branches, and per-consumer
+    // pruning defeats exchange reuse, the q189 lesson). Instead ONE
+    // projection derives everything downstream needs — fingerprint, the
+    // per-doc 8-gram hash set, the repetition struct — and persists THAT
+    // (never the text: the cached table is the derived columns only, the
+    // in-engine analogue of checkpointing the cleaned corpus, which any
+    // real 100 TB pipeline writes to disk at exactly this seam). The
+    // cache manager substitutes the one materialized scan into all three
+    // consumers regardless of pruning. Lazy + lineage-preserving, same
+    // contract as marginMinedPairs' avgs cache; 1.83 → 1.16 s at sf0.1.
+    // Per-consumer semantics are the named operators', unchanged:
+    // canonical = min doc_id per fingerprint (exactDupGroups), contaminated
+    // = any gram hash in the distinct bench set, broadcast map-side
+    // (ngramContamination with the same md5-64 gram hashing).
     "q36_pipeline_end2end" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("text", Cleanup.scrub(col("text")))
-      val corpus = docs.filter(col("source") =!= "src0")
-      val bench = docs.filter(col("source") === "src0")
-      val canonicalIds = Dedup.exactDupGroups(corpus)
-        .select(col("canonical_id").as("doc_id"))
-      val contaminated = Dedup.ngramContamination(corpus, bench, n = 8)
+      val enriched = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Cleanup.scrub(col("text")).as("text"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          transform(Dedup.wordShingles(TextAnalysis.tokens(col("text")), 8),
+            g => graft.operators.Sampling.md5Hash64(g)).as("gh"),
+          TextAnalysis.repetitionStats(col("text")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = enriched.filter(col("source") =!= "src0")
+      val benchGh = enriched.filter(col("source") === "src0")
+        .select(explode(col("gh")).as("gh")).distinct()
+      val canonicalIds = corpus.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      // One kernel pass: RepetitionStats carries the token counts too, so
-      // the filter never lowercases/tokenizes a document twice.
+      val contaminated = corpus
+        .select(col("doc_id"), explode(col("gh")).as("gh"))
+        .join(broadcast(benchGh), "gh")
+        .select(col("doc_id")).distinct()
       val signals = corpus
         .join(canonicalIds, Seq("doc_id"), "left_semi")
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
         .select(col("doc_id"),
           col("r.n_tokens").as("n_tokens"),
           col("r.n_distinct_tokens").as("n_distinct"),
