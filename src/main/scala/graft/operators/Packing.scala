@@ -107,6 +107,67 @@ object Packing {
       .withColumn("utilization_e6",
         expr(s"total_tokens * 1000000 div (n_bins * ${budget}L)"))
   }
+
+  /**
+   * Micro-batch PADDING audit — the inference/fine-tuning counterpart of
+   * [[packAudit]], for the regime where sequences are NOT concatenated
+   * (packing) but PADDED to their batch's maximum length (attention
+   * masks, SFT, serving): how many pad tokens does a batch size of B
+   * cost under
+   *
+   *  - `global_pad`: every sequence padded to the corpus max — the
+   *    fixed-shape baseline a naive pipeline runs;
+   *  - `sorted_batches`: sequences sorted by length, batched B at a
+   *    time — the standard bucketed-batching remedy, whose padding is
+   *    what remains after the remedy.
+   *
+   * The sorted-batching cost is computed WITHOUT materializing the sort:
+   * with the length histogram (len, cnt) and its cumulative count c,
+   * the number of full batches whose maximum is `len` is
+   * `c div B − (c − cnt) div B` (a batch's max is the length at its
+   * last rank), and the one partial batch — the final one, in ascending
+   * order — is padded to the corpus max. So the audit is ONE
+   * vocab-bounded histogram aggregation plus a cumulative window over
+   * |distinct lengths| rows (the same bounded-window contract as the
+   * vocabulary coverage curve); row volume never rides a sort. All
+   * integer arithmetic; `utilization_e6` is real tokens over padded
+   * cells in millionths.
+   *
+   * @return two rows: (strategy, n_batches, n_tokens, n_padding,
+   *   utilization_e6), strategies 'global_pad' and 'sorted_batches'
+   */
+  def paddingAudit(df: DataFrame, lenCol: Column, batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batch size must be positive, got $batchSize")
+    val b = batchSize.toLong
+    val neg = when(lenCol < 0, raise_error(
+      lit("paddingAudit: negative sequence length"))).otherwise(lenCol.cast("long"))
+    val hist = df.select(neg.as("len")).groupBy(col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = hist
+      .select(col("len"), col("cnt"), sum(col("cnt")).over(w).as("c"))
+      .agg(sum(col("len") * col("cnt")).as("n_tokens"),
+        sum(col("cnt")).as("n"),
+        max(col("len")).as("maxlen"),
+        sum((expr(s"c div ${b}L") - expr(s"(c - cnt) div ${b}L")) * col("len"))
+          .as("full_max_sum"))
+    val nBatches = expr(s"(n + ${b - 1}L) div ${b}L")
+    val paddedGlobal = col("maxlen") * col("n")
+    val paddedSorted = lit(b) * col("full_max_sum") +
+      when(pmod(col("n"), lit(b)) =!= 0L,
+        col("maxlen") * pmod(col("n"), lit(b))).otherwise(0L)
+    a.select(explode(array(
+        struct(lit("global_pad").as("strategy"), nBatches.as("n_batches"),
+          col("n_tokens"), (paddedGlobal - col("n_tokens")).as("n_padding"),
+          (col("n_tokens") * 1000000L).as("ut"), paddedGlobal.as("pc")),
+        struct(lit("sorted_batches").as("strategy"), nBatches.as("n_batches"),
+          col("n_tokens"), (paddedSorted - col("n_tokens")).as("n_padding"),
+          (col("n_tokens") * 1000000L).as("ut"), paddedSorted.as("pc")))).as("e"))
+      .select(col("e.strategy").as("strategy"), col("e.n_batches").as("n_batches"),
+        col("e.n_tokens").as("n_tokens"), col("e.n_padding").as("n_padding"),
+        expr("e.ut div e.pc").as("utilization_e6"))
+  }
 }
 
 /**

@@ -1279,6 +1279,48 @@ object PipelineQueries {
         .withColumnRenamed("key", "label")
     }),
 
+    // k-anonymity audit over the customer quasi-identifiers the PII
+    // scrub does NOT remove — (nation, market segment, account-balance
+    // thousand-bucket): for each release threshold k, how many rows an
+    // attacker could link through a public table carrying the same
+    // attributes. One QI groupBy, then thresholds fan out as a
+    // projection over the group-size table (see Privacy.kAnonymityAudit
+    // for the scale contract). All-integer output.
+    "q194_k_anonymity" -> ((s, dir) => {
+      graft.operators.Privacy.kAnonymityAudit(
+        Tables.customer(s, dir),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0d).cast("long").as("ab")),
+        ks = Seq(2, 5, 10, 20))
+        .orderBy("k")
+    }),
+
+    // Annotation quality control: Cohen's kappa between the labeled lang
+    // column (the "gold" annotator) and the stopword-evidence language
+    // guess (the "model" annotator) — chance-corrected agreement, which
+    // raw accuracy overstates on skewed label mixes (and 'zh' here has
+    // no stopword list, so the guess can never agree on it — exactly the
+    // label-set mismatch kappa is built to price). Integer-exact: the
+    // statistic ships as the rational (kappa_num, kappa_den); negative
+    // kappa makes in-engine integer division an engine-portability trap
+    // (floor vs truncate), so no division happens on either side.
+    "q195_label_kappa" -> ((s, dir) => {
+      graft.operators.Agreement.cohenKappa(Tables.documents(s, dir),
+        col("lang"), graft.text.TextAnalysis.languageGuess(col("text")))
+    }),
+
+    // Micro-batch padding audit at batch size 32: pad-to-corpus-max vs
+    // sorted-length bucketed batching, the serving/SFT counterpart of
+    // the q40 packing utilization row (packing CONCATENATES into context
+    // windows; this pads each sequence to its batch max). The sorted
+    // cost derives from the length histogram's cumulative counts alone —
+    // row volume never rides a sort (see Packing.paddingAudit).
+    "q196_padding_audit" -> ((s, dir) => {
+      graft.operators.Packing.paddingAudit(Tables.documents(s, dir),
+        graft.text.TextAnalysis.tokenCount(col("text")), batchSize = 32)
+        .orderBy("strategy")
+    }),
+
     // Quantized ANN: top-5 by integer int8 dot (4x smaller scoring pass).
     // Integer scores + id tie-breaks make the approximate ranking exactly
     // reproducible, so it oracles value-for-value like the float paths.
@@ -3360,6 +3402,86 @@ object PipelineQueries {
         |  FROM embeddings GROUP BY label)
         |SELECT c.label, n_curr, n_prev, dot, norm_prev2, norm_curr2
         |FROM c JOIN g USING (label) ORDER BY c.label""".stripMargin,
+    // Group sizes over the QI tuple, then each threshold is a conditional
+    // sum over the size table — one UNION ALL row per k.
+    "q194_k_anonymity" ->
+      """WITH s AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000.0)::BIGINT AS ab, count(*)::BIGINT AS gsz
+        |  FROM customer GROUP BY 1, 2, 3
+        |),
+        |st AS (
+        |  SELECT min(gsz)::BIGINT AS min_group_size, count(*)::BIGINT AS n_groups,
+        |    sum(CASE WHEN gsz < 2 THEN gsz ELSE 0 END)::BIGINT AS r2,
+        |    sum(CASE WHEN gsz < 2 THEN 1 ELSE 0 END)::BIGINT AS g2,
+        |    sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END)::BIGINT AS r5,
+        |    sum(CASE WHEN gsz < 5 THEN 1 ELSE 0 END)::BIGINT AS g5,
+        |    sum(CASE WHEN gsz < 10 THEN gsz ELSE 0 END)::BIGINT AS r10,
+        |    sum(CASE WHEN gsz < 10 THEN 1 ELSE 0 END)::BIGINT AS g10,
+        |    sum(CASE WHEN gsz < 20 THEN gsz ELSE 0 END)::BIGINT AS r20,
+        |    sum(CASE WHEN gsz < 20 THEN 1 ELSE 0 END)::BIGINT AS g20
+        |  FROM s
+        |)
+        |SELECT * FROM (
+        |  SELECT 2 AS k, r2 AS rows_below_k, g2 AS groups_below_k,
+        |    min_group_size, n_groups FROM st
+        |  UNION ALL SELECT 5, r5, g5, min_group_size, n_groups FROM st
+        |  UNION ALL SELECT 10, r10, g10, min_group_size, n_groups FROM st
+        |  UNION ALL SELECT 20, r20, g20, min_group_size, n_groups FROM st
+        |) ORDER BY k""".stripMargin,
+    // The q83 language-guess CASE as annotator B; kappa as the exact
+    // rational (NxA - S, N^2 - S) — no integer division of a possibly
+    // negative numerator on either engine.
+    "q195_label_kappa" ->
+      s"""WITH base AS (
+         |  SELECT lang AS la,
+         |    CASE
+         |      WHEN $enHits >= $deHits AND $enHits >= $esHits AND $enHits >= $frHits THEN 'en'
+         |      WHEN $deHits >= $esHits AND $deHits >= $frHits THEN 'de'
+         |      WHEN $esHits >= $frHits THEN 'es'
+         |      ELSE 'fr'
+         |    END AS lb
+         |  FROM documents
+         |),
+         |conf AS (SELECT la, lb, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+         |n AS (SELECT coalesce(sum(c), 0)::BIGINT AS n FROM conf),
+         |ag AS (SELECT coalesce(sum(CASE WHEN la = lb THEN c END), 0)::BIGINT AS n_agree FROM conf),
+         |ra AS (SELECT la, sum(c)::BIGINT AS r FROM conf GROUP BY 1),
+         |cb AS (SELECT lb, sum(c)::BIGINT AS cc FROM conf GROUP BY 1),
+         |s AS (SELECT coalesce(sum(r * cc), 0)::BIGINT AS chance_cross
+         |      FROM ra JOIN cb ON la = lb)
+         |SELECT n, n_agree, chance_cross,
+         |  (n * n_agree - chance_cross)::BIGINT AS kappa_num,
+         |  (n * n - chance_cross)::BIGINT AS kappa_den
+         |FROM n, ag, s""".stripMargin,
+    // Histogram-cumulative derivation of sorted-batching padding: full
+    // batches whose max is len = c//B - (c-cnt)//B; the one partial
+    // batch pads to the corpus max. All counts non-negative, so DuckDB
+    // // and Spark div agree.
+    "q196_padding_audit" ->
+      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents),
+         |h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+         |c AS (SELECT l, cnt, sum(cnt) OVER (ORDER BY l)::BIGINT AS cum FROM h),
+         |a AS (
+         |  SELECT sum(l * cnt)::BIGINT AS n_tokens, sum(cnt)::BIGINT AS n,
+         |    max(l)::BIGINT AS maxlen,
+         |    sum((cum // 32 - (cum - cnt) // 32) * l)::BIGINT AS fms
+         |  FROM c
+         |),
+         |p AS (
+         |  SELECT n_tokens, n, maxlen, (n + 31) // 32 AS n_batches,
+         |    maxlen * n AS pg,
+         |    32 * fms + CASE WHEN n % 32 <> 0 THEN maxlen * (n % 32) ELSE 0 END AS ps
+         |  FROM a
+         |)
+         |SELECT * FROM (
+         |  SELECT 'global_pad' AS strategy, n_batches, n_tokens,
+         |    (pg - n_tokens)::BIGINT AS n_padding,
+         |    ((n_tokens * 1000000) // pg)::BIGINT AS utilization_e6 FROM p
+         |  UNION ALL
+         |  SELECT 'sorted_batches', n_batches, n_tokens,
+         |    (ps - n_tokens)::BIGINT, ((n_tokens * 1000000) // ps)::BIGINT FROM p
+         |) ORDER BY strategy""".stripMargin,
     "q32_embed_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AgreementSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-agreement-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def kappa(pairs: Seq[(String, String)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Agreement.cohenKappa(pairs.toDF("a", "b").repartition(4),
+      col("a"), col("b")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("textbook 2x2 confusion reproduces the known kappa rational") {
+    // Classic example: N=50, diag = 20 + 15 = 35,
+    // marginals A: yes 25, no 25; B: yes 30, no 20 -> S = 25*30 + 25*20 = 1250.
+    // kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4.
+    val pairs =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val (n, agree, s, num, den) = kappa(pairs)
+    assert((n, agree, s) === (50L, 35L, 1250L))
+    assert(num === 500L && den === 1250L) // = 0.4 exactly
+  }
+
+  test("perfect agreement gives num = den; worse-than-chance goes negative") {
+    val (_, _, _, pn, pd) = kappa(Seq(("a", "a"), ("b", "b"), ("c", "c")))
+    assert(pn === pd && pn > 0)
+    // Systematic disagreement on a balanced binary mix: kappa = -1.
+    val (_, _, _, nn, nd) = kappa(Seq.fill(5)(("y", "n")) ++ Seq.fill(5)(("n", "y")))
+    assert(nn === -nd && nn < 0)
+  }
+
+  test("labels present on only one side contribute zero chance agreement") {
+    // B never answers 'c'; A never answers 'n' — the join over shared
+    // labels must not fabricate marginal products for them.
+    val (n, agree, s, _, _) =
+      kappa(Seq(("c", "n"), ("c", "n"), ("y", "y")))
+    assert(n === 3L && agree === 1L)
+    assert(s === 1L) // only label 'y': rowA = 1, colB = 1
+  }
+
+  test("diagonal-absent labels still price chance agreement (the window-formulation bug)") {
+    // Both sides use label 'x' but never on the same row: conf has no
+    // (x, x) cell, yet S must include rowA(x) * colB(x) = 1.
+    val (_, _, s, _, _) = kappa(Seq(("x", "y"), ("y", "x"), ("y", "y")))
+    // labels: x -> 1*1 = 1; y -> 2*2 = 4.
+    assert(s === 5L)
+  }
+}

@@ -134,4 +134,39 @@ class PackingSpec extends AnyFunSuite {
     assert(b1 === 2L && d1 === 2L && t1 === 250L && p1 === 0L)
     assert(u1 === 250L * 1000000L / (2L * 100L)) // oversize pushes past 1e6
   }
+
+  test("paddingAudit matches a brute-force sorted batching, partial batch included") {
+    import spark.implicits._
+    // 11 lengths with duplicates -> one partial final batch at B = 4.
+    val lens = Seq(3L, 7L, 7L, 2L, 9L, 1L, 7L, 4L, 9L, 2L, 5L)
+    val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "len")
+      .repartition(4)
+    val out = Packing.paddingAudit(df,
+      org.apache.spark.sql.functions.col("len"), batchSize = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // Brute force: sort ascending, group in 4s, pad each batch to its max.
+    val sorted = lens.sorted
+    val batches = sorted.grouped(4).toSeq
+    val bruteSortedPad = batches.map(b => b.max * b.size - b.sum).sum
+    val brutePadded = batches.map(b => b.max * b.size).sum
+    val total = lens.sum
+    assert(out("sorted_batches") ===
+      ((3L, total, bruteSortedPad, total * 1000000L / brutePadded)))
+    assert(out("global_pad") ===
+      ((3L, total, lens.max * lens.size - total,
+        total * 1000000L / (lens.max * lens.size))))
+  }
+
+  test("paddingAudit with batch size 1 pads nothing under sorted batching") {
+    import spark.implicits._
+    val df = Seq(5L, 9L, 2L).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "len")
+    val out = Packing.paddingAudit(df,
+      org.apache.spark.sql.functions.col("len"), batchSize = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("sorted_batches") === 0L)
+    assert(out("global_pad") === 9L * 3 - 16L)
+  }
 }
