@@ -86,4 +86,45 @@ object ExactQuantile {
       .select(col("g"), col("q_num"), col("q_den"), col("k"),
         element_at(col("vs"), col("off").cast("int")).as("value"))
   }
+
+  /**
+   * Robust per-group outlier detection via median / MAD — the
+   * outlier-FLAGGING counterpart of the winsorize clip (q134): a value is
+   * an outlier when |v − median| · kDen > MAD · kNum, with MAD the exact
+   * median of absolute deviations. Median/MAD resist the very outliers
+   * they hunt, which mean/stddev famously do not (one corrupt
+   * billion-token document drags a mean threshold past itself).
+   *
+   * Integer-exact end to end: both medians come from
+   * [[exactQuantilesByKey]]'s lower-rank definition and the threshold is
+   * a cross-multiplied rational — no 1.4826 consistency constant in the
+   * engine (fold it into k: the default 3/1 on raw MAD ≈ 4.45 scaled
+   * MADs, a conservative flag). Degenerate groups where MAD = 0 (over
+   * half the group identical) flag every deviating value, the honest
+   * reading of "the robust spread is zero".
+   *
+   * Scale: two chained quantile operators + one counting pass, all over
+   * (group, value) coordinates — the exactness price, same family floor
+   * as winsorize; the per-group (median, MAD) tables broadcast back.
+   *
+   * @return one row per group: (g, n, med, mad, n_outliers, max_dev)
+   */
+  def madOutliers(df: DataFrame, groupCol: Column, valCol: Column,
+      kNum: Long = 3, kDen: Long = 1, shift: Int = 8): DataFrame = {
+    require(kNum >= 0 && kDen > 0, s"k must be a non-negative rational, got $kNum/$kDen")
+    val base = df.select(groupCol.as("g"), valCol.cast("long").as("v"))
+    val med = exactQuantilesByKey(base, col("g"), col("v"), Seq((1, 2)), shift)
+      .select(col("g"), col("value").as("med"))
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("d"))
+    val mad = exactQuantilesByKey(dev, col("g"), col("d"), Seq((1, 2)), shift)
+      .select(col("g"), col("value").as("mad"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") * kDen > col("mad") * kNum, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("d")).as("max_dev"))
+  }
 }

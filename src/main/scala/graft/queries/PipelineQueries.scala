@@ -1321,6 +1321,18 @@ object PipelineQueries {
         .orderBy("strategy")
     }),
 
+    // Robust per-source length-outlier flags: median/MAD of n_chars at
+    // k = 3 raw MADs — the degenerate-document alarm a mean/stddev
+    // threshold misses exactly when it matters (the outlier drags the
+    // mean past itself). Two chained exact-quantile passes + a counting
+    // pass, integer-exact (see ExactQuantile.madOutliers).
+    "q198_mad_outliers" -> ((s, dir) => {
+      graft.operators.ExactQuantile.madOutliers(
+        Tables.documents(s, dir), col("source"), col("n_chars"))
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
+    }),
+
     // Quantized ANN: top-5 by integer int8 dot (4x smaller scoring pass).
     // Integer scores + id tie-breaks make the approximate ranking exactly
     // reproducible, so it oracles value-for-value like the float paths.
@@ -1864,18 +1876,23 @@ object PipelineQueries {
     // customer and redacts it; the oracle re-runs the identical RE2-safe
     // patterns in DuckDB, proving the scrub is auditable off-Spark.
     "q51_pii_redaction" -> ((s, dir) => {
-      val raw = concat(
-        col("c_name"), lit(" <"),
-        lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com> tel +1 555-"),
-        lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
-        lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
-        lit(" alt 555-000-1234 from 10."),
-        pmod(col("c_custkey"), lit(256)).cast("string"), lit(".0."),
-        pmod(col("c_nationkey"), lit(256)).cast("string"))
       Tables.customer(s, dir)
-        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"), plantedContactBlob.as("raw"))
         .select(col("c_custkey"), Cleanup.redactPii(col("raw")).as("redacted"))
         .orderBy("c_custkey")
+    }),
+
+    // Redaction efficacy audit over the same planted corpus — the QA
+    // gate after q51's scrub: per pattern class, docs carrying raw hits,
+    // total raw hits, residual hits after redaction. Every class must
+    // read hits_after = 0 here (the blob plants all four shapes); the
+    // counts are what a release pipeline thresholds on. One scan, the
+    // redacted text bound once (see Cleanup.redactionAudit).
+    "q197_redaction_audit" -> ((s, dir) => {
+      Cleanup.redactionAudit(
+        Tables.customer(s, dir).select(plantedContactBlob.as("raw")),
+        col("raw"))
+        .orderBy("pattern_class")
     }),
 
     // Markup stripping — tags out, whitespace collapsed, projection-only.
@@ -1905,6 +1922,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The q51/q197 planted contact blob: one email, one international and
+   * one bare phone, one dotted quad per customer row — deterministic, so
+   * both the redaction and its audit oracle value-for-value. */
+  private def plantedContactBlob: org.apache.spark.sql.Column = concat(
+    col("c_name"), lit(" <"),
+    lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com> tel +1 555-"),
+    lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+    lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+    lit(" alt 555-000-1234 from 10."),
+    pmod(col("c_custkey"), lit(256)).cast("string"), lit(".0."),
+    pmod(col("c_nationkey"), lit(256)).cast("string"))
 
   private val tokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
@@ -3458,6 +3487,68 @@ object PipelineQueries {
     // batches whose max is len = c//B - (c-cnt)//B; the one partial
     // batch pads to the corpus max. All counts non-negative, so DuckDB
     // // and Spark div agree.
+    // Same planted blob, same patterns; per-class counts before/after the
+    // identical 4-step replace chain.
+    "q197_redaction_audit" ->
+      """WITH raw AS (
+        |  SELECT c_name || ' <' || lower(regexp_replace(c_name, '#', '.', 'g')) ||
+        |    '@example.com> tel +1 555-' ||
+        |    lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+        |    lpad((c_custkey * 7 % 10000)::VARCHAR, 4, '0') ||
+        |    ' alt 555-000-1234 from 10.' ||
+        |    (c_custkey % 256)::VARCHAR || '.0.' || (c_nationkey % 256)::VARCHAR AS t
+        |  FROM customer),
+        |b AS (
+        |  SELECT t,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r
+        |  FROM raw)
+        |SELECT * FROM (
+        |  SELECT 'email' AS pattern_class,
+        |    sum(CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END)::BIGINT AS docs_with_hits,
+        |    sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS hits_before,
+        |    sum(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS hits_after
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'phone_intl',
+        |    sum(CASE WHEN regexp_matches(t, '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}') THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(len(regexp_extract_all(t, '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')))::BIGINT,
+        |    sum(len(regexp_extract_all(r, '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')))::BIGINT
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'phone_bare',
+        |    sum(CASE WHEN regexp_matches(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b') THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(len(regexp_extract_all(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')))::BIGINT,
+        |    sum(len(regexp_extract_all(r, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')))::BIGINT
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'ipv4',
+        |    sum(CASE WHEN regexp_matches(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')))::BIGINT,
+        |    sum(len(regexp_extract_all(r, '\b(?:\d{1,3}\.){3}\d{1,3}\b')))::BIGINT
+        |  FROM b
+        |) ORDER BY pattern_class""".stripMargin,
+    // Two chained lower-rank medians (the q130 rank rule), then the
+    // cross-multiplied k = 3/1 flag rule.
+    "q198_mad_outliers" ->
+      """WITH v AS (SELECT source AS g, n_chars::BIGINT AS v FROM documents),
+        |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n FROM v),
+        |m1 AS (SELECT g, max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN v END)::BIGINT AS med
+        |       FROM r1 GROUP BY g),
+        |d AS (SELECT v.g, abs(v.v - m1.med)::BIGINT AS d, m1.med FROM v JOIN m1 USING (g)),
+        |r2 AS (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n FROM d),
+        |m2 AS (SELECT g, max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN d END)::BIGINT AS mad
+        |       FROM r2 GROUP BY g)
+        |SELECT d.g AS source, count(*)::BIGINT AS n, max(d.med)::BIGINT AS med,
+        |  max(m2.mad)::BIGINT AS mad,
+        |  sum(CASE WHEN d.d * 1 > m2.mad * 3 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  max(d.d)::BIGINT AS max_dev
+        |FROM d JOIN m2 USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_padding_audit" ->
       s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents),
          |h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY 1),

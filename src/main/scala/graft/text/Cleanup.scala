@@ -127,6 +127,45 @@ object Cleanup {
         (size(col("ls")) - size(col("kept"))).as("n_removed"))
   }
 
+  /**
+   * Redaction EFFICACY audit — the QA gate a release runs after
+   * [[redactPii]]: per pattern class, how many documents carry at least
+   * one raw hit, the total raw hit count, and the RESIDUAL hit count on
+   * the redacted text. `hits_after > 0` is a scrub regression;
+   * `hits_before` drifting across releases is a pattern-shift alarm
+   * (PII arriving in shapes the patterns no longer cover shows up as
+   * before-counts falling while leak reports rise). Counts are what
+   * make the gate thresholdable; the patterns are the RE2-safe
+   * redaction constants themselves, so the audit re-runs off-Spark on
+   * the same bytes.
+   *
+   * One scan: the redacted text binds in its own projection (evaluated
+   * once per row — the q64-cliff rule), the per-class counts are
+   * conditional aggregates of that scan, and classes fan out as a
+   * projection over a 4-element struct array.
+   *
+   * @return one row per class (email, phone_intl, phone_bare, ipv4):
+   *   (pattern_class, docs_with_hits, hits_before, hits_after)
+   */
+  def redactionAudit(df: org.apache.spark.sql.DataFrame, text: Column): org.apache.spark.sql.DataFrame = {
+    val classes = Seq("email" -> EmailPattern, "phone_intl" -> IntlPhonePattern,
+      "phone_bare" -> BarePhonePattern, "ipv4" -> Ipv4Pattern)
+    val bound = df.select(text.as("t"))
+      .select(col("t"), redactPii(col("t")).as("r"))
+    val aggs = classes.flatMap { case (n, p) => Seq(
+      sum(when(col("t").rlike(p), 1L).otherwise(0L)).as(s"d_$n"),
+      coalesce(sum(regexp_count(col("t"), lit(p))), lit(0L)).as(s"b_$n"),
+      coalesce(sum(regexp_count(col("r"), lit(p))), lit(0L)).as(s"a_$n")) }
+    bound.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(classes.map { case (n, _) =>
+        struct(lit(n).as("pattern_class"), col(s"d_$n").as("docs_with_hits"),
+          col(s"b_$n").as("hits_before"), col(s"a_$n").as("hits_after")) }: _*)).as("e"))
+      .select(col("e.pattern_class").as("pattern_class"),
+        col("e.docs_with_hits").as("docs_with_hits"),
+        col("e.hits_before").as("hits_before"),
+        col("e.hits_after").as("hits_after"))
+  }
+
   // ------------------------------------------------- catalyst-level builders
 
   import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal, RLike, RegExpReplace, StringTrim}

@@ -54,4 +54,32 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(out.values.toSet === Set(7L))
     assert(out.size === qs.size)
   }
+
+  test("madOutliers: hand case — median 10, MAD 2, one far outlier at k=3") {
+    import spark.implicits._
+    // values: 6 8 9 10 10 11 12 13 100 -> n=9, med=10 (rank 5)
+    // devs sorted: 0 0 1 1 2 2 3 4 90 -> mad=2 (rank 5); 3*mad=6 -> only 90 flags
+    val df = Seq(6L, 8L, 9L, 10L, 10L, 11L, 12L, 13L, 100L)
+      .map(("g", _)).toDF("g", "v").repartition(4)
+    val r = ExactQuantile.madOutliers(df,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((9L, 10L, 2L, 1L, 90L)))
+  }
+
+  test("madOutliers: MAD 0 flags every deviating value, equal values flag none") {
+    import spark.implicits._
+    // over half identical -> mad = 0; the two deviants flag (d*1 > 0*3)
+    val df = (Seq.fill(6)(5L) ++ Seq(4L, 9L)).map(("g", _)).toDF("g", "v")
+    val r = ExactQuantile.madOutliers(df,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v")).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 0L, 2L)))
+    val same = Seq.fill(4)(("h", 7L)).toDF("g", "v")
+    val r2 = ExactQuantile.madOutliers(same,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v")).collect().head
+    assert(r2.getLong(4) === 0L)
+  }
 }

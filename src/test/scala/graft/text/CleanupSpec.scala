@@ -72,4 +72,25 @@ class CleanupSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       .orderBy("doc_id").collect().map(r => (r.getString(1), r.getInt(2)))
     assert(out.toSeq === Seq(("a\nb", 0), ("c\nd", 0)))
   }
+
+  test("redactionAudit counts planted hits per class and certifies zero residue") {
+    val corpus = docs(
+      1L -> "write bob@example.com or call +1 555-123-4567",
+      2L -> "server at 10.0.0.1 and 192.168.1.1, fallback 555-000-1234",
+      3L -> "nothing sensitive here")
+    val out = Cleanup.redactionAudit(corpus, col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("email") === ((1L, 1L, 0L)))
+    assert(out("phone_intl") === ((1L, 1L, 0L)))
+    // the intl number's tail ALSO matches the bare pattern pre-redaction
+    assert(out("phone_bare") === ((2L, 2L, 0L)))
+    assert(out("ipv4") === ((1L, 2L, 0L)))
+  }
+
+  test("redactionAudit on a clean corpus is all zeros") {
+    val out = Cleanup.redactionAudit(docs(1L -> "plain text"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq.fill(4)((0L, 0L, 0L)))
+  }
 }
