@@ -82,4 +82,15 @@ class ExactQuantileSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("v")).collect().head
     assert(r2.getLong(4) === 0L)
   }
+
+  test("madOutliers: histogram and sliver median paths agree") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => ("g" + (i % 3), (i * 37 % 97).toLong))
+    val df = rows.toDF("g", "v").repartition(4)
+    def run(hist: Boolean) = ExactQuantile.madOutliers(df,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v"), viaHistogram = hist)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(run(true) === run(false))
+  }
 }
