@@ -39,9 +39,11 @@ object Privacy {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds must be >= 1, got $ks")
     val sizes = df.groupBy(qi: _*).agg(count(lit(1)).as("gsz"))
+    // coalesce: an empty corpus has nothing linkable (zeros, not nulls);
+    // min_group_size stays null there — "no groups" has no honest number.
     val perK = ks.flatMap(k => Seq(
-      sum(when(col("gsz") < k, col("gsz")).otherwise(0L)).as(s"r$k"),
-      sum(when(col("gsz") < k, 1L).otherwise(0L)).as(s"g$k")))
+      coalesce(sum(when(col("gsz") < k, col("gsz")).otherwise(0L)), lit(0L)).as(s"r$k"),
+      coalesce(sum(when(col("gsz") < k, 1L).otherwise(0L)), lit(0L)).as(s"g$k")))
     val aggs = Seq(min(col("gsz")).as("min_group_size"),
       count(lit(1)).as("n_groups")) ++ perK
     sizes.agg(aggs.head, aggs.tail: _*)
