@@ -718,6 +718,32 @@ object CoreQueries {
           col("d.doc_id").as("doc_id"))
     }),
 
+    // Streaming k-anonymity gate: events suppress until their
+    // (event_type, value-ventile) cohort reaches k = 8, then the held
+    // tail releases and later rows stream through — the delayed-release
+    // privacy pattern, state bounded at k-1 rows per suppressed cohort.
+    // Release is monotone and once-per-row, so the single-drain result
+    // equals the batch rule: rows whose cohort total >= k (29 of the 88
+    // cohorts at sf0.01 stay suppressed — the gate actually gates).
+    "q199_streaming_kanon_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("event_type"),
+          floor(col("value") / 20.0d).cast("int").as("vb"), col("event_id"))
+        .as[graft.streaming.TransformWithStateOps.KaRow]
+      val gated = graft.streaming.TransformWithStateOps
+        .kAnonymityGateTws(s, ev, k = 8)
+      val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
+        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          gated.toDF().writeStream.format("memory").queryName("q199_mem")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()))
+      q.awaitTermination()
+      s.table("q199_mem")
+        .select(col("event_type"), col("vb"), col("event_id"))
+        .orderBy("event_type", "vb", "event_id")
+    }),
+
     // transformWithState's ListState primitive: per-user last-3 events,
     // continuously maintained with at most k entries of state per user.
     // The top-k by (ts, id) is order-insensitive over the arrival union,
@@ -2399,6 +2425,14 @@ object CoreQueries {
     // The reservoir's truth: the SAME md5-64 ticket order, re-derived as
     // a batch ranking per source (rebias to two's-complement to match
     // Spark's signed ticket sort; ties broken by doc_id both sides).
+    // Batch rule of the monotone gate: rows whose QI cohort total >= k.
+    "q199_streaming_kanon_gate" ->
+      """WITH g AS (
+        |  SELECT event_type, floor(value / 20)::INT AS vb, event_id,
+        |    count(*) OVER (PARTITION BY event_type, floor(value / 20)::INT) AS c
+        |  FROM events)
+        |SELECT event_type, vb, event_id FROM g WHERE c >= 8
+        |ORDER BY event_type, vb, event_id""".stripMargin,
     "q190_streaming_reservoir" ->
       """WITH h AS (
         |  SELECT source, doc_id,

@@ -297,6 +297,78 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One gated row: quasi-identifier fields + the row id
+   * (input/output of [[kAnonymityGateTws]]). */
+  case class KaRow(event_type: String, vb: Int, event_id: Long)
+
+  /** The quasi-identifier cohort key of [[KaRow]]. */
+  case class KaKey(event_type: String, vb: Int)
+
+  /**
+   * Streaming k-anonymity gate — delayed-release suppression, the
+   * streaming face of [[graft.operators.Privacy.kAnonymityAudit]]: no
+   * row becomes visible until its quasi-identifier cohort holds at
+   * least k rows (a row released earlier would be re-identifiable by
+   * exactly the linkage the batch audit counts). Rows of a still-small
+   * cohort BUFFER in state; the arrival that takes the cohort to k
+   * releases the whole buffer, and every later row passes straight
+   * through.
+   *
+   * Batching-independent by construction: release is MONOTONE (a cohort
+   * never un-reaches k) and each row emits exactly once — any batch
+   * slicing yields the same released set, which is what makes the batch
+   * oracle exact under a single-file drain (rows whose cohort total
+   * ≥ k). State per key: one counter + a buffer of AT MOST k−1 rows
+   * (cleared forever at release) — the suppressed tail is the only
+   * state that persists, and its size is the privacy parameter, not the
+   * stream length.
+   */
+  class KAnonGateProcessor(k: Int)
+      extends StatefulProcessor[KaKey, KaRow, KaRow] {
+
+    @transient private var nSeen: ValueState[Long] = _
+    @transient private var buffer: ListState[KaRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nSeen = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig.NONE)
+      buffer = getHandle.getListState[KaRow](
+        "buf", Encoders.product[KaRow], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: KaKey, rows: Iterator[KaRow],
+        timerValues: TimerValues): Iterator[KaRow] = {
+      val arrivals = rows.toArray
+      val before = Option(nSeen.get()).getOrElse(0L)
+      val total = before + arrivals.length
+      nSeen.update(total)
+      if (before >= k) {
+        arrivals.iterator // cohort already public: pass through
+      } else if (total >= k) {
+        // This batch crosses the threshold: release the held tail + the
+        // arrivals, retire the buffer for good.
+        val held = buffer.get().toArray
+        buffer.clear()
+        (held ++ arrivals).iterator
+      } else {
+        buffer.put(buffer.get().toArray ++ arrivals) // ≤ k-1 entries
+        Iterator.empty
+      }
+    }
+  }
+
+  /** k-anonymity delayed-release gate over a stream of QI-keyed rows.
+   * See [[KAnonGateProcessor]]. */
+  def kAnonymityGateTws(spark: SparkSession, rows: Dataset[KaRow],
+      k: Int): Dataset[KaRow] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    rows
+      .groupByKey(r => KaKey(r.event_type, r.vb))
+      .transformWithState(new KAnonGateProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** CDC latest-wins state on `transformWithState`, WARM-STARTED from a
    * batch snapshot — the state-migration path a deployment takes when
    * moving an existing continuously-maintained view onto this API: the

@@ -293,4 +293,33 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(u1.count(_ == ((ts(10, 0), 1L))) === 2)
     assert(u1.contains((ts(12, 30), 1L)))
   }
+
+  test("k-anonymity gate: batching-independent release, suppressed cohorts never leak") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import TransformWithStateOps.KaRow
+
+    // cohort ("a", 0): 4 rows >= k=3 -> all release; ("b", 0): 2 rows -> suppressed.
+    val rows = Seq(KaRow("a", 0, 1L), KaRow("a", 0, 2L), KaRow("a", 0, 3L),
+      KaRow("a", 0, 4L), KaRow("b", 0, 5L), KaRow("b", 0, 6L))
+
+    def runWith(batches: Seq[Seq[KaRow]], name: String): Seq[Long] = {
+      val input = MemoryStream[KaRow]
+      val query = TransformWithStateOps.withRocksDbStateStore(spark)(
+        TransformWithStateOps.kAnonymityGateTws(spark, input.toDS(), k = 3)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start())
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      query.stop()
+      spark.table(name).collect().map(_.getLong(2)).toSeq.sorted
+    }
+
+    val oneShot = runWith(Seq(rows), "tws_ka1")
+    // Hostile slicing: the crossing arrival lands alone, then a post-release row.
+    val sliced = runWith(Seq(
+      Seq(rows(0), rows(4)), Seq(rows(1), rows(5)), Seq(rows(2)), Seq(rows(3))),
+      "tws_ka2")
+    assert(oneShot === Seq(1L, 2L, 3L, 4L))
+    assert(sliced === Seq(1L, 2L, 3L, 4L)) // same released set, each row once
+  }
 }
