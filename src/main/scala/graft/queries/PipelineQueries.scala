@@ -310,10 +310,17 @@ object PipelineQueries {
     // a deterministic (count, lang)-max tie-break). Two vocab-bounded
     // aggregations; text never shuffles.
     "q83_corpus_report" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(col("source"),
-        TextAnalysis.tokenCount(col("text")).as("ntok"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.languageGuess(col("text")).as("g"))
+      // ONE TextStats kernel pass feeds both the token count and all four
+      // languages' stopword hits (the composed builders would tokenize
+      // five times per row); the struct binds in its own projection per
+      // the textStats contract. round-12 sweep: 0.73 -> ~0.5 s at sf0.1.
+      val base = Tables.documents(s, dir)
+        .select(col("source"), col("text"),
+          TextAnalysis.textStats(col("text"), TextAnalysis.languageHitLists).as("st"))
+        .select(col("source"),
+          col("st.n_tokens").as("ntok"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.languageGuessFromHits(col("st.stopword_hits")).as("g"))
       val agg = base.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("ntok").cast("long")).as("n_tokens"),
@@ -1305,8 +1312,17 @@ object PipelineQueries {
     // kappa makes in-engine integer division an engine-portability trap
     // (floor vs truncate), so no division happens on either side.
     "q195_label_kappa" -> ((s, dir) => {
-      graft.operators.Agreement.cohenKappa(Tables.documents(s, dir),
-        col("lang"), graft.text.TextAnalysis.languageGuess(col("text")))
+      // The guess rides ONE TextStats kernel pass (all four languages'
+      // stopword hits at once) instead of languageGuess's four
+      // tokenizations; hits bind in their own projection.
+      graft.operators.Agreement.cohenKappa(
+        Tables.documents(s, dir)
+          .select(col("lang"), graft.text.TextAnalysis.textStats(col("text"),
+            graft.text.TextAnalysis.languageHitLists).as("st"))
+          .select(col("lang"),
+            graft.text.TextAnalysis.languageGuessFromHits(
+              col("st.stopword_hits")).as("guess")),
+        col("lang"), col("guess"))
     }),
 
     // Micro-batch padding audit at batch size 32: pad-to-corpus-max vs

@@ -125,9 +125,6 @@ object TextAnalysis {
    * list hits the most tokens; earlier entry wins ties. Heuristic n-gram /
    * stopword language ID — cheap enough to run over every document. */
   def languageGuess(text: Column): Column = {
-    val scored = Stopwords.ByLanguage.map { case (lang, words) =>
-      struct(tokenHits(text, words).as("hits"), lit(lang).as("lang"))
-    }
     // argmax by (hits, preference order): array_max on structs compares
     // fields in order, so put hits first and break ties by reverse position.
     val withPref = Stopwords.ByLanguage.zipWithIndex.map { case ((lang, words), i) =>
@@ -136,6 +133,23 @@ object TextAnalysis {
     }
     array_max(array(withPref: _*)).getField("lang")
   }
+
+  /** [[languageGuess]] over PRE-COMPUTED stopword hits — the fused form:
+   * each [[languageGuess]] call tokenizes once PER LANGUAGE, where
+   * `textStats(text, Stopwords.ByLanguage.map(_._2))` computes every
+   * list's hits in its one kernel pass. Pass that struct's
+   * `stopword_hits` here (bound to a column in its OWN projection — the
+   * textStats contract) for the identical argmax and (hits, preference)
+   * tie order. */
+  def languageGuessFromHits(hits: Column): Column =
+    array_max(array(Stopwords.ByLanguage.zipWithIndex.map { case ((lang, _), i) =>
+      struct(hits.getItem(i).as("hits"),
+        lit(Stopwords.ByLanguage.size - i).as("pref"), lit(lang).as("lang"))
+    }: _*)).getField("lang")
+
+  /** The [[textStats]] stopword-list argument matching
+   * [[languageGuessFromHits]]'s index order. */
+  def languageHitLists: Seq[Seq[String]] = Stopwords.ByLanguage.map(_._2)
 
   /** Bucket count for [[linearQualityScore]] — a power of two, so the
    * signed Spark md5-64 and an unsigned engine's UBIGINT hash agree on

@@ -358,4 +358,28 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
     // Deterministic: a second evaluation selects bit-identical spans.
     assert(run() === spans)
   }
+
+  test("languageGuessFromHits over textStats equals the composed languageGuess") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox and the lazy dog of the field",
+      "der hund und die katze sind nicht im haus",
+      "el perro y el gato en la casa de la madre",
+      "le chien et le chat dans la maison de la mer",
+      "zzz qqq 123", "", "und the la le und the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = df
+      .select(org.apache.spark.sql.functions.col("id"),
+        TextAnalysis.textStats(org.apache.spark.sql.functions.col("text"),
+          TextAnalysis.languageHitLists).as("st"))
+      .select(org.apache.spark.sql.functions.col("id"),
+        TextAnalysis.languageGuessFromHits(
+          org.apache.spark.sql.functions.col("st.stopword_hits")).as("g"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val composed = df
+      .select(org.apache.spark.sql.functions.col("id"),
+        TextAnalysis.languageGuess(org.apache.spark.sql.functions.col("text")).as("g"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(fused === composed)
+  }
 }
