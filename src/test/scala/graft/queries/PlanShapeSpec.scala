@@ -549,4 +549,46 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(!exchanges.exists(_.contains("embedding")),
       s"train embedding rides a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("padding audit: row volume never rides a sort — the only sort is the histogram window") {
+    val df = graft.operators.Packing.paddingAudit(
+      graft.sources.Tables.documents(spark, sf),
+      graft.text.TextAnalysis.tokenCount(
+        org.apache.spark.sql.functions.col("text")), batchSize = 32)
+    val p = plan(df)
+    // The cumulative window sorts the |distinct lengths| HISTOGRAM; a sort
+    // whose child is the scan side would mean the rows themselves were
+    // globally ordered — the shape the operator exists to avoid.
+    val sorts = p.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith(":- Sort")).toSeq
+    assert(p.contains("Window") || p.contains("window"), "no histogram window")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global range sort of input rows in the padding audit")
+  }
+
+  test("k-anonymity audit: thresholds fan out as a projection, not extra aggregation passes") {
+    val df = graft.operators.Privacy.kAnonymityAudit(
+      graft.sources.Tables.customer(spark, sf),
+      Seq(org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment")),
+      ks = Seq(2, 5, 10, 20))
+    val p = plan(df)
+    // Exactly two shuffles: the QI groupBy and the global reduce of the
+    // group-size table. Four thresholds must NOT add passes.
+    val nExchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(nExchanges <= 2, s"threshold fan-out added exchanges: $nExchanges\n$p")
+    assert(p.contains("Generate explode"), "thresholds not a projection explode")
+  }
+
+  test("streaming k-anonymity gate releases exactly the >=k cohorts (single drain = batch rule)") {
+    // Not a plan pin but the gate's end-to-end batch-parity contract at
+    // fixture scale, kept here with the other q-level invariants.
+    val out = CoreQueries.queries("q199_streaming_kanon_gate")(spark, sf)
+      .groupBy("event_type", "vb")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) >= 8L), "a sub-k cohort leaked through the gate")
+  }
 }
