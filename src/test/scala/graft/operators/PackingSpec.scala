@@ -169,4 +169,22 @@ class PackingSpec extends AnyFunSuite {
     assert(out("sorted_batches") === 0L)
     assert(out("global_pad") === 9L * 3 - 16L)
   }
+
+  test("paddingAudit equals brute force on 30 random length multisets (any B)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val b = 1 + rnd.nextInt(7)
+      val lens = Seq.fill(n)(rnd.nextInt(12).toLong)
+      val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "len")
+      val got = Packing.paddingAudit(df,
+        org.apache.spark.sql.functions.col("len"), batchSize = b)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val batches = lens.sorted.grouped(b).toSeq
+      val brute = batches.map(x => x.max * x.size - x.sum).sum
+      assert(got("sorted_batches") === brute, s"trial=$trial n=$n b=$b lens=$lens")
+      assert(got("global_pad") === lens.max * n - lens.sum)
+    }
+  }
 }
