@@ -109,6 +109,45 @@ object Packing {
   }
 
   /**
+   * Weight-balanced shard planning — LPT (longest-processing-time)
+   * scheduling: within each stream partition, documents are assigned in
+   * (weight DESC, id) order to the currently LEAST-LOADED of `nShards`
+   * shards (ties to the lowest shard index). The classic 4/3-approximate
+   * makespan heuristic — where hash sharding (`epochShards`) balances
+   * COUNTS and lets one heavy-document shard straggle, LPT balances the
+   * WEIGHT (token) load, which is what decides when the slowest
+   * preprocessing worker finishes.
+   *
+   * Deterministic by construction (total order + deterministic
+   * tie-breaks on both the document sort and the shard argmin), so the
+   * DuckDB oracle re-derives the exact assignment with a recursive CTE.
+   * Same bounded-model contract as [[packNoSplit]]: the greedy fold is
+   * inherently sequential per stream, so each partition's rows fold
+   * inside one generator eval over the collected stream
+   * ([[LptAssignExplode]]) — a stream partition is a serving shard,
+   * sized by the caller.
+   *
+   * @return (part, id, w, shard) — one row per input document.
+   */
+  def lptShards(df: DataFrame, partCol: Column, idCol: Column,
+      weightCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val w = when(weightCol < 0, raise_error(concat(
+      lit("lptShards: negative weight for id "), idCol.cast("string"))))
+      .otherwise(weightCol.cast("long"))
+    df
+      .select(partCol.as("part"),
+        struct((-w).as("nw"), idCol.as("id"), w.as("w")).as("m"))
+      .groupBy("part")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("part"), GraftSqlBridge.column(LptAssignExplode(
+        GraftSqlBridge.expression(col("ms")), nShards)))
+      .select(col("part"), col("p.e.id").as("id"), col("p.e.w").as("w"),
+        col("p.shard").as("shard"))
+  }
+
+  /**
    * Micro-batch PADDING audit — the inference/fine-tuning counterpart of
    * [[packAudit]], for the regime where sequences are NOT concatenated
    * (packing) but PADDED to their batch's maximum length (attention
@@ -168,6 +207,75 @@ object Packing {
         col("e.n_tokens").as("n_tokens"), col("e.n_padding").as("n_padding"),
         expr("e.ut div e.pc").as("utilization_e6"))
   }
+}
+
+/**
+ * Catalyst generator for the LPT fold: input is a stream partition's
+ * elements as `array<struct<..., w: bigint>>` ALREADY in assignment order
+ * (weight desc, id asc — the caller sorts struct(nw, id, w); the LAST
+ * field is the weight); output rows are `p: struct(e, shard)` — the
+ * element plus its least-loaded-shard assignment (load ties to the lowest
+ * shard index). One O(n·nShards) loop per partition, same bounded-model
+ * contract as [[GreedyPackExplode]].
+ */
+case class LptAssignExplode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    nShards: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+
+  require(nShards > 0, s"shard count must be positive, got $nShards")
+
+  private lazy val elemType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(st: StructType, _) if st.fields.nonEmpty &&
+          st.fields.last.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<..., w: bigint>>, got ${child.dataType.catalogString}")
+    }
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("p", StructType(Seq(
+      StructField("e", elemType, nullable = false),
+      StructField("shard", IntegerType, nullable = false))), nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    val wIdx = elemType.length - 1
+    val loads = new Array[Long](nShards)
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < m
+      override def next(): InternalRow = {
+        val e = arr.getStruct(i, elemType.length).copy()
+        var best = 0
+        var s = 1
+        while (s < nShards) {
+          if (loads(s) < loads(best)) best = s
+          s += 1
+        }
+        loads(best) += e.getLong(wIdx)
+        i += 1
+        InternalRow(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](e, best)))
+      }
+    }
+  }
+
+  override def prettyName: String = "lpt_assign_explode"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LptAssignExplode =
+    copy(child = newChild)
 }
 
 /**

@@ -1337,6 +1337,24 @@ object PipelineQueries {
         .orderBy("strategy")
     }),
 
+    // Weight-balanced shard planning: each source's documents assigned to
+    // 4 preprocessing shards by LPT (heaviest first, least-loaded shard,
+    // deterministic ties) — token loads equalize where q79's hash
+    // sharding only equalizes counts. The oracle replays the exact greedy
+    // walk with a recursive CTE (deterministic total order on both the
+    // document sort and the shard argmin is what makes that possible).
+    "q200_lpt_shards" -> ((s, dir) => {
+      graft.operators.Packing.lptShards(
+        Tables.documents(s, dir),
+        col("source"), col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")), nShards = 4)
+        .groupBy(col("part"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("load_tokens"))
+        .select(col("part").as("source"), col("shard"), col("n_docs"),
+          col("load_tokens"))
+        .orderBy("source", "shard")
+    }),
+
     // Robust per-source length-outlier flags: median/MAD of n_chars at
     // k = 3 raw MADs — the degenerate-document alarm a mean/stddev
     // threshold misses exactly when it matters (the outlier drags the
@@ -3547,6 +3565,45 @@ object PipelineQueries {
         |    sum(len(regexp_extract_all(r, '\b(?:\d{1,3}\.){3}\d{1,3}\b')))::BIGINT
         |  FROM b
         |) ORDER BY pattern_class""".stripMargin,
+    // The greedy LPT walk replayed step-by-step: the recursive frontier
+    // advances one document per source per iteration, carrying the four
+    // shard loads; the CASE chain picks the first minimal load = lowest
+    // index on ties, the same rule as the generator's strict-< argmin.
+    "q200_lpt_shards" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, doc_id, w,
+         |    row_number() OVER (PARTITION BY source ORDER BY w DESC, doc_id) AS rn
+         |  FROM (SELECT source, doc_id, len($tokensSql)::BIGINT AS w FROM documents)
+         |),
+         |walk AS (
+         |  SELECT source, 0::BIGINT AS rn, NULL::BIGINT AS doc_id, NULL::INT AS shard,
+         |    0::BIGINT AS l0, 0::BIGINT AS l1, 0::BIGINT AS l2, 0::BIGINT AS l3
+         |  FROM (SELECT DISTINCT source FROM d)
+         |  UNION ALL
+         |  SELECT w.source, dd.rn, dd.doc_id,
+         |    CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3 THEN 0
+         |         WHEN w.l1 <= w.l2 AND w.l1 <= w.l3 THEN 1
+         |         WHEN w.l2 <= w.l3 THEN 2 ELSE 3 END::INT AS shard,
+         |    w.l0 + CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3
+         |                THEN dd.w ELSE 0 END AS l0,
+         |    w.l1 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+         |                 AND (w.l1 <= w.l2 AND w.l1 <= w.l3)
+         |                THEN dd.w ELSE 0 END AS l1,
+         |    w.l2 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+         |                 AND NOT (w.l1 <= w.l2 AND w.l1 <= w.l3)
+         |                 AND w.l2 <= w.l3
+         |                THEN dd.w ELSE 0 END AS l2,
+         |    w.l3 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2 AND w.l0 <= w.l3)
+         |                 AND NOT (w.l1 <= w.l2 AND w.l1 <= w.l3)
+         |                 AND NOT (w.l2 <= w.l3)
+         |                THEN dd.w ELSE 0 END AS l3
+         |  FROM walk w JOIN d dd ON dd.source = w.source AND dd.rn = w.rn + 1
+         |)
+         |SELECT a.source, a.shard, count(*)::BIGINT AS n_docs,
+         |  sum(d.w)::BIGINT AS load_tokens
+         |FROM (SELECT source, doc_id, shard FROM walk WHERE rn > 0) a
+         |JOIN d USING (source, doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Two chained lower-rank medians (the q130 rank rule), then the
     // cross-multiplied k = 3/1 flag rule.
     "q198_mad_outliers" ->

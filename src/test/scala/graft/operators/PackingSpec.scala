@@ -187,4 +187,42 @@ class PackingSpec extends AnyFunSuite {
       assert(got("global_pad") === lens.max * n - lens.sum)
     }
   }
+
+  test("lptShards == plain-Scala LPT reference across random weight mixes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val nShards = 1 + rnd.nextInt(5)
+      val docs = (1 to 60).map(i =>
+        (s"s${i % 2}", i.toLong, rnd.nextInt(500).toLong))
+      val got = Packing.lptShards(docs.toDF("part", "id", "w"),
+          org.apache.spark.sql.functions.col("part"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("w"), nShards)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+      for ((part, rows) <- docs.groupBy(_._1)) {
+        val loads = new Array[Long](nShards)
+        for ((_, id, w) <- rows.sortBy { case (_, id, w) => (-w, id) }) {
+          val best = loads.indices.minBy(i => (loads(i), i))
+          assert(got((part, id)) === best, s"trial=$trial part=$part id=$id")
+          loads(best) += w
+        }
+      }
+    }
+  }
+
+  test("lptShards balances token load where hash sharding cannot: one giant + many small") {
+    import spark.implicits._
+    // One 1000-token doc + thirty 10-token docs over 4 shards: LPT puts
+    // the giant alone; the other three shards split the small mass evenly.
+    val docs = Seq(("p", 0L, 1000L)) ++ (1 to 30).map(i => ("p", i.toLong, 10L))
+    val loads = Packing.lptShards(docs.toDF("part", "id", "w"),
+        org.apache.spark.sql.functions.col("part"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("w"), nShards = 4)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("w").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(loads(0) === 1000L)            // the giant, alone
+    assert((1 to 3).map(loads(_)).toSet === Set(100L)) // 300 small tokens split 100/100/100
+  }
 }
