@@ -1337,6 +1337,19 @@ object PipelineQueries {
         .orderBy("strategy")
     }),
 
+    // Recency-weighted (half-life) engagement per user: each event is a
+    // bit-shifted power-of-two weight by week of age under the corpus
+    // horizon — the exponential-decay feature with the float pow
+    // replaced by exact integer arithmetic, so the training dump and any
+    // serving recomputation agree bit-for-bit. One pass, |users| rows of
+    // shuffle (see Features.halfLifeEngagement).
+    "q201_halflife_engagement" -> ((s, dir) => {
+      graft.operators.Features.halfLifeEngagement(
+        Tables.events(s, dir), col("user_id"), col("ts"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
+    }),
+
     // Weight-balanced shard planning: each source's documents assigned to
     // 4 preprocessing shards by LPT (heaviest first, least-loaded shard,
     // deterministic ties) — token loads equalize where q79's hash
@@ -3565,6 +3578,17 @@ object PipelineQueries {
         |    sum(len(regexp_extract_all(r, '\b(?:\d{1,3}\.){3}\d{1,3}\b')))::BIGINT
         |  FROM b
         |) ORDER BY pattern_class""".stripMargin,
+    // Same week quantization (integer div of epoch-micros deltas), same
+    // bit-shift weights; DuckDB's << on BIGINT is the identical shift.
+    "q201_halflife_engagement" ->
+      """WITH h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+        |w AS (
+        |  SELECT user_id, (h.h_us - epoch_us(ts)) // 604800000000 AS w
+        |  FROM events, h)
+        |SELECT user_id,
+        |  sum(CASE WHEN w <= 26 THEN 1 ELSE 0 END)::BIGINT AS n_events_in_horizon,
+        |  sum(CASE WHEN w <= 26 THEN (1::BIGINT << (26 - w)::INT) ELSE 0 END)::BIGINT AS score
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // The greedy LPT walk replayed step-by-step: the recursive frontier
     // advances one document per source per iteration, carrying the four
     // shard loads; the CASE chain picks the first minimal load = lowest
