@@ -15,6 +15,13 @@ run / fork := true
 // prefixes forked output with "[info] ", which breaks that parse. Route the
 // forked process's stdout straight through instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's "[success] Total time: ..." line prints AFTER the forked
+// main's output, so Bench's JSON was never the last stdout line (r12
+// verdict: driver `parsed` null). Suppress it; exit codes carry success.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another task —
+// silence the unused-key lint for it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

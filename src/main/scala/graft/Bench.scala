@@ -115,14 +115,22 @@ object Bench {
     // write above runs a separate command execution whose metrics the
     // frame does not see).
     val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Option[Long]]()
+    // Streaming fixed-overhead tag (r12 verdict #6): 23 rows are dominated
+    // by microbatch/checkpoint setup and swing ±2× with ambient load —
+    // tagging them in the artifact lets regression sweeps separate real
+    // plan changes from checkpoint noise mechanically. Runtime detection
+    // (did the query start a StreamingQuery?) keeps the tag from drifting
+    // out of sync with the query list.
+    val streamingNames = scala.collection.mutable.LinkedHashSet[String]()
     queries.foreach { case (name, fn) =>
       try {
         val startsBefore = streamStarts.get()
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.foreach(_ => ())
-        shuffleBytes(name) =
-          if (streamStarts.get() != startsBefore) None // streaming: sink-read bytes would lie
-          else Some(graft.util.ShuffleAudit.shuffledBytes(df))
+        if (streamStarts.get() != startsBefore) {
+          streamingNames += name
+          shuffleBytes(name) = None // streaming: sink-read bytes would lie
+        } else shuffleBytes(name) = Some(graft.util.ShuffleAudit.shuffledBytes(df))
       } catch {
         case t: Throwable => System.err.println(s"WARN shuffle audit $name failed: $t")
       }
@@ -137,8 +145,10 @@ object Bench {
     val passTotals = passes.map(_.map(_._2).sum).mkString("[", ",", "]")
     val sb = shuffleBytes.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
+    val streamTag = streamingNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"median_of_3",""" +
-      s""""pass_totals":$passTotals,"queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+      s""""pass_totals":$passTotals,"queries":$qs,"shuffle_bytes":$sb,""" +
+      s""""streaming_queries":$streamTag,"sf":"$sfDir"}"""
     // The driver captures a BOUNDED amount of stdout (BENCH_r11 shows the
     // capture cut mid-line at ~12 KB, leaving `parsed: None`), so the full
     // artifact — 202 query timings at double precision plus the per-query
@@ -154,11 +164,21 @@ object Bench {
         System.err.println(s"WARN could not write $path: $t")
       }
     }
-    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale-pinned formatting (ADVICE r12): the f interpolator honors the
+    // default locale — a comma-decimal locale would emit invalid JSON.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""agg":"median_of_3","pass_totals":$passTotals,"queries":$qsCompact,"sf":"$sfDir"}"""
-    println(compact)
+    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""agg":"median_of_3","pass_totals":$passTotals,"queries":$qsCompact,""" +
+      s""""streaming_queries":$streamTag,"sf":"$sfDir"}"""
+    // Print AFTER spark.stop(): with build.sbt suppressing sbt's
+    // "[success]" trailer (Global / showSuccess := false) and Spark's own
+    // logging on stderr, this line is genuinely the last stdout the
+    // driver sees — its JSON parse needs that.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -126,7 +126,13 @@ object ExactQuantile {
       if (viaHistogram) histogramMedian(in, out)
       else exactQuantilesByKey(in, col("g"), col("v"), Seq((1, 2)), shift)
         .select(col("g"), col("value").as(out))
+    // Nulls are excluded up front (ADVICE r12): the histogram path's
+    // ascending cumulative window would otherwise rank nulls FIRST while
+    // the sliver path and a SQL oracle (NULLS LAST, NULL comparisons
+    // excluded) place them differently — dropping them is the one
+    // semantics all three agree on ("median ignores NULLs").
     val base = df.select(groupCol.as("g"), valCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val med = median(base, "med")
     val dev = base.join(broadcast(med), "g")
       .select(col("g"), col("med"), abs(col("v") - col("med")).as("d"))

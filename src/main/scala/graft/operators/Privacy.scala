@@ -38,6 +38,10 @@ object Privacy {
   def kAnonymityAudit(df: DataFrame, qi: Seq[Column], ks: Seq[Int]): DataFrame = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds must be >= 1, got $ks")
+    // Duplicate thresholds would generate duplicate r$k/g$k aggregate
+    // aliases and die in analysis with an ambiguous-reference error —
+    // fail with the real reason instead (ADVICE r12).
+    require(ks.distinct.size == ks.size, s"thresholds must be distinct, got $ks")
     val sizes = df.groupBy(qi: _*).agg(count(lit(1)).as("gsz"))
     // coalesce: an empty corpus has nothing linkable (zeros, not nulls);
     // min_group_size stays null there — "no groups" has no honest number.

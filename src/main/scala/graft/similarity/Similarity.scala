@@ -891,9 +891,15 @@ object Similarity {
 
   /** Codegen'd nearest-centroid argmax over LITERAL centers: k fused
    * cosines + an array_min over (-score, cid) structs — the exact
-   * ordering (score desc, ties to the lower cid; NaN sorts last) of the
-   * min_by/window formulations, with no crossJoin fan-out, no broadcast,
-   * and no per-id exchange. */
+   * ordering (score desc, ties to the lower cid) of the min_by/window
+   * formulations on any REAL score, with no crossJoin fan-out, no
+   * broadcast, and no per-id exchange. NaN caveat (ADVICE r12): a
+   * zero-norm vector or centroid yields NaN cosines, and there the
+   * formulations diverge — array_min and min_by sort NaN LAST, while an
+   * orderBy(score.desc) window ranks NaN FIRST (Spark treats NaN as
+   * largest). This literal path matches the min_by formulation; inputs
+   * with zero-norm embeddings should be scrubbed upstream (the
+   * marginMinedPairs guard) before assignment means anything. */
   private def nearestCentroidByValues(vec: Column,
       cents: Seq[(Int, Seq[Float])]): Column = {
     require(cents.nonEmpty, "need at least one centroid")
@@ -905,7 +911,9 @@ object Similarity {
   /** The nProbe nearest centroids over LITERAL centers, as an exploded
    * (probe) column: sort all k (-score, cid) structs, slice the head —
    * identical order to the (cscore desc, cid asc) rank window it
-   * replaces, as a pure projection. */
+   * replaces on any REAL score, as a pure projection. Same NaN caveat as
+   * [[nearestCentroidByValues]]: on NaN cosines this matches the
+   * min_by/sort_array ordering (NaN last), not the rank window's. */
   private def probeCellsByValues(vec: Column, cents: Seq[(Int, Seq[Float])],
       nProbe: Int): Column = {
     require(cents.nonEmpty, "need at least one centroid")

@@ -48,6 +48,22 @@ object GraftSqlBridge {
     }
   }
 
+  /** True iff every LogicalRDD leaf of `df`'s analyzed plan still has its
+   * blocks registered (storage level != NONE). A localCheckpoint'd frame
+   * has TRUNCATED lineage: if some external actor unpersists its block
+   * RDD (e.g. a harness resetting cache state between passes), the frame
+   * is unrecoverable — serving it from a memo would fail with
+   * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. This check detects that case so
+   * the memo can recompute instead. (Executor loss drops blocks WITHOUT
+   * resetting the level — that failure mode stays, exactly as it does for
+   * any checkpoint reuse inside a single query.) */
+  def logicalRddsServable(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => true
+    }
+
   /** Re-root a logical plan onto another session of the same SparkContext
    * (`Dataset.ofRows` is `private[sql]`). The cache manager lives in
    * sharedState, so persisted subtrees still substitute — this exists so

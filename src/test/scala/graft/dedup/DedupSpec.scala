@@ -903,4 +903,87 @@ class DedupSpec extends AnyFunSuite {
       "GC-cleared memo payload leaked persisted intermediates")
     Dedup.clearPreparedPlans(spark)
   }
+
+  // -------------------------------- near-dup pair-graph / components memo
+
+  private def localLeavesOnly(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  /** The bench harness's per-query isolation: drop ALL cluster cache
+   * state (table cache + every persistent RDD, checkpoints included). */
+  private def resetClusterCaches(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("jaccardNearDupPairs memo: repeat invocation serves the driver-local result across a full cache reset") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again!",
+      3L -> "completely different content with no overlap whatsoever here")
+    Dedup.clearPreparedPlans(spark)
+    val first = jaccardNearDupPairs(d, 1, 2, rows = 4, shingleWidth = 5)
+    val firstRows = first.collect().toSeq
+    assert(firstRows.nonEmpty, "fixture must produce at least one pair")
+    // Fixture-sized pair lists ride the driver — nothing cluster-side to
+    // lose, the kmeansMemo survival property.
+    assert(localLeavesOnly(first),
+      "a pair list under the local bound must memoize as a LocalRelation")
+    resetClusterCaches()
+    val second = jaccardNearDupPairs(d, 1, 2, rows = 4, shingleWidth = 5)
+    assert(second eq first,
+      "repeat invocation must serve the memoized frame, not rebuild")
+    assert(second.collect().toSeq === firstRows)
+    // Different parameters or input: a genuine miss.
+    val other = jaccardNearDupPairs(d, 3, 4, rows = 4, shingleWidth = 5)
+    assert(!(other eq first))
+    Dedup.clearPreparedPlans(spark)
+  }
+
+  test("connectedComponents memo: the iterative chain runs once; hits survive a cache reset; clear hook recomputes") {
+    val p = {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    }
+    Dedup.clearPreparedPlans(spark)
+    val first = connectedComponents(p)
+    val firstRows = first.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(firstRows.toSet ===
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    assert(localLeavesOnly(first),
+      "a component table under the local bound must memoize as a LocalRelation")
+    resetClusterCaches()
+    // Hit: the SAME frame comes back — no checkpoint jobs, and collecting
+    // a LocalRelation cannot trip over the dropped checkpoint blocks.
+    val second = connectedComponents(p)
+    assert(second eq first,
+      "repeat invocation must serve the memoized component table")
+    assert(second.collect().length === firstRows.length)
+    // maxIter is part of the key — a different bound is a different entry.
+    val bounded = connectedComponents(p, maxIter = 5)
+    assert(!(bounded eq first))
+    // Invalidation drops both new memos; the operator recomputes cold.
+    Dedup.clearPreparedPlans(spark)
+    assert(Dedup.componentsMemo.stats(spark) === ((0, 0)))
+    assert(Dedup.nearDupPairsMemo.stats(spark) === ((0, 0)))
+    val third = connectedComponents(p)
+    assert(!(third eq first))
+    assert(third.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === firstRows.toSet)
+    Dedup.clearPreparedPlans(spark)
+  }
+
+  test("logicalRddsServable: a localCheckpoint'd frame stops being servable when its blocks are unpersisted") {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val df = spark.range(100).toDF("v").localCheckpoint(true)
+    assert(GraftSqlBridge.logicalRddsServable(df),
+      "freshly checkpointed frame must be servable")
+    resetClusterCaches()
+    assert(!GraftSqlBridge.logicalRddsServable(df),
+      "an unpersisted checkpoint must be detected as dead")
+    // And a plain scan (no LogicalRDD leaves) is always servable.
+    assert(GraftSqlBridge.logicalRddsServable(spark.range(5).toDF("v")))
+  }
 }
