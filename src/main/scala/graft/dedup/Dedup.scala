@@ -130,7 +130,7 @@ object Dedup {
     // this exact pair graph from the same corpus five times per suite —
     // each rebuild re-ran the ~2 s band/verify subchain. Same (input
     // plan, parameters) → the memoized result, driver-LOCALIZED when the
-    // verified pair list fits [[LocalMemoMaxRows]] (the kmeansMemo
+    // verified pair list fits [[graft.util.SessionPlanMemo.LocalMemoMaxRows]] (the kmeansMemo
     // pattern — survives cluster cache resets between queries) and
     // persist-backed otherwise. This makes the operator EAGER (one probe
     // job at call time; the result was always consumed anyway). Same
@@ -147,7 +147,8 @@ object Dedup {
     val (built, memoFrames) = buildNearDupPairs(docs, thresholdNum,
       thresholdDen, k, rows, shingleWidth, maxBucketSize, idCol, textCol,
       materializeCandidates)
-    val (result, trackFrames) = localizeOrPersist(built, memoFrames)
+    val (result, trackFrames) =
+      graft.util.SessionPlanMemo.localizeOrPersist(built, memoFrames)
     nearDupPairsMemo.put(docs.sparkSession, memoKey, inputPlan, result,
       trackFrames)
     result
@@ -773,185 +774,20 @@ object Dedup {
       (entries.size, persisted)
     }
 
-  // -------------------------------------- generic session plan memo (r13)
-
-  /** Session-scoped prepared-plan memo, the [[PreparedPpjoinEntry]] /
-   * kmeans-memo pattern generalized so [[jaccardNearDupPairs]] and
-   * [[connectedComponents]] can share one implementation: entries key on
-   * (parameter key, `sameResult` of the analyzed input plan), payloads are
-   * soft-referenced (a DataFrame strongly references its session, so a
-   * strong value chain from the WeakHashMap would pin the KEY forever),
-   * the store is LRU-bounded per session, and evictions/GC-cleared
-   * payloads release their persisted frames through the cache-RDD-id
-   * fallback. Same immutability assumption as Spark's own table cache;
-   * [[clearPreparedPlans]] is the invalidation hook.
-   *
-   * @param stillServable extra per-hit validity check. A lineage-PRESERVING
-   *   payload (plain persist) survives any external unpersist — recompute
-   *   is always possible — so the default accepts everything. A
-   *   lineage-TRUNCATED payload (localCheckpoint) dies with its blocks;
-   *   such memos pass [[GraftSqlBridge.logicalRddsServable]] so a harness
-   *   unpersist-all between passes degrades to recompute, not to
-   *   CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. */
-  private[dedup] final class SessionPlanMemo[K](maxEntries: Int,
-      stillServable: DataFrame => Boolean = _ => true) {
-    final class Entry(val key: K,
-        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        df: DataFrame, frames: Seq[DataFrame]) {
-      private val ref = new java.lang.ref.SoftReference((plan, df, frames))
-      private val weakCtx =
-        new java.lang.ref.WeakReference(df.sparkSession.sparkContext)
-      @volatile private var cacheRddIds: Set[Int] = Set.empty
-      def payload: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-          DataFrame, Seq[DataFrame])] = Option(ref.get())
-      /** Quiet idempotent re-persist on a memo hit (see
-       * [[PreparedPpjoinEntry.repersist]] — takes the caller's payload
-       * SNAPSHOT so the soft reference is not re-read). */
-      def repersist(frames: Seq[DataFrame]): Unit = {
-        frames.foreach { f =>
-          if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        }
-        cacheRddIds ++= frames.flatMap(
-          org.apache.spark.sql.graft.GraftSqlBridge.materializedCacheRddId)
-      }
-      def unpersistFrames(): Unit = payload match {
-        case Some((_, _, fs)) =>
-          fs.foreach { f =>
-            if (f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-              f.unpersist(blocking = false)
-          }
-          cacheRddIds = Set.empty
-        case None =>
-          for (ctx <- Option(weakCtx.get()); if !ctx.isStopped;
-               id <- cacheRddIds; rdd <- ctx.getPersistentRDDs.get(id))
-            rdd.unpersist(blocking = false)
-          cacheRddIds = Set.empty
-      }
-      /** Test seam: drop the soft payload as GC would under pressure. */
-      private[dedup] def simulatePayloadClear(): Unit = ref.clear()
-    }
-    private val store = new java.util.WeakHashMap[
-      org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Buffer[Entry]]
-
-    /** Memo hit for (key, input plan): expunges GC-cleared entries,
-     * LRU-touches and re-persists the hit, returns its frame. */
-    def lookup(spark: org.apache.spark.sql.SparkSession, key: K,
-        inputPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Option[DataFrame] = synchronized {
-      val entries = store.get(spark)
-      if (entries == null) return None
-      var i = 0
-      while (i < entries.size) {
-        if (entries(i).payload.isEmpty) {
-          entries(i).unpersistFrames()
-          entries.remove(i)
-        } else i += 1
-      }
-      // One payload SNAPSHOT per entry — GC can clear the soft reference
-      // between a "hit" decision and a second dereference.
-      var hit: Option[(Entry, DataFrame, Seq[DataFrame])] = None
-      val stale = scala.collection.mutable.Buffer.empty[Entry]
-      val it = entries.iterator
-      while (hit.isEmpty && it.hasNext) {
-        val e = it.next()
-        if (e.key == key) e.payload match {
-          case Some((plan, df, frames)) if plan.sameResult(inputPlan) =>
-            if (stillServable(df)) hit = Some((e, df, frames))
-            else stale += e
-          case _ =>
-        }
-      }
-      // Dead-payload entries (blocks externally dropped) expunge like
-      // GC-cleared ones: the caller recomputes and re-stores.
-      stale.foreach { e =>
-        e.unpersistFrames(); entries.remove(entries.indexWhere(_ eq e))
-      }
-      hit.map { case (e, df, frames) =>
-        entries.remove(entries.indexWhere(_ eq e)); entries += e
-        e.repersist(frames)
-        df
-      }
-    }
-
-    def put(spark: org.apache.spark.sql.SparkSession, key: K,
-        inputPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        df: DataFrame, frames: Seq[DataFrame]): Unit = synchronized {
-      var entries = store.get(spark)
-      if (entries == null) {
-        entries = scala.collection.mutable.Buffer.empty
-        store.put(spark, entries)
-      }
-      entries += new Entry(key, inputPlan, df, frames)
-      while (entries.size > maxEntries) entries.remove(0).unpersistFrames()
-    }
-
-    def clear(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-      val entries = store.remove(spark)
-      if (entries != null) entries.foreach(_.unpersistFrames())
-    }
-
-    /** Test hook: (live entries, frames still persisted) for `spark`. */
-    private[dedup] def stats(
-        spark: org.apache.spark.sql.SparkSession): (Int, Int) = synchronized {
-      val entries = Option(store.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
-      val persisted = entries.flatMap(_.payload).flatMap(_._3)
-        .count(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      (entries.size, persisted)
-    }
-    /** Test seam: raw entries for `spark` (GC-clear simulation). */
-    private[dedup] def entriesFor(
-        spark: org.apache.spark.sql.SparkSession): Seq[Entry] = synchronized {
-      Option(store.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
-    }
-  }
-
-  /** Row bound for driver-LOCAL memo payloads. A memoized result at or
-   * under this many rows is collected and re-served as a LocalRelation —
-   * the kmeansMemo pattern: driver values survive ANY cluster cache
-   * reset (benchmark harnesses and careful sessions unpersist everything
-   * between queries; an RDD-backed payload then dies with its blocks and
-   * the memo recomputes every time). Larger results never ride the
-   * driver: they stay cluster-side behind a lineage-preserving persist,
-   * so the bound — ~1M slim coordinate rows, tens of MB soft-referenced —
-   * is a fast-path cap, not a correctness limit. The near-dup pair graph
-   * and its component table are slivers of the corpus by construction
-   * (banded LSH keeps candidates near-linear and pairs are the verified
-   * subset), so at fixture scale the local path always wins; at 100 TB a
-   * billion-pair graph degrades to the persist path automatically. */
-  private val LocalMemoMaxRows = 1 << 20
-
-  /** Bounded driver-localization for memo payloads: probe `cap + 1` rows;
-   * a result within the cap re-serves as a LocalRelation (row order of
-   * the probe — i.e. the frame's own ORDER BY — preserved), anything
-   * larger persists MEMORY_AND_DISK cluster-side. Returns the frame to
-   * memoize plus the frames the memo must unpersist on eviction. NOTE:
-   * the probe is an EAGER job at operator-call time — acceptable for
-   * operators whose result is always consumed (and connectedComponents
-   * was already eager); it is also what materializes the persist on the
-   * fallback path. */
-  private def localizeOrPersist(df: DataFrame,
-      extraFrames: Seq[DataFrame]): (DataFrame, Seq[DataFrame]) = {
-    val probe = df.limit(LocalMemoMaxRows + 1).collect()
-    if (probe.length <= LocalMemoMaxRows) {
-      val local = df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(probe: _*), df.schema)
-      (local, extraFrames)
-    } else {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (p, p +: extraFrames)
-    }
-  }
+  // ------------------------------------ result memos (round 13)
+  // Shared machinery lives in [[graft.util.SessionPlanMemo]]; the
+  // near-dup pair graph and the component labels are two of its three
+  // instantiations (session assembly is the third).
 
   /** Parameter key for the [[jaccardNearDupPairs]] memo. */
   private[dedup] final case class NearDupPairsKey(num: Int, den: Int, k: Int,
       rows: Int, sw: Int, maxBucket: Int, idCol: String, textCol: String,
       mat: Boolean)
-  private[dedup] val nearDupPairsMemo = new SessionPlanMemo[NearDupPairsKey](8)
+  private[dedup] val nearDupPairsMemo =
+    new graft.util.SessionPlanMemo[NearDupPairsKey](8)
   // Components payloads are localCheckpoint'd (truncated lineage), so a
   // hit must verify the blocks are still registered — see stillServable.
-  private[dedup] val componentsMemo = new SessionPlanMemo[Int](8,
+  private[dedup] val componentsMemo = new graft.util.SessionPlanMemo[Int](8,
     GraftSqlBridge.logicalRddsServable)
 
   /** Intermediate relations of the PPJoin pipeline — one builder shared by
@@ -1760,7 +1596,7 @@ object Dedup {
     // checkpoint job), so four suite queries re-running it on the same
     // memoized pair graph re-paid the whole iterative chain. Same (pairs
     // plan, maxIter) → the stored label table, driver-LOCALIZED under
-    // [[LocalMemoMaxRows]] (component tables are bounded by the pair
+    // [[graft.util.SessionPlanMemo.LocalMemoMaxRows]] (component tables are bounded by the pair
     // graph, a corpus sliver) and persist-backed over a localCheckpoint
     // otherwise — the truncated-lineage fallback is guarded by the
     // stillServable check below so an external unpersist-all degrades to
@@ -1833,7 +1669,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    val (ccResult, ccFrames) = localizeOrPersist(
+    val (ccResult, ccFrames) = graft.util.SessionPlanMemo.localizeOrPersist(
       labels.select(col("id"), col("label").as("component_id")), Seq.empty)
     componentsMemo.put(pairs.sparkSession, maxIter, ccInputPlan, ccResult,
       ccFrames)

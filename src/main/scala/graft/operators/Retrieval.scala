@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Hybrid retrieval: the fusion step a RAG pipeline runs over its two
+ * retrieval arms — a lexical (term-index) ranking and a semantic (ANN)
+ * ranking — combined by reciprocal-rank fusion (Cormack et al., SIGIR
+ * 2009: RRF(d) = Σ_arms 1/(K + rank_arm(d)) beats each arm alone and
+ * needs no score calibration, only ranks).
+ *
+ * Everything is integer-exact: contributions are `1e6 div (K + rank)`,
+ * so the fused score, its additions, and the final ordering reproduce
+ * bit-for-bit on any engine — a SQL oracle re-ranks identically with no
+ * float anywhere.
+ */
+object Retrieval {
+
+  /**
+   * Lexical arm: per query document, the top-k corpus documents by
+   * DISTINCT-term overlap (ties → smaller doc id), self excluded — the
+   * rank list a posting-list index returns for "how many of the query's
+   * terms does this doc contain".
+   *
+   * Scale shape: the query term table is |queries|·|query vocab| rows and
+   * broadcasts; the corpus token relation (the q155 posting shape) joins
+   * it map-side, the (query, doc) overlap counts combine before the
+   * exchange, and the per-query top-k rides the bounded
+   * [[TopK.topKStructs]] aggregate — at most k structs per query cross
+   * the final exchange, never a whole ranked list. Overlap counting is
+   * honest retrieval only when query terms are informative; at corpus
+   * scale restrict queries (or the token relation) to non-stopword terms
+   * upstream, exactly as a production index prunes its posting lists.
+   *
+   * @return (query_id, rank, doc_id, overlap), rank in [1, k]
+   */
+  def termOverlapTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def terms(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    val qt = terms(queries, "query_id")
+    val ct = terms(corpus, "doc_id")
+    val overlap = ct.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+    overlap
+      .groupBy(col("query_id"))
+      .agg(sort_array(TopK.topKStructs(struct(
+        (-col("ov")).as("no"), col("doc_id").as("id")), k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), (-col("t.no")).as("overlap"))
+  }
+
+  /**
+   * Reciprocal-rank fusion of any number of (query_id, rank, doc_id)
+   * arms: fused_e6(d) = Σ_arms present `1e6 div (kConst + rank)`, final
+   * order (fused desc, doc_id asc), top `topK` per query. A doc ranked
+   * by only SOME arms simply contributes fewer terms — RRF's built-in
+   * handling of partial coverage (`n_arms` reports it).
+   *
+   * Scale shape: the arm union is |arms|·|queries|·k slim coordinate
+   * rows (each arm is already top-k-bounded), one combine-friendly
+   * aggregation fuses them, and the final per-query top-k is again the
+   * bounded aggregate — nothing here scales with the corpus, only with
+   * the retrieved candidate sets.
+   *
+   * @return (query_id, rank, doc_id, rrf_e6, n_arms)
+   */
+  def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "need at least one retrieval arm")
+    require(kConst >= 0, s"kConst must be non-negative, got $kConst")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val contrib = arms.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000L div ($kConst + rank)").as("c")))
+      .reduce(_ union _)
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_e6"), count(lit(1)).as("n_arms"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(TopK.topKStructs(struct(
+        (-col("rrf_e6")).as("ns"), col("doc_id").as("id"),
+        col("rrf_e6").as("s"), col("n_arms").as("na")), topK)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("doc_id"), col("t.s").as("rrf_e6"),
+        col("t.na").as("n_arms"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-retrieval-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def arm(rows: (Long, Int, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("query_id", "rank", "doc_id")
+  }
+
+  test("termOverlapTopK: distinct-term overlap, self excluded, ties to smaller id") {
+    val d = docs(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta delta",   // overlap with 0: alpha beta = 2
+      2L -> "alpha epsilon zeta", // overlap with 0: alpha = 1
+      3L -> "alpha gamma gamma",  // overlap with 0: alpha gamma = 2 (distinct!)
+      4L -> "omega psi chi")      // overlap with 0: none -> absent
+    val out = Retrieval.termOverlapTopK(d.filter(col("doc_id") === 0L), d, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // ov=2 for docs 1 and 3 (tie -> smaller id first), then doc 2; doc 4 absent.
+    assert(out.toSeq === Seq((0L, 1, 1L, 2L), (0L, 2, 3L, 2L), (0L, 3, 2L, 1L)))
+  }
+
+  test("rrfFuse: integer contributions sum across arms; ranking (score desc, id asc)") {
+    // Arm A ranks docs 10,11,12; arm B ranks 11,10,13.
+    val a = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+    val b = arm((0L, 1, 11L), (0L, 2, 10L), (0L, 3, 13L))
+    val out = Retrieval.rrfFuse(Seq(a, b), kConst = 60, topK = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def c(rank: Int) = 1000000L / (60 + rank)
+    // 10: c(1)+c(2); 11: c(2)+c(1) -> tie with 10, id 10 first.
+    // 12: c(3); 13: c(3) -> tie, id 12 first.
+    assert(out.toSeq === Seq(
+      (1, 10L, c(1) + c(2), 2L),
+      (2, 11L, c(1) + c(2), 2L),
+      (3, 12L, c(3), 1L),
+      (4, 13L, c(3), 1L)))
+  }
+
+  test("rrfFuse: topK bounds the output and single-arm docs survive") {
+    val a = arm((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
+    val b = arm((0L, 1, 12L))
+    val out = Retrieval.rrfFuse(Seq(a, b), kConst = 60, topK = 2)
+    val q0 = out.filter(col("query_id") === 0L).collect()
+    assert(q0.length === 2, "topK must cap per-query output")
+    // rank-1 contributions tie (a's 10 vs b's 12) -> smaller id wins.
+    assert(q0.map(_.getLong(2)).toSeq === Seq(10L, 12L))
+    val q1 = out.filter(col("query_id") === 1L).collect()
+    assert(q1.map(_.getLong(2)).toSeq === Seq(20L))
+  }
+
+  test("rrfFuse: the per-query top-k rides the bounded aggregate, not a window sort") {
+    val a = arm((0L, 1, 10L), (0L, 2, 11L))
+    val p = Retrieval.rrfFuse(Seq(a), topK = 1).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("topk_structs"),
+      "fusion top-k must use the bounded TopKStructsAgg aggregate")
+    assert(!p.contains("row_number"), "fusion must not rank via a window")
+  }
+}
