@@ -57,4 +57,58 @@ object Agreement {
         (col("n") * col("n_agree") - col("chance_cross")).as("kappa_num"),
         (col("n") * col("n") - col("chance_cross")).as("kappa_den"))
   }
+
+  /**
+   * Fleiss' kappa over LONG-format ratings (one row per rating:
+   * item, label) — the ≥3-rater generalization of [[cohenKappa]]: do R
+   * raters (or R independent quality heuristics) agree on their
+   * per-item labels beyond chance? INTEGER-EXACT like Cohen: with n
+   * items, r ratings per item, T = Σ_items Σ_labels n_il² and
+   * E = Σ_labels (column total)²,
+   *
+   *   κ = (n·r·(T − n·r) − E·(r−1)) / ((n²·r² − E)·(r−1))
+   *
+   * (Fleiss 1971 rearranged over the common denominator n²r²(r−1)) —
+   * shipped as the exact rational (kappa_num, kappa_den), no division
+   * in-engine (negative κ + floor-vs-truncate is the same portability
+   * trap Cohen dodges).
+   *
+   * Fleiss REQUIRES a constant rating count per item. The operator
+   * verifies it instead of assuming it: the result row carries
+   * (r_min, r_max), and the kappa columns are NULL when r_min ≠ r_max
+   * or r < 2 — a violated precondition is visible in the output, never
+   * silently mispriced.
+   *
+   * Scale contract: one pass builds the (item, label) count table —
+   * the shuffle carries item-label coordinates — then everything
+   * reduces through item- and label-bounded aggregates. Headroom:
+   * n²·r²·(r−1) must fit a long ⇒ n·r ≲ 2.1e9/√(r−1) ratings per audit
+   * (partition larger corpora, as with Cohen).
+   *
+   * @return one row: (n_items, r_min, r_max, sum_sq, cat_sq,
+   *   kappa_num, kappa_den) with sum_sq = T, cat_sq = E
+   */
+  def fleissKappa(ratings: DataFrame, item: Column, label: Column): DataFrame = {
+    // PERSISTED for the same reason as Cohen's confusion matrix: the
+    // (item, label) count table feeds T, the per-item rating counts, and
+    // the per-label column totals.
+    val cnt = ratings.select(item.as("it"), label.as("lb"))
+      .groupBy(col("it"), col("lb")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perItem = cnt.groupBy(col("it")).agg(sum(col("c")).as("ri"))
+    val shape = perItem.agg(count(lit(1)).as("n_items"),
+      coalesce(min(col("ri")), lit(0L)).as("r_min"),
+      coalesce(max(col("ri")), lit(0L)).as("r_max"))
+    val t = cnt.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("sum_sq"))
+    val e = cnt.groupBy(col("lb")).agg(sum(col("c")).as("ct"))
+      .agg(coalesce(sum(col("ct") * col("ct")), lit(0L)).as("cat_sq"))
+    val ok = col("r_min") === col("r_max") && col("r_min") >= 2L
+    val n = col("n_items"); val r = col("r_min")
+    shape.crossJoin(t).crossJoin(e)
+      .select(col("n_items"), col("r_min"), col("r_max"),
+        col("sum_sq"), col("cat_sq"),
+        when(ok, n * r * (col("sum_sq") - n * r)
+          - col("cat_sq") * (r - 1L)).as("kappa_num"),
+        when(ok, (n * n * r * r - col("cat_sq")) * (r - 1L)).as("kappa_den"))
+  }
 }

@@ -1388,6 +1388,44 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-rater label agreement (Fleiss' kappa, integer-exact): do
+    // three independent quality heuristics — n_chars band, token-count
+    // band, distinct-token band, each cut at fixture terciles — agree on
+    // per-document quality beyond chance? The ≥3-rater generalization of
+    // q195's Cohen; the kappa ships as an exact rational and the
+    // constant-raters precondition is verified in-result (r_min/r_max),
+    // never assumed. Fixture lands at κ ≈ 0.80 — substantial agreement
+    // with real disagreement mass, so the arithmetic is exercised.
+    "q203_fleiss_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      def band(c: org.apache.spark.sql.Column, lo: Int,
+          hi: Int): org.apache.spark.sql.Column =
+        when(c < lo, 0).when(c < hi, 1).otherwise(2)
+      // One scan, one tokenize: the three bands fold into an in-row
+      // array (bound below the explode — q64-cliff rule), so the long
+      // format costs one corpus pass, not one per rater.
+      val base = docs.select(col("doc_id"), col("n_chars"), toks.as("ts"))
+      val ratings = base.select(col("doc_id"), array(
+          band(col("n_chars"), 220, 380),
+          band(size(col("ts")), 40, 69),
+          band(size(array_distinct(col("ts"))), 23, 28)).as("bands"))
+        .select(col("doc_id"), explode(col("bands")).as("lb"))
+      graft.operators.Agreement.fleissKappa(ratings, col("doc_id"), col("lb"))
+    }),
+
+    // Shared-prefix (KV/prompt-cache) audit: per prefix depth K, how
+    // many documents share their EXACT first K tokens and how many
+    // tokens a warm prefix cache would re-serve ((size−1)·K per group) —
+    // the capacity-planning read for serving fleets. One tokenize pass,
+    // 16-byte md5 prefix keys in the shuffle; the oracle groups by the
+    // raw prefix lists and must land on identical counts.
+    "q204_prefix_cache_audit" -> ((s, dir) => {
+      graft.operators.Serving.prefixCacheAudit(
+        Tables.documents(s, dir), depths = Seq(2, 4, 8, 16, 32))
+        .orderBy("prefix_tokens")
+    }),
+
     // Weight-balanced shard planning: each source's documents assigned to
     // 4 preprocessing shards by LPT (heaviest first, least-loaded shard,
     // deterministic ties) — token loads equalize where q79's hash
@@ -3673,6 +3711,58 @@ object PipelineQueries {
          |      ORDER BY rrf_e6 DESC, doc_id ASC)::INT AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Same three tercile bands, same (item, label) count table, same
+    // rearranged Fleiss rational — integer-for-integer.
+    "q203_fleiss_kappa" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars, len($tokensSql) AS tk,
+         |    len(list_distinct($tokensSql)) AS dk
+         |  FROM documents
+         |),
+         |long AS (
+         |  SELECT doc_id, CASE WHEN n_chars < 220 THEN 0
+         |    WHEN n_chars < 380 THEN 1 ELSE 2 END AS lb FROM m
+         |  UNION ALL SELECT doc_id, CASE WHEN tk < 40 THEN 0
+         |    WHEN tk < 69 THEN 1 ELSE 2 END FROM m
+         |  UNION ALL SELECT doc_id, CASE WHEN dk < 23 THEN 0
+         |    WHEN dk < 28 THEN 1 ELSE 2 END FROM m
+         |),
+         |cnt AS (SELECT doc_id, lb, count(*)::BIGINT AS c FROM long GROUP BY 1, 2),
+         |shape AS (
+         |  SELECT count(*)::BIGINT AS n_items,
+         |    coalesce(min(ri), 0)::BIGINT AS r_min,
+         |    coalesce(max(ri), 0)::BIGINT AS r_max
+         |  FROM (SELECT doc_id, sum(c)::BIGINT AS ri FROM cnt GROUP BY 1)
+         |),
+         |t AS (SELECT coalesce(sum(c * c), 0)::BIGINT AS sum_sq FROM cnt),
+         |e AS (SELECT coalesce(sum(ct * ct), 0)::BIGINT AS cat_sq
+         |      FROM (SELECT lb, sum(c)::BIGINT AS ct FROM cnt GROUP BY 1))
+         |SELECT n_items, r_min, r_max, sum_sq, cat_sq,
+         |  CASE WHEN r_min = r_max AND r_min >= 2 THEN
+         |    (n_items * r_min * (sum_sq - n_items * r_min)
+         |      - cat_sq * (r_min - 1))::BIGINT END AS kappa_num,
+         |  CASE WHEN r_min = r_max AND r_min >= 2 THEN
+         |    ((n_items * n_items * r_min * r_min - cat_sq)
+         |      * (r_min - 1))::BIGINT END AS kappa_den
+         |FROM shape, t, e""".stripMargin,
+    // Grouping by the raw prefix LIST (engine groups by md5 of the
+    // U+0001-joined prefix — identical partitioning on any corpus whose
+    // tokens cannot contain U+0001, which whitespace splitting ensures).
+    "q204_prefix_cache_audit" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |k AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+         |p AS (
+         |  SELECT k.k, list_slice(t.ts, 1, k.k) AS pre
+         |  FROM t, k WHERE len(t.ts) >= k.k
+         |),
+         |g AS (SELECT k, pre, count(*)::BIGINT AS sz FROM p GROUP BY 1, 2)
+         |SELECT k::BIGINT AS prefix_tokens,
+         |  sum(sz)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_groups,
+         |  coalesce(sum(CASE WHEN sz > 1 THEN sz END), 0)::BIGINT AS docs_in_shared,
+         |  coalesce(sum(CASE WHEN sz > 1 THEN (sz - 1) * k END), 0)::BIGINT
+         |    AS cacheable_tokens
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // The greedy LPT walk replayed step-by-step: the recursive frontier
     // advances one document per source per iteration, carrying the four
     // shard loads; the CASE chain picks the first minimal load = lowest

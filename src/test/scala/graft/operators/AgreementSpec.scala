@@ -56,4 +56,46 @@ class AgreementSpec extends AnyFunSuite {
     // labels: x -> 1*1 = 1; y -> 2*2 = 4.
     assert(s === 5L)
   }
+
+  // ------------------------------------------------------------- Fleiss
+
+  private def fleiss(ratings: Seq[(Long, String)])
+      : (Long, Long, Long, Long, Long, Option[Long], Option[Long]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = Agreement.fleissKappa(
+      ratings.toDF("item", "label"), col("item"), col("label")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)),
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+  }
+
+  test("fleissKappa: hand case lands on the exact rational -1/3") {
+    // item 1: A, A; item 2: A, B. P_o = 1/2, P_e = 5/8 -> kappa = -1/3.
+    val (n, rMin, rMax, t, e, num, den) = fleiss(Seq(
+      (1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")))
+    assert((n, rMin, rMax) === ((2L, 2L, 2L)))
+    assert(t === 6L && e === 10L)
+    assert(num === Some(-2L) && den === Some(6L)) // = -1/3
+  }
+
+  test("fleissKappa: unanimous raters give kappa = 1 exactly") {
+    val (_, _, _, _, _, num, den) = fleiss(Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "B"), (2L, "B"), (2L, "B")))
+    assert(num.nonEmpty && num === den && num.get > 0L)
+  }
+
+  test("fleissKappa: unequal rating counts surface in (r_min, r_max) and NULL the kappa") {
+    val (n, rMin, rMax, _, _, num, den) = fleiss(Seq(
+      (1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"), (2L, "B")))
+    assert(n === 2L && rMin === 2L && rMax === 3L)
+    assert(num.isEmpty && den.isEmpty,
+      "a violated constant-raters precondition must not price a kappa")
+  }
+
+  test("fleissKappa: a single rating per item cannot price agreement (r < 2 -> NULL)") {
+    val (_, rMin, rMax, _, _, num, _) = fleiss(Seq((1L, "A"), (2L, "B")))
+    assert(rMin === 1L && rMax === 1L && num.isEmpty)
+  }
 }
