@@ -1388,6 +1388,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Dimension-truncation (Matryoshka) audit: per query, Spearman's rho
+    // between the full-64-dim cosine ranking and the first-16-dims
+    // ranking, as an exact integer rational over the rank displacements —
+    // the "can we serve truncated embeddings?" eval. Only RANKS enter
+    // the statistic, so engines agree however they round the cosines.
+    "q205_matryoshka_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncationRankAudit(emb.filter(col("vec_id") < 10), emb,
+        dims = 16)
+        .orderBy("query_id")
+    }),
+
+    // Corpus-balance Gini over per-source token mass, exact rational —
+    // the one-number mix-skew audit (0 = even, →1 = one source holds
+    // everything). Row volume dies in the per-source aggregation.
+    "q206_source_gini" -> ((s, dir) => {
+      graft.operators.Balance.gini(Tables.documents(s, dir),
+        col("source"), graft.text.TextAnalysis.tokenCount(col("text")))
+    }),
+
     // Multi-rater label agreement (Fleiss' kappa, integer-exact): do
     // three independent quality heuristics — n_chars band, token-count
     // band, distinct-token band, each cut at fixture terciles — agree on
@@ -3711,6 +3731,50 @@ object PipelineQueries {
          |      ORDER BY rrf_e6 DESC, doc_id ASC)::INT AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // The same two total-order rankings (cosine desc, id asc; full dims
+    // and list_slice to 16), ranks differenced and squared — only ranks
+    // enter the rational, so float rounding never crosses the boundary.
+    "q205_matryoshka_audit" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS s_full,
+        |    list_cosine_similarity(list_slice(q.embedding, 1, 16),
+        |                           list_slice(c.embedding, 1, 16)) AS s_trunc
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |),
+        |ranked AS (
+        |  SELECT query_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s_full DESC, neighbor_id ASC)::BIGINT AS rf,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s_trunc DESC, neighbor_id ASC)::BIGINT AS rt
+        |  FROM scored
+        |)
+        |SELECT query_id, count(*)::BIGINT AS n,
+        |  sum((rf - rt) * (rf - rt))::BIGINT AS sum_d2,
+        |  (count(*)::BIGINT * (count(*)::BIGINT * count(*)::BIGINT - 1)
+        |    - 6 * sum((rf - rt) * (rf - rt)))::BIGINT AS rho_num,
+        |  (count(*)::BIGINT * (count(*)::BIGINT * count(*)::BIGINT - 1))::BIGINT
+        |    AS rho_den
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same ascending (weight, key) total order, same 2·Σi·x − (n+1)·W
+    // rational.
+    "q206_source_gini" ->
+      s"""WITH perkey AS (
+         |  SELECT source AS k, sum(len($tokensSql))::BIGINT AS x
+         |  FROM documents GROUP BY 1
+         |),
+         |ranked AS (
+         |  SELECT x, row_number() OVER (ORDER BY x ASC, k ASC)::BIGINT AS i
+         |  FROM perkey
+         |)
+         |SELECT count(*)::BIGINT AS n_keys,
+         |  coalesce(sum(x), 0)::BIGINT AS total,
+         |  (2 * coalesce(sum(i * x), 0)
+         |    - (count(*)::BIGINT + 1) * coalesce(sum(x), 0))::BIGINT AS gini_num,
+         |  (count(*)::BIGINT * coalesce(sum(x), 0))::BIGINT AS gini_den
+         |FROM ranked""".stripMargin,
     // Same three tercile bands, same (item, label) count table, same
     // rearranged Fleiss rational — integer-for-integer.
     "q203_fleiss_kappa" ->

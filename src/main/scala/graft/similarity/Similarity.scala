@@ -1128,4 +1128,61 @@ object Similarity {
         sum(when(inPrev, 1L).otherwise(0L)).as("n_prev"))
     counts.join(geom, "key")
   }
+
+  /**
+   * Dimension-truncation (Matryoshka) quality audit: per query, Spearman's
+   * rank correlation between the FULL-dimension cosine ranking of the
+   * corpus and the ranking under only the first `dims` coordinates — the
+   * "can we serve truncated embeddings?" eval (Kusupati et al.,
+   * "Matryoshka Representation Learning", NeurIPS 2022: nested prefixes
+   * of one embedding trade dimensions for rank fidelity; this measures
+   * that trade on YOUR corpus before anyone re-provisions the index).
+   *
+   * INTEGER-EXACT verdict: both rankings are total orders
+   * (score desc, neighbor id asc), so with n corpus vectors and
+   * D² = Σ (rank_full − rank_trunc)²,
+   *
+   *   ρ = 1 − 6·D² / (n·(n²−1))   ⇒   (rho_num, rho_den) =
+   *       (n(n²−1) − 6·D², n(n²−1))
+   *
+   * ships as the exact rational — engines agree bit-for-bit however they
+   * round the cosines, because only the RANKS enter the statistic.
+   *
+   * Scale contract: one broadcast pass scores BOTH cosines per
+   * (query, corpus) pair map-side (the truncated slice fuses into the
+   * same projection — no second corpus scan); ranking is a per-query
+   * window, so this is an EVAL tool over a bounded query set and a
+   * corpus sample (like every brute-force eval here: q17's recall
+   * baseline has the same shape). Long headroom: n(n²−1) needs
+   * n ≲ 2·10⁶ corpus vectors per audit — sample beyond that.
+   *
+   * @return one row per query: (query_id, n, sum_d2, rho_num, rho_den)
+   */
+  def truncationRankAudit(queries: DataFrame, corpus: DataFrame, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("s_full"),
+        cosine(slice(col("q_vec"), 1, dims), slice(col("c_vec"), 1, dims))
+          .as("s_trunc"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_full").desc, col("neighbor_id").asc)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_trunc").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"),
+        row_number().over(wF).cast("long").as("rf"),
+        row_number().over(wT).cast("long").as("rt"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rf") - col("rt")) * (col("rf") - col("rt"))).as("sum_d2"))
+      .select(col("query_id"), col("n"), col("sum_d2"),
+        (col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sum_d2"))
+          .as("rho_num"),
+        (col("n") * (col("n") * col("n") - 1L)).as("rho_den"))
+  }
 }

@@ -498,4 +498,42 @@ class SimilaritySpec extends AnyFunSuite {
     val (_, _, dot0, np0, nc0) = got(0)
     assert(dot0 * dot0 < np0 * nc0)
   }
+
+  // --------------------------------------------- truncationRankAudit
+
+  test("truncationRankAudit: hand rank displacement lands on the exact rational 1/2") {
+    // Query [1,0,0]. Full ranks: id2 (cos 1.0) > id1 (0.874) > id3 (0.726).
+    // First-2-dims ranks: all cos 1.0 -> id order 1, 2, 3.
+    // d = (1, -1, 0) -> sum_d2 = 2; n = 3 -> rho = 1 - 12/24 = 1/2.
+    val q = vecs(0L -> Seq(1f, 0f, 0f))
+    val c = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0f, 0.5f),
+      2L -> Seq(0.8f, 0f, 0f),
+      3L -> Seq(0.95f, 0f, 0.9f))
+    val r = Similarity.truncationRankAudit(q, c, dims = 2).head()
+    assert(r.getLong(1) === 3L, "self is excluded")
+    assert(r.getLong(2) === 2L)
+    assert(r.getLong(3) === 12L && r.getLong(4) === 24L)
+  }
+
+  test("truncationRankAudit: full-width truncation preserves every rank (rho = 1)") {
+    val q = vecs(0L -> Seq(1f, 2f, 3f))
+    val c = vecs(0L -> Seq(1f, 2f, 3f), 1L -> Seq(3f, 2f, 1f),
+      2L -> Seq(1f, 0f, 1f), 3L -> Seq(0f, 1f, 0f))
+    val r = Similarity.truncationRankAudit(q, c, dims = 3).head()
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === r.getLong(4) && r.getLong(3) > 0L)
+  }
+
+  test("truncationRankAudit: one row per query, ranks independent across queries") {
+    val q = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val c = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(1f, 1f), 3L -> Seq(-1f, 0.5f))
+    val out = Similarity.truncationRankAudit(q, c, dims = 2)
+      .orderBy("query_id").collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getLong(1) === 3L))
+    assert(out.forall(r => r.getLong(2) === 0L), "full-width -> no displacement")
+  }
 }
