@@ -89,22 +89,34 @@ object Agreement {
    *   kappa_num, kappa_den) with sum_sq = T, cat_sq = E
    */
   def fleissKappa(ratings: DataFrame, item: Column, label: Column): DataFrame = {
-    // PERSISTED for the same reason as Cohen's confusion matrix: the
-    // (item, label) count table feeds T, the per-item rating counts, and
-    // the per-label column totals.
+    // ONE linear chain, no fan-out: every reduction the statistic needs
+    // is either item-decomposable (n, r_min, r_max, T = Σc² — from the
+    // per-item grouping) or label-decomposable (E = Σ(column total)² —
+    // from the per-label grouping), so the count table flows through a
+    // 2-set GROUPING SETS pass (Expand ×2 of the already-reduced table,
+    // NOT of the ratings) and one conditional final aggregate. A
+    // persist + four separate consumer jobs was measured as ~0.5 s of
+    // pure barrier latency on small inputs; this shape is a single job.
+    // grouping_id over (it, lb): 1 = per-item set (lb aggregated away),
+    // 2 = per-label set — disambiguates genuine null keys.
     val cnt = ratings.select(item.as("it"), label.as("lb"))
       .groupBy(col("it"), col("lb")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perItem = cnt.groupBy(col("it")).agg(sum(col("c")).as("ri"))
-    val shape = perItem.agg(count(lit(1)).as("n_items"),
-      coalesce(min(col("ri")), lit(0L)).as("r_min"),
-      coalesce(max(col("ri")), lit(0L)).as("r_max"))
-    val t = cnt.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("sum_sq"))
-    val e = cnt.groupBy(col("lb")).agg(sum(col("c")).as("ct"))
-      .agg(coalesce(sum(col("ct") * col("ct")), lit(0L)).as("cat_sq"))
+    val sets = cnt
+      .groupingSets(Seq(Seq(col("it")), Seq(col("lb"))), col("it"), col("lb"))
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        grouping_id().as("gid"))
+    val perItem = col("gid") === 1
+    val perLabel = col("gid") === 2
+    val shapeTE = sets.agg(
+      coalesce(sum(when(perItem, 1L)), lit(0L)).as("n_items"),
+      coalesce(min(when(perItem, col("s1"))), lit(0L)).as("r_min"),
+      coalesce(max(when(perItem, col("s1"))), lit(0L)).as("r_max"),
+      coalesce(sum(when(perItem, col("s2"))), lit(0L)).as("sum_sq"),
+      coalesce(sum(when(perLabel, col("s1") * col("s1"))), lit(0L))
+        .as("cat_sq"))
     val ok = col("r_min") === col("r_max") && col("r_min") >= 2L
     val n = col("n_items"); val r = col("r_min")
-    shape.crossJoin(t).crossJoin(e)
+    shapeTE
       .select(col("n_items"), col("r_min"), col("r_max"),
         col("sum_sq"), col("cat_sq"),
         when(ok, n * r * (col("sum_sq") - n * r)
