@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Classifier-quality evaluation over integer scores — the checks a
+ * curation pipeline runs on its heuristic scorers (quality signals,
+ * language evidence, perceptron outputs) before trusting them to gate
+ * data. Everything ships as exact integer rationals: thresholds and
+ * dashboards can divide, the engine never does.
+ */
+object Eval {
+
+  /**
+   * Exact ROC-AUC of an integer score against a boolean label, by the
+   * rank-sum (Mann–Whitney) identity with midrank tie handling:
+   *
+   *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+   *
+   * where R⁺ sums the (ascending-score) midranks of the positives.
+   * Shipped as (auc_num, auc_den) = (2R⁺ − n⁺(n⁺+1), 2·n⁺·n⁻) — doubled
+   * so tie midranks (halves) stay integer, no float anywhere, any
+   * engine re-derives it bit-for-bit. Degenerate single-class inputs
+   * yield den = 0 (no ranking to price).
+   *
+   * Scale contract: ranks come from the SCORE HISTOGRAM, not a per-row
+   * window — a tie group ending at cumulative count c with cnt members
+   * contributes midrank·2 = 2c − cnt + 1 — so row volume dies in the
+   * first (score)-keyed aggregation and the cumulative window runs
+   * over |distinct scores| rows (the histogramMedian pattern). Rows
+   * with null score or null label are excluded (they have no rank).
+   *
+   * @return one row: (n_pos, n_neg, rank_sum_x2, auc_num, auc_den)
+   */
+  def rankAuc(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val base = df.select(score.cast("long").as("s"),
+        positive.cast("boolean").as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull)
+    val hist = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("cp"))
+    val cum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .select(col("cnt"), col("cp"), sum(col("cnt")).over(cum).as("c"))
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("cnt") - col("cp")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("cp") * (lit(2L) * col("c") - col("cnt") + 1L)),
+          lit(0L)).as("rank_sum_x2"))
+      .select(col("n_pos"), col("n_neg"), col("rank_sum_x2"),
+        (col("rank_sum_x2") - col("n_pos") * (col("n_pos") + 1L))
+          .as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
+
+  /**
+   * Selection-rate disparity across groups: after any keep/drop
+   * decision, which group is selected MOST and which LEAST, and the
+   * exact gap between their rates — the curation-bias audit
+   * (a length filter that quietly drops one source's documents twice
+   * as often is a dataset-composition decision someone should see).
+   *
+   * Group ordering uses the e6-truncated rate with the group key as
+   * tiebreak — deterministic and engine-identical (rates equal through
+   * e6 count as tied; the key decides). The GAP itself is exact:
+   * gap = max_kept/max_n − min_kept/min_n shipped as the rational
+   * (max_kept·min_n − min_kept·max_n, max_n·min_n).
+   *
+   * Scale contract: row volume dies in the per-group counting
+   * aggregation; the argmax/argmin ride min/max over |groups| structs.
+   *
+   * @return one row: (n_groups, max_group, max_kept, max_n, min_group,
+   *   min_kept, min_n, gap_num, gap_den)
+   */
+  def keepRateDisparity(df: DataFrame, group: Column,
+      keep: Column): DataFrame = {
+    val per = df.groupBy(group.cast("string").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(keep, 1L).otherwise(0L)).as("kept"))
+    val rateE6 = expr("kept * 1000000L div n")
+    per
+      .select(struct(rateE6.as("r"), col("k"), col("kept"), col("n")).as("st"))
+      .agg(count(lit(1)).as("n_groups"),
+        max(col("st")).as("mx"), min(col("st")).as("mn"))
+      .select(col("n_groups"),
+        col("mx.k").as("max_group"), col("mx.kept").as("max_kept"),
+        col("mx.n").as("max_n"),
+        col("mn.k").as("min_group"), col("mn.kept").as("min_kept"),
+        col("mn.n").as("min_n"),
+        (col("mx.kept") * col("mn.n") - col("mn.kept") * col("mx.n"))
+          .as("gap_num"),
+        (col("mx.n") * col("mn.n")).as("gap_den"))
+  }
+}

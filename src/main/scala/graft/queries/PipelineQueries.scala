@@ -1388,6 +1388,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
+    // midrank ties, from the score HISTOGRAM — no per-row window): how
+    // well do English-stopword hit counts separate lang='en' documents?
+    // The scorer-trust audit a curation pipeline runs before gating on
+    // a signal; doubled integers keep tie midranks exact.
+    "q207_scorer_auc" -> ((s, dir) => {
+      graft.operators.Eval.rankAuc(Tables.documents(s, dir),
+        TextAnalysis.tokenHits(col("text"), graft.text.Stopwords.English),
+        col("lang") === "en")
+    }),
+
+    // Selection-rate disparity: after the n_chars >= 300 keep rule,
+    // which source is kept most/least and the EXACT rate gap — the
+    // curation-bias audit (a filter that drops one source twice as
+    // often is a composition decision someone should see). Ordering by
+    // e6-truncated rate with key tiebreaks; the gap itself is the exact
+    // cross-multiplied rational.
+    "q208_keep_disparity" -> ((s, dir) => {
+      graft.operators.Eval.keepRateDisparity(Tables.documents(s, dir),
+        col("source"), col("n_chars") >= 300)
+    }),
+
     // Dimension-truncation (Matryoshka) audit: per query, Spearman's rho
     // between the full-64-dim cosine ranking and the first-16-dims
     // ranking, as an exact integer rational over the rank displacements —
@@ -3731,6 +3753,52 @@ object PipelineQueries {
          |      ORDER BY rrf_e6 DESC, doc_id ASC)::INT AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Same histogram-midrank derivation: tie group ending at cumulative
+    // c with cnt members contributes midrank·2 = 2c − cnt + 1.
+    "q207_scorer_auc" ->
+      s"""WITH base AS (
+         |  SELECT $enHits AS s, (lang = 'en') AS p FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL
+         |),
+         |hist AS (
+         |  SELECT s, count(*)::BIGINT AS cnt,
+         |    sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS cp
+         |  FROM base GROUP BY 1
+         |),
+         |cum AS (
+         |  SELECT cnt, cp,
+         |    sum(cnt) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c
+         |  FROM hist
+         |),
+         |agg AS (
+         |  SELECT coalesce(sum(cp), 0)::BIGINT AS n_pos,
+         |    coalesce(sum(cnt - cp), 0)::BIGINT AS n_neg,
+         |    coalesce(sum(cp * (2 * c - cnt + 1)), 0)::BIGINT AS rank_sum_x2
+         |  FROM cum
+         |)
+         |SELECT n_pos, n_neg, rank_sum_x2,
+         |  (rank_sum_x2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+         |  (2 * n_pos * n_neg)::BIGINT AS auc_den
+         |FROM agg""".stripMargin,
+    // Same per-source counts, same e6-truncated ordering (max = rate
+    // desc then key desc; min = rate asc then key asc — the struct
+    // lexicographic order), same cross-multiplied exact gap.
+    "q208_keep_disparity" ->
+      """WITH per AS (
+        |  SELECT source AS k, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS kept
+        |  FROM documents GROUP BY 1
+        |),
+        |r AS (SELECT k, n, kept, kept * 1000000 // n AS rate FROM per),
+        |mx AS (SELECT k, kept, n FROM r ORDER BY rate DESC, k DESC LIMIT 1),
+        |mn AS (SELECT k, kept, n FROM r ORDER BY rate ASC, k ASC LIMIT 1)
+        |SELECT (SELECT count(*) FROM per)::BIGINT AS n_groups,
+        |  mx.k AS max_group, mx.kept AS max_kept, mx.n AS max_n,
+        |  mn.k AS min_group, mn.kept AS min_kept, mn.n AS min_n,
+        |  (mx.kept * mn.n - mn.kept * mx.n)::BIGINT AS gap_num,
+        |  (mx.n * mn.n)::BIGINT AS gap_den
+        |FROM mx, mn""".stripMargin,
     // The same two total-order rankings (cosine desc, id asc; full dims
     // and list_slice to 16), ranks differenced and squared — only ranks
     // enter the rational, so float rounding never crosses the boundary.

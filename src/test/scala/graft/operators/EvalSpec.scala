@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-eval-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Eval.rankAuc(rows.toDF("s", "p"), col("s"), col("p")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("rankAuc: perfect separation scores exactly 1") {
+    val (np, nn, _, num, den) = auc(Seq((1L, false), (2L, false), (5L, true), (9L, true)))
+    assert((np, nn) === ((2L, 2L)))
+    assert(num === den && den === 8L) // 2*2*2
+  }
+
+  test("rankAuc: reversed scorer scores exactly 0") {
+    val (_, _, _, num, _) = auc(Seq((9L, false), (5L, false), (1L, true)))
+    assert(num === 0L)
+  }
+
+  test("rankAuc: all-tied scores land on exactly 1/2 via midranks") {
+    val (_, _, rs2, num, den) = auc(Seq((3L, true), (3L, false), (3L, false), (3L, true)))
+    // midrank of every row = 2.5 -> x2 = 5; R+*2 = 10.
+    assert(rs2 === 10L)
+    assert(num * 2L === den, s"expected 1/2, got $num/$den")
+  }
+
+  test("rankAuc: textbook mixed case with a tie straddling the classes") {
+    // neg: 1, 3; pos: 3, 7. Ranks: 1->1; the two 3s midrank 2.5; 7->4.
+    // R+*2 = 5 + 8 = 13; num = 13 - 2*3 = 7; den = 8 -> AUC 0.875.
+    val (_, _, rs2, num, den) = auc(Seq((1L, false), (3L, false), (3L, true), (7L, true)))
+    assert(rs2 === 13L && num === 7L && den === 8L)
+  }
+
+  test("rankAuc: single-class input yields den = 0, and null scores/labels are excluded") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(true)), (Some(2L), Some(true)),
+      (None, Some(false)), (Some(5L), None)).toDF("s", "p")
+    val r = Eval.rankAuc(df, col("s"), col("p")).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.getLong(4) === 0L)
+  }
+
+  private def disparity(rows: Seq[(String, Long)], cutoff: Long) = {
+    import spark.implicits._
+    Eval.keepRateDisparity(rows.toDF("g", "v"), col("g"), col("v") >= cutoff).head()
+  }
+
+  test("keepRateDisparity: exact cross-multiplied gap between extreme groups") {
+    // a keeps 2/2, b keeps 1/4 -> gap = (2*4 - 1*2) / (2*4) = 6/8 = 3/4.
+    val r = disparity(Seq(("a", 10L), ("a", 10L),
+      ("b", 10L), ("b", 1L), ("b", 1L), ("b", 1L)), 5L)
+    assert(r.getAs[String]("max_group") === "a")
+    assert(r.getAs[String]("min_group") === "b")
+    assert(r.getAs[Long]("gap_num") === 6L && r.getAs[Long]("gap_den") === 8L)
+  }
+
+  test("keepRateDisparity: e6-rate ties break by key (max takes the larger, min the smaller)") {
+    val r = disparity(Seq(("a", 10L), ("b", 10L), ("c", 1L)), 5L)
+    // a and b both keep 1/1 -> max = b (larger key); min = c (0/1).
+    assert(r.getAs[String]("max_group") === "b")
+    assert(r.getAs[String]("min_group") === "c")
+    assert(r.getAs[Long]("n_groups") === 3L)
+  }
+}
