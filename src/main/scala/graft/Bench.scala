@@ -168,17 +168,23 @@ object Bench {
     // default locale — a comma-decimal locale would emit invalid JSON.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qsCompact = results.map { case (k, v) => s"\"" + k + "\":" + d3(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2,000 chars of stdout (r13
+    // verdict #1: a 217-query compact map is ~8.5 KB, so the driver
+    // parsed a truncated fragment → `parsed: null` for 13 rounds). The
+    // final stdout line is therefore a SHORT summary — total, pass
+    // totals, counts, scale factor, and where the full per-query map
+    // lives (the committed bench_out.json artifact written above).
+    val passTotals3 = passes.map(p => d3(p.map(_._2).sum)).mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
-      s""""agg":"median_of_3","pass_totals":$passTotals,"queries":$qsCompact,""" +
-      s""""streaming_queries":$streamTag,"sf":"$sfDir"}"""
+      s""""agg":"median_of_3","pass_totals":$passTotals3,""" +
+      s""""n_queries":${results.size},"streaming_count":${streamingNames.size},""" +
+      s""""sf":"$sfDir","artifact":"bench_out.json"}"""
     // Print AFTER spark.stop(): with build.sbt suppressing sbt's
     // "[success]" trailer (Global / showSuccess := false) and Spark's own
     // logging on stderr, this line is genuinely the last stdout the
-    // driver sees — its JSON parse needs that.
-    spark.stop()
-    println(compact)
-    System.out.flush()
+    // driver sees — its JSON parse needs that. try/finally (ADVICE r13):
+    // a stop() throw during streaming/UI cleanup must not eat the line.
+    try spark.stop()
+    finally { println(compact); System.out.flush() }
   }
 }

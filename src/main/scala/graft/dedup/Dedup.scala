@@ -764,7 +764,7 @@ object Dedup {
 
   /** Test hook: (live memo entries, intermediate frames still persisted)
    * for `spark` — the bound the LRU eviction spec pins. */
-  private[dedup] def preparedPpjoinStats(
+  private[graft] def preparedPpjoinStats(
       spark: org.apache.spark.sql.SparkSession): (Int, Int) =
     preparedPpjoin.synchronized {
       val entries = Option(preparedPpjoin.get(spark))
@@ -783,11 +783,11 @@ object Dedup {
   private[dedup] final case class NearDupPairsKey(num: Int, den: Int, k: Int,
       rows: Int, sw: Int, maxBucket: Int, idCol: String, textCol: String,
       mat: Boolean)
-  private[dedup] val nearDupPairsMemo =
+  private[graft] val nearDupPairsMemo =
     new graft.util.SessionPlanMemo[NearDupPairsKey](8)
   // Components payloads are localCheckpoint'd (truncated lineage), so a
   // hit must verify the blocks are still registered — see stillServable.
-  private[dedup] val componentsMemo = new graft.util.SessionPlanMemo[Int](8,
+  private[graft] val componentsMemo = new graft.util.SessionPlanMemo[Int](8,
     GraftSqlBridge.logicalRddsServable)
 
   /** Intermediate relations of the PPJoin pipeline — one builder shared by

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
  */
 object Serving {
 
+  /** Prefix-key token separator. U+0001 cannot appear in whitespace-split
+   * tokens, making the joined key injective (see prefixCacheAudit). Kept
+   * as a visible escape in a named constant (ADVICE r13): a raw control
+   * byte in a string literal renders as `concat_ws("")` in diffs and
+   * editors, so tooling could silently drop it and break injectivity. */
+  private[graft] val PrefixSep = "\u0001"
+
   /**
    * Shared-prefix (KV/prompt-cache) audit: for each depth K in `depths`,
    * group documents by their EXACT first K tokens and price the reuse —
@@ -46,7 +53,7 @@ object Serving {
         explode(typedLit(depths.toArray)).as("k"))
       .filter(size(col("ts")) >= col("k"))
       .select(col("k"),
-        md5(concat_ws("", slice(col("ts"), lit(1), col("k")))).as("ph"))
+        md5(concat_ws(PrefixSep, slice(col("ts"), lit(1), col("k")))).as("ph"))
     keyed
       .groupBy(col("k"), col("ph"))
       .agg(count(lit(1)).as("sz"))

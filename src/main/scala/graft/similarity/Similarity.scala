@@ -873,7 +873,7 @@ object Similarity {
     scala.collection.mutable.Buffer[KmeansEntry]]
 
   /** Test seam: live memo entries for `spark`. */
-  private[similarity] def kmeansMemoSize(
+  private[graft] def kmeansMemoSize(
       spark: org.apache.spark.sql.SparkSession): Int =
     kmeansMemo.synchronized {
       Option(kmeansMemo.get(spark)).map(_.size).getOrElse(0)

@@ -160,11 +160,15 @@ private[graft] object SessionPlanMemo {
   /** Bounded driver-localization for memo payloads: probe `cap + 1` rows;
    * a result within the cap re-serves as a LocalRelation (row order of
    * the probe — i.e. the frame's own ORDER BY — preserved), anything
-   * larger persists MEMORY_AND_DISK cluster-side. Returns the frame to
-   * memoize plus the frames the memo must unpersist on eviction. NOTE:
-   * the probe is an EAGER job at operator-call time — acceptable for
-   * operators whose result is always consumed; it is also what
-   * materializes the persist on the fallback path.
+   * larger stays cluster-side as a MEMORY_AND_DISK persist. Returns the
+   * frame to memoize plus the frames the memo must unpersist on
+   * eviction. NOTE: the probe is an EAGER job at operator-call time —
+   * acceptable for operators whose result is always consumed. The
+   * persist is registered BEFORE the probe (ADVICE r13), so the probe's
+   * limit scan unrolls every partition it touches into cache: an
+   * over-cap payload is stored already materialized up to the probe's
+   * early-exit point, and the first consumer pays only for the skipped
+   * tail, never the full recompute.
    *
    * `maxLocalRows` is per CALLER: the default suits slim fixed-width
    * rows (coordinate pairs, labels); payloads carrying nested arrays
@@ -174,13 +178,21 @@ private[graft] object SessionPlanMemo {
    * while 13k nested rows serve in ~0.1 s. */
   def localizeOrPersist(df: DataFrame, extraFrames: Seq[DataFrame],
       maxLocalRows: Int = LocalMemoMaxRows): (DataFrame, Seq[DataFrame]) = {
-    val probe = df.limit(maxLocalRows + 1).collect()
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = p.limit(maxLocalRows + 1).collect()
     if (probe.length <= maxLocalRows) {
+      // Local path: the payload is a LocalRelation that can never
+      // recompute from cluster-side frames, so the short-lived probe
+      // cache AND the builder's candidate caches are dead weight —
+      // release them now and track nothing (ADVICE r13: keeping
+      // extraFrames here held cluster memory for the entry's lifetime
+      // and re-registered the cache on every memo hit, for nothing).
+      p.unpersist(blocking = false)
+      extraFrames.foreach(_.unpersist(blocking = false))
       val local = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(probe: _*), df.schema)
-      (local, extraFrames)
+      (local, Seq.empty)
     } else {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (p, p +: extraFrames)
     }
   }
