@@ -71,6 +71,79 @@ object Retrieval {
    *
    * @return (query_id, rank, doc_id, rrf_e6, n_arms)
    */
+  /**
+   * Exact-rational retrieval evaluation — MRR@k and recall@k of each
+   * ranked system (typically the RRF fusion vs each arm alone) against a
+   * labeled relevance fixture, the measurement a RAG pipeline runs
+   * before it trusts [[rrfFuse]] over a single arm.
+   *
+   * All statistics ship as INTEGERS so any engine re-derives them
+   * bit-for-bit, float-free:
+   *  - MRR@k is a sum of unit fractions 1/first_relevant_rank with every
+   *    rank in [1, k], so lcm(1..k) is a common denominator:
+   *    `mrr_num_x_lcm = Σ_q lcm/first_rank_q` (0 for queries with no
+   *    relevant doc in the top k) and MRR = mrr_num_x_lcm /
+   *    (mrr_lcm · n_judged). k ≤ 42 keeps lcm(1..k) inside a Long.
+   *  - recall@k is the micro (corpus-level) pair `hits_at_k / rel_total`:
+   *    judged relevant pairs retrieved in the top k over all judged
+   *    relevant pairs.
+   * Unjudged retrieved docs are ignored (standard pooling semantics);
+   * judged queries a system retrieved nothing for still count in
+   * `n_judged` and `rel_total`.
+   *
+   * Scale shape: each system is already top-k-bounded per query, so the
+   * tagged union is |systems|·|queries|·k slim coordinate rows; the
+   * relevance fixture is an eval-set table and BROADCASTS to both joins
+   * (hit marking and the per-query judged counts); everything after the
+   * hit join is group-bounded by (system, query). Nothing scales with
+   * the corpus.
+   *
+   * @param systems  (name, ranking) pairs; each ranking is
+   *                 (query_id, rank, doc_id) with rank 1-based
+   * @param relevance judged relevant (query_id, doc_id) pairs
+   * @return one row per system: (system, n_judged, hits_at_k, rel_total,
+   *         mrr_num_x_lcm, mrr_lcm), ordered by system name
+   */
+  def evalAtK(systems: Seq[(String, DataFrame)], relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranked system")
+    require(k >= 1 && k <= 42,
+      s"k must be in [1, 42] (lcm(1..43) overflows Long), got $k")
+    val names = systems.map(_._1)
+    require(names.distinct.size == names.size,
+      s"system names must be distinct, got $names")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val rel = relevance
+      .select(col("query_id"), col("doc_id")).distinct()
+    val judged = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val tagged = systems.map { case (name, df) =>
+      df.filter(col("rank") <= k)
+        .select(lit(name).as("system"), col("query_id"),
+          col("rank").cast("int").as("rank"), col("doc_id"))
+    }.reduce(_ union _)
+    val hits = tagged.join(broadcast(rel), Seq("query_id", "doc_id"))
+      .groupBy(col("system"), col("query_id"))
+      .agg(min(col("rank")).as("first_rank"), count(lit(1)).as("n_hits"))
+    val sysNames = systems.head._2.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+          names.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("system",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    judged.crossJoin(broadcast(sysNames))
+      .join(hits, Seq("system", "query_id"), "left")
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_judged"),
+        coalesce(sum(col("n_hits")), lit(0L)).as("hits_at_k"),
+        sum(col("n_rel")).as("rel_total"),
+        coalesce(sum(expr(s"${lcmK}L div first_rank")), lit(0L))
+          .as("mrr_num_x_lcm"))
+      .withColumn("mrr_lcm", lit(lcmK))
+      .orderBy(col("system"))
+  }
+
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(arms.nonEmpty, "need at least one retrieval arm")
     require(kConst >= 0, s"kConst must be non-negative, got $kConst")

@@ -1388,6 +1388,37 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrieval evaluation (completes the q202 RAG story): MRR@10 and
+    // recall@10 of the RRF fusion vs each arm alone, against a
+    // same-(lang, source) relevance fixture — the measurement that
+    // justifies (or indicts) fusion before traffic shifts to it. Exact
+    // integers only: MRR is a unit-fraction sum shipped over
+    // lcm(1..10) = 2520, recall is the micro hits/total pair — any
+    // engine re-derives both bit-for-bit from the same rank tables.
+    "q209_retrieval_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      // Judged relevance: same (lang, source) as the query doc — the
+      // query side is 10 rows and broadcasts; the fixture stays an
+      // eval-set-sized pair table.
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries
+            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Retrieval.evalAtK(
+        Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -3753,6 +3784,82 @@ object PipelineQueries {
          |      ORDER BY rrf_e6 DESC, doc_id ASC)::INT AS rank
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Same q202 rank derivations (lex overlap ranks, sem cosine ranks,
+    // integer RRF fusion), then the identical exact eval: first
+    // relevant rank per (system, query) → unit fractions over
+    // lcm(1..10) = 2520; micro recall as the hits/total integer pair.
+    "q209_retrieval_eval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS term FROM documents
+         |),
+         |lex AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ov DESC, doc_id ASC) AS rank
+         |    FROM (
+         |      SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*) AS ov
+         |      FROM toks c JOIN toks q ON c.term = q.term
+         |      WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+         |      GROUP BY 1, 2))
+         |  WHERE rank <= 10
+         |),
+         |sem AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, neighbor_id AS doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        q.embedding AS qv, c.embedding AS cv
+         |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |      WHERE q.vec_id < 10))
+         |  WHERE rank <= 10
+         |),
+         |contrib AS (
+         |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem
+         |),
+         |fused AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_e6 DESC, doc_id ASC) AS rank
+         |    FROM (
+         |      SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_e6
+         |      FROM contrib GROUP BY 1, 2))
+         |  WHERE rank <= 10
+         |),
+         |rel AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id
+         |  FROM documents q JOIN documents c
+         |    ON q.lang = c.lang AND q.source = c.source
+         |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+         |),
+         |judged AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+         |sys AS (
+         |  SELECT 'fused' AS system, query_id, doc_id, rank FROM fused
+         |  UNION ALL SELECT 'lex', query_id, doc_id, rank FROM lex
+         |  UNION ALL SELECT 'sem', query_id, doc_id, rank FROM sem
+         |),
+         |hits AS (
+         |  SELECT s.system, s.query_id, min(s.rank) AS first_rank,
+         |    count(*)::BIGINT AS n_hits
+         |  FROM sys s JOIN rel r
+         |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |names(system) AS (SELECT * FROM (VALUES ('fused'), ('lex'), ('sem')))
+         |SELECT n.system,
+         |  count(*)::BIGINT AS n_judged,
+         |  coalesce(sum(h.n_hits), 0)::BIGINT AS hits_at_k,
+         |  sum(j.n_rel)::BIGINT AS rel_total,
+         |  coalesce(sum(2520 // h.first_rank), 0)::BIGINT AS mrr_num_x_lcm,
+         |  2520::BIGINT AS mrr_lcm
+         |FROM judged j CROSS JOIN names n
+         |LEFT JOIN hits h ON h.system = n.system AND h.query_id = j.query_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

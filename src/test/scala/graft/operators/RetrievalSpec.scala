@@ -71,4 +71,50 @@ class RetrievalSpec extends AnyFunSuite {
       "fusion top-k must use the bounded TopKStructsAgg aggregate")
     assert(!p.contains("row_number"), "fusion must not rank via a window")
   }
+
+  private def rel(rows: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("query_id", "doc_id")
+  }
+
+  test("evalAtK: exact MRR unit fractions over lcm, micro recall, zero-hit queries still judged") {
+    // Judged: q0 -> {10, 12, 14}, q1 -> {20} (rel_total = 4).
+    val relevance = rel(0L -> 10L, 0L -> 12L, 0L -> 14L, 1L -> 20L,
+      0L -> 10L) // duplicate judgment must dedupe
+    // s1: q0 first relevant at rank 2 (doc 11 is unjudged, ignored),
+    //     two hits total; q1 retrieves nothing relevant.
+    val s1 = arm((0L, 1, 11L), (0L, 2, 10L), (0L, 3, 12L), (1L, 1, 21L))
+    // s2: both queries hit at rank 1, one hit each.
+    val s2 = arm((0L, 1, 14L), (1L, 1, 20L))
+    val out = Retrieval.evalAtK(Seq("s1" -> s1, "s2" -> s2), relevance, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 2L, 2L, 4L, 2520L / 2, 2520L),
+      ("s2", 2L, 2L, 4L, 2520L + 2520L, 2520L)))
+  }
+
+  test("evalAtK: k bounds the hit window and sets the lcm denominator") {
+    val relevance = rel(0L -> 10L, 0L -> 12L)
+    val s1 = arm((0L, 2, 10L), (0L, 3, 12L))
+    val out = Retrieval.evalAtK(Seq("s1" -> s1), relevance, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // Only the rank-2 hit is inside k=2; lcm(1..2) = 2.
+    assert(out.toSeq === Seq((1L, 1L, 2L, 1L, 2L)))
+  }
+
+  test("evalAtK: input validation") {
+    val relevance = rel(0L -> 10L)
+    val s1 = arm((0L, 1, 10L))
+    intercept[IllegalArgumentException] {
+      Retrieval.evalAtK(Seq.empty, relevance, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.evalAtK(Seq("a" -> s1, "a" -> s1), relevance, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.evalAtK(Seq("a" -> s1), relevance, k = 43)
+    }
+  }
 }
