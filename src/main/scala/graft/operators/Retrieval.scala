@@ -42,7 +42,10 @@ object Retrieval {
     def terms(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
     val qt = terms(queries, "query_id")
-    val ct = terms(corpus, "doc_id")
+    // Corpus-side tokenize+explode is this arm's dominant map work; a
+    // corpus below one scan split would run it single-threaded (the q59
+    // small-input guard — a no-op at real scale, where splits abound).
+    val ct = terms(graft.dedup.Dedup.fanOutSmallScan(corpus), "doc_id")
     val overlap = ct.join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))

@@ -27,9 +27,13 @@ object Serving {
    * prefix. Documents shorter than K tokens are not eligible at that
    * depth (a shorter prompt can never hit a K-token prefix key).
    *
-   * Scale contract: ONE tokenize pass (the token array binds below the
+   * Scale contract: ONE BOUNDED tokenize pass — the split stops after
+   * max(depths) tokens ([[TextAnalysis.tokensPrefix]]), so per-row cost
+   * is O(prefix), not O(document), and the bounded array still decides
+   * eligibility (its size is min(n_tokens, max depth), which preserves
+   * `size >= k` for every audited depth). The array binds below the
    * depth explode — the q64-cliff rule, so |depths| never multiplies
-   * the tokenizer); the shuffle carries (K, md5-of-prefix) coordinates,
+   * the tokenizer; the shuffle carries (K, md5-of-prefix) coordinates,
    * 16-byte keys regardless of prefix depth; both aggregations are
    * group-bounded. Prefix keys join tokens with U+0001 before hashing —
    * whitespace-split tokens cannot contain whitespace, and U+0001 is not
@@ -47,7 +51,7 @@ object Serving {
     require(depths.distinct.size == depths.size,
       s"depths must be distinct, got $depths")
     val base = docs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("ts"))
+      TextAnalysis.tokensPrefix(col(textCol), depths.max).as("ts"))
     val keyed = base
       .select(col("id"), col("ts"),
         explode(typedLit(depths.toArray)).as("k"))

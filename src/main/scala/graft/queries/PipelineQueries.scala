@@ -1471,18 +1471,23 @@ object PipelineQueries {
     // with real disagreement mass, so the arithmetic is exercised.
     "q203_fleiss_kappa" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val toks = TextAnalysis.tokens(col("text"))
       def band(c: org.apache.spark.sql.Column, lo: Int,
           hi: Int): org.apache.spark.sql.Column =
         when(c < lo, 0).when(c < hi, 1).otherwise(2)
-      // One scan, one tokenize: the three bands fold into an in-row
-      // array (bound below the explode — q64-cliff rule), so the long
-      // format costs one corpus pass, not one per rater.
-      val base = docs.select(col("doc_id"), col("n_chars"), toks.as("ts"))
+      // One scan, one KERNEL tokenize: n_tokens and n_distinct_tokens
+      // come out of the single-pass TextStats kernel (no token array,
+      // no array_distinct rescue pass), and the three bands fold into
+      // an in-row array bound below the explode — q64-cliff rule — so
+      // the long format costs one corpus pass, not one per rater.
+      // NOT fanned out past the single-split scan: the q59 guard was
+      // A/B'd here and measured a pure loss (1.21 -> 1.63 s at sf1) —
+      // the kernel pass is cheaper than the planted text shuffle.
+      val base = docs.select(col("doc_id"), col("n_chars"),
+        TextAnalysis.textStats(col("text"), Seq.empty).as("st"))
       val ratings = base.select(col("doc_id"), array(
           band(col("n_chars"), 220, 380),
-          band(size(col("ts")), 40, 69),
-          band(size(array_distinct(col("ts"))), 23, 28)).as("bands"))
+          band(col("st.n_tokens"), 40, 69),
+          band(col("st.n_distinct_tokens"), 23, 28)).as("bands"))
         .select(col("doc_id"), explode(col("bands")).as("lb"))
       graft.operators.Agreement.fleissKappa(ratings, col("doc_id"), col("lb"))
     }),

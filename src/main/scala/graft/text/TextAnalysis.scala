@@ -18,8 +18,37 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  /** Token count (whitespace segmentation). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace segmentation) — the [[TokenCount]] kernel:
+   * one byte loop inside whole-stage codegen, value-equal to
+   * `size(tokens(text))` (spec-pinned) without materializing the token
+   * array. */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      TokenCount(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
+
+  /** The composed-builtins token count — the definitional reference
+   * [[tokenCount]]'s kernel is spec-pinned against. */
+  private[graft] def tokenCountComposed(text: Column): Column =
+    size(tokens(text))
+
+  /** The first `k` whitespace tokens, lowercased — value-equal to
+   * `slice(tokens(text), 1, k)` (spec-pinned) but the split STOPS after
+   * the k-th boundary (split-with-limit), so the cost is the
+   * token-prefix regex scan plus one remainder copy instead of a
+   * full-document tokenize with every token materialized. For
+   * prefix-shaped consumers (prompt-cache keys, leading-token
+   * signatures) over long documents this is the difference between
+   * O(prefix) and O(document) regex work per row. */
+  def tokensPrefix(text: Column, k: Int): Column = {
+    require(k >= 1, s"token prefix length must be positive, got $k")
+    // limit = k + 2: a remainder element (possibly containing whitespace)
+    // exists only when the limit was fully reached, i.e. the array holds
+    // one possible leading empty plus ≥ k clean tokens ahead of it — so
+    // after dropping empties the remainder sits at position ≥ k + 1 and
+    // the slice can never expose it. ONE split reference (a `when` on
+    // size would re-evaluate the split per reference — the q64 cliff).
+    slice(filter(split(lower(text), "\\s+", k + 2), t => t =!= ""), 1, k)
+  }
 
   /** BPE-style subword segment count: runs of letters, runs of digits, and
    * individual non-alphanumeric marks each count as one segment — a cheap,

@@ -394,6 +394,59 @@ object RollingHash64 {
 }
 
 /**
+ * `token_count(string)` — whitespace token count as ONE byte loop, no
+ * regex, no token array: value-equal to
+ * `size(filter(split(lower(text), "\\s+"), _ =!= ""))` (the
+ * [[TextAnalysis.tokens]] count; spec-pinned) because token BOUNDARIES
+ * are case-insensitive — no character's lowercase mapping adds or
+ * removes `\s` whitespace — so neither the lowercasing nor the token
+ * strings need materializing to count runs. Counting walks raw UTF-8
+ * BYTES: the `\s` class is pure ASCII and UTF-8 multi-byte units are all
+ * ≥ 0x80, so a byte equals a whitespace char iff the CHARACTER is
+ * whitespace. Stays inside whole-stage codegen as one static call —
+ * token counting gates budget/packing/balance queries that scan whole
+ * corpora, where the composed form's per-token allocations dominate.
+ */
+case class TokenCount(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCount.count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.TokenCount.count($c);")
+
+  override def prettyName: String = "token_count"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenCount {
+  /** Maximal runs of non-`\s` bytes in `s` (see class doc for why bytes
+   * suffice). */
+  def count(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 0
+    var inToken = false
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+        b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+      if (ws) inToken = false
+      else if (!inToken) { cnt += 1; inToken = true }
+      i += 1
+    }
+    cnt
+  }
+}
+
+/**
  * `quality_score64(string)` — the fused kernel behind
  * [[TextAnalysis.linearQualityScore]]: lowercase, split on ASCII
  * whitespace (the same `\s` class the Column tokenizer and the DuckDB

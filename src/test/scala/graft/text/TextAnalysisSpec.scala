@@ -228,6 +228,48 @@ class TextAnalysisSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakChe
     }
   }
 
+  test("TokenCount kernel equals the composed size(tokens) on corpus + edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "\t\n\f\r", "a", " a", "a ", "  a   b  c ",
+      "héllo wörld", "ümlaut ÜMLAUT", "漢字 テスト 漢字", "a b",
+      "x" * 500, "the quick brown fox! 42 times.").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val mismatch = df.select(tokenCount(col("text")).as("k"),
+        TextAnalysis.tokenCountComposed(col("text")).as("c"))
+        .filter(col("k") =!= col("c")).count()
+      assert(mismatch === 0L)
+    }
+    // Null flows through as null, like the composed form.
+    val n = Seq[Option[String]](None, Some("a b")).toDF("text")
+      .select(tokenCount(col("text"))).collect().map(r =>
+        if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(n.toSeq === Seq(-1, 2))
+  }
+
+  test("tokensPrefix equals slice(tokens, 1, k) at every boundary shape") {
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "a", " a b c d e ", "a b", "a b c", "a b c d",
+      "ONE two THREE four", "  lead  and   trail  ", "x" * 80,
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12").toDF("text")
+    for (k <- Seq(1, 2, 3, 5, 16)) {
+      val mismatch = texts.select(
+        TextAnalysis.tokensPrefix(col("text"), k).as("p"),
+        slice(tokens(col("text")), 1, k).as("s"))
+        .filter(not(col("p") <=> col("s"))).count()
+      assert(mismatch === 0L, s"prefix tokenizer diverges at k=$k")
+    }
+    // The bounded size still decides >= depth eligibility below the bound.
+    val sizes = texts.select(size(
+      TextAnalysis.tokensPrefix(col("text"), 3)).as("z"),
+      least(size(tokens(col("text"))), lit(3)).as("m"))
+      .filter(col("z") =!= col("m")).count()
+    assert(sizes === 0L)
+  }
+
   test("linear quality score equals a plain-Scala MD5 brute force; empty text scores 0") {
     // Same weight rule re-derived with java.security MessageDigest: the
     // token's md5 first-8-bytes big-endian long, masked to the low 11
