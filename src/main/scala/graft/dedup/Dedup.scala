@@ -375,6 +375,70 @@ object Dedup {
         .select("band", "bucket"),
       maxBucketSize)
 
+  /**
+   * LSH OPERATING-POINT calibration audit: for every bucket-collision
+   * candidate pair of the AUDITABLE banding, the MinHash agreement
+   * estimate (matching signature components out of k — an unbiased
+   * estimator of Jaccard, E[matches/k] = J) next to the EXACT shingle
+   * Jaccard — the measurement that validates the banding parameters
+   * against the corpus they actually run on before anyone trusts the
+   * detection-probability curve 1 − (1 − J^rows)^bands. Candidates
+   * include the false positives verification would drop; those are the
+   * calibration's whole point. Everything ships as integers
+   * ((inter, uni) and (sig_matches, sig_k)) so any engine re-derives
+   * the audit bit-for-bit — md5-auditable hashing end to end.
+   *
+   * Scale contract: candidate expansion is the same capped-bucket
+   * aggregation as [[jaccardNearDupPairs]] (one aggregation over
+   * (band, bucket, id) coordinate rows, hot buckets skipped, never
+   * all-pairs); shingle sets and signatures recompute only for the
+   * candidate sliver behind a semi-join.
+   *
+   * @return (id_a, id_b, inter, uni, sig_matches, sig_k) ordered by pair
+   */
+  def lshCalibrationAudit(docs: DataFrame, k: Int = 16, rows: Int = 4,
+      shingleWidth: Int = 10, maxBucketSize: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = lshBanded(docs, k, rows, shingleWidth, idCol, textCol,
+      auditable = true)
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(GraftSqlBridge.column(CollectListCapped(
+        GraftSqlBridge.expression(col("id")), maxBucketSize)
+        .toAggregateExpression()).as("cl"))
+      .filter(col("cl.total") > 1 && col("cl.total") <= maxBucketSize)
+      .select(col("cl.ids").as("ids"))
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(col("ids"), b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .filter(col("p.id_a") < col("p.id_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+    val candSig = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), sort_array(shingles(col("txt"), shingleWidth)).as("sh"))
+      .select(col("id"), col("sh"),
+        minhashSignature(col("sh"), k, auditable = true).as("sig"))
+    candidates
+      .join(candSig.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(candSig.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        GraftSqlBridge.column(SortedStringIntersectCount(
+          GraftSqlBridge.expression(col("sh_a")),
+          GraftSqlBridge.expression(col("sh_b")))).as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("sum_sizes"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)).as("sig_matches"))
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        (col("sum_sizes") - col("inter")).cast("long").as("uni"),
+        col("sig_matches").cast("long").as("sig_matches"),
+        lit(k.toLong).as("sig_k"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Drop-accounting over any (band, bucket) banding — the shared tail of
    * [[lshBucketStats]] and [[simhashBucketStats]]: bucket-count, how many
    * buckets the `maxBucketSize` cap would skip, and the largest bucket. */

@@ -123,4 +123,73 @@ object Agreement {
           - col("cat_sq") * (r - 1L)).as("kappa_num"),
         when(ok, (n * n * r * r - col("cat_sq")) * (r - 1L)).as("kappa_den"))
   }
+
+  /**
+   * Krippendorff's alpha (nominal data) over LONG-format ratings —
+   * the agreement statistic for the regime [[fleissKappa]] REJECTS:
+   * raters may abstain, so units carry VARYING rating counts m_u
+   * (units with m_u < 2 are unpairable and excluded, per Krippendorff
+   * 1970/2004). INTEGER-EXACT despite the per-unit denominators: with
+   * a_u = m_u² − Σ_c n_uc² (disagreeing ordered pairs within unit u),
+   * n = Σ m_u over pairable units, N_c = label totals over pairable
+   * units, and E = n² − Σ_c N_c²,
+   *
+   *   α = 1 − (n−1)·Σ_u a_u/(m_u−1) / E
+   *
+   * Every m_u − 1 divides L = lcm(1 .. maxRaters−1), so the rational
+   * sum Σ a_u/(m_u−1) ships exactly as D = Σ a_u·(L div (m_u−1)) over
+   * denominator L, and α = (L·E − (n−1)·D) / (L·E) — one integer pair,
+   * no float anywhere, any engine re-derives it bit-for-bit.
+   *
+   * `maxRaters` is the caller's promise, VERIFIED in-result: the row
+   * carries (m_min, m_max) and the alpha columns are NULL when
+   * m_max > maxRaters (the lcm would no longer clear the denominators),
+   * n < 2, or E = 0 (all pairable ratings share one label — α is
+   * undefined, not 1). Headroom: L·n² must fit a long; L = lcm(1..r−1)
+   * grows fast (r = 8 → 420), so n ≲ 3e9/√L ratings per audit —
+   * partition larger corpora by source/day as with the kappas.
+   *
+   * Scale contract: one pass builds the (item, label) count table; a
+   * per-item window on that COORDINATE table (never the ratings)
+   * attaches m_u for the pairable filter and the label totals; then the
+   * same 2-set GROUPING SETS fold as Fleiss — single linear job.
+   *
+   * @return one row: (n_pairable, n_units, m_min, m_max, lcm_r,
+   *   d_o_lcm, e_pairs, alpha_num, alpha_den)
+   */
+  def krippendorffAlpha(ratings: DataFrame, item: Column, label: Column,
+      maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 43,
+      s"maxRaters must be in [2, 43] (lcm(1..43) overflows Long), got $maxRaters")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmR = (1L to (maxRaters - 1).toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val cnt = ratings.select(item.as("it"), label.as("lb"))
+      .groupBy(col("it"), col("lb")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("it"))
+    val pair = cnt.withColumn("m", sum(col("c")).over(w))
+      .filter(col("m") >= 2L)
+    val sets = pair
+      .groupingSets(Seq(Seq(col("it")), Seq(col("lb"))), col("it"), col("lb"))
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        grouping_id().as("gid"))
+    val perItem = col("gid") === 1
+    val perLabel = col("gid") === 2
+    // Per-item rows: s1 = m_u, s2 = Σ n_uc²; per-label rows: s1 = N_c.
+    val aggd = sets.agg(
+      coalesce(sum(when(perItem, col("s1"))), lit(0L)).as("n_pairable"),
+      coalesce(sum(when(perItem, 1L)), lit(0L)).as("n_units"),
+      coalesce(min(when(perItem, col("s1"))), lit(0L)).as("m_min"),
+      coalesce(max(when(perItem, col("s1"))), lit(0L)).as("m_max"),
+      coalesce(sum(when(perItem, (col("s1") * col("s1") - col("s2"))
+        * expr(s"${lcmR}L div (s1 - 1L)"))), lit(0L)).as("d_o_lcm"),
+      coalesce(sum(when(perLabel, col("s1") * col("s1"))), lit(0L))
+        .as("cat_sq"))
+    val n = col("n_pairable")
+    val e = n * n - col("cat_sq")
+    val ok = col("m_max") <= lit(maxRaters.toLong) && n >= 2L && e > 0L
+    aggd.select(n, col("n_units"), col("m_min"), col("m_max"),
+      lit(lcmR).as("lcm_r"), col("d_o_lcm"), e.as("e_pairs"),
+      when(ok, lit(lcmR) * e - (n - 1L) * col("d_o_lcm")).as("alpha_num"),
+      when(ok, lit(lcmR) * e).as("alpha_den"))
+  }
 }

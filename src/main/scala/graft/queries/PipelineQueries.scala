@@ -1492,6 +1492,60 @@ object PipelineQueries {
       graft.operators.Agreement.fleissKappa(ratings, col("doc_id"), col("lb"))
     }),
 
+    // Krippendorff's alpha (nominal): the agreement statistic for the
+    // regime Fleiss REJECTS — raters that abstain. Same three quality
+    // heuristics as q203, but the distinct-token rater abstains on every
+    // third document (m varies 2..3), and the per-unit denominators
+    // m−1 clear exactly through lcm(1..maxRaters−1) = 2, so alpha ships
+    // as one exact integer rational.
+    "q210_krippendorff_alpha" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def band(c: org.apache.spark.sql.Column, lo: Int,
+          hi: Int): org.apache.spark.sql.Column =
+        when(c < lo, 0).when(c < hi, 1).otherwise(2)
+      val base = docs.select(col("doc_id"), col("n_chars"),
+        TextAnalysis.textStats(col("text"), Seq.empty).as("st"))
+      val ratings = base.select(col("doc_id"), array(
+          band(col("n_chars"), 220, 380),
+          band(col("st.n_tokens"), 40, 69),
+          band(col("st.n_distinct_tokens"), 23, 28)).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("pos", "lb")))
+        .filter(not(col("pos") === 2 && col("doc_id") % 3 === 0))
+      graft.operators.Agreement.krippendorffAlpha(ratings,
+        col("doc_id"), col("lb"), maxRaters = 3)
+    }),
+
+    // Vocabulary richness / unseen mass: Chao1's total-vocabulary
+    // estimate and Good–Turing's P(next token is a new type), both from
+    // the frequency-of-frequencies head, both exact integer rationals —
+    // the "will more crawl buy more vocabulary?" read. The exchange
+    // carries vocabulary coordinates (map-side combine), never corpus
+    // tokens.
+    "q211_chao1_vocabulary" -> ((s, dir) => {
+      graft.operators.Richness.chao1Vocabulary(Tables.documents(s, dir))
+    }),
+
+    // Collocation mining: global top-25 adjacent bigrams by exact
+    // integer lift (identical ordering to PMI), minCount = 5 to drop
+    // the degenerate hapax pairs — the phrase-vocabulary read. The
+    // oracle re-ranks from the same counts with the same truncated key
+    // and tiebreaks.
+    "q212_pmi_collocations" -> ((s, dir) => {
+      graft.operators.Collocations.pmiTopK(Tables.documents(s, dir),
+        k = 25, minCount = 5)
+    }),
+
+    // LSH operating-point calibration: for every auditable-banding
+    // bucket-collision pair (q92's k=16/rows=4/width-10 parameters),
+    // the MinHash agreement estimate (sig_matches of 16) next to the
+    // exact shingle Jaccard (inter, uni) — false-positive candidates
+    // included, they are what the calibration is FOR. The oracle
+    // re-derives signatures, buckets, pairs, matches, and exact Jaccard
+    // from the same md5 recipes.
+    "q213_lsh_calibration" -> ((s, dir) => {
+      Dedup.lshCalibrationAudit(Tables.documents(s, dir))
+    }),
+
     // Shared-prefix (KV/prompt-cache) audit: per prefix depth K, how
     // many documents share their EXACT first K tokens and how many
     // tokens a warm prefix cache would re-serve ((size−1)·K per group) —
@@ -3989,6 +4043,158 @@ object PipelineQueries {
          |    ((n_items * n_items * r_min * r_min - cat_sq)
          |      * (r_min - 1))::BIGINT END AS kappa_den
          |FROM shape, t, e""".stripMargin,
+    // Same three raters with the third abstaining on doc_id % 3 = 0;
+    // alpha rebuilt from the identical per-unit integer pieces (lcm = 2
+    // clears every m−1 ∈ {1, 2} exactly).
+    "q210_krippendorff_alpha" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars, len($tokensSql) AS tk,
+         |    len(list_distinct($tokensSql)) AS dk
+         |  FROM documents
+         |),
+         |long AS (
+         |  SELECT doc_id, CASE WHEN n_chars < 220 THEN 0
+         |    WHEN n_chars < 380 THEN 1 ELSE 2 END AS lb FROM m
+         |  UNION ALL SELECT doc_id, CASE WHEN tk < 40 THEN 0
+         |    WHEN tk < 69 THEN 1 ELSE 2 END FROM m
+         |  UNION ALL SELECT doc_id, CASE WHEN dk < 23 THEN 0
+         |    WHEN dk < 28 THEN 1 ELSE 2 END FROM m WHERE doc_id % 3 <> 0
+         |),
+         |cnt AS (SELECT doc_id, lb, count(*)::BIGINT AS c FROM long GROUP BY 1, 2),
+         |pu AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS mu, sum(c * c)::BIGINT AS s2
+         |  FROM cnt GROUP BY 1 HAVING sum(c) >= 2
+         |),
+         |nc AS (
+         |  SELECT lb, sum(c)::BIGINT AS n_c FROM cnt JOIN pu USING (doc_id)
+         |  GROUP BY 1
+         |),
+         |a1 AS (
+         |  SELECT coalesce(sum(mu), 0)::BIGINT AS n, count(*)::BIGINT AS n_units,
+         |    coalesce(min(mu), 0)::BIGINT AS m_min,
+         |    coalesce(max(mu), 0)::BIGINT AS m_max,
+         |    coalesce(sum((mu * mu - s2) * (2 // (mu - 1))), 0)::BIGINT AS d_o_lcm
+         |  FROM pu
+         |),
+         |a2 AS (SELECT coalesce(sum(n_c * n_c), 0)::BIGINT AS cat_sq FROM nc)
+         |SELECT n AS n_pairable, n_units, m_min, m_max, 2::BIGINT AS lcm_r,
+         |  d_o_lcm, (n * n - cat_sq)::BIGINT AS e_pairs,
+         |  CASE WHEN m_max <= 3 AND n >= 2 AND n * n - cat_sq > 0 THEN
+         |    (2 * (n * n - cat_sq) - (n - 1) * d_o_lcm)::BIGINT END AS alpha_num,
+         |  CASE WHEN m_max <= 3 AND n >= 2 AND n * n - cat_sq > 0 THEN
+         |    (2 * (n * n - cat_sq))::BIGINT END AS alpha_den
+         |FROM a1, a2""".stripMargin,
+    // Same tokenizer, same frequency-of-frequencies fold.
+    "q211_chao1_vocabulary" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($tokensSql) AS t FROM documents
+         |),
+         |cnt AS (SELECT t, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+         |a AS (
+         |  SELECT coalesce(sum(n), 0)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS vocab,
+         |    coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS f1,
+         |    coalesce(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END), 0)::BIGINT AS f2
+         |  FROM cnt
+         |)
+         |SELECT n_tokens, vocab, f1, f2,
+         |  (vocab * 2 * (f2 + 1) + f1 * (f1 - 1))::BIGINT AS chao1_num,
+         |  (2 * (f2 + 1))::BIGINT AS chao1_den,
+         |  f1 AS gt_unseen_num, n_tokens AS gt_unseen_den
+         |FROM a""".stripMargin,
+    // Same bigram/unigram counts, same truncated-lift key, same
+    // (lift desc, n_ab desc, w1, w2) order.
+    "q212_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |uni AS (
+         |  SELECT t AS w, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+         |),
+         |bi AS (
+         |  SELECT ts[i.i::INT] AS w1, ts[(i.i + 1)::INT] AS w2,
+         |    count(*)::BIGINT AS n_ab
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ts), 1))) AS i) i
+         |  GROUP BY 1, 2 HAVING count(*) >= 5
+         |),
+         |lifted AS (
+         |  SELECT bi.w1, bi.w2, bi.n_ab, a.n AS n_a, b.n AS n_b,
+         |    (bi.n_ab * 1000000000000) // (a.n * b.n) AS lift_e12
+         |  FROM bi JOIN uni a ON bi.w1 = a.w
+         |          JOIN uni b ON bi.w2 = b.w
+         |)
+         |SELECT row_number() OVER (ORDER BY lift_e12 DESC, n_ab DESC,
+         |    w1 ASC, w2 ASC)::INT AS rank,
+         |  w1, w2, n_ab, n_a, n_b, lift_e12::BIGINT AS lift_e12
+         |FROM lifted
+         |ORDER BY 1 LIMIT 25""".stripMargin,
+    // q92's signature/band machinery re-derived (same md5 element hash,
+    // same coefficient literals, same band-key string recipe), pairs
+    // expanded within <= 4096-sized buckets, exact Jaccard from the
+    // same width-10 shingles, matches = component-equal count.
+    "q213_lsh_calibration" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |base AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
+         |),
+         |co(i, a, b) AS (VALUES
+         |$minhash16CoeffRowsSql),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    min((((a * ((h & 4294967295::UBIGINT))::HUGEINT
+         |           + ((a * ((h >> 32))::HUGEINT) % 4294967296) * 4294967296
+         |           + b) % 18446744073709551616)
+         |         + CASE WHEN ((a * ((h & 4294967295::UBIGINT))::HUGEINT
+         |             + ((a * ((h >> 32))::HUGEINT) % 4294967296) * 4294967296
+         |             + b) % 18446744073709551616) >= 9223372036854775808
+         |           THEN -18446744073709551616 ELSE 0 END)::BIGINT) AS v
+         |  FROM base, co
+         |  GROUP BY 1, 2
+         |),
+         |keys AS (
+         |  SELECT doc_id, (i // 4) AS band,
+         |    (i // 4)::VARCHAR || ',' || string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, (i // 4)
+         |),
+         |keyed AS (
+         |  SELECT doc_id, band,
+         |    ('0x' || substr(md5(key), 1, 16))::UBIGINT AS bucket
+         |  FROM keys
+         |),
+         |bsz AS (SELECT band, bucket, count(*) AS n FROM keyed GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keyed a
+         |  JOIN keyed b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bsz s ON s.band = a.band AND s.bucket = a.bucket
+         |    AND s.n <= 4096
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+         |mtch AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)::BIGINT AS m
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  coalesce(p.inter, 0)::BIGINT AS inter,
+         |  (sa.n + sb.n - coalesce(p.inter, 0))::BIGINT AS uni,
+         |  m.m AS sig_matches, 16::BIGINT AS sig_k
+         |FROM cand c
+         |JOIN sizes sa ON c.id_a = sa.doc_id
+         |JOIN sizes sb ON c.id_b = sb.doc_id
+         |JOIN mtch m ON m.id_a = c.id_a AND m.id_b = c.id_b
+         |LEFT JOIN pair_inter p ON p.id_a = c.id_a AND p.id_b = c.id_b
+         |ORDER BY 1, 2""".stripMargin,
     // Grouping by the raw prefix LIST (engine groups by md5 of the
     // U+0001-joined prefix — identical partitioning on any corpus whose
     // tokens cannot contain U+0001, which whitespace splitting ensures).

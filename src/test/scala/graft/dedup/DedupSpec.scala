@@ -986,4 +986,28 @@ class DedupSpec extends AnyFunSuite {
     // And a plain scan (no LogicalRDD leaves) is always servable.
     assert(GraftSqlBridge.logicalRddsServable(spark.range(5).toDF("v")))
   }
+  test("lshCalibrationAudit: estimate brackets the exact Jaccard; identity pairs max out") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " * 3
+    val corpus = docs(
+      1L -> base,
+      2L -> (base + "EXTRA TAIL."), // near-dup of 1
+      3L -> ("totally unrelated document about spark catalyst optimizer rules " * 3),
+      4L -> base) // exact dup of 1
+    val out = Dedup.lshCalibrationAudit(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byPair = out.map(t => (t._1, t._2) -> t).toMap
+    // The exact-dup pair: inter == uni and every signature component agrees.
+    val exact = byPair((1L, 4L))
+    assert(exact._3 === exact._4 && exact._5 === 16L && exact._6 === 16L)
+    // Near-dup pairs collide in some bucket and carry a high (not
+    // necessarily perfect) agreement estimate alongside the exact counts.
+    assert(byPair.contains((1L, 2L)) && byPair.contains((2L, 4L)))
+    val nd = byPair((1L, 2L))
+    assert(nd._3 < nd._4, "near-dup is not an exact dup")
+    assert(nd._5 >= 8L && nd._5 <= 16L,
+      "a J~0.9 pair must agree on most signature components")
+    // Candidates never pair doc 3 with anything (no shared shingles).
+    assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
+  }
 }

@@ -98,4 +98,92 @@ class AgreementSpec extends AnyFunSuite {
     val (_, rMin, rMax, _, _, num, _) = fleiss(Seq((1L, "A"), (2L, "B")))
     assert(rMin === 1L && rMax === 1L && num.isEmpty)
   }
+
+  private def alpha(ratings: Seq[(Long, String)], maxRaters: Int)
+      : (Long, Long, Long, Long, Long, Long, Long, Option[Long], Option[Long]) = {
+    import spark.implicits._
+    val r = Agreement.krippendorffAlpha(ratings.toDF("item", "label"),
+      col("item"), col("label"), maxRaters).collect().head
+    def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), opt(7), opt(8))
+  }
+
+  /** Exact plain-Scala reference: alpha as a reduced BigInt fraction over
+   * the definitional per-unit rationals (no lcm trick). */
+  private def alphaReference(ratings: Seq[(Long, String)])
+      : Option[(BigInt, BigInt)] = {
+    val byUnit = ratings.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size >= 2)
+    if (byUnit.isEmpty) return None
+    val n = BigInt(byUnit.values.map(_.size).sum)
+    if (n < 2) return None
+    val catTotals = byUnit.values.flatten.groupBy(identity)
+      .view.mapValues(v => BigInt(v.size)).toMap
+    val e = n * n - catTotals.values.map(c => c * c).sum
+    if (e == 0) return None
+    // sum over units of a_u / (m_u - 1) as one fraction num/den
+    val (num, den) = byUnit.values.foldLeft((BigInt(0), BigInt(1))) {
+      case ((an, ad), labels) =>
+        val m = BigInt(labels.size)
+        val s2 = labels.groupBy(identity).values
+          .map(g => BigInt(g.size) * g.size).sum
+        val (bn, bd) = (m * m - s2, m - 1)
+        (an * bd + bn * ad, ad * bd)
+    }
+    // alpha = 1 - (n-1) * (num/den) / e
+    val aNum = den * e - (n - 1) * num
+    val aDen = den * e
+    val g = aNum.gcd(aDen)
+    Some((aNum / g, aDen / g))
+  }
+
+  test("krippendorffAlpha: hand case with varying raters lands on exactly 1/2") {
+    // u1 [a,a], u2 [a,b], u3 [b,b,b], u4 [c] (unpairable, excluded):
+    // n=7, D_o(lcm=2) = 4, E = 49-25 = 24, alpha = (48-24)/48 = 1/2.
+    val (n, u, mMin, mMax, lcm, d, e, num, den) = alpha(Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "c")), maxRaters = 3)
+    assert((n, u, mMin, mMax, lcm) === ((7L, 3L, 2L, 3L, 2L)))
+    assert(d === 4L && e === 24L)
+    assert(num === Some(24L) && den === Some(48L))
+    assert(alphaReference(Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "c")))
+      === Some((BigInt(1), BigInt(2))))
+  }
+
+  test("krippendorffAlpha: equals the definitional BigInt reference on varied data") {
+    val data = for {
+      item <- 0L until 40L
+      rater <- 0 until (1 + (item % 4).toInt)
+    } yield (item, "l" + ((item * 7 + rater * 3) % 5))
+    val (_, _, _, _, _, _, _, num, den) = alpha(data, maxRaters = 4)
+    val Some((rn, rd)) = alphaReference(data)
+    assert(num.nonEmpty && den.nonEmpty)
+    val g = BigInt(num.get).gcd(BigInt(den.get))
+    assert((BigInt(num.get) / g, BigInt(den.get) / g) === ((rn, rd)))
+  }
+
+  test("krippendorffAlpha: unanimity is alpha = 1; single-label corpus is NULL, not 1") {
+    val (_, _, _, _, _, _, _, num, den) = alpha(Seq(
+      (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")), maxRaters = 2)
+    assert(num.nonEmpty && num === den && num.get > 0L)
+    // All pairable ratings share one label: E = 0, alpha undefined.
+    val (_, _, _, _, _, _, e0, n0, d0) = alpha(Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")), maxRaters = 2)
+    assert(e0 === 0L && n0.isEmpty && d0.isEmpty)
+  }
+
+  test("krippendorffAlpha: a violated maxRaters promise NULLs alpha, never misprices it") {
+    val (_, _, _, mMax, _, _, _, num, den) = alpha(Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b")), maxRaters = 2)
+    assert(mMax === 3L)
+    assert(num.isEmpty && den.isEmpty)
+    intercept[IllegalArgumentException] {
+      Agreement.krippendorffAlpha(
+        { import spark.implicits._; Seq((1L, "a")).toDF("item", "label") },
+        col("item"), col("label"), maxRaters = 44)
+    }
+  }
 }
