@@ -1546,6 +1546,50 @@ object PipelineQueries {
       Dedup.lshCalibrationAudit(Tables.documents(s, dir))
     }),
 
+    // Dedup ROI in one row: what keep-min-id-per-cluster actually buys —
+    // clusters, removed docs, removed TOKENS (the unit compute is billed
+    // in). Σ over the q23 components joined with kernel token counts;
+    // the pair graph and components serve from the round-13 memos, so
+    // the marginal cost is a |clustered docs| coordinate join.
+    "q214_dedup_roi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+      val toks = docs.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      comps.join(toks, "id")
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"),
+          min(struct(col("id"), col("w"))).as("kp"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("n")), lit(0L)).as("docs_clustered"),
+          coalesce(sum(col("n") - 1L), lit(0L)).as("docs_removed"),
+          coalesce(sum(col("tw")), lit(0L)).as("tokens_clustered"),
+          coalesce(sum(col("tw") - col("kp.w")), lit(0L)).as("tokens_removed"))
+    }),
+
+    // The same ROI resolved by CLUSTER SIZE — where the duplicate mass
+    // sits (a corpus whose removals all come from 2-clusters dedups very
+    // differently from one with a few hundred-member template families).
+    "q215_dedup_roi_by_size" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+      val toks = docs.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      comps.join(toks, "id")
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"),
+          min(struct(col("id"), col("w"))).as("kp"))
+        .groupBy(col("n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("tw")).as("tokens_total"),
+          sum(col("tw") - col("kp.w")).as("tokens_removed"))
+        .orderBy("cluster_size")
+    }),
+
     // Shared-prefix (KV/prompt-cache) audit: per prefix depth K, how
     // many documents share their EXACT first K tokens and how many
     // tokens a warm prefix cache would re-serve ((size−1)·K per group) —
@@ -4195,6 +4239,36 @@ object PipelineQueries {
          |JOIN mtch m ON m.id_a = c.id_a AND m.id_b = c.id_b
          |LEFT JOIN pair_inter p ON p.id_a = c.id_a AND p.id_b = c.id_b
          |ORDER BY 1, 2""".stripMargin,
+    // The q23 components closed transitively, joined with token counts;
+    // keep-min-id's token count via arg_min.
+    "q214_dedup_roi" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |toks AS (SELECT doc_id AS id, len($tokensSql)::BIGINT AS w FROM documents),
+         |cl AS (
+         |  SELECT c.component_id, count(*)::BIGINT AS n, sum(t.w)::BIGINT AS tw,
+         |    arg_min(t.w, t.id)::BIGINT AS kw
+         |  FROM comps c JOIN toks t USING (id)
+         |  GROUP BY 1
+         |)
+         |SELECT count(*)::BIGINT AS n_clusters,
+         |  coalesce(sum(n), 0)::BIGINT AS docs_clustered,
+         |  coalesce(sum(n - 1), 0)::BIGINT AS docs_removed,
+         |  coalesce(sum(tw), 0)::BIGINT AS tokens_clustered,
+         |  coalesce(sum(tw - kw), 0)::BIGINT AS tokens_removed
+         |FROM cl""".stripMargin,
+    "q215_dedup_roi_by_size" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |toks AS (SELECT doc_id AS id, len($tokensSql)::BIGINT AS w FROM documents),
+         |cl AS (
+         |  SELECT c.component_id, count(*)::BIGINT AS n, sum(t.w)::BIGINT AS tw,
+         |    arg_min(t.w, t.id)::BIGINT AS kw
+         |  FROM comps c JOIN toks t USING (id)
+         |  GROUP BY 1
+         |)
+         |SELECT n AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |  sum(tw)::BIGINT AS tokens_total,
+         |  sum(tw - kw)::BIGINT AS tokens_removed
+         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     // Grouping by the raw prefix LIST (engine groups by md5 of the
     // U+0001-joined prefix — identical partitioning on any corpus whose
     // tokens cannot contain U+0001, which whitespace splitting ensures).
