@@ -147,6 +147,72 @@ object Retrieval {
       .orderBy(col("system"))
   }
 
+  /**
+   * Average precision at k, per (system, query), exact-rational — the
+   * position-sensitive companion to [[evalAtK]] (MRR sees only the FIRST
+   * hit; recall ignores order entirely; AP prices every hit by the
+   * precision at its rank):
+   *
+   *   AP@k = Σ_{relevant hits at rank i ≤ k} P@i / min(n_rel, k),
+   *   P@i = (relevant retrieved in top i) / i.
+   *
+   * With every i in [1, k], lcm(1..k) clears the P@i denominators:
+   * `ap_num = Σ hits_i·(lcm div i)` and `ap_den = lcm·min(n_rel, k)` —
+   * one integer pair per (system, query), any engine re-derives it
+   * bit-for-bit. MAP@k is the consumer's mean over queries (a mean of
+   * rationals with varying denominators — ship the rows, not a float).
+   * Judged queries a system misses entirely still appear (ap_num = 0).
+   *
+   * Scale shape: identical to [[evalAtK]] — top-k-bounded coordinate
+   * unions, broadcast relevance, and the one window (cumulative hits by
+   * rank) runs inside (system, query) groups of ≤ k rows.
+   *
+   * @return (system, query_id, n_rel, hits_at_k, ap_num, ap_den),
+   *         ordered by (system, query_id)
+   */
+  def apAtK(systems: Seq[(String, DataFrame)], relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranked system")
+    require(k >= 1 && k <= 42,
+      s"k must be in [1, 42] (lcm(1..43) overflows Long), got $k")
+    val names = systems.map(_._1)
+    require(names.distinct.size == names.size,
+      s"system names must be distinct, got $names")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val rel = relevance.select(col("query_id"), col("doc_id")).distinct()
+    val judged = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val tagged = systems.map { case (name, df) =>
+      df.filter(col("rank") <= k)
+        .select(lit(name).as("system"), col("query_id"),
+          col("rank").cast("int").as("rank"), col("doc_id"))
+    }.reduce(_ union _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("system"), col("query_id")).orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val perQuery = tagged.join(broadcast(rel), Seq("query_id", "doc_id"))
+      .select(col("system"), col("query_id"), col("rank"),
+        count(lit(1)).over(w).as("hits_i"))
+      .groupBy(col("system"), col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        sum(col("hits_i") * expr(s"${lcmK}L div rank")).as("ap_sum"))
+    val sysNames = systems.head._2.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+          names.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("system",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    judged.crossJoin(broadcast(sysNames))
+      .join(perQuery, Seq("system", "query_id"), "left")
+      .select(col("system"), col("query_id"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(col("ap_sum"), lit(0L)).as("ap_num"),
+        (lit(lcmK) * least(col("n_rel"), lit(k.toLong))).as("ap_den"))
+      .orderBy(col("system"), col("query_id"))
+  }
+
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(arms.nonEmpty, "need at least one retrieval arm")
     require(kConst >= 0, s"kConst must be non-negative, got $kConst")

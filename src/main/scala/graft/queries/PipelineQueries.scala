@@ -1419,6 +1419,32 @@ object PipelineQueries {
         Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
     }),
 
+    // Average precision at 10, per (system, query), exact-rational —
+    // q209's position-sensitive companion (MRR sees the first hit,
+    // recall ignores order; AP prices every hit by precision at its
+    // rank). Same arms, same relevance fixture; MAP is the consumer's
+    // mean over the shipped rationals.
+    "q216_retrieval_ap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries
+            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.operators.Retrieval.apAtK(
+        Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -2456,6 +2482,68 @@ object PipelineQueries {
       |      sum(CASE WHEN votes * 2 > n THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sim
       |    FROM bits GROUP BY 1) s USING (doc_id)
       |)""".stripMargin
+
+
+  /** The q202/q209/q216 retrieval derivation shared CTE chain (lexical
+   * overlap ranks, semantic cosine ranks, integer RRF fusion, the
+   * same-(lang, source) relevance fixture + judged counts, and the
+   * tagged system union) — one template so the eval oracles' rank
+   * semantics cannot drift. Lazy: interpolates [[tokensSql]]. */
+  private lazy val retrievalEvalCtesSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS term FROM documents
+       |),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ov DESC, doc_id ASC) AS rank
+       |    FROM (
+       |      SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*) AS ov
+       |      FROM toks c JOIN toks q ON c.term = q.term
+       |      WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+       |      GROUP BY 1, 2))
+       |  WHERE rank <= 10
+       |),
+       |sem AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, neighbor_id AS doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        q.embedding AS qv, c.embedding AS cv
+       |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < 10))
+       |  WHERE rank <= 10
+       |),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem
+       |),
+       |fused AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_e6 DESC, doc_id ASC) AS rank
+       |    FROM (
+       |      SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_e6
+       |      FROM contrib GROUP BY 1, 2))
+       |  WHERE rank <= 10
+       |),
+       |rel AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id
+       |  FROM documents q JOIN documents c
+       |    ON q.lang = c.lang AND q.source = c.source
+       |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+       |),
+       |judged AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+       |sys AS (
+       |  SELECT 'fused' AS system, query_id, doc_id, rank FROM fused
+       |  UNION ALL SELECT 'lex', query_id, doc_id, rank FROM lex
+       |  UNION ALL SELECT 'sem', query_id, doc_id, rank FROM sem
+       |)"""
 
   /** The q14 near-dup graph closed transitively — `comps` is
    * (id, component_id) for every doc in a qualifying pair. Shared by the
@@ -3892,60 +3980,7 @@ object PipelineQueries {
     // relevant rank per (system, query) → unit fractions over
     // lcm(1..10) = 2520; micro recall as the hits/total integer pair.
     "q209_retrieval_eval" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS term FROM documents
-         |),
-         |lex AS (
-         |  SELECT query_id, doc_id, rank FROM (
-         |    SELECT query_id, doc_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY ov DESC, doc_id ASC) AS rank
-         |    FROM (
-         |      SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*) AS ov
-         |      FROM toks c JOIN toks q ON c.term = q.term
-         |      WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
-         |      GROUP BY 1, 2))
-         |  WHERE rank <= 10
-         |),
-         |sem AS (
-         |  SELECT query_id, doc_id, rank FROM (
-         |    SELECT query_id, neighbor_id AS doc_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
-         |    FROM (
-         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |        q.embedding AS qv, c.embedding AS cv
-         |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |      WHERE q.vec_id < 10))
-         |  WHERE rank <= 10
-         |),
-         |contrib AS (
-         |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
-         |  UNION ALL
-         |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem
-         |),
-         |fused AS (
-         |  SELECT query_id, doc_id, rank FROM (
-         |    SELECT query_id, doc_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY rrf_e6 DESC, doc_id ASC) AS rank
-         |    FROM (
-         |      SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_e6
-         |      FROM contrib GROUP BY 1, 2))
-         |  WHERE rank <= 10
-         |),
-         |rel AS (
-         |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id
-         |  FROM documents q JOIN documents c
-         |    ON q.lang = c.lang AND q.source = c.source
-         |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
-         |),
-         |judged AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
-         |sys AS (
-         |  SELECT 'fused' AS system, query_id, doc_id, rank FROM fused
-         |  UNION ALL SELECT 'lex', query_id, doc_id, rank FROM lex
-         |  UNION ALL SELECT 'sem', query_id, doc_id, rank FROM sem
-         |),
+      s"""WITH $retrievalEvalCtesSql,
          |hits AS (
          |  SELECT s.system, s.query_id, min(s.rank) AS first_rank,
          |    count(*)::BIGINT AS n_hits
@@ -3963,6 +3998,31 @@ object PipelineQueries {
          |FROM judged j CROSS JOIN names n
          |LEFT JOIN hits h ON h.system = n.system AND h.query_id = j.query_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same arms/relevance; cumulative hit counts price every hit at
+    // P@rank over lcm(1..10) = 2520.
+    "q216_retrieval_ap" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |h AS (
+         |  SELECT s.system, s.query_id, s.rank,
+         |    count(*) OVER (PARTITION BY s.system, s.query_id
+         |      ORDER BY s.rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hits_i
+         |  FROM sys s JOIN rel r
+         |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+         |),
+         |pq AS (
+         |  SELECT system, query_id, count(*)::BIGINT AS hits_at_k,
+         |    sum(hits_i * (2520 // rank))::BIGINT AS ap_sum
+         |  FROM h GROUP BY 1, 2
+         |),
+         |names(system) AS (SELECT * FROM (VALUES ('fused'), ('lex'), ('sem')))
+         |SELECT n.system, j.query_id, j.n_rel,
+         |  coalesce(p.hits_at_k, 0)::BIGINT AS hits_at_k,
+         |  coalesce(p.ap_sum, 0)::BIGINT AS ap_num,
+         |  (2520 * least(j.n_rel, 10))::BIGINT AS ap_den
+         |FROM judged j CROSS JOIN names n
+         |LEFT JOIN pq p ON p.system = n.system AND p.query_id = j.query_id
+         |ORDER BY 1, 2""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

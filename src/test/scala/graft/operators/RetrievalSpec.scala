@@ -104,6 +104,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 1L, 2L, 1L, 2L)))
   }
 
+  test("apAtK: exact per-query average precision, zero-hit queries present") {
+    // q0 -> {10, 12, 14}: s1 hits at ranks 2 (P=1/2) and 3 (P=2/3) ->
+    // AP = (1/2 + 2/3)/3 = 7/18; s2 hits rank 1 only -> AP = 1/3.
+    // q1 -> {20}: s1 retrieves nothing relevant -> AP = 0, row present.
+    val relevance = rel(0L -> 10L, 0L -> 12L, 0L -> 14L, 1L -> 20L)
+    val s1 = arm((0L, 1, 11L), (0L, 2, 10L), (0L, 3, 12L), (1L, 1, 21L))
+    val s2 = arm((0L, 1, 14L))
+    val out = Retrieval.apAtK(Seq("s1" -> s1, "s2" -> s2), relevance, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 0L, 3L, 2L, 1L * (2520 / 2) + 2L * (2520 / 3), 2520L * 3),
+      ("s1", 1L, 1L, 0L, 0L, 2520L * 1),
+      ("s2", 0L, 3L, 1L, 2520L, 2520L * 3),
+      ("s2", 1L, 1L, 0L, 0L, 2520L * 1)))
+    assert(2940.0 / 7560.0 === 7.0 / 18.0)
+  }
+
+  test("apAtK: a perfect ranking scores exactly 1; min(n_rel, k) caps the denominator") {
+    val relevance = rel(2L -> 30L, 2L -> 31L)
+    val s3 = arm((2L, 1, 30L), (2L, 2, 31L))
+    val Seq((_, _, _, _, num, den)) =
+      Retrieval.apAtK(Seq("s3" -> s3), relevance, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(num === den && num > 0L)
+    // k = 1 with 2 relevant: denominator uses min(n_rel, k) = 1.
+    val Seq((_, _, _, _, n1, d1)) =
+      Retrieval.apAtK(Seq("s3" -> s3), relevance, k = 1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(n1 === 1L && d1 === 1L, "P@1 = 1 over min(2, 1) = 1 with lcm(1..1) = 1")
+  }
+
   test("evalAtK: input validation") {
     val relevance = rel(0L -> 10L)
     val s1 = arm((0L, 1, 10L))
