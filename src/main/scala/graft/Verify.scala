@@ -5,7 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated query-name prefixes — dump (and
+    // emit oracle SQL for) only matching queries. Local-iteration aid;
+    // the driver passes two args and gets the full suite.
+    val nameFilter: String => Boolean = args.lift(2) match {
+      case Some(spec) =>
+        val prefixes = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        name => prefixes.exists(name.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       // Full library install (SQL functions + optimizer rules) — the same
@@ -33,12 +42,13 @@ object Verify {
     // concurrent plan's width); the default stays sequential so the
     // driver's runs are maximally deterministic.
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (name, _) => nameFilter(name) }
     if (threads <= 1) {
-      SparkEntry.queries.foreach { case (name, fn) => dump(name, fn) }
+      selected.foreach { case (name, fn) => dump(name, fn) }
     } else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       try {
-        val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val futures = selected.toSeq.map { case (name, fn) =>
           pool.submit(new Runnable { override def run(): Unit = dump(name, fn) })
         }
         futures.foreach(_.get())
@@ -57,6 +67,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => nameFilter(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -213,6 +213,92 @@ object Retrieval {
       .orderBy(col("system"), col("query_id"))
   }
 
+  /**
+   * Expected reciprocal rank at k (Chapelle et al., CIKM 2009), per
+   * (system, query), exact-rational — the GRADED-relevance companion to
+   * [[evalAtK]]/[[apAtK]] (those see judged/unjudged; ERR models a user
+   * scanning down the ranking who stops at a document with probability
+   * proportional to its relevance GRADE, so a barely-relevant hit at
+   * rank 1 scores differently from a perfect one):
+   *
+   *   ERR@k = Σ_{r=1..k} (1/r) · R_r · Π_{i<r} (1 − R_i),
+   *   R_i = (2^{g_i} − 1) / 2^{gMax},  g_i ∈ [0, gMax].
+   *
+   * Everything is integer: with n_i = 2^{g_i} − 1 and m = 2^{gMax}, the
+   * common denominator lcm(1..k)·m^k clears every term —
+   * `err_num = Σ_r (lcm div r)·n_r·Π_{i<r}(m−n_i)·m^{k−r}` — so any
+   * engine re-derives the pair bit-for-bit (the DuckDB oracle folds the
+   * same recurrence through a bounded recursive CTE). The ordered prefix
+   * product runs in ONE `aggregate` fold over the ≤ k collected
+   * (rank, n) structs per (system, query) group; overflow is excluded up
+   * front (k·lcm·2^{gMax·k} must fit a Long — k=10, gMax=2 uses ~35 of
+   * 63 bits).
+   *
+   * Scale shape: identical to [[evalAtK]] — top-k-bounded coordinate
+   * unions, broadcast graded relevance, and the fold inside
+   * (system, query) groups of ≤ k rows. Nothing scales with the corpus.
+   *
+   * @param relevance graded judgments (query_id, doc_id, grade), grade
+   *                  ≥ 1 (unjudged pairs are grade 0 by absence);
+   *                  duplicate pairs keep the max grade
+   * @return (system, query_id, n_graded, err_num, err_den), ordered by
+   *         (system, query_id); ERR@k = err_num / err_den
+   */
+  def errAtK(systems: Seq[(String, DataFrame)], relevance: DataFrame,
+      k: Int, gMax: Int = 2): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranked system")
+    require(k >= 1 && k <= 42,
+      s"k must be in [1, 42] (lcm(1..43) overflows Long), got $k")
+    require(gMax >= 1, s"gMax must be >= 1, got $gMax")
+    val names = systems.map(_._1)
+    require(names.distinct.size == names.size,
+      s"system names must be distinct, got $names")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    require(BigInt(k) * BigInt(lcmK) * (BigInt(1) << (gMax * k)) <
+        BigInt(Long.MaxValue),
+      s"k=$k, gMax=$gMax overflows the Long error-free window")
+    val m = 1L << gMax
+    val rel = relevance
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("grade")).cast("int").as("grade"))
+      .filter(col("grade") >= 1)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"shiftleft(1L, least(grade, $gMax)) - 1L").as("n"))
+    val judged = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_graded"))
+    val tagged = systems.map { case (name, df) =>
+      df.filter(col("rank") <= k)
+        .select(lit(name).as("system"), col("query_id"),
+          col("rank").cast("int").as("rank"), col("doc_id"))
+    }.reduce(_ union _)
+    val folded = tagged.join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+      .select(col("system"), col("query_id"), col("rank"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy(col("system"), col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("n")))).as("rn"))
+      .select(col("system"), col("query_id"),
+        expr(
+          s"""aggregate(rn, named_struct('s', 0L, 'p', 1L),
+             |  (a, x) -> named_struct(
+             |    's', a.s + (${lcmK}L div x.rank) * x.n * a.p *
+             |           shiftleft(1L, $gMax * ($k - x.rank)),
+             |    'p', a.p * (${m}L - x.n)),
+             |  a -> a.s)""".stripMargin).as("err_num"))
+    val sysNames = systems.head._2.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+          names.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("system",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    judged.crossJoin(broadcast(sysNames))
+      .join(folded, Seq("system", "query_id"), "left")
+      .select(col("system"), col("query_id"), col("n_graded"),
+        coalesce(col("err_num"), lit(0L)).as("err_num"),
+        lit(lcmK * (1L << (gMax * k))).as("err_den"))
+      .orderBy(col("system"), col("query_id"))
+  }
+
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(arms.nonEmpty, "need at least one retrieval arm")
     require(kConst >= 0, s"kConst must be non-negative, got $kConst")

@@ -1445,6 +1445,37 @@ object PipelineQueries {
         Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
     }),
 
+    // Graded-relevance ranking metric (ERR@10, Chapelle 2009) — the
+    // grade-AND-position-sensitive eval over the same arms: grade 2 =
+    // same (lang, source) as the query doc, grade 1 = same lang only.
+    // The cascade user stops at a grade-g document with probability
+    // (2^g − 1)/4; the whole statistic ships as one integer rational
+    // per (system, query) over lcm(1..10)·4^10, and the oracle
+    // re-derives it bit-for-bit through a bounded recursive fold.
+    "q217_retrieval_err" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries.select(col("doc_id").as("query_id"),
+            col("lang"), col("source").as("q_source"))),
+          Seq("lang"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("source") === col("q_source"), lit(2))
+            .otherwise(lit(1)).as("grade"))
+      graft.operators.Retrieval.errAtK(
+        Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel,
+        k = 10, gMax = 2)
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4023,6 +4054,45 @@ object PipelineQueries {
          |FROM judged j CROSS JOIN names n
          |LEFT JOIN pq p ON p.system = n.system AND p.query_id = j.query_id
          |ORDER BY 1, 2""".stripMargin,
+    // Same arms; graded relevance (same lang+source → n = 2^2−1 = 3,
+    // same lang only → n = 1), then the ERR cascade folded through a
+    // bounded recursive CTE carrying the exact integer prefix product:
+    // acc += (lcm div r)·n_r·prod·4^(10−r); prod *= (4 − n_r).
+    "q217_retrieval_err" ->
+      s"""WITH RECURSIVE $retrievalEvalCtesSql,
+         |relg AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |    CASE WHEN q.source = c.source THEN 3::BIGINT
+         |         ELSE 1::BIGINT END AS n
+         |  FROM documents q JOIN documents c ON q.lang = c.lang
+         |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+         |),
+         |judgedg AS (
+         |  SELECT query_id, count(*)::BIGINT AS n_graded FROM relg GROUP BY 1
+         |),
+         |names(system) AS (SELECT * FROM (VALUES ('fused'), ('lex'), ('sem'))),
+         |sysn AS (
+         |  SELECT s.system, s.query_id, s.rank, coalesce(g.n, 0::BIGINT) AS n
+         |  FROM sys s LEFT JOIN relg g
+         |    ON g.query_id = s.query_id AND g.doc_id = s.doc_id
+         |),
+         |err AS (
+         |  SELECT n.system, j.query_id, j.n_graded, 0 AS r,
+         |    0::BIGINT AS acc, 1::BIGINT AS prod
+         |  FROM judgedg j CROSS JOIN names n
+         |  UNION ALL
+         |  SELECT e.system, e.query_id, e.n_graded, e.r + 1,
+         |    e.acc + (2520 // (e.r + 1))::BIGINT * coalesce(x.n, 0::BIGINT)
+         |          * e.prod * (1::BIGINT << (2 * (10 - (e.r + 1)))),
+         |    e.prod * (4::BIGINT - coalesce(x.n, 0::BIGINT))
+         |  FROM err e LEFT JOIN sysn x
+         |    ON x.system = e.system AND x.query_id = e.query_id
+         |   AND x.rank = e.r + 1
+         |  WHERE e.r < 10
+         |)
+         |SELECT system, query_id, n_graded, acc AS err_num,
+         |  (2520::BIGINT << 20) AS err_den
+         |FROM err WHERE r = 10 ORDER BY 1, 2""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

@@ -151,4 +151,72 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.evalAtK(Seq("a" -> s1), relevance, k = 43)
     }
   }
+
+  private def relg(rows: (Long, Long, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("query_id", "doc_id", "grade")
+  }
+
+  /** Definitional ERR fold over (rank, n = 2^grade − 1) pairs — EVERY
+   * retrieved rank must be listed (n = 0 when unjudged: its stop
+   * probability is 0 but it still contributes the (m − 0)/m = 1
+   * continuation factor, i.e. a factor m in the integer product). */
+  private def errRef(hits: Seq[(Int, Long)], k: Int, gMax: Int): (Long, Long) = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    var prod = 1L
+    var sum = 0L
+    hits.sortBy(_._1).foreach { case (r, n) =>
+      sum += (lcm / r) * n * prod * (1L << (gMax * (k - r)))
+      prod *= ((1L << gMax) - n)
+    }
+    (sum, lcm * (1L << (gMax * k)))
+  }
+
+  test("errAtK: matches the definitional cascade fold; zero-hit queries present") {
+    // Query 0: s1 ranks a grade-2 doc at 1 and a grade-1 doc at 3; s2
+    // ranks only the grade-1 doc, at rank 2. Query 1 judged, never hit.
+    val relevance = relg((0L, 10L, 2), (0L, 12L, 1), (1L, 20L, 1))
+    val s1 = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+    val s2 = arm((0L, 1, 13L), (0L, 2, 12L))
+    val out = Retrieval.errAtK(Seq("s1" -> s1, "s2" -> s2), relevance,
+        k = 10, gMax = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (n1, d) = errRef(Seq(1 -> 3L, 2 -> 0L, 3 -> 1L), k = 10, gMax = 2)
+    val (n2, _) = errRef(Seq(1 -> 0L, 2 -> 1L), k = 10, gMax = 2)
+    assert(out.toSeq === Seq(
+      ("s1", 0L, 2L, n1, d), ("s1", 1L, 1L, 0L, d),
+      ("s2", 0L, 2L, n2, d), ("s2", 1L, 1L, 0L, d)))
+  }
+
+  test("errAtK: top-grade hit at rank 1 scores exactly (2^gMax−1)/2^gMax") {
+    val relevance = relg((0L, 10L, 2))
+    val s = arm((0L, 1, 10L))
+    val Seq((_, _, _, num, den)) =
+      Retrieval.errAtK(Seq("s" -> s), relevance, k = 10, gMax = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(num * 4L === den * 3L, "ERR of a perfect first hit is 3/4")
+  }
+
+  test("errAtK: duplicate judgments keep max grade; grades clamp at gMax") {
+    val relevance = relg((0L, 10L, 1), (0L, 10L, 7), (0L, 11L, 2))
+    val s = arm((0L, 1, 10L), (0L, 2, 11L))
+    val Seq((_, _, ng, num, den)) =
+      Retrieval.errAtK(Seq("s" -> s), relevance, k = 10, gMax = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(ng === 2L)
+    val (expNum, expDen) = errRef(Seq(1 -> 3L, 2 -> 3L), k = 10, gMax = 2)
+    assert(num === expNum && den === expDen)
+  }
+
+  test("errAtK: overflow guard rejects k·lcm·2^(gMax·k) past the Long window") {
+    val relevance = relg((0L, 10L, 1))
+    val s = arm((0L, 1, 10L))
+    intercept[IllegalArgumentException] {
+      Retrieval.errAtK(Seq("s" -> s), relevance, k = 10, gMax = 5)
+    }
+  }
 }
