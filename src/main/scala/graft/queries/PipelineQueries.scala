@@ -1476,6 +1476,42 @@ object PipelineQueries {
         k = 10, gMax = 2)
     }),
 
+    // Readability audit per source (difficulty-curriculum feature): word /
+    // vowel-group-syllable / sentence counts from the one-pass
+    // ReadabilityStats kernel; the Flesch–Kincaid grade has rational
+    // coefficients (0.39, 11.8, 15.59), so both the per-source grade and
+    // the per-doc "grade > 12" flag ship as exact integer arithmetic —
+    // fk_num/fk_den = (39W² + 1180YT − 1559WT)/(100WT) over source
+    // totals. Row volume dies in the per-source aggregation.
+    "q218_readability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val per = docs
+        .select(col("source"),
+          TextAnalysis.readabilityStats(col("text")).as("rs"))
+        .select(col("source"),
+          col("rs.n_words").cast("long").as("w"),
+          col("rs.n_syllables").cast("long").as("y"),
+          col("rs.n_sentences").cast("long").as("t"))
+        .select(col("source"), col("w"), col("y"), col("t"),
+          (col("w") > 0 &&
+            lit(39L) * col("w") * col("w") + lit(1180L) * col("y") * col("t") >
+              lit(2759L) * col("w") * col("t")).cast("long").as("hard"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("y")).as("n_syllables"), sum(col("t")).as("n_sentences"),
+          sum(col("hard")).as("hard_docs"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_syllables"), col("n_sentences"),
+          when(col("n_words") > 0,
+            lit(39L) * col("n_words") * col("n_words") +
+              lit(1180L) * col("n_syllables") * col("n_sentences") -
+              lit(1559L) * col("n_words") * col("n_sentences")).as("fk_num"),
+          when(col("n_words") > 0,
+            lit(100L) * col("n_words") * col("n_sentences")).as("fk_den"),
+          col("hard_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4093,6 +4129,31 @@ object PipelineQueries {
          |SELECT system, query_id, n_graded, acc AS err_num,
          |  (2520::BIGINT << 20) AS err_den
          |FROM err WHERE r = 10 ORDER BY 1, 2""".stripMargin,
+    // Same tokenizer; syllables = per-token max(1, [aeiouy]+ runs) on the
+    // lowercased token, sentences = max(1, [.!?]+ runs); the FK grade and
+    // the per-doc hard flag re-derive as the same integer arithmetic.
+    "q218_readability" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    len($tokensSql)::BIGINT AS w,
+         |    coalesce(list_sum(list_transform($tokensSql,
+         |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))),
+         |      0)::BIGINT AS y,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |tot AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS W,
+         |    sum(y)::BIGINT AS Y, sum(t)::BIGINT AS T,
+         |    sum(CASE WHEN w > 0 AND 39*w*w + 1180*y*t > 2759*w*t
+         |        THEN 1 ELSE 0 END)::BIGINT AS hard_docs
+         |  FROM per GROUP BY 1
+         |)
+         |SELECT source, n_docs, W AS n_words, Y AS n_syllables,
+         |  T AS n_sentences,
+         |  CASE WHEN W > 0 THEN 39*W*W + 1180*Y*T - 1559*W*T END AS fk_num,
+         |  CASE WHEN W > 0 THEN 100*W*T END AS fk_den, hard_docs
+         |FROM tot ORDER BY source""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

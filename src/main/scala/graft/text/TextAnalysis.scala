@@ -110,6 +110,31 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftSqlBridge.column(
       TextStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), stopwordLists))
 
+  /** Readability inputs (word / vowel-group-syllable / sentence counts)
+   * in one kernel pass — see [[ReadabilityStats]]. Integer struct fields;
+   * the classic formulas (Flesch–Kincaid grade = 0.39·W/T + 11.8·Y/W −
+   * 15.59, …) have rational coefficients, so callers derive them as exact
+   * integer pairs: fk_num = 39·W² + 1180·Y·T − 1559·W·T over
+   * fk_den = 100·W·T. */
+  def readabilityStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      ReadabilityStats(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
+
+  /** The composed (tokenize + per-token regex) form of
+   * [[readabilityStats]] — the portable definition the kernel is
+   * spec-pinned against. Per-token regexes inside the lambda are the
+   * exact reason the kernel exists; never put this on a hot path. */
+  private[graft] def readabilityStatsComposed(text: Column): Column = {
+    val ts = tokens(text)
+    struct(
+      size(ts).as("n_words"),
+      aggregate(ts, lit(0), (acc, t) =>
+        acc + greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))
+      ).as("n_syllables"),
+      greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+        .as("n_sentences"))
+  }
+
   /** Within-document repetition signals (duplicate-line and top-bigram
    * counts) for boilerplate/degenerate-text filtering — see
    * [[RepetitionStats]]. Integer struct fields; derive fractions (e.g.

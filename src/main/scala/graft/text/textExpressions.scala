@@ -447,6 +447,84 @@ object TokenCount {
 }
 
 /**
+ * `readability_stats(string)` → struct(n_words, n_syllables,
+ * n_sentences) — the integer inputs of every classic readability
+ * formula (Flesch reading ease, Flesch–Kincaid grade, …), one pass:
+ *
+ *  - `n_words` — maximal non-`\s` runs ([[TokenCount]] semantics);
+ *  - `n_syllables` — per word, max(1, maximal runs of `[aeiouy]`,
+ *    case-insensitive) — the standard vowel-group syllable heuristic —
+ *    summed over words;
+ *  - `n_sentences` — max(1, maximal runs of `[.!?]` anywhere in the
+ *    raw text).
+ *
+ * The walk is over raw UTF-8 BYTES: every class tested (`\s`, vowels,
+ * sentence marks) is pure ASCII and multi-byte UTF-8 units are all
+ * ≥ 0x80, so a byte matches a class iff the character does; a non-ASCII
+ * character correctly reads as "in a word, not a vowel" (it breaks a
+ * vowel run exactly as the per-token `[aeiouy]+` regex would). Value
+ * equality with the composed tokenize-and-regex form is spec-pinned
+ * (ReadabilitySpec); the formulas themselves stay exact rationals in
+ * the caller — only these three counts ever leave the kernel.
+ */
+case class ReadabilityStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_syllables", IntegerType, nullable = false),
+    StructField("n_sentences", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numBytes
+    var words = 0
+    var syllables = 0
+    var sentences = 0
+    var inWord = false
+    var inVowelRun = false
+    var inMarkRun = false
+    var wordVowelGroups = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+        b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+      if (ws) {
+        if (inWord) {
+          words += 1
+          syllables += (if (wordVowelGroups == 0) 1 else wordVowelGroups)
+        }
+        inWord = false; inVowelRun = false; wordVowelGroups = 0
+      } else {
+        inWord = true
+        val lc = if (b >= 'A'.toByte && b <= 'Z'.toByte) (b + 32).toByte else b
+        val vowel = lc == 'a'.toByte || lc == 'e'.toByte || lc == 'i'.toByte ||
+          lc == 'o'.toByte || lc == 'u'.toByte || lc == 'y'.toByte
+        if (vowel && !inVowelRun) wordVowelGroups += 1
+        inVowelRun = vowel
+      }
+      val mark = b == '.'.toByte || b == '!'.toByte || b == '?'.toByte
+      if (mark && !inMarkRun) sentences += 1
+      inMarkRun = mark
+      i += 1
+    }
+    if (inWord) {
+      words += 1
+      syllables += (if (wordVowelGroups == 0) 1 else wordVowelGroups)
+    }
+    new GenericInternalRow(Array[Any](
+      words, syllables, if (sentences == 0) 1 else sentences))
+  }
+
+  override def prettyName: String = "readability_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `quality_score64(string)` — the fused kernel behind
  * [[TextAnalysis.linearQualityScore]]: lowercase, split on ASCII
  * whitespace (the same `\s` class the Column tokenizer and the DuckDB
