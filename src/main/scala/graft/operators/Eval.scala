@@ -93,4 +93,56 @@ object Eval {
           .as("gap_num"),
         (col("mx.n") * col("mn.n")).as("gap_den"))
   }
+
+  /**
+   * Scorer calibration audit: the reliability diagram plus exact
+   * expected calibration error for a confidence in [0, 1e6] against a
+   * boolean outcome — the check a pipeline runs before gating on a
+   * scorer's VALUE (auto-labeling, confidence-weighted sampling) rather
+   * than just its ranking (that is [[rankAuc]]'s job).
+   *
+   * Confidences bucket into `bins` equal-width bins (`conf_e6 div
+   * (1e6/bins)`, the top edge clamped into the last bin). Per bin the
+   * diagram needs only integers: `n_docs`, `n_pos`, `conf_sum_e6` — and
+   * the bin's ECE contribution is `dev_e6 = |1e6·n_pos − conf_sum_e6|`,
+   * because (n_b/N)·|acc_b − conf̄_b| over a common denominator 1e6·N
+   * has exactly that numerator. The appended total row (bin = null)
+   * sums the diagram, so ECE = total.dev_e6 / (1e6·total.n_docs) — one
+   * exact rational, never a float in-engine.
+   *
+   * Scale shape: row volume dies in the per-bin aggregation; the total
+   * row folds ≤ `bins` rows. Rows with null confidence or outcome are
+   * excluded; empty bins are absent (any engine groups identically).
+   *
+   * @param confE6 integer confidence scaled by 1e6 (already truncated —
+   *               hand the SAME integer expression to the oracle)
+   * @return (bin, n_docs, n_pos, conf_sum_e6, dev_e6) per non-empty bin
+   *         plus the total row with bin = null
+   */
+  def calibrationAudit(df: DataFrame, confE6: Column, positive: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must be >= 2 and divide 1e6, got $bins")
+    val width = 1000000L / bins
+    val binned = df
+      .select(confE6.cast("long").as("conf_e6"),
+        positive.cast("boolean").as("p"))
+      .filter(col("conf_e6").isNotNull && col("p").isNotNull)
+      .select(least(expr(s"conf_e6 div $width"), lit(bins - 1L))
+        .cast("int").as("bin"), col("p"), col("conf_e6"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("conf_e6")).as("conf_sum_e6"))
+      .withColumn("dev_e6",
+        abs(lit(1000000L) * col("n_pos") - col("conf_sum_e6")))
+    val total = binned
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("n_pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("conf_sum_e6")), lit(0L)).as("conf_sum_e6"),
+        coalesce(sum(col("dev_e6")), lit(0L)).as("dev_e6"))
+      .select(lit(null).cast("int").as("bin"), col("n_docs"),
+        col("n_pos"), col("conf_sum_e6"), col("dev_e6"))
+    binned.unionByName(total).orderBy(col("bin").asc_nulls_last)
+  }
 }

@@ -1512,6 +1512,26 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Scorer calibration audit (reliability diagram + exact ECE): is the
+    // English-stopword-ratio confidence CALIBRATED against lang='en' —
+    // i.e. do docs with conf ≈ 0.7 turn out English ≈ 70% of the time?
+    // q207 prices the same scorer's RANKING; this prices its VALUE,
+    // the property auto-labeling and confidence-weighted sampling
+    // actually rely on. One TextStats pass, row volume dies in the
+    // 10-bin aggregation; ECE ships as total.dev_e6/(1e6·total.n_docs).
+    "q219_calibration" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang"),
+          TextAnalysis.textStats(col("text")).as("st"))
+        .select(col("lang"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.stopword_hits").getItem(0).as("hits"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.Eval.calibrationAudit(base,
+        expr("1000000L * hits div n_tokens"), col("lang") === "en")
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4154,6 +4174,33 @@ object PipelineQueries {
          |  CASE WHEN W > 0 THEN 39*W*W + 1180*Y*T - 1559*W*T END AS fk_num,
          |  CASE WHEN W > 0 THEN 100*W*T END AS fk_den, hard_docs
          |FROM tot ORDER BY source""".stripMargin,
+    // Same stopword-ratio confidence (integer-truncated e6), same bins:
+    // per bin |1e6·n_pos − Σconf| is the exact ECE numerator piece.
+    "q219_calibration" ->
+      s"""WITH base AS (
+         |  SELECT (1000000 * $enHits // len($tokensSql))::BIGINT AS conf_e6,
+         |    (lang = 'en') AS p
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL AND len($tokensSql) > 0
+         |),
+         |per AS (
+         |  SELECT least(conf_e6 // 100000, 9)::INT AS bin,
+         |    count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |    sum(conf_e6)::BIGINT AS conf_sum_e6
+         |  FROM base GROUP BY 1
+         |),
+         |perd AS (
+         |  SELECT bin, n_docs, n_pos, conf_sum_e6,
+         |    abs(1000000 * n_pos - conf_sum_e6)::BIGINT AS dev_e6
+         |  FROM per
+         |)
+         |SELECT * FROM perd
+         |UNION ALL
+         |SELECT NULL::INT, sum(n_docs)::BIGINT, sum(n_pos)::BIGINT,
+         |  sum(conf_sum_e6)::BIGINT, sum(dev_e6)::BIGINT
+         |FROM perd
+         |ORDER BY bin""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

@@ -73,4 +73,46 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[String]("min_group") === "c")
     assert(r.getAs[Long]("n_groups") === 3L)
   }
+
+  private def calibrate(rows: Seq[(Long, Boolean)], bins: Int = 10) = {
+    import spark.implicits._
+    Eval.calibrationAudit(rows.toDF("c", "p"), col("c"), col("p"), bins)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+  }
+
+  test("calibrationAudit: hand-checked bins, deviations, and total-row ECE") {
+    // Bin 2 (conf .20-.30): two docs at 250000, one positive ->
+    //   dev = |1e6*1 - 500000| = 500000.
+    // Bin 7: one doc at 750000, positive -> dev = |1e6 - 750000| = 250000.
+    // Bin 9 via clamp: conf_e6 = 1000000 -> 1e6 div 1e5 = 10 -> bin 9,
+    //   negative -> dev = |0 - 1000000| = 1000000.
+    val out = calibrate(Seq(
+      (250000L, true), (250000L, false), (750000L, true), (1000000L, false)))
+    assert(out.toSeq === Seq(
+      (2, 2L, 1L, 500000L, 500000L),
+      (7, 1L, 1L, 750000L, 250000L),
+      (9, 1L, 0L, 1000000L, 1000000L),
+      (-1, 4L, 2L, 2250000L, 1750000L)))
+    // ECE = 1750000 / (1e6 * 4) = 0.4375 -- the consumer's one division.
+  }
+
+  test("calibrationAudit: a perfectly calibrated scorer has ECE 0 in every bin") {
+    // 10 docs at conf .50, exactly 5 positive: dev = |5e6 - 5e6| = 0.
+    val rows = (1 to 10).map(i => (500000L, i <= 5))
+    val out = calibrate(rows)
+    assert(out.toSeq === Seq((5, 10L, 5L, 5000000L, 0L), (-1, 10L, 5L, 5000000L, 0L)))
+  }
+
+  test("calibrationAudit: null confidences/outcomes excluded; bins validated") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[Boolean])](
+      (Some(100000L), Some(true)), (None, Some(true)), (Some(5L), None))
+      .toDF("c", "p")
+    val out = Eval.calibrationAudit(df, col("c"), col("p")).collect()
+    assert(out.length === 2 && out.last.getLong(1) === 1L)
+    intercept[IllegalArgumentException] {
+      Eval.calibrationAudit(df, col("c"), col("p"), bins = 7)
+    }
+  }
 }
