@@ -45,4 +45,61 @@ object Balance {
           .as("gini_num"),
         (col("n_keys") * col("total")).as("gini_den"))
   }
+
+  /**
+   * Categorical independence audit (Pearson's chi-square), EXACT: for
+   * the contingency table of `rowKey` × `colKey`, each cell's χ²
+   * contribution (O − E)²/E with E = R·C/N rewrites as the integer
+   * rational
+   *
+   *   (N·O − R·C)² / (N·R·C)
+   *
+   * — shipped per cell as (chi_num, chi_den), in DECIMAL(38,0) because
+   * the square can exceed a Long at corpus scale (N·O ~ 10¹¹ already
+   * overflows when squared; 38 digits hold N up to ~10⁹ rows). Absent
+   * (O = 0) cells of the observed-margin cross product are INCLUDED —
+   * the statistic's definition prices them at (R·C)²/(N·R·C) — so any
+   * engine derives the identical row set. χ² itself and Cramér's V are
+   * the consumer's fold over the shipped rationals (varying
+   * denominators — never a float in-engine); dof = (rows−1)(cols−1)
+   * falls out of the margins.
+   *
+   * The mix-dependence question this answers: is `colKey` distributed
+   * the same way within every `rowKey` (χ² ≈ 0), or does the corpus
+   * confound them (e.g. one source supplying nearly all of one
+   * language — the hidden-correlation check a mixing plan runs before
+   * treating source and language quotas as independent knobs)?
+   *
+   * Scale contract: row volume dies in the (rowKey, colKey) count
+   * aggregation; margins reduce that cell table, and the final cross
+   * join is |rows| × |cols| BROADCAST coordinates.
+   *
+   * @return one row per margin-cross cell: (rk, ck, o, r_tot, c_tot,
+   *         n, chi_num, chi_den), ordered by (rk, ck)
+   */
+  def chiSquareIndependence(df: DataFrame, rowKey: Column,
+      colKey: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(rowKey.cast("string").as("rk"), colKey.cast("string").as("ck"))
+      .filter(col("rk").isNotNull && col("ck").isNotNull)
+      .groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("o"))
+    val rowMargin = cells.groupBy(col("rk")).agg(sum(col("o")).as("r_tot"))
+    val colMargin = cells.groupBy(col("ck")).agg(sum(col("o")).as("c_tot"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    rowMargin.crossJoin(broadcast(colMargin)).crossJoin(broadcast(n))
+      .join(cells, Seq("rk", "ck"), "left")
+      .select(col("rk"), col("ck"), coalesce(col("o"), lit(0L)).as("o"),
+        col("r_tot"), col("c_tot"), col("n"))
+      .select(col("rk"), col("ck"), col("o"), col("r_tot"), col("c_tot"),
+        col("n"),
+        expr(s"cast(n as $dec) * cast(o as $dec) - " +
+          s"cast(r_tot as $dec) * cast(c_tot as $dec)").as("d"))
+      .select(col("rk"), col("ck"), col("o"), col("r_tot"), col("c_tot"),
+        col("n"),
+        expr(s"cast(d * d as $dec)").as("chi_num"),
+        expr(s"cast(cast(n as $dec) * cast(r_tot as $dec) * " +
+          s"cast(c_tot as $dec) as $dec)").as("chi_den"))
+      .orderBy(col("rk"), col("ck"))
+  }
 }

@@ -1532,6 +1532,17 @@ object PipelineQueries {
         expr("1000000L * hits div n_tokens"), col("lang") === "en")
     }),
 
+    // Categorical independence audit (Pearson chi-square, exact): is
+    // lang distributed the same way within every source, or does the
+    // corpus confound them? Each cell's (O−E)²/E ships as the integer
+    // rational (N·O−R·C)²/(N·R·C) in DECIMAL(38,0) — zero-observed
+    // margin-cross cells included, as the statistic requires. χ² and
+    // Cramér's V are the consumer's fold over the shipped rationals.
+    "q220_chi_square" -> ((s, dir) => {
+      graft.operators.Balance.chiSquareIndependence(
+        Tables.documents(s, dir), col("source"), col("lang"))
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4201,6 +4212,28 @@ object PipelineQueries {
          |  sum(conf_sum_e6)::BIGINT, sum(dev_e6)::BIGINT
          |FROM perd
          |ORDER BY bin""".stripMargin,
+    // Same contingency/margin derivation; HUGEINT keeps the squared
+    // term exact (it exceeds a BIGINT at corpus scale).
+    "q220_chi_square" ->
+      s"""WITH cells AS (
+         |  SELECT source AS rk, lang AS ck, count(*)::BIGINT AS o
+         |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY 1, 2
+         |),
+         |rm AS (SELECT rk, sum(o)::BIGINT AS r_tot FROM cells GROUP BY 1),
+         |cm AS (SELECT ck, sum(o)::BIGINT AS c_tot FROM cells GROUP BY 1),
+         |nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+         |grid AS (
+         |  SELECT rm.rk, cm.ck, coalesce(c.o, 0)::BIGINT AS o,
+         |    rm.r_tot, cm.c_tot, nn.n
+         |  FROM rm CROSS JOIN cm CROSS JOIN nn
+         |  LEFT JOIN cells c ON c.rk = rm.rk AND c.ck = cm.ck
+         |)
+         |SELECT rk, ck, o, r_tot, c_tot, n,
+         |  ((n::HUGEINT * o - r_tot::HUGEINT * c_tot) *
+         |   (n::HUGEINT * o - r_tot::HUGEINT * c_tot)) AS chi_num,
+         |  (n::HUGEINT * r_tot * c_tot) AS chi_den
+         |FROM grid ORDER BY 1, 2""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

@@ -46,4 +46,50 @@ class BalanceSpec extends AnyFunSuite {
     val (n, total, num, den) = gini(Seq.empty)
     assert((n, total, num, den) === ((0L, 0L, 0L, 0L)))
   }
+
+  private def chi(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Balance.chiSquareIndependence(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getDecimal(6).longValueExact(), x.getDecimal(7).longValueExact())))
+      .toMap
+  }
+
+  test("chiSquareIndependence: hand-checked 2x2 with E = 2 everywhere") {
+    // a: 3x + 1y, b: 1x + 3y -> N = 8, every margin 4, E = 2;
+    // each cell (O-E)^2/E = 1/2 -> (N*O - R*C)^2/(N*R*C) = 64/128.
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++
+      Seq.fill(3)(("b", "y"))
+    val out = chi(rows)
+    assert(out.size === 4)
+    for (((_, _), (o, r, c, n, num, den)) <- out) {
+      assert(r === 4L && c === 4L && n === 8L)
+      assert(num === 64L && den === 128L, s"o=$o")
+    }
+  }
+
+  test("chiSquareIndependence: an independent table prices zero in every cell") {
+    // a: 2x + 2y, b: 1x + 1y -> col split identical within each row.
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "y"))
+    assert(chi(rows).values.forall(_._5 === 0L))
+  }
+
+  test("chiSquareIndependence: zero-observed margin-cross cells are included and priced") {
+    val out = chi(Seq(("a", "x"), ("b", "y")))
+    // (a,y) never observed: O=0, (2*0 - 1*1)^2 = 1 over 2*1*1 = 2.
+    assert(out(("a", "y")) === ((0L, 1L, 1L, 2L, 1L, 2L)))
+    assert(out(("a", "x")) === ((1L, 1L, 1L, 2L, 1L, 2L)))
+    assert(out.size === 4)
+  }
+
+  test("chiSquareIndependence: null keys are excluded from counts and margins") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[String])](
+      (Some("a"), Some("x")), (None, Some("x")), (Some("a"), None))
+      .toDF("r", "c")
+    val out = Balance.chiSquareIndependence(df, col("r"), col("c")).collect()
+    assert(out.length === 1 && out.head.getLong(5) === 1L)
+  }
 }
