@@ -145,4 +145,44 @@ object Eval {
         col("n_pos"), col("conf_sum_e6"), col("dev_e6"))
     binned.unionByName(total).orderBy(col("bin").asc_nulls_last)
   }
+
+  /**
+   * McNemar's paired-rule test, EXACT: for two keep/drop rules applied
+   * to the same rows, the 2×2 disagreement table and the statistic
+   *
+   *   χ²_McNemar = (b − c)² / (b + c)
+   *
+   * where b = rows rule A keeps but B drops, c = the reverse — the
+   * "did swapping filters actually change WHICH rows survive, or only
+   * how many" check a pipeline runs before declaring two curation
+   * rules interchangeable (their keep RATES can match while they keep
+   * disjoint halves of the corpus; the concordant cells a and d never
+   * enter the statistic, only the disagreement does). Integer
+   * numerator/denominator; b + c = 0 (perfect agreement) ships den = 0.
+   *
+   * Scale shape: ONE counting aggregation — row volume dies map-side
+   * into four counters. Rows where either rule is null are excluded
+   * (they have no pair).
+   *
+   * @return one row: (n_both, n_a_only, n_b_only, n_neither,
+   *         mcnemar_num, mcnemar_den)
+   */
+  def mcnemar(df: DataFrame, keepA: Column, keepB: Column): DataFrame = {
+    df.select(keepA.cast("boolean").as("a"), keepB.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(
+        coalesce(sum(when(col("a") && col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_both"),
+        coalesce(sum(when(col("a") && !col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_a_only"),
+        coalesce(sum(when(!col("a") && col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_b_only"),
+        coalesce(sum(when(!col("a") && !col("b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_neither"))
+      .select(col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"),
+        ((col("n_a_only") - col("n_b_only")) *
+          (col("n_a_only") - col("n_b_only"))).as("mcnemar_num"),
+        (col("n_a_only") + col("n_b_only")).as("mcnemar_den"))
+  }
 }

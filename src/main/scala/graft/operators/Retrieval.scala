@@ -299,6 +299,59 @@ object Retrieval {
       .orderBy(col("system"), col("query_id"))
   }
 
+  /**
+   * Rank agreement between two retrieval arms (Kendall's tau), EXACT:
+   * over the documents BOTH arms rank in their top k for a query, the
+   * pair counts
+   *
+   *   tau = (concordant − discordant) / (m(m−1)/2)
+   *
+   * — the "do the arms agree on ORDER where they overlap" read that
+   * decides whether fusing them can add signal (tau ≈ 1: the arms are
+   * redundant; tau ≪ 1: they rank the shared docs differently and RRF
+   * has something to reconcile). Ranks are positions (no ties), so
+   * discordant = inversions of arm B's ranks taken in arm A's order,
+   * and every quantity is an integer any engine re-derives — the
+   * oracle counts the same inversions by self-joining the ≤ k shared
+   * coordinates per query.
+   *
+   * Scale shape: the shared set is an equi-join of top-k-bounded slim
+   * coordinates; the inversion count folds inside one `aggregate` over
+   * the ≤ k collected (ra, rb) structs per query — one exchange,
+   * nothing scales with the corpus. Queries whose arms share < 2 docs
+   * ship tau_den = 0 (no pair to price); queries sharing nothing are
+   * absent (neither engine can rank agreement over an empty set).
+   *
+   * @param rankA,rankB (query_id, rank, doc_id) rankings, rank 1-based
+   * @return (query_id, m, inversions, tau_num, tau_den) per query with
+   *         ≥ 1 shared doc, ordered by query_id
+   */
+  def kendallTau(rankA: DataFrame, rankB: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val a = rankA.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("ra"))
+    val b = rankB.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("rb"))
+    a.join(b, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("ra"), col("rb")))).as("ps"))
+      // Bind the rb-in-ra-order array in its own projection (q64 rule).
+      .select(col("query_id"),
+        expr("transform(ps, p -> p.rb)").as("rs"))
+      .select(col("query_id"), size(col("rs")).cast("long").as("m"),
+        expr(
+          """CASE WHEN size(rs) < 2 THEN 0L ELSE
+            |  aggregate(sequence(1, size(rs) - 1), 0L, (acc, i) ->
+            |    acc + size(filter(slice(rs, i + 1, size(rs) - i),
+            |      x -> x < element_at(rs, i))))
+            |END""".stripMargin).as("inversions"))
+      .select(col("query_id"), col("m"), col("inversions"),
+        (expr("m * (m - 1L) div 2") - lit(2L) * col("inversions"))
+          .as("tau_num"),
+        expr("m * (m - 1L) div 2").as("tau_den"))
+      .orderBy(col("query_id"))
+  }
+
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(arms.nonEmpty, "need at least one retrieval arm")
     require(kConst >= 0, s"kConst must be non-negative, got $kConst")

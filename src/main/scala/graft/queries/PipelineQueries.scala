@@ -1543,6 +1543,33 @@ object PipelineQueries {
         Tables.documents(s, dir), col("source"), col("lang"))
     }),
 
+    // Paired-rule disagreement (McNemar, exact): do the char-length and
+    // token-count keep rules survive the SAME documents, or do equal
+    // keep rates hide disjoint survivors? Only the disagreement cells
+    // b/c enter the statistic (b−c)²/(b+c). One counting pass; the
+    // token side rides the TokenCount byte-loop kernel.
+    "q221_mcnemar" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      graft.operators.Eval.mcnemar(docs,
+        col("n_chars") >= 300,
+        TextAnalysis.tokenCount(col("text")) >= 55)
+    }),
+
+    // Rank agreement between the retrieval arms (Kendall tau, exact):
+    // over the docs BOTH arms put in their top 10, do lexical and
+    // semantic order agree? tau ≈ 1 means the arms are redundant and
+    // fusion adds nothing; the inversion counts ship as integers.
+    "q222_arm_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      graft.operators.Retrieval.kendallTau(lex, sem, k = 10)
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4234,6 +4261,46 @@ object PipelineQueries {
          |   (n::HUGEINT * o - r_tot::HUGEINT * c_tot)) AS chi_num,
          |  (n::HUGEINT * r_tot * c_tot) AS chi_den
          |FROM grid ORDER BY 1, 2""".stripMargin,
+    // Same two rules, same 2x2 and (b-c)^2/(b+c) integers.
+    "q221_mcnemar" ->
+      s"""WITH base AS (
+         |  SELECT (n_chars >= 300) AS a, (len($tokensSql) >= 55) AS b
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |t AS (
+         |  SELECT
+         |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+         |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+         |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_neither
+         |  FROM base
+         |)
+         |SELECT n_both, n_a_only, n_b_only, n_neither,
+         |  ((n_a_only - n_b_only) * (n_a_only - n_b_only))::BIGINT
+         |    AS mcnemar_num,
+         |  (n_a_only + n_b_only)::BIGINT AS mcnemar_den
+         |FROM t""".stripMargin,
+    // Same arm ranks; inversions counted by the definitional pair
+    // self-join over each query's <= 10 shared coordinates.
+    "q222_arm_agreement" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |shared AS (
+         |  SELECT l.query_id, l.rank AS ra, s.rank AS rb
+         |  FROM lex l JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+         |),
+         |mq AS (SELECT query_id, count(*)::BIGINT AS m FROM shared GROUP BY 1),
+         |inv AS (
+         |  SELECT a.query_id, count(*)::BIGINT AS invs
+         |  FROM shared a JOIN shared b
+         |    ON a.query_id = b.query_id AND a.ra < b.ra AND a.rb > b.rb
+         |  GROUP BY 1
+         |)
+         |SELECT m.query_id, m.m, coalesce(i.invs, 0)::BIGINT AS inversions,
+         |  (m.m * (m.m - 1) // 2 - 2 * coalesce(i.invs, 0))::BIGINT AS tau_num,
+         |  (m.m * (m.m - 1) // 2)::BIGINT AS tau_den
+         |FROM mq m LEFT JOIN inv i ON i.query_id = m.query_id
+         |ORDER BY m.query_id""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

@@ -115,4 +115,27 @@ class EvalSpec extends AnyFunSuite {
       Eval.calibrationAudit(df, col("c"), col("p"), bins = 7)
     }
   }
+
+  test("mcnemar: hand-checked 2x2 disagreement and statistic") {
+    import spark.implicits._
+    // both: 3, a-only: 4, b-only: 1, neither: 2 -> (4-1)^2 / (4+1) = 9/5.
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false))
+    val r = Eval.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 4L, 1L, 2L)))
+    assert((r.getLong(4), r.getLong(5)) === ((9L, 5L)))
+  }
+
+  test("mcnemar: perfect agreement ships den = 0; nulls excluded") {
+    import spark.implicits._
+    val agree = Seq((true, true), (false, false))
+    val r = Eval.mcnemar(agree.toDF("a", "b"), col("a"), col("b")).head()
+    assert(r.getLong(4) === 0L && r.getLong(5) === 0L)
+    val withNulls = Seq[(Option[Boolean], Option[Boolean])](
+      (Some(true), Some(false)), (None, Some(true)), (Some(false), None))
+      .toDF("a", "b")
+    val r2 = Eval.mcnemar(withNulls, col("a"), col("b")).head()
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 0L)
+  }
 }

@@ -219,4 +219,35 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.errAtK(Seq("s" -> s), relevance, k = 10, gMax = 5)
     }
   }
+
+  test("kendallTau: hand-checked inversions over the shared top-k") {
+    // Query 0 shared docs (ra, rb): (1,3), (2,1), (3,2) in ra order ->
+    // rb sequence 3,1,2 -> inversions: (3,1), (3,2) = 2; pairs = 3;
+    // tau = (1 - 2)/3 = -1/3 -> tau_num = 3 - 4 = -1, tau_den = 3.
+    val a = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L), (0L, 4, 13L))
+    val b = arm((0L, 1, 11L), (0L, 2, 12L), (0L, 3, 10L), (0L, 4, 99L))
+    val out = Retrieval.kendallTau(a, b, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((0L, 3L, 2L, -1L, 3L)))
+  }
+
+  test("kendallTau: identical rankings score tau = 1; reversed score -1") {
+    val a = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+    val rev = arm((0L, 1, 12L), (0L, 2, 11L), (0L, 3, 10L))
+    val same = Retrieval.kendallTau(a, a, k = 10).head()
+    assert(same.getLong(3) === same.getLong(4) && same.getLong(4) === 3L)
+    val opp = Retrieval.kendallTau(a, rev, k = 10).head()
+    assert(opp.getLong(3) === -opp.getLong(4))
+  }
+
+  test("kendallTau: single shared doc ships den 0; k bounds the window") {
+    val a = arm((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
+    val b = arm((0L, 1, 10L), (0L, 3, 11L), (1L, 1, 30L))
+    // k = 2 drops b's rank-3 doc 11 -> query 0 shares only doc 10;
+    // query 1 shares nothing -> absent.
+    val out = Retrieval.kendallTau(a, b, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq((0L, 1L, 0L)))
+  }
 }
