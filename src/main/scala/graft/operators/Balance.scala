@@ -102,4 +102,51 @@ object Balance {
           s"cast(c_tot as $dec) as $dec)").as("chi_den"))
       .orderBy(col("rk"), col("ck"))
   }
+
+  /**
+   * Categorical mix shift between two corpus releases (total variation
+   * distance), EXACT: with per-key counts c (previous, total P) and
+   * d (current, total C),
+   *
+   *   TV = ½ Σ_k |c_k/P − d_k/C| = Σ_k |c_k·C − d_k·P| / (2·P·C)
+   *
+   * — the one-number bounded drift read ([0, 1]: 0 = identical mix,
+   * 1 = disjoint) a release gate thresholds on before retraining
+   * mixing weights. Ships the per-key deviation table (the drift's
+   * WHERE) plus a key = null total row; TV itself is the consumer's
+   * one division, total.dev / (2·total.n_prev·total.n_cur). Keys
+   * present in only one release contribute their full share, as the
+   * metric requires (full outer join of the count tables). Long-exact
+   * while count·total < 2⁶³ (~10⁹ rows per release).
+   *
+   * Scale shape: row volume dies in the two per-key counting
+   * aggregations; everything after runs over |keys| rows with the
+   * totals broadcast.
+   *
+   * @return (k, n_prev, n_cur, dev) per key, plus the total row
+   *         (k = null, P, C, Σdev), ordered by k nulls-last
+   */
+  def mixShift(prev: DataFrame, cur: DataFrame, key: Column): DataFrame = {
+    val p = prev.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_prev"))
+    val c = cur.select(key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_cur"))
+    val joined = p.join(c, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(
+      coalesce(sum(col("n_prev")), lit(0L)).as("tp"),
+      coalesce(sum(col("n_cur")), lit(0L)).as("tc"))
+    val per = joined.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_prev"), col("n_cur"),
+        abs(col("n_prev") * col("tc") - col("n_cur") * col("tp")).as("dev"))
+    val totalRow = per
+      .agg(coalesce(sum(col("dev")), lit(0L)).as("dev"))
+      .crossJoin(broadcast(tot))
+      .select(lit(null).cast("string").as("k"), col("tp").as("n_prev"),
+        col("tc").as("n_cur"), col("dev"))
+    per.unionByName(totalRow).orderBy(col("k").asc_nulls_last)
+  }
 }

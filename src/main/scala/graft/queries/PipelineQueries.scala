@@ -1570,6 +1570,18 @@ object PipelineQueries {
       graft.operators.Retrieval.kendallTau(lex, sem, k = 10)
     }),
 
+    // Release mix shift (total variation, exact): did the lang mix move
+    // between q119's synthesized previous release and the current one?
+    // Per-key deviations (the drift's WHERE) plus the total row; TV =
+    // total.dev / (2·P·C), bounded [0,1] — the release-gate number.
+    "q223_mix_shift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Balance.mixShift(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 19 =!= 0),
+        col("lang"))
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4301,6 +4313,33 @@ object PipelineQueries {
          |  (m.m * (m.m - 1) // 2)::BIGINT AS tau_den
          |FROM mq m LEFT JOIN inv i ON i.query_id = m.query_id
          |ORDER BY m.query_id""".stripMargin,
+    // Same synthesized releases (q119's % 17 / % 19 splits), same
+    // cross-multiplied deviations and total row.
+    "q223_mix_shift" ->
+      s"""WITH p AS (
+         |  SELECT lang AS k, count(*)::BIGINT AS n_prev FROM documents
+         |  WHERE doc_id % 17 <> 0 AND lang IS NOT NULL GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT lang AS k, count(*)::BIGINT AS n_cur FROM documents
+         |  WHERE doc_id % 19 <> 0 AND lang IS NOT NULL GROUP BY 1
+         |),
+         |j AS (
+         |  SELECT coalesce(p.k, c.k) AS k,
+         |    coalesce(n_prev, 0)::BIGINT AS n_prev,
+         |    coalesce(n_cur, 0)::BIGINT AS n_cur
+         |  FROM p FULL JOIN c ON p.k = c.k
+         |),
+         |t AS (SELECT sum(n_prev)::BIGINT AS tp, sum(n_cur)::BIGINT AS tc FROM j),
+         |per AS (
+         |  SELECT k, n_prev, n_cur,
+         |    abs(n_prev * tc - n_cur * tp)::BIGINT AS dev
+         |  FROM j CROSS JOIN t
+         |)
+         |SELECT * FROM per
+         |UNION ALL
+         |SELECT NULL, tp, tc, (SELECT sum(dev)::BIGINT FROM per) FROM t
+         |ORDER BY k""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

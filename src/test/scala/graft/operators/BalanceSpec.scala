@@ -92,4 +92,29 @@ class BalanceSpec extends AnyFunSuite {
     val out = Balance.chiSquareIndependence(df, col("r"), col("c")).collect()
     assert(out.length === 1 && out.head.getLong(5) === 1L)
   }
+
+  private def shift(prev: Seq[String], cur: Seq[String]) = {
+    import spark.implicits._
+    Balance.mixShift(prev.toDF("k"), cur.toDF("k"), col("k"))
+      .collect().map(r => (if (r.isNullAt(0)) "<total>" else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("mixShift: hand-checked deviations and total-row TV") {
+    // prev: 3a 1b (P=4); cur: 1a 1b 2c (C=4).
+    // dev_a = |3*4 - 1*4| = 8; dev_b = 0; dev_c = |0 - 2*4| = 8.
+    // TV = 16 / (2*4*4) = 1/2.
+    val out = shift(Seq("a", "a", "a", "b"), Seq("a", "b", "c", "c"))
+    assert(out.toSeq === Seq(
+      ("a", 3L, 1L, 8L), ("b", 1L, 1L, 0L), ("c", 0L, 2L, 8L),
+      ("<total>", 4L, 4L, 16L)))
+  }
+
+  test("mixShift: identical mixes price zero; disjoint mixes price TV = 1") {
+    val same = shift(Seq("a", "b"), Seq("a", "b"))
+    assert(same.last === (("<total>", 2L, 2L, 0L)))
+    // disjoint: dev = P*C each side -> total 2*P*C -> TV = 1 exactly.
+    val disj = shift(Seq("a"), Seq("b", "b"))
+    assert(disj.last === (("<total>", 1L, 2L, 4L)))
+  }
 }
