@@ -185,4 +185,60 @@ object Eval {
           (col("n_a_only") - col("n_b_only"))).as("mcnemar_num"),
         (col("n_a_only") + col("n_b_only")).as("mcnemar_den"))
   }
+
+  /**
+   * K-sample rank test pieces (Kruskal–Wallis), EXACT: do the k groups
+   * draw `score` from the same distribution? The one-way nonparametric
+   * ANOVA generalizing [[rankAuc]]'s two-class rank-sum — the "do my
+   * sources differ in length/quality profile at all" gate before
+   * per-source remediation.
+   *
+   * Ships the integer pieces any engine re-derives bit-for-bit: per
+   * group (g, n, rank_sum_x2) with doubled midranks (ties stay
+   * integer), plus a g = null total row carrying N, Σ2·ranks = N(N+1)
+   * (the built-in sanity identity), and the tie term Σ(t³−t). The
+   * consumer folds H = [3/(N(N+1))]·Σ rank_sum_x2²/(4n_g) − 3(N+1),
+   * tie-corrected by 1 − Σ(t³−t)/(N³−N) — a ≤|groups|-row client-side
+   * fold over shipped integers (varying n_g denominators make the
+   * fully-reduced rational the consumer's job, the MAP@k convention).
+   *
+   * Scale contract: the (score, group) count table kills row volume;
+   * global midranks come from the SCORE HISTOGRAM (the [[rankAuc]]
+   * pattern — the one window runs over |distinct scores| rows, never
+   * per row); the per-group reduction is |scores|×|groups|
+   * coordinates. Null scores/groups are excluded.
+   *
+   * @return (g, n, rank_sum_x2, tie_t3) per group (tie_t3 null), plus
+   *         the total row (g = null), ordered by g nulls-last
+   */
+  def kruskalWallis(df: DataFrame, score: Column,
+      group: Column): DataFrame = {
+    val base = df.select(score.cast("long").as("s"),
+        group.cast("string").as("g"))
+      .filter(col("s").isNotNull && col("g").isNotNull)
+    val histG = base.groupBy(col("s"), col("g"))
+      .agg(count(lit(1)).as("cg"))
+    val hist = histG.groupBy(col("s")).agg(sum(col("cg")).as("cnt"))
+    val cum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mids = hist
+      .select(col("s"), col("cnt"), sum(col("cnt")).over(cum).as("c"))
+      .select(col("s"), col("cnt"),
+        (lit(2L) * col("c") - col("cnt") + 1L).as("mid2"))
+    val perG = histG
+      .join(mids.select(col("s"), col("mid2")), Seq("s"))
+      .groupBy(col("g"))
+      .agg(sum(col("cg")).as("n"),
+        sum(col("cg") * col("mid2")).as("rank_sum_x2"))
+      .select(col("g"), col("n"), col("rank_sum_x2"),
+        lit(null).cast("long").as("tie_t3"))
+    val total = mids
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(sum(col("cnt") * col("mid2")), lit(0L)).as("rank_sum_x2"),
+        coalesce(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")),
+          lit(0L)).as("tie_t3"))
+      .select(lit(null).cast("string").as("g"), col("n"),
+        col("rank_sum_x2"), col("tie_t3"))
+    perG.unionByName(total).orderBy(col("g").asc_nulls_last)
+  }
 }

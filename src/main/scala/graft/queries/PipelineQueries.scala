@@ -1582,6 +1582,16 @@ object PipelineQueries {
         col("lang"))
     }),
 
+    // K-sample rank test (Kruskal-Wallis pieces, exact): do the sources
+    // draw document length from one distribution? Doubled midranks from
+    // the score histogram (the q207 pattern — no per-row window); the
+    // consumer folds H from the shipped per-source integers.
+    "q224_kruskal_wallis" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      graft.operators.Eval.kruskalWallis(docs,
+        TextAnalysis.tokenCount(col("text")), col("source"))
+    }),
+
     // Exact ROC-AUC of a heuristic scorer (rank-sum/Mann-Whitney with
     // midrank ties, from the score HISTOGRAM — no per-row window): how
     // well do English-stopword hit counts separate lang='en' documents?
@@ -4340,6 +4350,36 @@ object PipelineQueries {
          |UNION ALL
          |SELECT NULL, tp, tc, (SELECT sum(dev)::BIGINT FROM per) FROM t
          |ORDER BY k""".stripMargin,
+    // Same histogram-midrank derivation (2c − cnt + 1 per tie group),
+    // same per-source reductions and tie term.
+    "q224_kruskal_wallis" ->
+      s"""WITH base AS (
+         |  SELECT len($tokensSql)::BIGINT AS s, source AS g
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         |),
+         |histg AS (
+         |  SELECT s, g, count(*)::BIGINT AS cg FROM base GROUP BY 1, 2
+         |),
+         |hist AS (SELECT s, sum(cg)::BIGINT AS cnt FROM histg GROUP BY 1),
+         |mids AS (
+         |  SELECT s, cnt,
+         |    (2 * sum(cnt) OVER (ORDER BY s
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     - cnt + 1)::BIGINT AS mid2
+         |  FROM hist
+         |),
+         |perg AS (
+         |  SELECT hg.g, sum(hg.cg)::BIGINT AS n,
+         |    sum(hg.cg * m.mid2)::BIGINT AS rank_sum_x2,
+         |    NULL::BIGINT AS tie_t3
+         |  FROM histg hg JOIN mids m ON hg.s = m.s GROUP BY 1
+         |)
+         |SELECT * FROM perg
+         |UNION ALL
+         |SELECT NULL, sum(cnt)::BIGINT, sum(cnt * mid2)::BIGINT,
+         |  sum(cnt * cnt * cnt - cnt)::BIGINT
+         |FROM mids
+         |ORDER BY g""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->

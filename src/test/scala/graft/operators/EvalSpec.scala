@@ -138,4 +138,39 @@ class EvalSpec extends AnyFunSuite {
     val r2 = Eval.mcnemar(withNulls, col("a"), col("b")).head()
     assert(r2.getLong(1) === 1L && r2.getLong(2) === 0L)
   }
+
+  private def kw(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Eval.kruskalWallis(rows.toDF("s", "g"), col("s"), col("g"))
+      .collect().map(r => (if (r.isNullAt(0)) "<total>" else r.getString(0),
+        r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+  }
+
+  test("kruskalWallis: hand-checked doubled midranks, tie term, and the N(N+1) identity") {
+    // a: {1, 3}, b: {2, 2}. Ranks: 1->1, the two 2s -> midrank 2.5,
+    // 3 -> 4. R2_a = 2 + 8 = 10, R2_b = 5 + 5 = 10.
+    // Tie term: the 2-group contributes 2^3 - 2 = 6.
+    val out = kw(Seq((1L, "a"), (3L, "a"), (2L, "b"), (2L, "b")))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 10L, -1L), ("b", 2L, 10L, -1L),
+      ("<total>", 4L, 20L, 6L)))
+    assert(out.last._3 === 4L * 5L, "sum of doubled ranks must be N(N+1)")
+  }
+
+  test("kruskalWallis: tie-free groups recover plain doubled rank sums") {
+    // a: {10, 40} ranks {1, 4}; b: {20, 30} ranks {2, 3} -> equal sums.
+    val out = kw(Seq((10L, "a"), (40L, "a"), (20L, "b"), (30L, "b")))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 10L, -1L), ("b", 2L, 10L, -1L),
+      ("<total>", 4L, 20L, 0L)))
+  }
+
+  test("kruskalWallis: null scores and groups are excluded") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(1L), Some("a")), (None, Some("a")), (Some(2L), None))
+      .toDF("s", "g")
+    val out = Eval.kruskalWallis(df, col("s"), col("g")).collect()
+    assert(out.length === 2 && out.last.getLong(1) === 1L)
+  }
 }
