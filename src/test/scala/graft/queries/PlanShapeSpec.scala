@@ -582,6 +582,41 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("Generate explode"), "thresholds not a projection explode")
   }
 
+  test("readability audit: ONE kernel pass, no extra exchange beyond the source groupBy") {
+    val p = plan(PipelineQueries.queries("q218_readability")(spark, sf))
+    assert(p.linesIterator.count(_.contains("readability_stats")) <= 2,
+      s"kernel re-evaluated across operators:\n$p")
+    // Row volume must die in the per-source partial aggregation: the only
+    // hash exchange carries |sources| rows.
+    val nHashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(nHashEx <= 1, s"readability audit added exchanges: $nHashEx")
+  }
+
+  test("chi-square audit: the margin cross is broadcast, never a shuffled cartesian") {
+    val p = plan(PipelineQueries.queries("q220_chi_square")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "margin cross is not broadcast")
+    assert(!p.contains("CartesianProduct"), "shuffled cartesian in the margin cross")
+  }
+
+  test("kendall tau: inversions fold in the aggregate — no window, no pair self-join") {
+    // Pin the OPERATOR's plan on synthetic rank tables (the q222 arms
+    // carry their own pinned shapes; here only the tau tail matters).
+    import spark.implicits._
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 10L)).toDF("query_id", "rank", "doc_id")
+    val p = plan(graft.operators.Retrieval.kendallTau(a, b, k = 10))
+    assert(!p.contains("Window"), "per-pair window crept into the tau fold")
+    assert(!p.contains("CartesianProduct"), "pair cartesian in the tau fold")
+    assert(p.contains("aggregate("), "inversion count is not the aggregate fold")
+  }
+
+  test("ERR fold: graded relevance broadcasts to the rank join") {
+    val p = plan(PipelineQueries.queries("q217_retrieval_err")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "graded relevance not broadcast")
+  }
+
   test("streaming k-anonymity gate releases exactly the >=k cohorts (single drain = batch rule)") {
     // Not a plan pin but the gate's end-to-end batch-parity contract at
     // fixture scale, kept here with the other q-level invariants.
