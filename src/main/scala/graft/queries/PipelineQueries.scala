@@ -1763,6 +1763,35 @@ object PipelineQueries {
         .orderBy("cluster_size")
     }),
 
+    // Randomization test (exact, md5-coin): is the English documents'
+    // token-count mean REALLY different from the rest, or within what a
+    // fair re-split of the same corpus produces? 200 engine-exact
+    // pseudo-splits; the p-value ships as the add-one rational
+    // (n_exceed+1)/201. The corpus is scanned once — the 200-fold
+    // expansion collapses under the partial aggregate, so 200 summary
+    // rows per task cross the exchange.
+    "q225_randomization_test" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      graft.operators.Resample.randomizationTest(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), col("lang") === "en",
+        perms = 200, seed = "rt")
+    }),
+
+    // FDR-controlled drift sweep (Benjamini–Hochberg over exact
+    // randomization p-values): which SOURCES' token-count means moved
+    // away from the corpus, with the false-discovery rate held at 1/20
+    // instead of |sources| uncorrected tests inflating hits? The null
+    // respects each source's observed share via the Sampling threshold
+    // rule, computed in-plan; BH runs over |sources| rows.
+    "q226_fdr_drift_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      graft.operators.Resample.fdrDriftSweep(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), col("source"),
+        perms = 64, seed = "fdr", fdrNum = 1, fdrDen = 20)
+    }),
+
     // Shared-prefix (KV/prompt-cache) audit: per prefix depth K, how
     // many documents share their EXACT first K tokens and how many
     // tokens a warm prefix cache would re-serve ((size−1)·K per group) —
@@ -4379,6 +4408,105 @@ object PipelineQueries {
          |SELECT NULL, sum(cnt)::BIGINT, sum(cnt * mid2)::BIGINT,
          |  sum(cnt * cnt * cnt - cnt)::BIGINT
          |FROM mids
+         |ORDER BY g""".stripMargin,
+    // Same md5 fair coin (low bit of the first 8 md5 bytes of
+    // 'rt:b:key'), same cross-multiplied exceedance rule, same add-one
+    // p-value convention.
+    "q225_randomization_test" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v,
+         |    (lang = 'en') AS a
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+         |),
+         |obs AS (
+         |  SELECT count(*)::BIGINT AS n, coalesce(sum(v), 0)::BIGINT AS s,
+         |    coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)::BIGINT AS na,
+         |    coalesce(sum(CASE WHEN a THEN v ELSE 0 END), 0)::BIGINT AS sa
+         |  FROM base
+         |),
+         |per AS (
+         |  SELECT bs.b,
+         |    sum(CASE WHEN ((('0x' || substr(md5('rt:' || bs.b::VARCHAR
+         |        || ':' || base.k), 1, 16))::UBIGINT & 1) = 1)
+         |      THEN 1 ELSE 0 END)::BIGINT AS pa,
+         |    sum(CASE WHEN ((('0x' || substr(md5('rt:' || bs.b::VARCHAR
+         |        || ':' || base.k), 1, 16))::UBIGINT & 1) = 1)
+         |      THEN v ELSE 0 END)::BIGINT AS psa
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |  GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT coalesce(sum(CASE WHEN pa * (n - pa) = 0
+         |      OR abs(psa::HUGEINT * n - s::HUGEINT * pa)
+         |           * (na::HUGEINT * (n - na))
+         |         >= abs(sa::HUGEINT * n - s::HUGEINT * na)
+         |           * (pa::HUGEINT * (n - pa))
+         |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_exceed
+         |  FROM per CROSS JOIN obs
+         |)
+         |SELECT n, na AS n_in, s AS sum_total, sa AS sum_in,
+         |  abs(sa::HUGEINT * n - s::HUGEINT * na) AS stat_num,
+         |  (na::HUGEINT * (n - na)) AS stat_den,
+         |  200::BIGINT AS n_perms, n_exceed,
+         |  (n_exceed + 1)::BIGINT AS p_num, 201::BIGINT AS p_den
+         |FROM obs CROSS JOIN ex""".stripMargin,
+    // Same size-matched md5 thresholds (floor(ng*2^63/n), the Sampling
+    // rule), same exceedance counting, same integer BH step-up.
+    "q226_fdr_drift_sweep" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v,
+         |    source AS g
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         |),
+         |tot AS (SELECT count(*)::BIGINT AS n,
+         |  coalesce(sum(v), 0)::BIGINT AS s FROM base),
+         |pg AS (SELECT g, count(*)::BIGINT AS ng, sum(v)::BIGINT AS sg
+         |  FROM base GROUP BY 1),
+         |gt AS (
+         |  SELECT pg.g, ng, sg, n, s,
+         |    (ng::HUGEINT * 9223372036854775808::HUGEINT) // n AS thr
+         |  FROM pg CROSS JOIN tot
+         |),
+         |per AS (
+         |  SELECT gt.g, bs.b,
+         |    sum(CASE WHEN (((('0x' || substr(md5('fdr:' || gt.g || ':'
+         |        || bs.b::VARCHAR || ':' || base.k), 1, 16))::UBIGINT
+         |        >> 1)::HUGEINT) < gt.thr) THEN 1 ELSE 0 END)::BIGINT AS pa,
+         |    sum(CASE WHEN (((('0x' || substr(md5('fdr:' || gt.g || ':'
+         |        || bs.b::VARCHAR || ':' || base.k), 1, 16))::UBIGINT
+         |        >> 1)::HUGEINT) < gt.thr) THEN v ELSE 0 END)::BIGINT AS psa
+         |  FROM base CROSS JOIN gt
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs
+         |  GROUP BY 1, 2
+         |),
+         |exg AS (
+         |  SELECT per.g,
+         |    coalesce(sum(CASE WHEN pa * (gt.n - pa) = 0
+         |        OR abs(psa::HUGEINT * gt.n - gt.s::HUGEINT * pa)
+         |             * (gt.ng::HUGEINT * (gt.n - gt.ng))
+         |           >= abs(gt.sg::HUGEINT * gt.n - gt.s::HUGEINT * gt.ng)
+         |             * (pa::HUGEINT * (gt.n - pa))
+         |      THEN 1 ELSE 0 END), 0)::BIGINT AS n_exceed
+         |  FROM per JOIN gt ON per.g = gt.g
+         |  GROUP BY 1
+         |),
+         |ranked AS (
+         |  SELECT gt.g, gt.ng AS n_g, gt.sg AS sum_g,
+         |    abs(gt.sg::HUGEINT * gt.n - gt.s::HUGEINT * gt.ng) AS stat_num,
+         |    (gt.ng::HUGEINT * (gt.n - gt.ng)) AS stat_den,
+         |    e.n_exceed,
+         |    row_number() OVER (ORDER BY e.n_exceed, gt.g)::BIGINT AS bh_rank,
+         |    count(*) OVER ()::BIGINT AS m
+         |  FROM gt JOIN exg e ON gt.g = e.g
+         |),
+         |cut AS (
+         |  SELECT max(CASE WHEN (n_exceed + 1) * m * 20 <= bh_rank * 65 * 1
+         |    THEN bh_rank END) AS cutoff FROM ranked
+         |)
+         |SELECT g, n_g, sum_g, stat_num, stat_den, n_exceed,
+         |  (n_exceed + 1)::BIGINT AS p_num, 65::BIGINT AS p_den, bh_rank,
+         |  (bh_rank <= coalesce(cutoff, 0)) AS rejected
+         |FROM ranked CROSS JOIN cut
          |ORDER BY g""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
