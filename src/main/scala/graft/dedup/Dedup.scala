@@ -901,7 +901,14 @@ object Dedup {
    * (a no-op is always safe — the fan-out is an optimization). */
   private[graft] val FanOutMinBytes = 2L << 20
 
-  private[graft] def fanOutSmallScan(docs: DataFrame): DataFrame = {
+  /** @param minBytes below this total leaf size the fan-out stays a
+   *        no-op (shuffling a tiny TEXT frame can cost more than the
+   *        single task it saves — the q103 recorded negative). Callers
+   *        whose downstream work is a large PER-ROW EXPANSION of a slim
+   *        projection (the Resample families: B md5s per row) pass 0 —
+   *        for them even a sub-MB scan is worth spreading. */
+  private[graft] def fanOutSmallScan(docs: DataFrame,
+      minBytes: Long = FanOutMinBytes): DataFrame = {
     val spark = docs.sparkSession
     val defaultPar = spark.sparkContext.defaultParallelism
     val leafBytes = docs.queryExecution.optimizedPlan.collectLeaves().map {
@@ -922,7 +929,7 @@ object Dedup {
       val total = leafBytes.flatten.sum
       val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
       val estSplits = (total + maxSplit - 1) / maxSplit
-      if (total > FanOutMinBytes && estSplits * 2 < defaultPar)
+      if (total > minBytes && estSplits * 2 < defaultPar)
         docs.repartition(defaultPar)
       else docs
     }

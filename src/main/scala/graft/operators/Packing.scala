@@ -207,6 +207,54 @@ object Packing {
         col("e.n_tokens").as("n_tokens"), col("e.n_padding").as("n_padding"),
         expr("e.ut div e.pc").as("utilization_e6"))
   }
+
+  /**
+   * Context-length frontier: for every CANDIDATE context length L, the
+   * exact truncation cost of training at L — documents that truncate,
+   * tokens lost past L, tokens kept (Σ min(len, L)) — the
+   * choose-your-context-length planning read that complements
+   * [[paddingAudit]] (which prices ONE batch geometry). All integers
+   * off the same length histogram: row volume dies in the histogram
+   * aggregation, then a \|distinct lengths\|·\|L\| summary fold — the
+   * candidate list is the audit-window knob, never data.
+   *
+   * loss_e6 = tokens_lost·10⁶ div tokens_total (exact integer
+   * millionths, engine-neutral like the q196 utilization convention).
+   *
+   * @return one row per candidate, ordered: (context_len, n_docs,
+   *         docs_truncated, tokens_total, tokens_lost, tokens_kept,
+   *         loss_e6)
+   */
+  def truncationFrontier(df: DataFrame, lenCol: Column,
+      lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "need at least one candidate context length")
+    require(lengths.forall(_ > 0), s"context lengths must be positive: $lengths")
+    require(lengths.distinct.size == lengths.size,
+      s"duplicate candidate lengths: $lengths")
+    val neg = when(lenCol < 0, raise_error(
+      lit("truncationFrontier: negative sequence length")))
+      .otherwise(lenCol.cast("long"))
+    val hist = df.select(neg.as("len")).groupBy(col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .select(col("len"), col("cnt"),
+        explode(array(lengths.map(l => lit(l.toLong)): _*)).as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        coalesce(sum(when(col("len") > col("context_len"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("docs_truncated"),
+        sum(col("len") * col("cnt")).as("tokens_total"),
+        coalesce(sum(when(col("len") > col("context_len"),
+          (col("len") - col("context_len")) * col("cnt")).otherwise(0L)),
+          lit(0L)).as("tokens_lost"))
+      .select(col("context_len"), col("n_docs"), col("docs_truncated"),
+        col("tokens_total"), col("tokens_lost"),
+        (col("tokens_total") - col("tokens_lost")).as("tokens_kept"),
+        when(col("tokens_total") === 0L, lit(0L))
+          .otherwise(expr("tokens_lost * 1000000L div tokens_total"))
+          .as("loss_e6"))
+      .orderBy(col("context_len"))
+  }
 }
 
 /**

@@ -73,9 +73,14 @@ object Resample {
   def randomizationTest(df: DataFrame, key: Column, value: Column,
       inA: Column, perms: Int, seed: String): DataFrame = {
     require(perms > 0, s"perms must be positive, got $perms")
-    val base = df.select(key.cast("string").as("k"),
+    // The B-fold md5 expansion below is the family's compute term; a
+    // split-starved scan (one small parquet file) would run it on one
+    // core. fanOutSmallScan spreads the SLIM (k, v, a) projection — a
+    // no-op when the scan is already parallel, so scale-neutral.
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), inA.cast("boolean").as("a"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull))
     val obs = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"),
       coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("na"),
@@ -126,11 +131,22 @@ object Resample {
    *
    * Per group the null must respect the group's SIZE (a 1% source's
    * mean wanders more than a 50% one), so replicate b's pseudo-members
-   * of g are rows with md5_hash64(seed:g:b:key) >>> 1 below
+   * of g are rows with md5_hash64(seed:b:key) >>> 1 below
    * floor(n_g·2⁶³/n) — the [[Sampling]] threshold rule with the
    * OBSERVED group share as the rate, computed in-plan from the
    * counting pass (no driver round-trip). Pseudo-group sizes are then
    * binomial around n_g, the standard binomial randomization null.
+   *
+   * The coin is SHARED across groups within a replicate (one md5 per
+   * (row, b), compared against every group's threshold) rather than
+   * drawn per (row, g, b): each test's marginal null is the identical
+   * Bernoulli(n_g/n) membership either way, and the positive
+   * correlation the nesting induces ACROSS tests is exactly the regime
+   * BH stays valid in (PRDS — Benjamini & Yekutieli 2001). The sharing
+   * matters at scale: md5 dominates the sweep's compute, and one hash
+   * per (row, replicate) instead of per (row, group, replicate) cuts
+   * it by |groups|× (measured 4.09 → sub-second solo at sf0.1 on the
+   * 20-source corpus).
    *
    * Statistic and exceedance comparisons are the exact cross-multiplied
    * rationals of [[randomizationTest]]. BH runs over |groups| rows:
@@ -140,10 +156,19 @@ object Resample {
    * (n_exceed+1)·m·fdrDen ≤ r·(perms+1)·fdrNum, and reject ranks ≤ r.
    *
    * Scale contract: one counting pass (row volume dies per group), one
-   * corpus pass with the |groups|·B expansion under the partial
-   * aggregate (the exchange carries |groups|·B summary rows per task),
-   * and a |groups|-row BH window. |groups|·B is the audit-window knob:
-   * sources × 64 replicates, not users × anything.
+   * corpus pass with the B-fold expansion under the partial aggregate,
+   * and a |groups|-row BH window. The per-group counts are NOT obtained
+   * by fanning each (row, replicate) out |groups| ways — that emits
+   * |groups|·B rows per input row, and the row EMISSION (not the md5)
+   * measured 4.7 of q226's 4.5 s solo. Instead each (row, replicate)
+   * computes its hash's INTERVAL INDEX among the sorted distinct
+   * thresholds (a broadcast ≤|groups|-long array scanned map-side),
+   * the partial aggregate collapses to B·(|groups|+1) (replicate,
+   * interval) cells, and group g's pseudo-count is the prefix sum of
+   * cells below its threshold's rank — a ≤(B·(|groups|+1)·|groups|)
+   * theta-join over SUMMARY rows, nothing row-proportional. B stays
+   * the audit-window knob: 64-256 replicates, md5 once per
+   * (row, replicate).
    *
    * @return one row per group, ordered by group: (g, n_g, sum_g,
    *         stat_num, stat_den, n_exceed, p_num, p_den, bh_rank,
@@ -155,9 +180,11 @@ object Resample {
     require(perms > 0, s"perms must be positive, got $perms")
     require(fdrNum > 0 && fdrDen > 0 && fdrNum <= fdrDen,
       s"bad FDR level $fdrNum/$fdrDen")
-    val base = df.select(key.cast("string").as("k"),
+    // Slim fan-out before the B·|groups| expansion (see randomizationTest).
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), group.cast("string").as("g"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
     val tot = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"))
     val perGroup = base.groupBy(col("g"))
@@ -169,19 +196,47 @@ object Resample {
       .select(col("g"), col("ng"), col("sg"), col("n"), col("s"),
         expr(s"cast(ng as $dec) * cast($twoPow63 as $dec) div cast(n as $dec)")
           .as("thr"))
-    val swept = base
-      .crossJoin(broadcast(groupsWithThreshold.select(col("g").as("tg"),
-        col("thr"))))
-      .select(col("k"), col("v"), col("tg"), col("thr"),
+    // Membership h < thr as h ≤ thr−1 keeps everything in LONGs (thr ≤
+    // 2⁶³ overflows a signed long only at ng = n, where thr−1 = Long.Max
+    // and membership is correctly always-true; thr ≥ 1 since ng ≥ 1).
+    val thrM1 = groupsWithThreshold
+      .select(col("g"), expr(s"cast(thr - 1 as long)").as("tm1"))
+    // Sorted distinct thresholds with 1-based rank; membership in g
+    // (h ≤ tm1_g) ⟺ idx(h) < rank(g) where idx(h) = #{distinct tm1 < h}.
+    val distinctThr = thrM1.select(col("tm1")).distinct()
+      .withColumn("tr", row_number().over(Window.orderBy(col("tm1")))
+        .cast("long"))
+    val thrArr = distinctThr
+      .agg(sort_array(collect_list(col("tm1"))).as("arr"))
+    // ONE md5 per (row, replicate); idx is a map-side scan of the
+    // broadcast threshold array (scalar-side cross join — one row).
+    val cells = base
+      .select(col("k"), col("v"),
         explode(sequence(lit(1), lit(perms))).as("b"))
-      .select(col("v"), col("tg"), col("b"),
-        (shiftrightunsigned(md5Hash64(concat(lit(seed), lit(":"), col("tg"),
-          lit(":"), col("b").cast("string"), lit(":"), col("k"))), 1)
-          .cast(dec) < col("thr")).as("inp"))
-    swept.groupBy(col("tg"), col("b"))
-      .agg(coalesce(sum(when(col("inp"), 1L).otherwise(0L)), lit(0L)).as("pa"),
-        coalesce(sum(when(col("inp"), col("v")).otherwise(0L)), lit(0L))
-          .as("psa"))
+      .select(col("v"), col("b"),
+        shiftrightunsigned(md5Hash64(concat(lit(seed), lit(":"),
+          col("b").cast("string"), lit(":"), col("k"))), 1).as("h"))
+      .crossJoin(broadcast(thrArr))
+      .select(col("v"), col("b"),
+        size(filter(col("arr"), t => t < col("h"))).cast("long").as("idx"))
+      .groupBy(col("b"), col("idx"))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("v")), lit(0L)).as("sv"))
+    // Group g's pseudo-count in replicate b = Σ cells with idx < rank(g).
+    // Summary-row theta join: B·(|groups|+1) cells × |groups| ranks. The
+    // grid LEFT join restores (g, b) pairs whose pseudo-group is empty
+    // (pa = 0 must exist — it counts as a degenerate exceedance).
+    val groupRank = thrM1.join(broadcast(distinctThr), Seq("tm1"))
+      .select(col("g").as("tg"), col("tr"))
+    val grid = groupRank.select(col("tg"), col("tr"),
+      explode(sequence(lit(1), lit(perms))).as("b"))
+    val perGB = grid
+      .join(broadcast(cells), col("idx") < col("tr") &&
+        cells("b") === grid("b"), "left")
+      .groupBy(col("tg"), grid("b"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("pa"),
+        coalesce(sum(col("sv")), lit(0L)).as("psa"))
+    perGB
       .join(groupsWithThreshold.withColumnRenamed("g", "tg"), Seq("tg"))
       .select(col("tg"), col("ng"), col("sg"), col("n"), col("s"),
         expr(s"abs(cast(psa as $dec) * cast(n as $dec) - " +
@@ -199,6 +254,185 @@ object Resample {
           expr("pnum * oden >= onum * pden"), 1L).otherwise(0L)), lit(0L))
           .as("n_exceed"))
       .transform(bhStepUp(perms, fdrNum, fdrDen))
+  }
+
+  /**
+   * Poisson(1) bootstrap weight for resampling unit `key` in replicate
+   * `b`: the inverse-CDF bucket of the uniform hash u =
+   * md5_hash64(seed:b:key) >>> 1 ∈ [0, 2⁶³) against the PINNED
+   * thresholds T_k = floor(CDF_Poisson(1)(k)·2⁶³) — w = #{k : u ≥ T_k}
+   * ∈ 0..9 (the w=9 bucket absorbs the ~1.1e-6 tail mass; documented
+   * cap, conservative in no direction that matters for a CI rank). The
+   * Poisson bootstrap (Hanley & MacGibbon 2006; the standard
+   * one-pass/streaming bootstrap) replaces multinomial resampling with
+   * independent per-unit Poisson(1) counts — exactly what a
+   * single-scan distributed engine can do — and because the thresholds
+   * are integer constants and the hash is the [[Sampling]] md5 recipe,
+   * ANY engine re-derives the identical replicate weights bit-for-bit
+   * (DuckDB: `('0x' || substr(md5(x), 1, 16))::UBIGINT >> 1` against
+   * the same literals). */
+  private val poissonThresholds: Seq[Long] = Seq(
+    3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
+    9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
+    9222604272766117001L, 9223277504700766692L, 9223361658692597904L)
+
+  private def poissonWeight(seed: String, b: Column, key: Column): Column = {
+    val u = shiftrightunsigned(md5Hash64(concat(lit(seed), lit(":"),
+      b.cast("string"), lit(":"), key.cast("string"))), 1)
+    poissonThresholds.map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** The SQL-text twins of [[poissonWeight]] for DuckDB oracles (kept
+   * next to the thresholds so the two cannot drift). The hash and the
+   * threshold fold are SEPARATE fragments: inlining the md5 into each
+   * of the 9 comparisons hands DuckDB 9 hash evaluations per term (no
+   * CSE across CASE arms — measured as a multi-minute sf1 oracle), so
+   * oracles hoist [[poissonHashSql]] into a CTE column and fold
+   * [[poissonWeightFromHashSql]] over it. `key` must already be
+   * VARCHAR. */
+  def poissonHashSql(seed: String, b: String, key: String): String =
+    s"(('0x' || substr(md5('$seed:' || ($b)::VARCHAR || ':' || " +
+      s"($key)), 1, 16))::UBIGINT >> 1)"
+
+  def poissonWeightFromHashSql(u: String): String =
+    poissonThresholds.map(t => s"(($u) >= $t::UBIGINT)::BIGINT")
+      .mkString("(", " + ", ")")
+
+  /**
+   * Percentile-bootstrap confidence interval for a mean, exact and
+   * engine-reproducible: B Poisson(1) pseudo-replicates of the corpus
+   * (one scan — the B-fold expansion collapses under the partial
+   * aggregate, B summary rows per task cross the exchange), each
+   * replicate's mean kept as the exact integer pair (Σw·v, Σw), and
+   * the CI read off the ORDER STATISTICS of the B replicate means.
+   * Replicates order by the exact scaled quotient
+   * (Σw·v·10¹⁵) div Σw (integer division — deterministic on any
+   * engine; an empty replicate, probability ~e⁻ⁿ, sorts first as −1),
+   * ties broken by replicate index. With tailDen = 40 and B a multiple
+   * of it, lo = B/40 and hi = B−lo+1 give the 2.5%/97.5% percentile
+   * bootstrap bounds of a 95% CI.
+   *
+   * Everything shipped is an integer: the observed (n, Σv), the lo/hi
+   * replicate's exact (num, den) pairs, and their scaled quotients.
+   * Overflow bound: Σw·v ≤ 9·Σv, so the 10¹⁵ scaling stays exact in
+   * decimal(38,0) while Σv < 10²² — far past a 100-TB corpus's token
+   * total.
+   *
+   * @return one row: (n, sum_total, mean_scaled, n_reps, lo_rank,
+   *         hi_rank, lo_num, lo_den, lo_scaled, hi_num, hi_den,
+   *         hi_scaled)
+   */
+  def bootstrapMeanCI(df: DataFrame, key: Column, value: Column,
+      reps: Int, seed: String, tailDen: Int): DataFrame = {
+    require(reps > 0 && tailDen > 1 && reps % tailDen == 0,
+      s"reps ($reps) must be a positive multiple of tailDen ($tailDen)")
+    // Slim fan-out before the B-fold expansion (see randomizationTest).
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
+        value.cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull))
+    val obs = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("v")), lit(0L)).as("s"))
+    val perRep = base
+      .select(col("k"), col("v"), explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("v"), col("b"),
+        poissonWeight(seed, col("b"), col("k")).as("w"))
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nb"),
+        coalesce(sum(col("w") * col("v")), lit(0L)).as("sb"))
+    ciFromReplicates(perRep, obs, reps, tailDen)
+      .select(col("n"), col("sum_total"), col("mean_scaled"),
+        col("n_reps"), col("lo_rank"), col("hi_rank"),
+        col("lo_num"), col("lo_den"), col("lo_scaled"),
+        col("hi_num"), col("hi_den"), col("hi_scaled"))
+  }
+
+  /**
+   * [[bootstrapMeanCI]] with the RESAMPLING UNIT lifted from rows to
+   * CLUSTERS — the cluster bootstrap (Field & Welsh 2007) over a
+   * near-dup component map: on a duplicated corpus, rows inside a
+   * component are not independent draws, and a row-level bootstrap
+   * understates the variance of every corpus statistic by pretending
+   * they are. Each document joins its component (docs in no component
+   * are their own singleton cluster — left join, coalesce to the key),
+   * components collapse to exact (count, sum) pairs ONCE (row volume
+   * dies here), and the B-fold expansion runs over |clusters| summary
+   * rows only — the replicate machinery, ordering, and output schema
+   * are [[bootstrapMeanCI]]'s, plus the unit count.
+   *
+   * @param components (id, component_id) — e.g.
+   *        [[graft.dedup.Dedup.connectedComponents]] output (memoized)
+   * @return one row: (n, sum_total, mean_scaled, n_units, n_reps,
+   *         lo_rank, hi_rank, lo_num, lo_den, lo_scaled, hi_num,
+   *         hi_den, hi_scaled)
+   */
+  def clusterBootstrapMeanCI(df: DataFrame, key: Column, value: Column,
+      components: DataFrame, reps: Int, seed: String,
+      tailDen: Int): DataFrame = {
+    require(reps > 0 && tailDen > 1 && reps % tailDen == 0,
+      s"reps ($reps) must be a positive multiple of tailDen ($tailDen)")
+    val base = df.select(key.cast("string").as("k"),
+        value.cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+    val comp = components.select(col("id").cast("string").as("cid"),
+      col("component_id").cast("string").as("cgroup"))
+    val perCluster = base.join(comp, col("k") === col("cid"), "left")
+      .select(coalesce(col("cgroup"), col("k")).as("c"), col("v"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+    val obs = perCluster.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("sv")), lit(0L)).as("s"),
+      count(lit(1)).as("n_units"))
+    val perRep = perCluster
+      .select(col("c"), col("cnt"), col("sv"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("b"), col("cnt"), col("sv"),
+        poissonWeight(seed, col("b"), col("c")).as("w"))
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("w") * col("cnt")), lit(0L)).as("nb"),
+        coalesce(sum(col("w") * col("sv")), lit(0L)).as("sb"))
+    ciFromReplicates(perRep, obs, reps, tailDen)
+      .select(col("n"), col("sum_total"), col("mean_scaled"),
+        col("n_units"), col("n_reps"), col("lo_rank"), col("hi_rank"),
+        col("lo_num"), col("lo_den"), col("lo_scaled"),
+        col("hi_num"), col("hi_den"), col("hi_scaled"))
+  }
+
+  /** Shared CI tail: order the B replicate (sb, nb) pairs by exact
+   * scaled quotient, pick the lo/hi order statistics, staple the
+   * observed totals. The window is over B rows (the audit-window knob),
+   * never data. Any extra columns on `obs` (e.g. n_units) pass through. */
+  private def ciFromReplicates(perRep: DataFrame, obs: DataFrame,
+      reps: Int, tailDen: Int): DataFrame = {
+    val lo = reps / tailDen
+    val hi = reps - lo + 1
+    val scale = "1000000000000000" // 10^15
+    // `div` on decimals returns LongType (fits: quotient = mean·10¹⁵);
+    // the cast pins the OUTPUT type to decimal(38,0) so the schema
+    // matches the oracle's HUGEINT kind regardless of CASE coercion.
+    val ranked = perRep
+      .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
+        .otherwise(expr(s"cast(cast(sb as $dec) * $scale div " +
+          s"cast(nb as $dec) as $dec)")))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("q").asc, col("b").asc)).cast("long"))
+    val picked = ranked.agg(
+      max(when(col("r") === lo, col("sb"))).as("lo_num"),
+      max(when(col("r") === lo, col("nb"))).as("lo_den"),
+      max(when(col("r") === lo, col("q"))).as("lo_scaled"),
+      max(when(col("r") === hi, col("sb"))).as("hi_num"),
+      max(when(col("r") === hi, col("nb"))).as("hi_den"),
+      max(when(col("r") === hi, col("q"))).as("hi_scaled"))
+    broadcast(obs).crossJoin(broadcast(picked))
+      .withColumn("mean_scaled",
+        when(col("n") === 0L, expr(s"cast(-1 as $dec)"))
+          .otherwise(expr(s"cast(cast(s as $dec) * $scale div " +
+            s"cast(n as $dec) as $dec)")))
+      .withColumn("n_reps", lit(reps.toLong))
+      .withColumn("lo_rank", lit(lo.toLong))
+      .withColumn("hi_rank", lit(hi.toLong))
+      .withColumnRenamed("s", "sum_total")
   }
 
   /** BH step-up over the per-group exceedance counts (|groups| rows). */

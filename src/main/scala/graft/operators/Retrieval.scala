@@ -352,6 +352,70 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** The per-depth weights of truncated rank-biased overlap at
+   * persistence p = 9/10, cleared to integers over the common
+   * denominator D = 10^k·lcm(1..k): a doc whose worse rank across the
+   * two lists is m contributes W(m) = Σ_{d=m..k} 9^{d-1}·D/(10^d·d)
+   * to the numerator (the standard X_d-sum reordered per doc, so the
+   * aggregation is one weighted count instead of k overlap counts).
+   * Exposed so the DuckDB oracle interpolates the SAME integers —
+   * weights and denominator cannot drift from the operator. k ≤ 12
+   * keeps D ≤ 2.8e16 and every numerator comfortably in a long. */
+  def rboWeights(k: Int): (Seq[Long], Long) = {
+    require(k >= 1 && k <= 12, s"k must be in [1, 12], got $k")
+    val lcm = (1 to k).foldLeft(BigInt(1))((l, i) => l * i / l.gcd(BigInt(i)))
+    val d = BigInt(10).pow(k) * lcm
+    val w = (1 to k).map { m =>
+      (m to k).map(e => BigInt(9).pow(e - 1) * (d / (BigInt(10).pow(e) * e)))
+        .sum.toLong
+    }
+    (w, d.toLong)
+  }
+
+  /**
+   * Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+   * top-k rankings, truncated at depth k with persistence p = 9/10, as
+   * an EXACT integer rational — the top-weighted rank-agreement read
+   * that [[kendallTau]] cannot give: tau sees only the docs BOTH arms
+   * retrieved and weighs every inversion equally, while RBO prices
+   * disagreement by depth (rank-1 disagreement costs ~10× rank-10) and
+   * charges for docs one arm retrieved and the other missed.
+   *
+   * RBO@k = (1−p)·Σ_{d=1..k} p^{d-1}·|A_{1..d} ∩ B_{1..d}|/d. Per
+   * shared doc the sum telescopes to one weight at m = max(rank_A,
+   * rank_B) ([[rboWeights]]), so the whole statistic is a weighted
+   * count over the ≤k-row per-query join of the two arms — nothing
+   * scales with the corpus, only with retrieved candidate sets (the
+   * q202 family's scale posture). Queries where the arms share nothing
+   * ship (overlap 0, rbo 0/D) via the query-id union, not silence.
+   *
+   * @param rankA,rankB (query_id, doc_id, rank) with rank 1-based
+   * @return one row per query_id: (query_id, overlap_k, rbo_num,
+   *         rbo_den) with rbo = rbo_num/rbo_den exactly
+   */
+  def rbo(rankA: DataFrame, rankB: DataFrame, k: Int): DataFrame = {
+    val (ws, den) = rboWeights(k)
+    val a = rankA.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("ra"))
+    val b = rankB.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("rb"))
+    val qs = a.select(col("query_id")).union(b.select(col("query_id")))
+      .distinct()
+    val shared = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"),
+        element_at(array(ws.map(lit): _*), greatest(col("ra"), col("rb")))
+          .as("w"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap_k"),
+        coalesce(sum(col("w")), lit(0L)).as("rbo_num"))
+    qs.join(shared, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        coalesce(col("rbo_num"), lit(0L)).as("rbo_num"),
+        lit(den).as("rbo_den"))
+      .orderBy(col("query_id"))
+  }
+
   def rrfFuse(arms: Seq[DataFrame], kConst: Int = 60, topK: Int = 10): DataFrame = {
     require(arms.nonEmpty, "need at least one retrieval arm")
     require(kConst >= 0, s"kConst must be non-negative, got $kConst")

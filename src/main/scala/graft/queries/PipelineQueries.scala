@@ -1355,6 +1355,16 @@ object PipelineQueries {
         .orderBy("strategy")
     }),
 
+    // Context-length frontier: the exact truncation cost of training at
+    // each candidate context length (docs truncated, tokens lost, kept)
+    // off ONE length-histogram pass — q196 prices batch padding at a
+    // fixed geometry; this picks the geometry.
+    "q230_truncation_frontier" -> ((s, dir) => {
+      graft.operators.Packing.truncationFrontier(Tables.documents(s, dir),
+        graft.text.TextAnalysis.tokenCount(col("text")),
+        lengths = Seq(16, 32, 48, 64, 96, 128))
+    }),
+
     // Recency-weighted (half-life) engagement per user: each event is a
     // bit-shifted power-of-two weight by week of age under the corpus
     // horizon — the exponential-decay feature with the float pow
@@ -1568,6 +1578,24 @@ object PipelineQueries {
       val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
       graft.operators.Retrieval.kendallTau(lex, sem, k = 10)
+    }),
+
+    // Rank-biased overlap between the retrieval arms (p = 9/10, k = 10,
+    // exact rational): the top-weighted agreement read q222's tau can't
+    // give — tau sees only SHARED docs and weighs inversions equally;
+    // RBO prices disagreement by depth and charges for docs one arm
+    // missed. Per shared doc the X_d-sum telescopes to one weight at
+    // max(rank_a, rank_b), so the statistic is a weighted count over
+    // the ≤k-row per-query arm join.
+    "q229_rbo_arms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      graft.operators.Retrieval.rbo(lex, sem, k = 10)
     }),
 
     // Release mix shift (total variation, exact): did the lang mix move
@@ -1790,6 +1818,35 @@ object PipelineQueries {
       graft.operators.Resample.fdrDriftSweep(docs, col("doc_id"),
         TextAnalysis.tokenCount(col("text")), col("source"),
         perms = 64, seed = "fdr", fdrNum = 1, fdrDen = 20)
+    }),
+
+    // Poisson-bootstrap 95% CI for the corpus mean token count: 200
+    // hash-derived pseudo-replicates in ONE corpus scan (the 200-fold
+    // expansion collapses under the partial aggregate), CI bounds read
+    // off the 5th/196th order statistics of the replicate means — each
+    // shipped as its exact integer (num, den) pair. The error bar every
+    // "mean tokens moved by +2.3" report needs next to the point
+    // estimate.
+    "q227_bootstrap_ci" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      graft.operators.Resample.bootstrapMeanCI(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), reps = 200, seed = "bs",
+        tailDen = 40)
+    }),
+
+    // The same CI with the RESAMPLING UNIT lifted to near-dup clusters
+    // (cluster bootstrap): duplicated documents are not independent
+    // draws, and resampling components instead of rows is the honest
+    // error bar on a corpus the dedup pipeline itself says is
+    // correlated. Rides the memoized pair graph + components.
+    "q228_cluster_bootstrap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+      graft.operators.Resample.clusterBootstrapMeanCI(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), comps, reps = 200,
+        seed = "cb", tailDen = 40)
     }),
 
     // Shared-prefix (KV/prompt-cache) audit: per prefix depth K, how
@@ -4352,6 +4409,34 @@ object PipelineQueries {
          |  (m.m * (m.m - 1) // 2)::BIGINT AS tau_den
          |FROM mq m LEFT JOIN inv i ON i.query_id = m.query_id
          |ORDER BY m.query_id""".stripMargin,
+    // Same arms, same single-sourced integer weights (rboWeights) —
+    // the per-doc telescoped weight at greatest(rank_a, rank_b).
+    "q229_rbo_arms" -> {
+      val (rboW, rboD) = graft.operators.Retrieval.rboWeights(10)
+      s"""WITH $retrievalEvalCtesSql,
+         |qs AS (
+         |  SELECT DISTINCT query_id FROM lex
+         |  UNION SELECT DISTINCT query_id FROM sem
+         |),
+         |shared AS (
+         |  SELECT l.query_id,
+         |    list_extract([${rboW.mkString(", ")}],
+         |      greatest(l.rank, s.rank)) AS w
+         |  FROM lex l JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+         |),
+         |agg AS (
+         |  SELECT query_id, count(*)::BIGINT AS overlap_k,
+         |    sum(w)::BIGINT AS rbo_num
+         |  FROM shared GROUP BY 1
+         |)
+         |SELECT q.query_id,
+         |  coalesce(a.overlap_k, 0)::BIGINT AS overlap_k,
+         |  coalesce(a.rbo_num, 0)::BIGINT AS rbo_num,
+         |  $rboD::BIGINT AS rbo_den
+         |FROM qs q LEFT JOIN agg a ON q.query_id = a.query_id
+         |ORDER BY q.query_id""".stripMargin
+    },
     // Same synthesized releases (q119's % 17 / % 19 splits), same
     // cross-multiplied deviations and total row.
     "q223_mix_shift" ->
@@ -4424,16 +4509,17 @@ object PipelineQueries {
          |    coalesce(sum(CASE WHEN a THEN v ELSE 0 END), 0)::BIGINT AS sa
          |  FROM base
          |),
-         |per AS (
-         |  SELECT bs.b,
-         |    sum(CASE WHEN ((('0x' || substr(md5('rt:' || bs.b::VARCHAR
-         |        || ':' || base.k), 1, 16))::UBIGINT & 1) = 1)
-         |      THEN 1 ELSE 0 END)::BIGINT AS pa,
-         |    sum(CASE WHEN ((('0x' || substr(md5('rt:' || bs.b::VARCHAR
-         |        || ':' || base.k), 1, 16))::UBIGINT & 1) = 1)
-         |      THEN v ELSE 0 END)::BIGINT AS psa
+         |hb AS (
+         |  SELECT bs.b, base.v,
+         |    ((('0x' || substr(md5('rt:' || bs.b::VARCHAR
+         |      || ':' || base.k), 1, 16))::UBIGINT & 1) = 1) AS bit
          |  FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
-         |  GROUP BY 1
+         |),
+         |per AS (
+         |  SELECT b,
+         |    sum(CASE WHEN bit THEN 1 ELSE 0 END)::BIGINT AS pa,
+         |    sum(CASE WHEN bit THEN v ELSE 0 END)::BIGINT AS psa
+         |  FROM hb GROUP BY 1
          |),
          |ex AS (
          |  SELECT coalesce(sum(CASE WHEN pa * (n - pa) = 0
@@ -4467,16 +4553,18 @@ object PipelineQueries {
          |    (ng::HUGEINT * 9223372036854775808::HUGEINT) // n AS thr
          |  FROM pg CROSS JOIN tot
          |),
-         |per AS (
-         |  SELECT gt.g, bs.b,
-         |    sum(CASE WHEN (((('0x' || substr(md5('fdr:' || gt.g || ':'
-         |        || bs.b::VARCHAR || ':' || base.k), 1, 16))::UBIGINT
-         |        >> 1)::HUGEINT) < gt.thr) THEN 1 ELSE 0 END)::BIGINT AS pa,
-         |    sum(CASE WHEN (((('0x' || substr(md5('fdr:' || gt.g || ':'
-         |        || bs.b::VARCHAR || ':' || base.k), 1, 16))::UBIGINT
-         |        >> 1)::HUGEINT) < gt.thr) THEN v ELSE 0 END)::BIGINT AS psa
-         |  FROM base CROSS JOIN gt
+         |hashed AS (
+         |  SELECT base.v, bs.b,
+         |    ((('0x' || substr(md5('fdr:' || bs.b::VARCHAR || ':'
+         |        || base.k), 1, 16))::UBIGINT >> 1)::HUGEINT) AS h
+         |  FROM base
          |  CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs
+         |),
+         |per AS (
+         |  SELECT gt.g, hashed.b,
+         |    sum(CASE WHEN hashed.h < gt.thr THEN 1 ELSE 0 END)::BIGINT AS pa,
+         |    sum(CASE WHEN hashed.h < gt.thr THEN v ELSE 0 END)::BIGINT AS psa
+         |  FROM hashed CROSS JOIN gt
          |  GROUP BY 1, 2
          |),
          |exg AS (
@@ -4508,6 +4596,112 @@ object PipelineQueries {
          |  (bh_rank <= coalesce(cutoff, 0)) AS rejected
          |FROM ranked CROSS JOIN cut
          |ORDER BY g""".stripMargin,
+    // Same pinned Poisson thresholds (Resample.poissonWeightSql keeps
+    // the literals single-sourced), same 10^15-scaled integer-quotient
+    // replicate ordering, same 5/196 order-statistic picks.
+    "q227_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |obs AS (SELECT count(*)::BIGINT AS n,
+         |  coalesce(sum(v), 0)::BIGINT AS s FROM base),
+         |hu AS (
+         |  SELECT bs.b, base.v,
+         |    ${graft.operators.Resample.poissonHashSql(
+                "bs", "bs.b", "base.k")} AS u
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |hw AS (
+         |  SELECT b, v,
+         |    ${graft.operators.Resample.poissonWeightFromHashSql("u")} AS w
+         |  FROM hu
+         |),
+         |per AS (
+         |  SELECT b, coalesce(sum(w), 0)::BIGINT AS nb,
+         |    coalesce(sum(w * v), 0)::BIGINT AS sb
+         |  FROM hw GROUP BY 1
+         |),
+         |qd AS (
+         |  SELECT b, nb, sb, CASE WHEN nb = 0 THEN (-1)::HUGEINT
+         |    ELSE (sb::HUGEINT * 1000000000000000) // nb END AS q
+         |  FROM per
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY q, b)::BIGINT AS r FROM qd
+         |),
+         |pick AS (
+         |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
+         |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
+         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
+         |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
+         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |  FROM ranked
+         |)
+         |SELECT n, s AS sum_total,
+         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS mean_scaled,
+         |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
+         |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
+         |  hi_num, hi_den, hi_scaled
+         |FROM obs CROSS JOIN pick""".stripMargin,
+    // Components from the shared recursive-CTE near-dup closure;
+    // singletons fall back to their own doc_id (the engine's left-join
+    // coalesce), then the identical replicate machinery over clusters.
+    "q228_cluster_bootstrap" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |toks AS (SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v
+         |  FROM documents WHERE text IS NOT NULL),
+         |cl AS (
+         |  SELECT coalesce(c.component_id::VARCHAR, t.k) AS cgroup,
+         |    count(*)::BIGINT AS cnt, sum(t.v)::BIGINT AS sv
+         |  FROM toks t LEFT JOIN comps c ON t.k = c.id::VARCHAR
+         |  GROUP BY 1
+         |),
+         |obs AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n,
+         |  coalesce(sum(sv), 0)::BIGINT AS s,
+         |  count(*)::BIGINT AS n_units FROM cl),
+         |hu AS (
+         |  SELECT bs.b, cl.cnt, cl.sv,
+         |    ${graft.operators.Resample.poissonHashSql(
+                "cb", "bs.b", "cl.cgroup")} AS u
+         |  FROM cl CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |hw AS (
+         |  SELECT b, cnt, sv,
+         |    ${graft.operators.Resample.poissonWeightFromHashSql("u")} AS w
+         |  FROM hu
+         |),
+         |per AS (
+         |  SELECT b, coalesce(sum(w * cnt), 0)::BIGINT AS nb,
+         |    coalesce(sum(w * sv), 0)::BIGINT AS sb
+         |  FROM hw GROUP BY 1
+         |),
+         |qd AS (
+         |  SELECT b, nb, sb, CASE WHEN nb = 0 THEN (-1)::HUGEINT
+         |    ELSE (sb::HUGEINT * 1000000000000000) // nb END AS q
+         |  FROM per
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY q, b)::BIGINT AS r FROM qd
+         |),
+         |pick AS (
+         |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
+         |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
+         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
+         |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
+         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |  FROM ranked
+         |)
+         |SELECT n, s AS sum_total,
+         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS mean_scaled,
+         |  n_units, 200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
+         |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
+         |  hi_num, hi_den, hi_scaled
+         |FROM obs CROSS JOIN pick""".stripMargin,
     // Same histogram-midrank derivation: tie group ending at cumulative
     // c with cnt members contributes midrank·2 = 2c − cnt + 1.
     "q207_scorer_auc" ->
@@ -4913,6 +5107,28 @@ object PipelineQueries {
          |  SELECT 'sorted_batches', n_batches, n_tokens,
          |    (ps - n_tokens)::BIGINT, ((n_tokens * 1000000) // ps)::BIGINT FROM p
          |) ORDER BY strategy""".stripMargin,
+    // Same length histogram, same candidate list, same integer
+    // millionths convention.
+    "q230_truncation_frontier" ->
+      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents),
+         |h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+         |ls AS (SELECT unnest([16, 32, 48, 64, 96, 128])::BIGINT AS context_len),
+         |a AS (
+         |  SELECT ls.context_len,
+         |    sum(cnt)::BIGINT AS n_docs,
+         |    coalesce(sum(CASE WHEN l > ls.context_len THEN cnt ELSE 0 END),
+         |      0)::BIGINT AS docs_truncated,
+         |    sum(l * cnt)::BIGINT AS tokens_total,
+         |    coalesce(sum(CASE WHEN l > ls.context_len
+         |      THEN (l - ls.context_len) * cnt ELSE 0 END), 0)::BIGINT
+         |      AS tokens_lost
+         |  FROM h CROSS JOIN ls GROUP BY 1
+         |)
+         |SELECT context_len, n_docs, docs_truncated, tokens_total,
+         |  tokens_lost, (tokens_total - tokens_lost)::BIGINT AS tokens_kept,
+         |  (CASE WHEN tokens_total = 0 THEN 0
+         |    ELSE tokens_lost * 1000000 // tokens_total END)::BIGINT AS loss_e6
+         |FROM a ORDER BY context_len""".stripMargin,
     "q32_embed_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

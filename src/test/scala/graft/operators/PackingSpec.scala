@@ -225,4 +225,53 @@ class PackingSpec extends AnyFunSuite {
     assert(loads(0) === 1000L)            // the giant, alone
     assert((1 to 3).map(loads(_)).toSet === Set(100L)) // 300 small tokens split 100/100/100
   }
+
+  test("truncationFrontier: hand case across the candidate grid") {
+    import spark.implicits._
+    // Lengths 5, 10, 10, 20: at L=8 -> 3 truncate, lost (2+2+12)=16;
+    // at L=10 -> 1 truncates, lost 10; at L=32 -> nothing.
+    val df = Seq(5L, 10L, 10L, 20L).toDF("l")
+    val out = Packing.truncationFrontier(df,
+        org.apache.spark.sql.functions.col("l"), Seq(8, 10, 32))
+      .collect().map(r => (r.getAs[Long]("context_len"),
+        r.getAs[Long]("docs_truncated"), r.getAs[Long]("tokens_lost"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("loss_e6")))
+    assert(out.toSeq === Seq(
+      (8L, 3L, 16L, 29L, 16L * 1000000L / 45L),
+      (10L, 1L, 10L, 35L, 10L * 1000000L / 45L),
+      (32L, 0L, 0L, 45L, 0L)))
+  }
+
+  test("truncationFrontier equals brute force on random length multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val lens = Seq.fill(40)(rnd.nextInt(200).toLong)
+      val grid = Seq(1, 17, 64, 150)
+      val out = Packing.truncationFrontier(lens.toDF("l"),
+          org.apache.spark.sql.functions.col("l"), grid)
+        .collect().map(r => r.getAs[Long]("context_len") ->
+          (r.getAs[Long]("docs_truncated"), r.getAs[Long]("tokens_lost"),
+           r.getAs[Long]("tokens_kept"))).toMap
+      grid.foreach { l =>
+        val lost = lens.filter(_ > l).map(_ - l).sum
+        assert(out(l.toLong) ===
+          ((lens.count(_ > l).toLong, lost, lens.sum - lost)))
+      }
+    }
+  }
+
+  test("truncationFrontier guards: empty grid, non-positive, duplicate, negative length") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("l")
+    val c = org.apache.spark.sql.functions.col("l")
+    intercept[IllegalArgumentException] {
+      Packing.truncationFrontier(df, c, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Packing.truncationFrontier(df, c, Seq(0)) }
+    intercept[IllegalArgumentException] {
+      Packing.truncationFrontier(df, c, Seq(4, 4)) }
+    intercept[Exception] {
+      Packing.truncationFrontier(Seq(-1L).toDF("l"), c, Seq(4)).collect() }
+  }
 }

@@ -118,8 +118,10 @@ class ResampleSpec extends AnyFunSuite {
       val onum = (BigInt(sg) * n - BigInt(s) * ng).abs
       val oden = BigInt(ng) * (n - ng)
       val exceed = (1 to perms).count { b =>
+        // Shared coin: one hash per (row, b), reused by every group's
+        // threshold test (the operator's PRDS-noted scheme).
         val in = rows.filter { r =>
-          val h = md5Low(s"$seed:$g:$b:${r._1}")
+          val h = md5Low(s"$seed:$b:${r._1}")
           BigInt(h >>> 1) < thr
         }
         val pa = in.size.toLong
@@ -195,6 +197,149 @@ class ResampleSpec extends AnyFunSuite {
     }
     assert(!out.exists(_.getAs[Boolean]("rejected")),
       "exchangeable groups must survive the FDR gate")
+  }
+
+  /** The operator's pinned Poisson(1) thresholds, replayed: w = #{k :
+   * (md5_64(seed:b:key) >>> 1) ≥ T_k}. Thresholds re-derived here from
+   * the CDF independently (BigDecimal at 60 digits) rather than copied,
+   * so a constant typo in the operator cannot self-verify. */
+  private val refThresholds: Seq[BigInt] = {
+    val mc = new java.math.MathContext(60)
+    val one = java.math.BigDecimal.ONE
+    // e via its series — enough terms that the 60-digit context saturates.
+    val e = (1 to 50).foldLeft((one, one)) { case ((sum, fact), k) =>
+      val f = fact.divide(new java.math.BigDecimal(k), mc)
+      (sum.add(f, mc), f)
+    }._1
+    val scale = new java.math.BigDecimal(BigInt(1L << 62).bigInteger)
+      .multiply(new java.math.BigDecimal(2))
+    (0 to 8).map { k =>
+      val cum = (0 to k).foldLeft((java.math.BigDecimal.ZERO, one)) {
+        case ((sum, fact), j) =>
+          val f = if (j == 0) one
+            else fact.divide(new java.math.BigDecimal(j), mc)
+          (sum.add(f, mc), f)
+      }._1
+      BigInt(cum.divide(e, mc).multiply(scale, mc)
+        .toBigInteger) // floor: positive value, toBigInteger truncates
+    }
+  }
+
+  private def refWeight(seed: String, b: Int, key: String): Long = {
+    val u = BigInt(md5Low(s"$seed:$b:$key") >>> 1)
+    refThresholds.count(u >= _).toLong
+  }
+
+  /** Plain-Scala reference for the percentile-bootstrap CI: replicate
+   * (num, den) pairs, exact scaled quotients, order statistics. */
+  private def referenceCI(units: Seq[(String, Long, Long)], reps: Int,
+      seed: String, tailDen: Int): (Long, Long, Seq[(Long, Long, BigInt)]) = {
+    val n = units.map(_._2).sum
+    val s = units.map(_._3).sum
+    val perRep = (1 to reps).map { b =>
+      val ws = units.map(u => (refWeight(seed, b, u._1), u))
+      val nb = ws.map { case (w, u) => w * u._2 }.sum
+      val sb = ws.map { case (w, u) => w * u._3 }.sum
+      val q = if (nb == 0) BigInt(-1)
+        else BigInt(sb) * BigInt("1000000000000000") / BigInt(nb)
+      (nb, sb, q, b)
+    }
+    val ranked = perRep.sortBy(r => (r._3, r._4))
+      .map(r => (r._2, r._1, r._3))
+    (n, s, ranked)
+  }
+
+  private val ciDocs: Seq[(String, Long)] =
+    (0 until 90).map(i => (s"c$i", 20L + (i % 13)))
+
+  test("bootstrapMeanCI matches the BigInt reference at both order statistics") {
+    import spark.implicits._
+    val df = ciDocs.toDF("k", "v").repartition(4)
+    val out = Resample.bootstrapMeanCI(df, col("k"), col("v"),
+      reps = 80, seed = "ci", tailDen = 40).collect().head
+    val (n, s, ranked) = referenceCI(
+      ciDocs.map { case (k, v) => (k, 1L, v) }, 80, "ci", 40)
+    val lo = ranked(1) // rank 2 of 80 (80/40 = 2), 0-indexed
+    val hi = ranked(78) // rank 79 = 80 - 2 + 1
+    assert(out.getAs[Long]("n") === n)
+    assert(out.getAs[Long]("sum_total") === s)
+    assert(out.getAs[Long]("n_reps") === 80L)
+    assert(out.getAs[Long]("lo_rank") === 2L)
+    assert(out.getAs[Long]("hi_rank") === 79L)
+    assert(out.getAs[Long]("lo_num") === lo._1)
+    assert(out.getAs[Long]("lo_den") === lo._2)
+    assert(BigInt(out.getAs[java.math.BigDecimal]("lo_scaled")
+      .toBigInteger) === lo._3)
+    assert(out.getAs[Long]("hi_num") === hi._1)
+    assert(out.getAs[Long]("hi_den") === hi._2)
+    assert(BigInt(out.getAs[java.math.BigDecimal]("hi_scaled")
+      .toBigInteger) === hi._3)
+    // The CI must bracket the observed mean: lo ≤ mean ≤ hi as exact
+    // cross-multiplied rationals.
+    assert(BigInt(lo._1) * n <= BigInt(s) * lo._2)
+    assert(BigInt(hi._1) * n >= BigInt(s) * hi._2)
+  }
+
+  test("clusterBootstrapMeanCI resamples clusters, not rows") {
+    import spark.implicits._
+    // Two 10-row clusters with extreme means + 20 singletons: the
+    // cluster CI must match a reference whose units are the CLUSTERS.
+    val rows = (0 until 10).map(i => (s"a$i", 100L, "A")) ++
+      (0 until 10).map(i => (s"b$i", 10L, "B")) ++
+      (0 until 20).map(i => (s"s$i", 50L + i, s"s$i"))
+    val df = rows.map(r => (r._1, r._2)).toDF("k", "v").repartition(4)
+    val comps = rows.filter(r => r._3 == "A" || r._3 == "B")
+      .map(r => (r._1, if (r._3 == "A") "a0" else "b0"))
+      .toDF("id", "component_id")
+    val out = Resample.clusterBootstrapMeanCI(df, col("k"), col("v"),
+      comps, reps = 80, seed = "cl", tailDen = 40).collect().head
+    val units = Seq(("a0", 10L, 1000L), ("b0", 10L, 100L)) ++
+      (0 until 20).map(i => (s"s$i", 1L, 50L + i))
+    val (n, s, ranked) = referenceCI(units, 80, "cl", 40)
+    assert(out.getAs[Long]("n") === n)
+    assert(out.getAs[Long]("sum_total") === s)
+    assert(out.getAs[Long]("n_units") === 22L)
+    assert(out.getAs[Long]("lo_num") === ranked(1)._1)
+    assert(out.getAs[Long]("lo_den") === ranked(1)._2)
+    assert(out.getAs[Long]("hi_num") === ranked(78)._1)
+    assert(out.getAs[Long]("hi_den") === ranked(78)._2)
+  }
+
+  test("cluster bootstrap CI is wider than the row bootstrap on a duplicated corpus") {
+    import spark.implicits._
+    // 4 template clusters of 25 identical extreme docs each + 100
+    // moderate singletons: row resampling sees 200 "independent" rows,
+    // cluster resampling sees 104 units with 4 huge ones — its CI width
+    // (hi − lo, compared as exact cross-multiplied rationals) must be
+    // strictly larger. This is the operator's whole reason to exist.
+    val rows = (0 until 4).flatMap(c =>
+      (0 until 25).map(i => (s"t${c}_$i", if (c % 2 == 0) 200L else 5L,
+        Some(s"t${c}_0")))) ++
+      (0 until 100).map(i => (s"m$i", 100L + (i % 7), None))
+    val df = rows.map(r => (r._1, r._2)).toDF("k", "v").repartition(4)
+    val comps = rows.collect { case (k, _, Some(c)) => (k, c) }
+      .toDF("id", "component_id")
+    val row = Resample.bootstrapMeanCI(df, col("k"), col("v"),
+      reps = 80, seed = "w", tailDen = 40).collect().head
+    val clu = Resample.clusterBootstrapMeanCI(df, col("k"), col("v"),
+      comps, reps = 80, seed = "w", tailDen = 40).collect().head
+    def width(r: org.apache.spark.sql.Row): (BigInt, BigInt) = {
+      val hn = BigInt(r.getAs[Long]("hi_num")); val hd = BigInt(r.getAs[Long]("hi_den"))
+      val ln = BigInt(r.getAs[Long]("lo_num")); val ld = BigInt(r.getAs[Long]("lo_den"))
+      (hn * ld - ln * hd, hd * ld)
+    }
+    val (rn, rd) = width(row)
+    val (cn, cd) = width(clu)
+    assert(cn * rd > rn * cd,
+      s"cluster CI ($cn/$cd) not wider than row CI ($rn/$rd)")
+  }
+
+  test("bootstrapMeanCI rejects reps not divisible by tailDen") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Resample.bootstrapMeanCI(df, col("k"), col("v"), 81, "x", 40)
+    }
   }
 
   test("bh ranks are dense, ordered by exceedance then group key") {

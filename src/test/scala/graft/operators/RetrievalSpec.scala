@@ -250,4 +250,70 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(out.toSeq === Seq((0L, 1L, 0L)))
   }
+
+  /** Definitional RBO@k numerator over rboWeights' denominator: the
+   * X_d sum, NOT the per-doc telescoped weights the operator uses —
+   * an independent derivation. */
+  private def refRbo(a: Seq[(Long, Int)], b: Seq[(Long, Int)],
+      k: Int): BigInt = {
+    val lcm = (1 to k).foldLeft(BigInt(1))((l, i) => l * i / l.gcd(BigInt(i)))
+    val d = BigInt(10).pow(k) * lcm
+    (1 to k).map { depth =>
+      val ad = a.filter(_._2 <= depth).map(_._1).toSet
+      val bd = b.filter(_._2 <= depth).map(_._1).toSet
+      BigInt(9).pow(depth - 1) * (d / (BigInt(10).pow(depth) * depth)) *
+        (ad & bd).size
+    }.sum
+  }
+
+  test("rbo: matches the definitional X_d sum on a hand case") {
+    // A: docs 10,11,12,13 at ranks 1-4; B: 11,10,14,12 — overlap grows
+    // 0,2,2,3 across depths with max-ranks m(10)=2, m(11)=2, m(12)=4.
+    val aRows = Seq((10L, 1), (11L, 2), (12L, 3), (13L, 4))
+    val bRows = Seq((11L, 1), (10L, 2), (14L, 3), (12L, 4))
+    val a = arm(aRows.map { case (doc, r) => (0L, r, doc) }: _*)
+    val b = arm(bRows.map { case (doc, r) => (0L, r, doc) }: _*)
+    val out = Retrieval.rbo(a, b, k = 4).collect().head
+    val (_, den) = Retrieval.rboWeights(4)
+    assert(out.getAs[Long]("overlap_k") === 3L)
+    assert(BigInt(out.getAs[Long]("rbo_num")) === refRbo(aRows, bRows, 4))
+    assert(out.getAs[Long]("rbo_den") === den)
+  }
+
+  test("rbo: identical rankings hit the truncated maximum; disjoint score 0") {
+    val rows = Seq((10L, 1), (11L, 2), (12L, 3))
+    val a = arm(rows.map { case (doc, r) => (0L, r, doc) }: _*)
+    val same = Retrieval.rbo(a, a, k = 3).collect().head
+    assert(BigInt(same.getAs[Long]("rbo_num")) === refRbo(rows, rows, 3))
+    // Truncated max = (1-p)·Σ p^{d-1} (X_d = d), strictly below den.
+    assert(same.getAs[Long]("rbo_num") < same.getAs[Long]("rbo_den"))
+    val disj = arm((0L, 1, 90L), (0L, 2, 91L), (0L, 3, 92L))
+    val zero = Retrieval.rbo(a, disj, k = 3).collect().head
+    assert(zero.getAs[Long]("rbo_num") === 0L)
+    assert(zero.getAs[Long]("overlap_k") === 0L)
+  }
+
+  test("rbo: top-heavy agreement outscores tail agreement at equal overlap") {
+    // Same single shared doc; at rank 1 in both vs rank 4 in both.
+    val a1 = arm((0L, 1, 10L), (0L, 2, 21L), (0L, 3, 22L), (0L, 4, 23L))
+    val b1 = arm((0L, 1, 10L), (0L, 2, 31L), (0L, 3, 32L), (0L, 4, 33L))
+    val a4 = arm((0L, 1, 21L), (0L, 2, 22L), (0L, 3, 23L), (0L, 4, 10L))
+    val b4 = arm((0L, 1, 31L), (0L, 2, 32L), (0L, 3, 33L), (0L, 4, 10L))
+    val top = Retrieval.rbo(a1, b1, k = 4).collect().head.getAs[Long]("rbo_num")
+    val tail = Retrieval.rbo(a4, b4, k = 4).collect().head.getAs[Long]("rbo_num")
+    assert(top > tail, s"top-rank agreement ($top) must outweigh tail ($tail)")
+  }
+
+  test("rbo: queries with no shared docs ship a zero row, not silence") {
+    val a = arm((0L, 1, 10L), (1L, 1, 20L))
+    val b = arm((0L, 1, 10L), (2L, 1, 30L))
+    val out = Retrieval.rbo(a, b, k = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("overlap_k"))).toSeq
+    assert(out === Seq((0L, 1L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("rbo: k bounds enforced") {
+    intercept[IllegalArgumentException] { Retrieval.rboWeights(13) }
+    intercept[IllegalArgumentException] { Retrieval.rboWeights(0) }
+  }
 }
