@@ -399,6 +399,66 @@ object Resample {
         col("hi_num"), col("hi_den"), col("hi_scaled"))
   }
 
+  /**
+   * [[bootstrapMeanCI]] PER GROUP in one corpus scan — the error bar
+   * next to every per-source mean in a drift report, priced once: each
+   * row resamples inside its own group (the Poisson weight is keyed on
+   * the row, so a row's weight in replicate b is the same whether the
+   * caller asks for one CI or per-group CIs — grouped CIs of a
+   * partition refine the global CI's randomness, not redraw it), the
+   * B-fold expansion collapses under the partial aggregate to
+   * |groups|·B summary rows, and the order-statistic window partitions
+   * by group. Same output schema as [[bootstrapMeanCI]] plus the
+   * leading group column, one row per group.
+   */
+  def groupedBootstrapMeanCI(df: DataFrame, key: Column, value: Column,
+      group: Column, reps: Int, seed: String, tailDen: Int): DataFrame = {
+    require(reps > 0 && tailDen > 1 && reps % tailDen == 0,
+      s"reps ($reps) must be a positive multiple of tailDen ($tailDen)")
+    val lo = reps / tailDen
+    val hi = reps - lo + 1
+    val scale = "1000000000000000" // 10^15
+    // Slim fan-out before the B-fold expansion (see randomizationTest).
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
+        value.cast("long").as("v"), group.cast("string").as("g"))
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
+    val obs = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("v")), lit(0L)).as("s"))
+    val perGB = base
+      .select(col("g"), col("k"), col("v"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("g"), col("b"), col("v"),
+        poissonWeight(seed, col("b"), col("k")).as("w"))
+      .groupBy(col("g"), col("b"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("nb"),
+        coalesce(sum(col("w") * col("v")), lit(0L)).as("sb"))
+    val ranked = perGB
+      .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
+        .otherwise(expr(s"cast(cast(sb as $dec) * $scale div " +
+          s"cast(nb as $dec) as $dec)")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("q").asc, col("b").asc))
+        .cast("long"))
+    val picked = ranked.groupBy(col("g")).agg(
+      max(when(col("r") === lo, col("sb"))).as("lo_num"),
+      max(when(col("r") === lo, col("nb"))).as("lo_den"),
+      max(when(col("r") === lo, col("q"))).as("lo_scaled"),
+      max(when(col("r") === hi, col("sb"))).as("hi_num"),
+      max(when(col("r") === hi, col("nb"))).as("hi_den"),
+      max(when(col("r") === hi, col("q"))).as("hi_scaled"))
+    obs.join(picked, Seq("g"))
+      .select(col("g"), col("n"), col("s").as("sum_total"),
+        when(col("n") === 0L, expr(s"cast(-1 as $dec)"))
+          .otherwise(expr(s"cast(cast(s as $dec) * $scale div " +
+            s"cast(n as $dec) as $dec)")).as("mean_scaled"),
+        lit(reps.toLong).as("n_reps"), lit(lo.toLong).as("lo_rank"),
+        lit(hi.toLong).as("hi_rank"),
+        col("lo_num"), col("lo_den"), col("lo_scaled"),
+        col("hi_num"), col("hi_den"), col("hi_scaled"))
+      .orderBy(col("g"))
+  }
+
   /** Shared CI tail: order the B replicate (sb, nb) pairs by exact
    * scaled quotient, pick the lo/hi order statistics, staple the
    * observed totals. The window is over B rows (the audit-window knob),

@@ -1834,6 +1834,19 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Per-source bootstrap CIs in ONE corpus scan: the error bar next
+    // to every per-source mean in a drift report (q226 says WHICH
+    // sources moved; this says how wide each source's mean is). Same
+    // row-keyed Poisson weights — grouped CIs refine the global CI's
+    // randomness, not redraw it.
+    "q231_group_bootstrap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      graft.operators.Resample.groupedBootstrapMeanCI(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), col("source"), reps = 200,
+        seed = "bs", tailDen = 40)
+    }),
+
     // The same CI with the RESAMPLING UNIT lifted to near-dup clusters
     // (cluster bootstrap): duplicated documents are not independent
     // draws, and resampling components instead of rows is the honest
@@ -4646,6 +4659,59 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same hoisted-hash recipe, same seed as q227 (row weights shared
+    // by construction), order statistics partitioned by source.
+    "q231_group_bootstrap" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v,
+         |    source AS g
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         |),
+         |obs AS (SELECT g, count(*)::BIGINT AS n,
+         |  coalesce(sum(v), 0)::BIGINT AS s FROM base GROUP BY 1),
+         |hu AS (
+         |  SELECT base.g, bs.b, base.v,
+         |    ${graft.operators.Resample.poissonHashSql(
+                "bs", "bs.b", "base.k")} AS u
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |hw AS (
+         |  SELECT g, b, v,
+         |    ${graft.operators.Resample.poissonWeightFromHashSql("u")} AS w
+         |  FROM hu
+         |),
+         |per AS (
+         |  SELECT g, b, coalesce(sum(w), 0)::BIGINT AS nb,
+         |    coalesce(sum(w * v), 0)::BIGINT AS sb
+         |  FROM hw GROUP BY 1, 2
+         |),
+         |qd AS (
+         |  SELECT g, b, nb, sb, CASE WHEN nb = 0 THEN (-1)::HUGEINT
+         |    ELSE (sb::HUGEINT * 1000000000000000) // nb END AS q
+         |  FROM per
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY q, b)::BIGINT
+         |    AS r FROM qd
+         |),
+         |pick AS (
+         |  SELECT g,
+         |    max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
+         |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
+         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
+         |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
+         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |  FROM ranked GROUP BY 1
+         |)
+         |SELECT o.g, o.n, o.s AS sum_total,
+         |  CASE WHEN o.n = 0 THEN (-1)::HUGEINT
+         |    ELSE (o.s::HUGEINT * 1000000000000000) // o.n END AS mean_scaled,
+         |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
+         |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
+         |  hi_num, hi_den, hi_scaled
+         |FROM obs o JOIN pick USING (g)
+         |ORDER BY o.g""".stripMargin,
     // Components from the shared recursive-CTE near-dup closure;
     // singletons fall back to their own doc_id (the engine's left-join
     // coalesce), then the identical replicate machinery over clusters.

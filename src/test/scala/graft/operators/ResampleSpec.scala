@@ -334,6 +334,30 @@ class ResampleSpec extends AnyFunSuite {
       s"cluster CI ($cn/$cd) not wider than row CI ($rn/$rd)")
   }
 
+  test("groupedBootstrapMeanCI: per-group CIs match per-group references, weights shared with the global CI") {
+    import spark.implicits._
+    val rows = (0 until 60).map(i =>
+      (s"g$i", 10L + (i % 9), if (i % 2 == 0) "even" else "odd"))
+    val df = rows.map(r => (r._1, r._2, r._3)).toDF("k", "v", "g")
+      .repartition(4)
+    val out = Resample.groupedBootstrapMeanCI(df, col("k"), col("v"),
+      col("g"), reps = 80, seed = "gci", tailDen = 40).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val g = r.getAs[String]("g")
+      val units = rows.filter(_._3 == g).map(x => (x._1, 1L, x._2))
+      // Per-group reference runs the SAME row-keyed weights — the
+      // group partition must not re-key the randomness.
+      val (n, s, ranked) = referenceCI(units, 80, "gci", 40)
+      assert(r.getAs[Long]("n") === n, s"n for $g")
+      assert(r.getAs[Long]("sum_total") === s, s"s for $g")
+      assert(r.getAs[Long]("lo_num") === ranked(1)._1, s"lo_num for $g")
+      assert(r.getAs[Long]("lo_den") === ranked(1)._2, s"lo_den for $g")
+      assert(r.getAs[Long]("hi_num") === ranked(78)._1, s"hi_num for $g")
+      assert(r.getAs[Long]("hi_den") === ranked(78)._2, s"hi_den for $g")
+    }
+  }
+
   test("bootstrapMeanCI rejects reps not divisible by tailDen") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("k", "v")
