@@ -617,6 +617,60 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("BroadcastHashJoin"), "graded relevance not broadcast")
   }
 
+  test("bootstrap CI: the B-fold expansion collapses under a partial aggregate, no cartesian") {
+    val p = plan(PipelineQueries.queries("q227_bootstrap_ci")(spark, sf))
+    assert(p.contains("Generate explode"), "no replicate generator in the plan")
+    assert(!p.contains("CartesianProduct"), "cartesian in the bootstrap plan")
+    // The generator must feed a map-side HashAggregate BEFORE any
+    // exchange — the expansion never crosses the wire.
+    val gen = p.indexOf("Generate explode")
+    val pre = p.substring(0, gen)
+    assert(pre.contains("HashAggregate"),
+      "no partial aggregate above the replicate generator (expansion would cross the exchange)")
+  }
+
+  test("fdr sweep: per-group counts ride interval cells — no |groups|-way row emission") {
+    val p = plan(PipelineQueries.queries("q226_fdr_drift_sweep")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "shuffled cartesian in the sweep")
+    // The threshold array reaches rows as a scalar-side broadcast; the
+    // cells x ranks theta join is broadcast too (summary rows only).
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "threshold array / cells join is not broadcast")
+    // The corpus-side expansion generator feeds the cell aggregate, and
+    // the group fan-out happens on the CELLS, after that aggregate: the
+    // plan must not contain a generator ABOVE a broadcast of per-group
+    // rows on the corpus side (the 77M-row shape this replaced). Proxy
+    // pin: exactly the grid's and the corpus's generators exist, and a
+    // partial HashAggregate sits between the corpus generator and the
+    // first exchange.
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, "no replicate generator")
+    assert(p.substring(0, gen).contains("HashAggregate"),
+      "no partial aggregate above the corpus-side generator")
+  }
+
+  test("rbo: the arm join stays per-query, no window, no cartesian") {
+    import spark.implicits._
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 10L)).toDF("query_id", "rank", "doc_id")
+    val p = plan(graft.operators.Retrieval.rbo(a, b, k = 10))
+    assert(!p.contains("Window"), "window crept into the rbo fold")
+    assert(!p.contains("CartesianProduct"), "cartesian in the rbo fold")
+  }
+
+  test("truncation frontier: row volume dies in the histogram; the candidate fan-out rides summary rows") {
+    val df = PipelineQueries.queries("q230_truncation_frontier")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "cartesian in the frontier")
+    // The candidate explode must sit ABOVE the histogram aggregate —
+    // i.e. a HashAggregate (the length histogram) appears below the
+    // generator in the plan text (plans print top-down).
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, "no candidate generator")
+    assert(p.substring(gen).contains("HashAggregate"),
+      "candidate fan-out is not over the aggregated histogram")
+  }
+
   test("streaming k-anonymity gate releases exactly the >=k cohorts (single drain = batch rule)") {
     // Not a plan pin but the gate's end-to-end batch-parity contract at
     // fixture scale, kept here with the other q-level invariants.
