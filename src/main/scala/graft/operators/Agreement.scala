@@ -192,4 +192,49 @@ object Agreement {
       when(ok, lit(lcmR) * e - (n - 1L) * col("d_o_lcm")).as("alpha_num"),
       when(ok, lit(lcmR) * e).as("alpha_den"))
   }
+
+  /**
+   * Quadratic-weighted kappa (Cohen 1968) for ORDINAL labels — the
+   * agreement read [[cohenKappa]] misprices on graded scales: nominal
+   * kappa charges a 1-vs-2 disagreement exactly like 1-vs-5, while a
+   * quality-tier or Likert audit needs near-misses to cost (i−j)². With
+   * observed counts O_ij, marginals r_i / c_j, and N pairs,
+   *
+   *   κ_w = 1 − N·Σ(i−j)²O_ij / Σ(i−j)²r_i·c_j = (W − N·D_o) / W
+   *
+   * over the common denominator W = Σ_ij (i−j)²·r_i·c_j — shipped as
+   * the exact integer rational (kappa_num, kappa_den), no division
+   * in-engine. Labels must already be integer ordinal codes; rows with
+   * a null code on either side are excluded (both raters must speak).
+   *
+   * Scale contract: row volume dies in the confusion-matrix count (the
+   * shuffle carries label-pair coordinates); D_o folds off the matrix
+   * and W off the broadcast cross of the two marginal VECTORS —
+   * |A-labels|·|B-labels| coordinate rows, the chi-square margin-cross
+   * shape. Headroom: W ≤ span²·N² must fit a long ⇒ N ≲ 3e9/span pairs
+   * per audit window (span = max|i−j|); partition larger corpora, as
+   * with Cohen/Fleiss.
+   *
+   * @return one row: (n, d_obs, kappa_num, kappa_den)
+   */
+  def weightedKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val conf = df.select(a.cast("long").as("la"), b.cast("long").as("lb"))
+      .filter(col("la").isNotNull && col("lb").isNotNull)
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dObs = conf.agg(coalesce(sum(
+      (col("la") - col("lb")) * (col("la") - col("lb")) * col("c")),
+      lit(0L)).as("d_obs"),
+      coalesce(sum(col("c")), lit(0L)).as("n"))
+    val ra = conf.groupBy(col("la")).agg(sum(col("c")).as("r"))
+    val cb = conf.groupBy(col("lb")).agg(sum(col("c")).as("cc"))
+    val w = ra.crossJoin(broadcast(cb))
+      .agg(coalesce(sum(
+        (col("la") - col("lb")) * (col("la") - col("lb")) *
+          col("r") * col("cc")), lit(0L)).as("w_cross"))
+    dObs.crossJoin(broadcast(w))
+      .select(col("n"), col("d_obs"),
+        (col("w_cross") - col("n") * col("d_obs")).as("kappa_num"),
+        col("w_cross").as("kappa_den"))
+  }
 }

@@ -1834,6 +1834,19 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Quadratic-weighted kappa over ordinal quality TIERS (0..4 by
+    // token count vs by char length): the graded-scale agreement read
+    // nominal kappa (q195) misprices — near-miss tiers must cost
+    // (i-j)^2, not 1. Exact rational over W = sum (i-j)^2 r_i c_j.
+    "q232_weighted_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      graft.operators.Agreement.weightedKappa(docs,
+        least(lit(4L), shiftright(TextAnalysis.tokenCount(col("text"))
+          .cast("long"), 4).cast("long")),
+        least(lit(4L), shiftright(length(col("text")).cast("long"), 7)
+          .cast("long")))
+    }),
+
     // Per-source bootstrap CIs in ONE corpus scan: the error bar next
     // to every per-source mean in a drift report (q226 says WHICH
     // sources moved; this says how wide each source's mean is). Same
@@ -4659,6 +4672,28 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same shift-banded ordinal tiers, same (i-j)^2 pricing over the
+    // marginal cross.
+    "q232_weighted_kappa" ->
+      s"""WITH base AS (
+         |  SELECT least(4, len($tokensSql) >> 4)::BIGINT AS la,
+         |    least(4, length(text) >> 7)::BIGINT AS lb
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |conf AS (SELECT la, lb, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+         |d AS (SELECT coalesce(sum((la - lb) * (la - lb) * c), 0)::BIGINT
+         |    AS d_obs, coalesce(sum(c), 0)::BIGINT AS n FROM conf),
+         |ra AS (SELECT la, sum(c)::BIGINT AS r FROM conf GROUP BY 1),
+         |cb AS (SELECT lb, sum(c)::BIGINT AS cc FROM conf GROUP BY 1),
+         |w AS (
+         |  SELECT coalesce(sum((ra.la - cb.lb) * (ra.la - cb.lb)
+         |    * ra.r * cb.cc), 0)::BIGINT AS w_cross
+         |  FROM ra CROSS JOIN cb
+         |)
+         |SELECT n, d_obs,
+         |  (w_cross - n * d_obs)::BIGINT AS kappa_num,
+         |  w_cross AS kappa_den
+         |FROM d CROSS JOIN w""".stripMargin,
     // Same hoisted-hash recipe, same seed as q227 (row weights shared
     // by construction), order statistics partitioned by source.
     "q231_group_bootstrap" ->

@@ -186,4 +186,69 @@ class AgreementSpec extends AnyFunSuite {
         col("item"), col("label"), maxRaters = 44)
     }
   }
+
+  /** Definitional quadratic-weighted kappa over an explicit confusion
+   * matrix, in BigInt — the independent reference. */
+  private def refWeightedKappa(pairs: Seq[(Long, Long)]): (BigInt, BigInt) = {
+    val n = BigInt(pairs.size)
+    val dObs = pairs.map { case (i, j) => BigInt(i - j) * BigInt(i - j) }.sum
+    val labels = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val w = (for (i <- labels; j <- labels) yield {
+      val ri = BigInt(pairs.count(_._1 == i))
+      val cj = BigInt(pairs.count(_._2 == j))
+      BigInt(i - j) * BigInt(i - j) * ri * cj
+    }).sum
+    (w - n * dObs, w)
+  }
+
+  test("weightedKappa: hand case — near-miss costs less than far-miss") {
+    import spark.implicits._
+    // 8 pairs: 6 exact agreements on tiers 0..2, one near-miss (1,2),
+    // one far-miss (0,4).
+    val pairs = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 1L), (2L, 2L),
+      (2L, 2L), (1L, 2L), (0L, 4L))
+    val out = Agreement.weightedKappa(pairs.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    val (num, den) = refWeightedKappa(pairs)
+    assert(out.getAs[Long]("n") === 8L)
+    assert(out.getAs[Long]("d_obs") === 1L + 16L)
+    assert(BigInt(out.getAs[Long]("kappa_num")) === num)
+    assert(BigInt(out.getAs[Long]("kappa_den")) === den)
+    // Swap the far-miss for a second near-miss: kappa must rise —
+    // that's the ordinal pricing nominal kappa can't express.
+    val softer = pairs.dropRight(1) :+ ((0L, 1L))
+    val out2 = Agreement.weightedKappa(softer.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    val betterNum = BigInt(out2.getAs[Long]("kappa_num"))
+    val betterDen = BigInt(out2.getAs[Long]("kappa_den"))
+    assert(betterNum * den > num * betterDen,
+      "near-miss corpus must score higher weighted kappa than far-miss")
+  }
+
+  test("weightedKappa: perfect agreement is exactly 1; reference holds on varied data") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    val p = Agreement.weightedKappa(perfect.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(p.getAs[Long]("kappa_num") === p.getAs[Long]("kappa_den"))
+    assert(p.getAs[Long]("d_obs") === 0L)
+    val rnd = new scala.util.Random(11)
+    val mixed = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+    val out = Agreement.weightedKappa(mixed.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    val (num, den) = refWeightedKappa(mixed)
+    assert(BigInt(out.getAs[Long]("kappa_num")) === num)
+    assert(BigInt(out.getAs[Long]("kappa_den")) === den)
+  }
+
+  test("weightedKappa: null on either side excludes the pair") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(1L)), (None: Option[Long], Some(2L)),
+      (Some(3L), None: Option[Long]), (Some(2L), Some(0L)))
+      .toDF("a", "b")
+    val out = Agreement.weightedKappa(df, col("a"), col("b"))
+      .collect().head
+    assert(out.getAs[Long]("n") === 2L)
+    assert(out.getAs[Long]("d_obs") === 4L)
+  }
 }
