@@ -459,6 +459,95 @@ object Resample {
       .orderBy(col("g"))
   }
 
+  /**
+   * Percentile-bootstrap CI for the DIFFERENCE of two means over
+   * overlapping corpora (release A vs release B as membership flags on
+   * ONE scan) — the effect-size-with-uncertainty read next to
+   * [[Balance.mixShift]]'s TV point estimate and [[fdrDriftSweep]]'s
+   * which-sources-moved: "the mean moved +2.3 tokens" is only a
+   * finding with an interval around it.
+   *
+   * PAIRED by construction: a row's Poisson weight in replicate b is
+   * keyed on the row alone, so a document in BOTH releases carries the
+   * same weight on both sides and its noise cancels out of the
+   * difference — the bootstrap analogue of a paired test, tighter than
+   * resampling each release independently exactly where the releases
+   * overlap.
+   *
+   * Replicates order by the DETERMINISTIC 10¹⁵-scaled floor difference
+   * (qA − qB, each term the [[bootstrapMeanCI]] integer quotient;
+   * engine-identical by construction), ties by replicate index; the
+   * SHIPPED bounds are the picked replicates' exact cross-multiplied
+   * rationals diff = (sbA·nbB − sbB·nbA) / (nbA·nbB). A replicate with
+   * an empty side sorts first (scaled key −10¹⁸, below any real
+   * difference) and ships NULL bounds if picked — visible, never
+   * mispriced.
+   *
+   * Scale contract: ONE corpus pass (rows in either release), the
+   * B-fold expansion under the partial aggregate, a B-row window.
+   *
+   * @return one row: (n_a, n_b, sum_a, sum_b, diff_num, diff_den,
+   *         n_reps, lo_rank, hi_rank, lo_num, lo_den, hi_num, hi_den)
+   *         — observed diff and CI bounds all exact rationals
+   */
+  def bootstrapMeanDiffCI(df: DataFrame, key: Column, value: Column,
+      inA: Column, inB: Column, reps: Int, seed: String,
+      tailDen: Int): DataFrame = {
+    require(reps > 0 && tailDen > 1 && reps % tailDen == 0,
+      s"reps ($reps) must be a positive multiple of tailDen ($tailDen)")
+    val lo = reps / tailDen
+    val hi = reps - lo + 1
+    val scale = "1000000000000000" // 10^15
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"), value.cast("long").as("v"),
+        inA.cast("boolean").as("a"), inB.cast("boolean").as("bb"))
+      .filter(col("k").isNotNull && col("v").isNotNull &&
+        col("a").isNotNull && col("bb").isNotNull &&
+        (col("a") || col("bb"))))
+    val obs = base.agg(
+      coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("bb"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("a"), col("v")).otherwise(0L)), lit(0L)).as("sum_a"),
+      coalesce(sum(when(col("bb"), col("v")).otherwise(0L)), lit(0L)).as("sum_b"))
+    val perRep = base
+      .select(col("k"), col("v"), col("a"), col("bb"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("v"), col("a"), col("bb"), col("b"),
+        poissonWeight(seed, col("b"), col("k")).as("w"))
+      .groupBy(col("b"))
+      .agg(
+        coalesce(sum(when(col("a"), col("w")).otherwise(0L)), lit(0L)).as("na"),
+        coalesce(sum(when(col("a"), col("w") * col("v")).otherwise(0L)),
+          lit(0L)).as("sa"),
+        coalesce(sum(when(col("bb"), col("w")).otherwise(0L)), lit(0L)).as("nb"),
+        coalesce(sum(when(col("bb"), col("w") * col("v")).otherwise(0L)),
+          lit(0L)).as("sb"))
+    val ranked = perRep
+      .withColumn("q", when(col("na") === 0L || col("nb") === 0L,
+          expr(s"cast(-1000000000000000000 as $dec)"))
+        .otherwise(expr(s"cast(cast(sa as $dec) * $scale div " +
+          s"cast(na as $dec) as $dec) - cast(cast(sb as $dec) * $scale " +
+          s"div cast(nb as $dec) as $dec)")))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("q").asc, col("b").asc)).cast("long"))
+    def pickSide(rank: Int, tag: String) = Seq(
+      max(when(col("r") === rank && col("na") =!= 0L && col("nb") =!= 0L,
+        expr(s"cast(sa as $dec) * cast(nb as $dec) - " +
+          s"cast(sb as $dec) * cast(na as $dec)"))).as(s"${tag}_num"),
+      max(when(col("r") === rank && col("na") =!= 0L && col("nb") =!= 0L,
+        expr(s"cast(na as $dec) * cast(nb as $dec)"))).as(s"${tag}_den"))
+    val picks = pickSide(lo, "lo") ++ pickSide(hi, "hi")
+    val picked = ranked.agg(picks.head, picks.tail: _*)
+    broadcast(obs).crossJoin(broadcast(picked))
+      .select(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        expr(s"cast(sum_a as $dec) * cast(n_b as $dec) - " +
+          s"cast(sum_b as $dec) * cast(n_a as $dec)").as("diff_num"),
+        expr(s"cast(n_a as $dec) * cast(n_b as $dec)").as("diff_den"),
+        lit(reps.toLong).as("n_reps"), lit(lo.toLong).as("lo_rank"),
+        lit(hi.toLong).as("hi_rank"),
+        col("lo_num"), col("lo_den"), col("hi_num"), col("hi_den"))
+  }
+
   /** Shared CI tail: order the B replicate (sb, nb) pairs by exact
    * scaled quotient, pick the lo/hi order statistics, staple the
    * observed totals. The window is over B rows (the audit-window knob),

@@ -1834,6 +1834,19 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Paired-bootstrap CI on the MEAN SHIFT between q223's synthesized
+    // releases: the effect size with an interval — shared rows carry
+    // the same replicate weight on both sides, so overlap noise cancels
+    // (the paired-test analogue). Point diff and bounds ship as exact
+    // cross-multiplied rationals.
+    "q233_release_diff_ci" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      graft.operators.Resample.bootstrapMeanDiffCI(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")),
+        col("doc_id") % 17 =!= 0, col("doc_id") % 19 =!= 0,
+        reps = 200, seed = "rd", tailDen = 40)
+    }),
+
     // Quadratic-weighted kappa over ordinal quality TIERS (0..4 by
     // token count vs by char length): the graded-scale agreement read
     // nominal kappa (q195) misprices — near-miss tiers must cost
@@ -4671,6 +4684,69 @@ object PipelineQueries {
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
+         |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same hoisted hash, same scaled-floor replicate ordering, same
+    // exact cross-multiplied bounds.
+    "q233_release_diff_ci" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v,
+         |    (doc_id % 17 <> 0) AS a, (doc_id % 19 <> 0) AS bb
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND (doc_id % 17 <> 0 OR doc_id % 19 <> 0)
+         |),
+         |obs AS (
+         |  SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN bb THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS sum_a,
+         |    sum(CASE WHEN bb THEN v ELSE 0 END)::BIGINT AS sum_b
+         |  FROM base
+         |),
+         |hu AS (
+         |  SELECT bs.b, base.v, base.a, base.bb,
+         |    ${graft.operators.Resample.poissonHashSql(
+                "rd", "bs.b", "base.k")} AS u
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |hw AS (
+         |  SELECT b, v, a, bb,
+         |    ${graft.operators.Resample.poissonWeightFromHashSql("u")} AS w
+         |  FROM hu
+         |),
+         |per AS (
+         |  SELECT b,
+         |    coalesce(sum(CASE WHEN a THEN w ELSE 0 END), 0)::BIGINT AS na,
+         |    coalesce(sum(CASE WHEN a THEN w * v ELSE 0 END), 0)::BIGINT AS sa,
+         |    coalesce(sum(CASE WHEN bb THEN w ELSE 0 END), 0)::BIGINT AS nb,
+         |    coalesce(sum(CASE WHEN bb THEN w * v ELSE 0 END), 0)::BIGINT AS sb
+         |  FROM hw GROUP BY 1
+         |),
+         |qd AS (
+         |  SELECT b, na, sa, nb, sb,
+         |    CASE WHEN na = 0 OR nb = 0 THEN (-1000000000000000000)::HUGEINT
+         |      ELSE (sa::HUGEINT * 1000000000000000) // na
+         |         - (sb::HUGEINT * 1000000000000000) // nb END AS q
+         |  FROM per
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY q, b)::BIGINT AS r FROM qd
+         |),
+         |pick AS (
+         |  SELECT
+         |    max(CASE WHEN r = 5 AND na <> 0 AND nb <> 0
+         |      THEN sa::HUGEINT * nb - sb::HUGEINT * na END) AS lo_num,
+         |    max(CASE WHEN r = 5 AND na <> 0 AND nb <> 0
+         |      THEN na::HUGEINT * nb END) AS lo_den,
+         |    max(CASE WHEN r = 196 AND na <> 0 AND nb <> 0
+         |      THEN sa::HUGEINT * nb - sb::HUGEINT * na END) AS hi_num,
+         |    max(CASE WHEN r = 196 AND na <> 0 AND nb <> 0
+         |      THEN na::HUGEINT * nb END) AS hi_den
+         |  FROM ranked
+         |)
+         |SELECT n_a, n_b, sum_a, sum_b,
+         |  (sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a) AS diff_num,
+         |  (n_a::HUGEINT * n_b) AS diff_den,
+         |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
+         |  196::BIGINT AS hi_rank, lo_num, lo_den, hi_num, hi_den
          |FROM obs CROSS JOIN pick""".stripMargin,
     // Same shift-banded ordinal tiers, same (i-j)^2 pricing over the
     // marginal cross.

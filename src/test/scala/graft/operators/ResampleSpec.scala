@@ -358,6 +358,72 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  /** Plain-Scala reference for the paired diff CI: shared weights per
+   * row, scaled-floor ordering, exact cross-multiplied bounds. */
+  private def referenceDiffCI(rows: Seq[(String, Long, Boolean, Boolean)],
+      reps: Int, seed: String): Seq[(BigInt, BigInt, Boolean)] = {
+    val kept = rows.filter(r => r._3 || r._4)
+    val perRep = (1 to reps).map { b =>
+      val ws = kept.map(r => (refWeight(seed, b, r._1), r))
+      val na = ws.collect { case (w, r) if r._3 => w }.sum
+      val sa = ws.collect { case (w, r) if r._3 => w * r._2 }.sum
+      val nb = ws.collect { case (w, r) if r._4 => w }.sum
+      val sb = ws.collect { case (w, r) if r._4 => w * r._2 }.sum
+      val scale = BigInt("1000000000000000")
+      val q = if (na == 0 || nb == 0) -BigInt("1000000000000000000")
+        else BigInt(sa) * scale / BigInt(na) - BigInt(sb) * scale / BigInt(nb)
+      val (num, den, ok) =
+        if (na == 0 || nb == 0) (BigInt(0), BigInt(0), false)
+        else (BigInt(sa) * nb - BigInt(sb) * na, BigInt(na) * nb, true)
+      (q, b, num, den, ok)
+    }
+    perRep.sortBy(r => (r._1, r._2)).map(r => (r._3, r._4, r._5))
+  }
+
+  test("bootstrapMeanDiffCI: paired replicates match the reference; CI brackets the observed diff") {
+    import spark.implicits._
+    // Overlapping releases: 70 shared rows, 15 A-only, 15 B-only with
+    // a planted +5 shift on the B-only tail.
+    val rows = (0 until 70).map(i => (s"s$i", 30L + (i % 7), true, true)) ++
+      (0 until 15).map(i => (s"ao$i", 28L + (i % 5), true, false)) ++
+      (0 until 15).map(i => (s"bo$i", 35L + (i % 5), false, true))
+    val df = rows.toDF("k", "v", "a", "bb").repartition(4)
+    val out = Resample.bootstrapMeanDiffCI(df, col("k"), col("v"),
+      col("a"), col("bb"), reps = 80, seed = "dci", tailDen = 40)
+      .collect().head
+    val ranked = referenceDiffCI(rows, 80, "dci")
+    val lo = ranked(1) // rank 2
+    val hi = ranked(78) // rank 79
+    assert(out.getAs[Long]("n_a") === 85L)
+    assert(out.getAs[Long]("n_b") === 85L)
+    def bd(r: org.apache.spark.sql.Row, f: String): BigInt =
+      BigInt(r.getAs[java.math.BigDecimal](f).toBigInteger)
+    assert(lo._3 && hi._3, "picked replicates degenerate in fixture")
+    assert(bd(out, "lo_num") === lo._1)
+    assert(bd(out, "lo_den") === lo._2)
+    assert(bd(out, "hi_num") === hi._1)
+    assert(bd(out, "hi_den") === hi._2)
+    // CI brackets the observed diff (exact rational comparison).
+    val dn = bd(out, "diff_num"); val dd = bd(out, "diff_den")
+    assert(bd(out, "lo_num") * dd <= dn * bd(out, "lo_den"))
+    assert(bd(out, "hi_num") * dd >= dn * bd(out, "hi_den"))
+  }
+
+  test("bootstrapMeanDiffCI: identical releases center the CI on zero") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (s"z$i", 10L + (i % 4), true, true))
+    val df = rows.toDF("k", "v", "a", "bb")
+    val out = Resample.bootstrapMeanDiffCI(df, col("k"), col("v"),
+      col("a"), col("bb"), reps = 40, seed = "zz", tailDen = 40)
+      .collect().head
+    def bd(f: String): BigInt =
+      BigInt(out.getAs[java.math.BigDecimal](f).toBigInteger)
+    // Paired weights make every replicate diff EXACTLY zero when the
+    // two releases are the same row set — the pairing property itself.
+    assert(bd("diff_num") === BigInt(0))
+    assert(bd("lo_num") === BigInt(0) && bd("hi_num") === BigInt(0))
+  }
+
   test("bootstrapMeanCI rejects reps not divisible by tailDen") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("k", "v")
