@@ -396,6 +396,66 @@ object Dedup {
    *
    * @return (id_a, id_b, inter, uni, sig_matches, sig_k) ordered by pair
    */
+  /**
+   * Dedup threshold-sensitivity frontier: how many near-dup PAIRS and
+   * how many DOCUMENTS qualify at each candidate Jaccard threshold —
+   * the tuning read before anyone commits a dedup threshold to a
+   * release (a corpus where 3/4→9/10 halves the pair count dedups very
+   * differently from one where the frontier is flat). The pair graph
+   * is built ONCE at the loosest candidate (riding the session memo
+   * when that point matches the q14 family's) and every tighter
+   * threshold is a post-hoc integer filter on the verified (inter,
+   * uni) evidence — the frontier costs |pairs|·|thresholds| summary
+   * work on top of one build, never |thresholds| graph builds.
+   *
+   * Every candidate must be ≥ the loosest threshold the caller trusts
+   * the BANDING at (the [[lshCalibrationAudit]] operating point):
+   * tighter thresholds only discard verified pairs, so the candidate
+   * recall envelope is the loosest point's, uniformly. Candidates
+   * where nothing qualifies ship (0, 0) counts, not silence.
+   *
+   * @param thresholds candidate (num, den) Jaccard thresholds; the
+   *        frontier is built at the loosest and filtered to the rest
+   * @return one row per candidate, loosest first: (t_num, t_den,
+   *         n_pairs, n_docs)
+   */
+  def thresholdFrontier(docs: DataFrame, thresholds: Seq[(Int, Int)],
+      k: Int = 128, rows: Int = 4, shingleWidth: Int = 5,
+      maxBucketSize: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one candidate threshold")
+    thresholds.foreach { case (n, d) =>
+      require(n > 0 && d > 0 && n <= d, s"bad threshold $n/$d") }
+    require(thresholds.map(t => BigInt(t._1) * 1000000 / t._2).distinct.size
+      == thresholds.size, s"duplicate candidate thresholds: $thresholds")
+    val loosest = thresholds.reduceLeft { (a, b) =>
+      if (BigInt(a._1) * b._2 <= BigInt(b._1) * a._2) a else b }
+    val pairs = jaccardNearDupPairs(docs, loosest._1, loosest._2,
+      k = k, rows = rows, shingleWidth = shingleWidth,
+      maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol)
+    val tdf = broadcast(pairs.sparkSession.range(1)
+      .select(explode(array(thresholds.map { case (n, d) =>
+        struct(lit(n.toLong).as("t_num"), lit(d.toLong).as("t_den"))
+      }: _*)).as("t"))
+      .select(col("t.t_num"), col("t.t_den")))
+    val qual = pairs.crossJoin(tdf)
+      .filter(col("inter") * col("t_den") >= col("uni") * col("t_num"))
+    val nPairs = qual.groupBy(col("t_num"), col("t_den"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = qual
+      .select(col("t_num"), col("t_den"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("t_num"), col("t_den"))
+      .agg(count(lit(1)).as("n_docs"))
+    tdf.join(nPairs, Seq("t_num", "t_den"), "left")
+      .join(nDocs, Seq("t_num", "t_den"), "left")
+      .select(col("t_num"), col("t_den"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(expr("t_num * 1000000L div t_den").asc, col("t_den").asc)
+  }
+
   def lshCalibrationAudit(docs: DataFrame, k: Int = 16, rows: Int = 4,
       shingleWidth: Int = 10, maxBucketSize: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -1834,6 +1834,17 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Dedup threshold-sensitivity frontier: pairs/docs qualifying at
+    // each candidate Jaccard threshold, from ONE pair-graph build at
+    // the loosest point (3/4 = the q14 family's memoized graph) —
+    // every tighter threshold is a post-hoc integer filter on the
+    // verified (inter, uni) evidence.
+    "q234_threshold_frontier" -> ((s, dir) => {
+      Dedup.thresholdFrontier(Tables.documents(s, dir),
+        thresholds = Seq((3, 4), (4, 5), (9, 10), (19, 20), (1, 1)),
+        rows = 4, shingleWidth = 10)
+    }),
+
     // Paired-bootstrap CI on the MEAN SHIFT between q223's synthesized
     // releases: the effect size with an interval — shared rows carry
     // the same replicate weight on both sides, so overlap noise cancels
@@ -4685,6 +4696,48 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // All-pairs shingle evidence (no banding — every J >= 3/4 pair, the
+    // recall regime the q14/q23 oracles already pin), then the same
+    // per-threshold integer filters.
+    "q234_threshold_frontier" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s FROM documents
+         |),
+         |pair_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+         |ev AS (
+         |  SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+         |  FROM pair_inter
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |),
+         |ts AS (SELECT t_num::BIGINT AS t_num, t_den::BIGINT AS t_den
+         |  FROM (VALUES (3, 4), (4, 5), (9, 10), (19, 20), (1, 1))
+         |    t(t_num, t_den)),
+         |qual AS (
+         |  SELECT ts.t_num, ts.t_den, ev.id_a, ev.id_b
+         |  FROM ev CROSS JOIN ts
+         |  WHERE ev.inter * ts.t_den >= ev.uni * ts.t_num
+         |),
+         |np AS (SELECT t_num, t_den, count(*)::BIGINT AS n_pairs
+         |  FROM qual GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT t_num, t_den, count(DISTINCT id)::BIGINT AS n_docs
+         |  FROM (SELECT t_num, t_den, id_a AS id FROM qual
+         |        UNION ALL SELECT t_num, t_den, id_b FROM qual)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ts.t_num, ts.t_den,
+         |  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(nd.n_docs, 0)::BIGINT AS n_docs
+         |FROM ts
+         |LEFT JOIN np USING (t_num, t_den)
+         |LEFT JOIN nd USING (t_num, t_den)
+         |ORDER BY t_num * 1000000 // t_den, t_den""".stripMargin,
     // Same hoisted hash, same scaled-floor replicate ordering, same
     // exact cross-multiplied bounds.
     "q233_release_diff_ci" ->

@@ -1010,4 +1010,44 @@ class DedupSpec extends AnyFunSuite {
     // Candidates never pair doc 3 with anything (no shared shingles).
     assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
   }
+
+  test("thresholdFrontier: monotone counts, equals per-threshold rebuilds, zero rows present") {
+    // Exact dup pair (J = 1), a strong near-dup, and an unrelated doc.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val d = docs(
+      1L -> base,
+      2L -> base,
+      3L -> (base + "lambda mu nu xi"),
+      4L -> "totally different words nothing shared here at all whatsoever")
+    val grid = Seq((3, 4), (9, 10), (1, 1))
+    val out = Dedup.thresholdFrontier(d, grid, rows = 4, shingleWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))
+    assert(out.length === 3)
+    // Loosest-first ordering; counts monotonically non-increasing.
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((3L, 4L), (9L, 10L), (1L, 1L)))
+    assert(out.sliding(2).forall(w => w(0)._3 >= w(1)._3 && w(0)._4 >= w(1)._4))
+    // Each frontier row equals an independent single-threshold build.
+    grid.zip(out).foreach { case ((n, dd), row) =>
+      val solo = Dedup.jaccardNearDupPairs(d, n, dd, rows = 4,
+        shingleWidth = 10).collect()
+      assert(row._3 === solo.length.toLong, s"pairs at $n/$dd")
+      assert(row._4 === solo.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .distinct.length.toLong, s"docs at $n/$dd")
+    }
+    // The exact-dup pair must survive J = 1; the near-dup must not.
+    val atOne = out.find(t => (t._1, t._2) == ((1L, 1L))).get
+    assert(atOne._3 === 1L && atOne._4 === 2L)
+    Dedup.clearPreparedPlans(spark)
+  }
+
+  test("thresholdFrontier guards: empty, bad rational, duplicates") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdFrontier(d, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdFrontier(d, Seq((5, 4))) }
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdFrontier(d, Seq((1, 2), (2, 4))) }
+  }
 }
