@@ -1834,6 +1834,26 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Per-source label-vs-guess language confusion: which SOURCES ship
+    // documents whose declared lang the stopword guesser contradicts —
+    // the mislabeled-data curation signal (a source with 30% confusion
+    // needs its labeler fixed, not its docs dropped). One textStats
+    // kernel pass (all four stopword lists in one tokenize — the q83
+    // fusion); the confusion matrix is |sources|·|langs|² coordinates.
+    "q235_lang_confusion" -> ((s, dir) => {
+      val hits = TextAnalysis.textStats(col("text"),
+        graft.text.Stopwords.ByLanguage.map(_._2)).getField("stopword_hits")
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull)
+        .select(col("source"), col("lang").as("labeled"), hits.as("hits"))
+        .select(col("source"), col("labeled"),
+          TextAnalysis.languageGuessFromHits(col("hits")).as("guessed"))
+        .groupBy(col("source"), col("labeled"), col("guessed"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("labeled"), col("guessed"))
+    }),
+
     // Dedup threshold-sensitivity frontier: pairs/docs qualifying at
     // each candidate Jaccard threshold, from ONE pair-graph build at
     // the loosest point (3/4 = the q14 family's memoized graph) —
@@ -4696,6 +4716,22 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same stopword-hit CASE argmax as the q11 oracle, grouped.
+    "q235_lang_confusion" ->
+      s"""WITH g AS (
+         |  SELECT source, lang AS labeled,
+         |    CASE
+         |      WHEN $enHits >= $deHits AND $enHits >= $esHits AND $enHits >= $frHits THEN 'en'
+         |      WHEN $deHits >= $esHits AND $deHits >= $frHits THEN 'de'
+         |      WHEN $esHits >= $frHits THEN 'es'
+         |      ELSE 'fr'
+         |    END AS guessed
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+         |)
+         |SELECT source, labeled, guessed, count(*)::BIGINT AS n_docs
+         |FROM g GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     // All-pairs shingle evidence (no banding — every J >= 3/4 pair, the
     // recall regime the q14/q23 oracles already pin), then the same
     // per-threshold integer filters.
