@@ -1834,6 +1834,15 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Encoding-damage audit per source: U+FFFD replacement chars, stray
+    // C0 controls, UTF-8-as-Latin-1 mojibake digraphs — the ingest
+    // hygiene gate run BEFORE tokenization (every token statistic
+    // silently absorbs this damage). Zero rows are the certification.
+    "q236_encoding_audit" -> ((s, dir) => {
+      graft.text.Cleanup.encodingAudit(Tables.documents(s, dir),
+        col("source"), col("text"))
+    }),
+
     // Per-source label-vs-guess language confusion: which SOURCES ship
     // documents whose declared lang the stopword guesser contradicts —
     // the mislabeled-data curation signal (a source with 30% confusion
@@ -4716,6 +4725,30 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same single-sourced RE2-safe patterns (Cleanup constants).
+    "q236_encoding_audit" ->
+      s"""SELECT source AS g, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN regexp_matches(text,
+         |    '${graft.text.Cleanup.ReplacementCharPattern}') THEN 1 ELSE 0
+         |    END)::BIGINT AS docs_replacement,
+         |  sum(CASE WHEN regexp_matches(text,
+         |    '${graft.text.Cleanup.ControlCharPattern}') THEN 1 ELSE 0
+         |    END)::BIGINT AS docs_control,
+         |  sum(CASE WHEN regexp_matches(text,
+         |    '${graft.text.Cleanup.MojibakePattern}') THEN 1 ELSE 0
+         |    END)::BIGINT AS docs_mojibake,
+         |  coalesce(sum(len(regexp_extract_all(text,
+         |    '${graft.text.Cleanup.ReplacementCharPattern}'))), 0)::BIGINT
+         |    AS hits_replacement,
+         |  coalesce(sum(len(regexp_extract_all(text,
+         |    '${graft.text.Cleanup.ControlCharPattern}'))), 0)::BIGINT
+         |    AS hits_control,
+         |  coalesce(sum(len(regexp_extract_all(text,
+         |    '${graft.text.Cleanup.MojibakePattern}'))), 0)::BIGINT
+         |    AS hits_mojibake
+         |FROM documents
+         |WHERE source IS NOT NULL AND text IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same stopword-hit CASE argmax as the q11 oracle, grouped.
     "q235_lang_confusion" ->
       s"""WITH g AS (

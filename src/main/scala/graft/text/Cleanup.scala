@@ -166,6 +166,54 @@ object Cleanup {
         col("e.hits_after").as("hits_after"))
   }
 
+  /** The encoding-damage character classes [[encodingAudit]] counts.
+   * Kept as named constants so the DuckDB oracle interpolates the SAME
+   * patterns (both engines run RE2-compatible char-class syntax; all
+   * three classes avoid engine-divergent features). */
+  private[graft] val ReplacementCharPattern = "�"
+  private[graft] val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  /** The classic UTF-8-bytes-decoded-as-Latin-1 signature: 'Ã' followed
+   * by a continuation-byte mapping (Latin-1 0x80-0xBF block characters
+   * commonly seen in mangled text). */
+  private[graft] val MojibakePattern = "Ã[\\x80-\\xBF]"
+
+  /**
+   * Encoding-damage audit per group: documents and occurrence counts of
+   * the three classic ingestion-corruption signatures — U+FFFD
+   * replacement characters (a decoder already gave up), stray C0
+   * control characters (binary bleed; tab/newline/CR excluded), and
+   * UTF-8-as-Latin-1 mojibake digraphs ('Ã' + continuation-block char).
+   * The preprocessing gate a crawl refresh runs BEFORE tokenization:
+   * every downstream token statistic silently absorbs this damage, and
+   * a zero row per source is the certification, not silence (the
+   * [[redactionAudit]] convention). One kernel-free scan — three
+   * regexp_count projections per row, counts collapse per group.
+   *
+   * @return one row per group, ordered: (g, n_docs, docs_replacement,
+   *         docs_control, docs_mojibake, hits_replacement,
+   *         hits_control, hits_mojibake)
+   */
+  def encodingAudit(df: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val classes = Seq(
+      "replacement" -> ReplacementCharPattern, // literal char, no metachars
+      "control" -> ControlCharPattern,
+      "mojibake" -> MojibakePattern)
+    val bound = df.select(group.cast("string").as("g"), text.as("t"))
+      .filter(col("g").isNotNull && col("t").isNotNull)
+    val aggs = classes.flatMap { case (n, p) => Seq(
+      sum(when(regexp_count(col("t"), lit(p)) > 0, 1L).otherwise(0L))
+        .as(s"docs_$n"),
+      coalesce(sum(regexp_count(col("t"), lit(p))), lit(0L))
+        .as(s"hits_$n")) }
+    bound.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .select(col("g"), col("n_docs"),
+        col("docs_replacement"), col("docs_control"), col("docs_mojibake"),
+        col("hits_replacement"), col("hits_control"), col("hits_mojibake"))
+      .orderBy(col("g"))
+  }
+
   // ------------------------------------------------- catalyst-level builders
 
   import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal, RLike, RegExpReplace, StringTrim}

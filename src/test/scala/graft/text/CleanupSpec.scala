@@ -93,4 +93,50 @@ class CleanupSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq.fill(4)((0L, 0L, 0L)))
   }
+
+  private def srcDocs(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("source", "text")
+  }
+
+  test("encodingAudit counts planted damage per class and per source") {
+    val corpus = srcDocs(
+      // Two replacement chars in one doc, one in another.
+      "web" -> "broken � decode � here",
+      "web" -> "one � only",
+      // Binary bleed: NUL and ESC (controls); \t and \n must NOT count.
+      "web" -> "ctrl \u0000 and \u001b[0m escapes\tbut\ttabs\nare fine",
+      // Classic mojibake: 'é' mangled to 'Ã©' (U+00C3 U+00A9), twice.
+      "scan" -> "cafÃ© and rÃ©sumÃ©",
+      "scan" -> "perfectly clean text")
+    val out = Cleanup.encodingAudit(corpus, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("docs_replacement") === 2L)
+    assert(web.getAs[Long]("hits_replacement") === 3L)
+    assert(web.getAs[Long]("docs_control") === 1L)
+    assert(web.getAs[Long]("hits_control") === 2L)
+    assert(web.getAs[Long]("docs_mojibake") === 0L)
+    val scan = out("scan")
+    assert(scan.getAs[Long]("n_docs") === 2L)
+    assert(scan.getAs[Long]("docs_mojibake") === 1L)
+    assert(scan.getAs[Long]("hits_mojibake") === 3L)
+    assert(scan.getAs[Long]("hits_replacement") === 0L)
+    assert(scan.getAs[Long]("hits_control") === 0L)
+  }
+
+  test("encodingAudit: tabs, newlines, CRs, and legitimate accents never count") {
+    val clean = srcDocs(
+      "a" -> "tab\there newline\nhere cr\rhere",
+      // A real 'é' (U+00E9) and a standalone 'Ã' with a following ASCII
+      // char — neither is the mojibake digraph.
+      "a" -> "café is fine and Ãx is not a digraph")
+    val r = Cleanup.encodingAudit(clean, col("source"), col("text"))
+      .collect().head
+    assert(r.getAs[Long]("hits_replacement") === 0L)
+    assert(r.getAs[Long]("hits_control") === 0L)
+    assert(r.getAs[Long]("hits_mojibake") === 0L)
+    assert(r.getAs[Long]("n_docs") === 2L)
+  }
 }
