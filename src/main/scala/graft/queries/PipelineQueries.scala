@@ -1834,6 +1834,24 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Near-dup component SOURCE SPAN: does duplicate mass cross sources
+    // (syndicated/template content — dedup globally) or stay within one
+    // (crawl dups — dedup per source)? Histogram of components by the
+    // distinct sources they touch; rides the memoized pair graph +
+    // components, then |component|-row folds.
+    "q237_component_span" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+      comps.join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy(col("component_id"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("source")).as("span"))
+        .groupBy(col("span").as("n_sources_span"))
+        .agg(count(lit(1)).as("n_components"), sum(col("n")).as("n_docs"))
+        .orderBy(col("n_sources_span"))
+    }),
+
     // Encoding-damage audit per source: U+FFFD replacement chars, stray
     // C0 controls, UTF-8-as-Latin-1 mojibake digraphs — the ingest
     // hygiene gate run BEFORE tokenization (every token statistic
@@ -4725,6 +4743,19 @@ object PipelineQueries {
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
          |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same recursive-CTE component closure as the q23/q93/q214 family,
+    // then the identical span histogram.
+    "q237_component_span" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |cs AS (
+         |  SELECT c.component_id, count(*)::BIGINT AS n,
+         |    count(DISTINCT d.source)::BIGINT AS span
+         |  FROM comps c JOIN documents d ON c.id = d.doc_id
+         |  GROUP BY 1
+         |)
+         |SELECT span AS n_sources_span, count(*)::BIGINT AS n_components,
+         |  sum(n)::BIGINT AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same single-sourced RE2-safe patterns (Cleanup constants).
     "q236_encoding_audit" ->
       s"""SELECT source AS g, count(*)::BIGINT AS n_docs,
