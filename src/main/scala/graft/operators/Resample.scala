@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
  * (Phipson & Smyth 2010: never zero, valid under the randomization
  * null).
  *
+ * The same machinery powers the ESTIMATION side: Poisson-bootstrap
+ * confidence intervals ([[bootstrapMeanCI]], per-group
+ * [[groupedBootstrapMeanCI]], cluster-resampled
+ * [[clusterBootstrapMeanCI]], and the paired two-release difference
+ * [[bootstrapMeanDiffCI]]) — hash-derived integer replicate weights
+ * against pinned thresholds, CI bounds as order statistics shipped as
+ * exact integer pairs.
+ *
  * Scale contract: the corpus is scanned ONCE per test family; the
  * B-fold (or B·|groups|-fold) expansion happens per input row inside
  * the pre-aggregation pipeline (a generator directly under a partial

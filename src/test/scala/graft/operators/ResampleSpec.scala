@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins [[Resample.randomizationTest]] and [[Resample.fdrDriftSweep]]
- * against a plain-Scala BigInt reference that replays the identical md5
- * coins — the test family's whole value is that the pseudo-splits and
- * exceedance counts are engine-exact, so the reference must agree to
- * the last replicate, not statistically. */
+/** Pins the [[Resample]] family — randomization test, FDR sweep, and
+ * the bootstrap CIs (row / cluster / grouped / paired-diff) — against
+ * plain-Scala BigInt references that replay the identical md5 coins and
+ * Poisson thresholds (the thresholds RE-DERIVED from the CDF, not
+ * copied) — the family's whole value is that pseudo-splits, weights,
+ * and order statistics are engine-exact, so the references must agree
+ * to the last replicate, not statistically. */
 class ResampleSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
