@@ -556,6 +556,55 @@ object Resample {
         col("lo_num"), col("lo_den"), col("hi_num"), col("hi_den"))
   }
 
+  /**
+   * Percentile-bootstrap CI for a RATIO over pre-aggregated resampling
+   * units — the generalization behind "X% of tokens removed, ±CI":
+   * each unit row carries exact integer (den, num) parts (e.g. a
+   * near-dup component's total tokens and its removable tokens), units
+   * resample with the pinned Poisson weights, and each replicate's
+   * ratio Σw·num / Σw·den rides the [[bootstrapMeanCI]] order-statistic
+   * machinery (same 10¹⁵-scaled ordering, same exact integer-pair
+   * bounds). The caller owns the unit construction — this is the
+   * uncertainty layer for ANY unit-decomposable rate.
+   *
+   * Scale contract: the expansion runs over |units|·B summary rows
+   * (units are pre-aggregated — row volume died in the caller's
+   * grouping); the window is B rows.
+   *
+   * @param units (u, den, num) — unit key and exact integer parts
+   * @return one row: (n_units, den_total, num_total, ratio_scaled,
+   *         n_reps, lo_rank, hi_rank, lo_num, lo_den, lo_scaled,
+   *         hi_num, hi_den, hi_scaled)
+   */
+  def unitBootstrapRatioCI(units: DataFrame, unit: Column, den: Column,
+      num: Column, reps: Int, seed: String, tailDen: Int): DataFrame = {
+    require(reps > 0 && tailDen > 1 && reps % tailDen == 0,
+      s"reps ($reps) must be a positive multiple of tailDen ($tailDen)")
+    val base = units.select(unit.cast("string").as("u"),
+        den.cast("long").as("d"), num.cast("long").as("m"))
+      .filter(col("u").isNotNull && col("d").isNotNull && col("m").isNotNull)
+    val obs = base.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(col("d")), lit(0L)).as("n"),
+      coalesce(sum(col("m")), lit(0L)).as("s"))
+    val perRep = base
+      .select(col("u"), col("d"), col("m"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("b"), col("d"), col("m"),
+        poissonWeight(seed, col("b"), col("u")).as("w"))
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("w") * col("d")), lit(0L)).as("nb"),
+        coalesce(sum(col("w") * col("m")), lit(0L)).as("sb"))
+    // ciFromReplicates's (n, s) are this ratio's (Σden, Σnum): the
+    // replicate quotient sb/nb IS Σw·num / Σw·den.
+    ciFromReplicates(perRep, obs, reps, tailDen)
+      .select(col("n_units"), col("n").as("den_total"),
+        col("sum_total").as("num_total"),
+        col("mean_scaled").as("ratio_scaled"),
+        col("n_reps"), col("lo_rank"), col("hi_rank"),
+        col("lo_num"), col("lo_den"), col("lo_scaled"),
+        col("hi_num"), col("hi_den"), col("hi_scaled"))
+  }
+
   /** Shared CI tail: order the B replicate (sb, nb) pairs by exact
    * scaled quotient, pick the lo/hi order statistics, staple the
    * observed totals. The window is over B rows (the audit-window knob),

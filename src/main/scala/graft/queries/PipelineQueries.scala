@@ -1834,6 +1834,31 @@ object PipelineQueries {
         tailDen = 40)
     }),
 
+    // Dedup ROI WITH UNCERTAINTY: the q214 token-removal rate as a
+    // cluster-bootstrap 95% CI — "dedup removes X% of tokens, ±" is the
+    // release-planning number; resampling units are the components
+    // themselves (singletons included at zero removal), so duplicated
+    // mass carries its real variance.
+    "q238_dedup_roi_ci" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardNearDupPairs(docs,
+          thresholdNum = 3, thresholdDen = 4, rows = 4, shingleWidth = 10))
+        .select(col("id").as("cid"), col("component_id"))
+      val toks = docs.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      val units = toks
+        .join(comps, toks("id") === comps("cid"), "left")
+        .select(coalesce(col("component_id").cast("string"),
+          col("id").cast("string")).as("u"), col("id"), col("w"))
+        .groupBy(col("u"))
+        .agg(sum(col("w")).as("d"),
+          (sum(col("w")) - min(struct(col("id"), col("w")))
+            .getField("w")).as("m"))
+      graft.operators.Resample.unitBootstrapRatioCI(units, col("u"),
+        col("d"), col("m"), reps = 200, seed = "roi", tailDen = 40)
+    }),
+
     // Near-dup component SOURCE SPAN: does duplicate mass cross sources
     // (syndicated/template content — dedup globally) or stay within one
     // (crawl dups — dedup per source)? Histogram of components by the
@@ -4739,6 +4764,62 @@ object PipelineQueries {
          |SELECT n, s AS sum_total,
          |  CASE WHEN n = 0 THEN (-1)::HUGEINT
          |    ELSE (s::HUGEINT * 1000000000000000) // n END AS mean_scaled,
+         |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
+         |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
+         |  hi_num, hi_den, hi_scaled
+         |FROM obs CROSS JOIN pick""".stripMargin,
+    // Same component closure + arg_min keep rule as q214, same hoisted
+    // Poisson machinery, ratio ordered by the scaled quotient.
+    "q238_dedup_roi_ci" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |toks AS (SELECT doc_id AS id, len($tokensSql)::BIGINT AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |cl AS (
+         |  SELECT coalesce(c.component_id::VARCHAR, t.id::VARCHAR) AS u,
+         |    sum(t.w)::BIGINT AS d,
+         |    (sum(t.w) - arg_min(t.w, t.id))::BIGINT AS m
+         |  FROM toks t LEFT JOIN comps c ON t.id = c.id
+         |  GROUP BY 1
+         |),
+         |obs AS (SELECT count(*)::BIGINT AS n_units,
+         |  coalesce(sum(d), 0)::BIGINT AS n,
+         |  coalesce(sum(m), 0)::BIGINT AS s FROM cl),
+         |hu AS (
+         |  SELECT bs.b, cl.d, cl.m,
+         |    ${graft.operators.Resample.poissonHashSql(
+                "roi", "bs.b", "cl.u")} AS uh
+         |  FROM cl CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |hw AS (
+         |  SELECT b, d, m,
+         |    ${graft.operators.Resample.poissonWeightFromHashSql("uh")} AS w
+         |  FROM hu
+         |),
+         |per AS (
+         |  SELECT b, coalesce(sum(w * d), 0)::BIGINT AS nb,
+         |    coalesce(sum(w * m), 0)::BIGINT AS sb
+         |  FROM hw GROUP BY 1
+         |),
+         |qd AS (
+         |  SELECT b, nb, sb, CASE WHEN nb = 0 THEN (-1)::HUGEINT
+         |    ELSE (sb::HUGEINT * 1000000000000000) // nb END AS q
+         |  FROM per
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY q, b)::BIGINT AS r FROM qd
+         |),
+         |pick AS (
+         |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
+         |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
+         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
+         |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
+         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |  FROM ranked
+         |)
+         |SELECT n_units, n AS den_total, s AS num_total,
+         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS ratio_scaled,
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled

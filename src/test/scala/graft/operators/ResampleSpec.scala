@@ -426,6 +426,26 @@ class ResampleSpec extends AnyFunSuite {
     assert(bd("lo_num") === BigInt(0) && bd("hi_num") === BigInt(0))
   }
 
+  test("unitBootstrapRatioCI matches the reference (units ARE the (key, den, num) triples)") {
+    import spark.implicits._
+    // 30 units: den 10..39, num = den/3-ish (an uneven rate).
+    val units = (0 until 30).map(i => (s"u$i", 10L + i, (10L + i) / 3))
+    val df = units.toDF("u", "d", "m").repartition(4)
+    val out = Resample.unitBootstrapRatioCI(df, col("u"), col("d"),
+      col("m"), reps = 80, seed = "ur", tailDen = 40).collect().head
+    val (n, s, ranked) = referenceCI(units, 80, "ur", 40)
+    assert(out.getAs[Long]("den_total") === n)
+    assert(out.getAs[Long]("num_total") === s)
+    assert(out.getAs[Long]("n_units") === 30L)
+    assert(out.getAs[Long]("lo_num") === ranked(1)._1)
+    assert(out.getAs[Long]("lo_den") === ranked(1)._2)
+    assert(out.getAs[Long]("hi_num") === ranked(78)._1)
+    assert(out.getAs[Long]("hi_den") === ranked(78)._2)
+    // Ratio CI brackets the observed rate, exactly.
+    assert(BigInt(ranked(1)._1) * n <= BigInt(s) * ranked(1)._2)
+    assert(BigInt(ranked(78)._1) * n >= BigInt(s) * ranked(78)._2)
+  }
+
   test("bootstrapMeanCI rejects reps not divisible by tailDen") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("k", "v")
