@@ -84,7 +84,7 @@ object BloomFunctionRegistry extends FunctionRegistration {
   override def registerFunctions(spark: SparkSession): Unit = {
     val registry = GraftSqlBridge.functionRegistry(spark)
     entries.foreach { case (name, usageText, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+      registerIfAbsent(registry, name, info(name, usageText), builder)
     }
   }
 

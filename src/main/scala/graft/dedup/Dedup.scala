@@ -426,18 +426,28 @@ object Dedup {
     require(thresholds.nonEmpty, "need at least one candidate threshold")
     thresholds.foreach { case (n, d) =>
       require(n > 0 && d > 0 && n <= d, s"bad threshold $n/$d") }
-    require(thresholds.map(t => BigInt(t._1) * 1000000 / t._2).distinct.size
-      == thresholds.size, s"duplicate candidate thresholds: $thresholds")
+    // Duplicate guard compares EXACT cross-multiplied rationals (n1·d2 ==
+    // n2·d1): a quantized key (the 1e-6 truncation this replaced) would
+    // reject two genuinely distinct thresholds within its resolution.
+    require(!thresholds.combinations(2).exists { case Seq(a, b) =>
+      BigInt(a._1) * b._2 == BigInt(b._1) * a._2
+    }, s"duplicate candidate thresholds: $thresholds")
     val loosest = thresholds.reduceLeft { (a, b) =>
       if (BigInt(a._1) * b._2 <= BigInt(b._1) * a._2) a else b }
     val pairs = jaccardNearDupPairs(docs, loosest._1, loosest._2,
       k = k, rows = rows, shingleWidth = shingleWidth,
       maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol)
+    // Output order (loosest first) is the EXACT rational ascending,
+    // computed driver-side over the |thresholds|-sized candidate Seq and
+    // carried as a rank — no in-plan quantization of the sort key.
+    val orderedTs = thresholds.sortWith { (a, b) =>
+      BigInt(a._1) * b._2 < BigInt(b._1) * a._2 }
     val tdf = broadcast(pairs.sparkSession.range(1)
-      .select(explode(array(thresholds.map { case (n, d) =>
-        struct(lit(n.toLong).as("t_num"), lit(d.toLong).as("t_den"))
+      .select(explode(array(orderedTs.zipWithIndex.map { case ((n, d), i) =>
+        struct(lit(n.toLong).as("t_num"), lit(d.toLong).as("t_den"),
+          lit(i.toLong).as("t_rank"))
       }: _*)).as("t"))
-      .select(col("t.t_num"), col("t.t_den")))
+      .select(col("t.t_num"), col("t.t_den"), col("t.t_rank")))
     val qual = pairs.crossJoin(tdf)
       .filter(col("inter") * col("t_den") >= col("uni") * col("t_num"))
     val nPairs = qual.groupBy(col("t_num"), col("t_den"))
@@ -452,8 +462,10 @@ object Dedup {
       .join(nDocs, Seq("t_num", "t_den"), "left")
       .select(col("t_num"), col("t_den"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
-      .orderBy(expr("t_num * 1000000L div t_den").asc, col("t_den").asc)
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("t_rank"))
+      .orderBy(col("t_rank").asc)
+      .drop("t_rank")
   }
 
   def lshCalibrationAudit(docs: DataFrame, k: Int = 16, rows: Int = 4,

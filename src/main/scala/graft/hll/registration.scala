@@ -11,6 +11,25 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
  * alchemy/src/main/scala/com/swoop/alchemy/spark/expressions/FunctionRegistration.scala:5-7). */
 trait FunctionRegistration {
   def registerFunctions(spark: SparkSession): Unit
+
+  /** Register `name` only if it is not already in the session's registry.
+   * Registration must be IDEMPOTENT: a session built
+   * `withExtensions(new GraftSparkExtensions)` already carries every
+   * function, and a second explicit `registerFunctions` call (the
+   * reference-style entry point, reached e.g. from SQL-surface queries)
+   * would otherwise emit Spark's "replaced a previously registered
+   * function" WARN once per name — dozens of log lines drowning the one
+   * JSON line harnesses parse. Skipping on presence is safe because every
+   * graft registration installs the identical builder for a given name. */
+  protected final def registerIfAbsent(
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      name: String, expressionInfo: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit = {
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id, expressionInfo, builder)
+    }
+  }
 }
 
 /**
@@ -134,11 +153,12 @@ object HllFunctionRegistry extends FunctionRegistration {
   private def info(name: String, usageText: String): ExpressionInfo =
     new ExpressionInfo(classOf[HllInitSimple].getPackage.getName, null, name, usageText, "")
 
-  /** Install into an existing session (reference-style entry point). */
+  /** Install into an existing session (reference-style entry point);
+   * idempotent — see [[FunctionRegistration.registerIfAbsent]]. */
   override def registerFunctions(spark: SparkSession): Unit = {
     val registry = GraftSqlBridge.functionRegistry(spark)
     entries.foreach { case (name, usageText, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+      registerIfAbsent(registry, name, info(name, usageText), builder)
     }
   }
 }

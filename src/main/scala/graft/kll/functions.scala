@@ -107,7 +107,7 @@ object KllFunctionRegistry extends FunctionRegistration {
   override def registerFunctions(spark: SparkSession): Unit = {
     val registry = GraftSqlBridge.functionRegistry(spark)
     entries.foreach { case (name, usageText, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usageText), builder)
+      registerIfAbsent(registry, name, info(name, usageText), builder)
     }
   }
 

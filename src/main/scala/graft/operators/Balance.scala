@@ -54,9 +54,12 @@ object Balance {
    *
    *   (N·O − R·C)² / (N·R·C)
    *
-   * — shipped per cell as (chi_num, chi_den), in DECIMAL(38,0) because
-   * the square can exceed a Long at corpus scale (N·O ~ 10¹¹ already
-   * overflows when squared; 38 digits hold N up to ~10⁹ rows). Absent
+   * — shipped per cell as (chi_num, chi_den) STRINGS (the FIXTURES.md
+   * output-type contract: the square exceeds a Long at corpus scale —
+   * N·O ~ 10¹¹ already overflows when squared — and wide
+   * decimal/HUGEINT columns diverge in representation across engine
+   * boundaries; arithmetic is exact DECIMAL(38,0) internally, which
+   * holds N up to ~10⁹ rows). Absent
    * (O = 0) cells of the observed-margin cross product are INCLUDED —
    * the statistic's definition prices them at (R·C)²/(N·R·C) — so any
    * engine derives the identical row set. χ² itself and Cramér's V are
@@ -97,9 +100,9 @@ object Balance {
           s"cast(r_tot as $dec) * cast(c_tot as $dec)").as("d"))
       .select(col("rk"), col("ck"), col("o"), col("r_tot"), col("c_tot"),
         col("n"),
-        expr(s"cast(d * d as $dec)").as("chi_num"),
+        expr(s"cast(d * d as $dec)").cast("string").as("chi_num"),
         expr(s"cast(cast(n as $dec) * cast(r_tot as $dec) * " +
-          s"cast(c_tot as $dec) as $dec)").as("chi_den"))
+          s"cast(c_tot as $dec) as $dec)").cast("string").as("chi_den"))
       .orderBy(col("rk"), col("ck"))
   }
 

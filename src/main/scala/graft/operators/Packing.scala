@@ -180,7 +180,10 @@ object Packing {
     val b = batchSize.toLong
     val neg = when(lenCol < 0, raise_error(
       lit("paddingAudit: negative sequence length"))).otherwise(lenCol.cast("long"))
-    val hist = df.select(neg.as("len")).groupBy(col("len"))
+    // Null lengths excluded — see truncationFrontier's note: n must
+    // describe the same population the token columns account for.
+    val hist = df.select(neg.as("len")).filter(col("len").isNotNull)
+      .groupBy(col("len"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("len"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -234,7 +237,12 @@ object Packing {
     val neg = when(lenCol < 0, raise_error(
       lit("truncationFrontier: negative sequence length")))
       .otherwise(lenCol.cast("long"))
-    val hist = df.select(neg.as("len")).groupBy(col("len"))
+    // Null lengths are EXCLUDED entirely (they used to count in n_docs
+    // while contributing nothing to the token columns, so n_docs
+    // disagreed with the population the token accounting describes);
+    // negative lengths still raise.
+    val hist = df.select(neg.as("len")).filter(col("len").isNotNull)
+      .groupBy(col("len"))
       .agg(count(lit(1)).as("cnt"))
     hist
       .select(col("len"), col("cnt"),

@@ -88,7 +88,8 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), inA.cast("boolean").as("a"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull))
+      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull),
+      minBytes = 0L)
     val obs = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"),
       coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("na"),
@@ -119,10 +120,16 @@ object Resample {
     broadcast(obs).crossJoin(broadcast(exceed))
       .select(col("n"), col("na").as("n_in"), col("s").as("sum_total"),
         col("sa").as("sum_in"),
+        // Shipped as STRING (see the output-type contract in
+        // FIXTURES.md): the cross products s·na ~ Σv·n exceed int64 on
+        // a 100-TB corpus, and wide decimal/HUGEINT columns diverge in
+        // representation across engine boundaries. Arithmetic stays
+        // exact decimal(38,0) internally.
         expr(s"abs(cast(sa as $dec) * cast(n as $dec) - " +
-          s"cast(s as $dec) * cast(na as $dec))").as("stat_num"),
+          s"cast(s as $dec) * cast(na as $dec))").cast("string")
+          .as("stat_num"),
         expr(s"cast(na as $dec) * (cast(n as $dec) - cast(na as $dec))")
-          .as("stat_den"),
+          .cast("string").as("stat_den"),
         lit(perms.toLong).as("n_perms"), col("n_exceed"),
         (col("n_exceed") + 1L).as("p_num"),
         lit(perms.toLong + 1L).as("p_den"))
@@ -192,7 +199,8 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), group.cast("string").as("g"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull),
+      minBytes = 0L)
     val tot = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"))
     val perGroup = base.groupBy(col("g"))
@@ -339,7 +347,7 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull))
+      .filter(col("k").isNotNull && col("v").isNotNull), minBytes = 0L)
     val obs = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"))
     val perRep = base
@@ -430,7 +438,8 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), group.cast("string").as("g"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull),
+      minBytes = 0L)
     val obs = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("v")), lit(0L)).as("s"))
     val perGB = base
@@ -448,18 +457,20 @@ object Resample {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("q").asc, col("b").asc))
         .cast("long"))
+    // *_scaled ship as BIGINT per the FIXTURES.md output-type contract
+    // (see ciFromReplicates); ordering stays decimal(38,0) internally.
     val picked = ranked.groupBy(col("g")).agg(
       max(when(col("r") === lo, col("sb"))).as("lo_num"),
       max(when(col("r") === lo, col("nb"))).as("lo_den"),
-      max(when(col("r") === lo, col("q"))).as("lo_scaled"),
+      max(when(col("r") === lo, col("q"))).cast("long").as("lo_scaled"),
       max(when(col("r") === hi, col("sb"))).as("hi_num"),
       max(when(col("r") === hi, col("nb"))).as("hi_den"),
-      max(when(col("r") === hi, col("q"))).as("hi_scaled"))
+      max(when(col("r") === hi, col("q"))).cast("long").as("hi_scaled"))
     obs.join(picked, Seq("g"))
       .select(col("g"), col("n"), col("s").as("sum_total"),
-        when(col("n") === 0L, expr(s"cast(-1 as $dec)"))
+        when(col("n") === 0L, lit(-1L))
           .otherwise(expr(s"cast(cast(s as $dec) * $scale div " +
-            s"cast(n as $dec) as $dec)")).as("mean_scaled"),
+            s"cast(n as $dec) as long)")).as("mean_scaled"),
         lit(reps.toLong).as("n_reps"), lit(lo.toLong).as("lo_rank"),
         lit(hi.toLong).as("hi_rank"),
         col("lo_num"), col("lo_den"), col("lo_scaled"),
@@ -496,7 +507,9 @@ object Resample {
    *
    * @return one row: (n_a, n_b, sum_a, sum_b, diff_num, diff_den,
    *         n_reps, lo_rank, hi_rank, lo_num, lo_den, hi_num, hi_den)
-   *         — observed diff and CI bounds all exact rationals
+   *         — observed diff and CI bounds all exact rationals, shipped
+   *         as STRINGs (the FIXTURES.md output-type contract: the cross
+   *         products outgrow int64 at 100-TB scale)
    */
   def bootstrapMeanDiffCI(df: DataFrame, key: Column, value: Column,
       inA: Column, inB: Column, reps: Int, seed: String,
@@ -511,7 +524,7 @@ object Resample {
         inA.cast("boolean").as("a"), inB.cast("boolean").as("bb"))
       .filter(col("k").isNotNull && col("v").isNotNull &&
         col("a").isNotNull && col("bb").isNotNull &&
-        (col("a") || col("bb"))))
+        (col("a") || col("bb"))), minBytes = 0L)
     val obs = base.agg(
       coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
       coalesce(sum(when(col("bb"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
@@ -538,19 +551,27 @@ object Resample {
           s"div cast(nb as $dec) as $dec)")))
       .withColumn("r", row_number().over(
         Window.orderBy(col("q").asc, col("b").asc)).cast("long"))
+    // diff/bound rationals ship as STRING per the FIXTURES.md contract:
+    // the cross products (Σv·n, n_a·n_b) outgrow int64 at 100-TB scale.
+    // Arithmetic stays exact decimal(38,0) internally; a picked empty
+    // side ships NULL (cast of a null decimal stays null).
     def pickSide(rank: Int, tag: String) = Seq(
       max(when(col("r") === rank && col("na") =!= 0L && col("nb") =!= 0L,
         expr(s"cast(sa as $dec) * cast(nb as $dec) - " +
-          s"cast(sb as $dec) * cast(na as $dec)"))).as(s"${tag}_num"),
+          s"cast(sb as $dec) * cast(na as $dec)"))).cast("string")
+        .as(s"${tag}_num"),
       max(when(col("r") === rank && col("na") =!= 0L && col("nb") =!= 0L,
-        expr(s"cast(na as $dec) * cast(nb as $dec)"))).as(s"${tag}_den"))
+        expr(s"cast(na as $dec) * cast(nb as $dec)"))).cast("string")
+        .as(s"${tag}_den"))
     val picks = pickSide(lo, "lo") ++ pickSide(hi, "hi")
     val picked = ranked.agg(picks.head, picks.tail: _*)
     broadcast(obs).crossJoin(broadcast(picked))
       .select(col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
         expr(s"cast(sum_a as $dec) * cast(n_b as $dec) - " +
-          s"cast(sum_b as $dec) * cast(n_a as $dec)").as("diff_num"),
-        expr(s"cast(n_a as $dec) * cast(n_b as $dec)").as("diff_den"),
+          s"cast(sum_b as $dec) * cast(n_a as $dec)").cast("string")
+          .as("diff_num"),
+        expr(s"cast(n_a as $dec) * cast(n_b as $dec)").cast("string")
+          .as("diff_den"),
         lit(reps.toLong).as("n_reps"), lit(lo.toLong).as("lo_rank"),
         lit(hi.toLong).as("hi_rank"),
         col("lo_num"), col("lo_den"), col("hi_num"), col("hi_den"))
@@ -608,15 +629,25 @@ object Resample {
   /** Shared CI tail: order the B replicate (sb, nb) pairs by exact
    * scaled quotient, pick the lo/hi order statistics, staple the
    * observed totals. The window is over B rows (the audit-window knob),
-   * never data. Any extra columns on `obs` (e.g. n_units) pass through. */
+   * never data. Any extra columns on `obs` (e.g. n_units) pass through.
+   *
+   * NON-NEGATIVE-VALUE assumption: the "empty replicate sorts first"
+   * contract uses sentinel q = −1, which only undercuts every real
+   * replicate when the metric is non-negative (all callers feed counts
+   * or token totals). A negative-valued metric could produce a real
+   * quotient ≤ −1 and mis-rank against the sentinel — callers adding
+   * signed metrics must switch to an is_empty leading sort key.
+   *
+   * Output types (the FIXTURES.md contract): the `*_scaled` quotients
+   * ship as BIGINT — exact and in-range while the mean < 2⁶³/10¹⁵ ≈
+   * 9.2·10³ value units (token-count means sit far below; the exact
+   * (num, den) pairs are the unbounded columns). Ordering stays
+   * decimal(38,0) internally. */
   private def ciFromReplicates(perRep: DataFrame, obs: DataFrame,
       reps: Int, tailDen: Int): DataFrame = {
     val lo = reps / tailDen
     val hi = reps - lo + 1
     val scale = "1000000000000000" // 10^15
-    // `div` on decimals returns LongType (fits: quotient = mean·10¹⁵);
-    // the cast pins the OUTPUT type to decimal(38,0) so the schema
-    // matches the oracle's HUGEINT kind regardless of CASE coercion.
     val ranked = perRep
       .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
         .otherwise(expr(s"cast(cast(sb as $dec) * $scale div " +
@@ -626,15 +657,15 @@ object Resample {
     val picked = ranked.agg(
       max(when(col("r") === lo, col("sb"))).as("lo_num"),
       max(when(col("r") === lo, col("nb"))).as("lo_den"),
-      max(when(col("r") === lo, col("q"))).as("lo_scaled"),
+      max(when(col("r") === lo, col("q"))).cast("long").as("lo_scaled"),
       max(when(col("r") === hi, col("sb"))).as("hi_num"),
       max(when(col("r") === hi, col("nb"))).as("hi_den"),
-      max(when(col("r") === hi, col("q"))).as("hi_scaled"))
+      max(when(col("r") === hi, col("q"))).cast("long").as("hi_scaled"))
     broadcast(obs).crossJoin(broadcast(picked))
       .withColumn("mean_scaled",
-        when(col("n") === 0L, expr(s"cast(-1 as $dec)"))
+        when(col("n") === 0L, lit(-1L))
           .otherwise(expr(s"cast(cast(s as $dec) * $scale div " +
-            s"cast(n as $dec) as $dec)")))
+            s"cast(n as $dec) as long)")))
       .withColumn("n_reps", lit(reps.toLong))
       .withColumn("lo_rank", lit(lo.toLong))
       .withColumn("hi_rank", lit(hi.toLong))
@@ -656,7 +687,11 @@ object Resample {
           col("bh_rank") * lit(perms.toLong + 1L) * lit(fdrNum))
       .withColumn("cutoff", max(when(col("ok"), col("bh_rank"))).over(m))
       .select(col("tg").as("g"), col("n_g"), col("sum_g"),
-        col("stat_num"), col("stat_den"), col("n_exceed"),
+        // STRING per the FIXTURES.md output-type contract: the cross
+        // products outgrow int64 at 100-TB scale (exact decimal(38,0)
+        // internally; see randomizationTest's note).
+        col("stat_num").cast("string").as("stat_num"),
+        col("stat_den").cast("string").as("stat_den"), col("n_exceed"),
         (col("n_exceed") + 1L).as("p_num"),
         lit(perms.toLong + 1L).as("p_den"),
         col("bh_rank"),

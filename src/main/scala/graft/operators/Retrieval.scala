@@ -300,6 +300,96 @@ object Retrieval {
   }
 
   /**
+   * Normalized discounted cumulative gain at k, per (system, query),
+   * exact-rational — the graded-relevance ranking read that completes
+   * the eval family ([[evalAtK]] MRR/recall, [[apAtK]] MAP, [[errAtK]]
+   * ERR): gain 2^{g_r} − 1 (Burges et al., ICML 2005's exponential
+   * gain, the web-search convention), discount 1/r with the rank
+   * denominators cleared by lcm(1..k), and the per-query normalizer
+   * IDCG = the same sum over the judged gains sorted descending
+   * (truncated at k). Järvelin & Kekäläinen (TOIS 2002) define the
+   * discount as a free monotone parameter; the RECIPROCAL discount is
+   * chosen over their log2(r+1) example because log2(3) is irrational —
+   * no integer representation exists — while 1/r keeps every shipped
+   * number an exact integer any engine re-derives bit-for-bit (and
+   * matches the rank weight ERR's cascade uses).
+   *
+   *   dcg_num  = Σ_{r≤k, retrieved} (lcm div r)·(2^{g_r} − 1)
+   *   idcg_num = Σ_{i≤min(k,|judged|)} (lcm div i)·n_(i)  (gains desc)
+   *   nDCG@k   = dcg_num / idcg_num   (the lcm cancels)
+   *
+   * Everything ships as BIGINT (the FIXTURES.md output-type contract);
+   * overflow is excluded up front (k·lcm·(2^{gMax}−1) must fit a Long —
+   * k=10, gMax=2 uses ~17 of 63 bits).
+   *
+   * Scale shape: identical to [[errAtK]] — top-k-bounded coordinate
+   * unions, broadcast graded relevance, and the ideal ordering rides
+   * the bounded [[TopK.topKStructs]] aggregate (≤ k gains per query
+   * cross the exchange, never a whole judged list). Nothing scales
+   * with the corpus.
+   *
+   * @param relevance graded judgments (query_id, doc_id, grade), grade
+   *                  ≥ 1 (unjudged pairs are gain 0 by absence);
+   *                  duplicate pairs keep the max grade
+   * @return (system, query_id, n_graded, dcg_num, idcg_num), ordered by
+   *         (system, query_id); nDCG@k = dcg_num / idcg_num ∈ [0, 1]
+   */
+  def ndcgAtK(systems: Seq[(String, DataFrame)], relevance: DataFrame,
+      k: Int, gMax: Int = 2): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranked system")
+    require(k >= 1 && k <= 42,
+      s"k must be in [1, 42] (lcm(1..43) overflows Long), got $k")
+    require(gMax >= 1, s"gMax must be >= 1, got $gMax")
+    val names = systems.map(_._1)
+    require(names.distinct.size == names.size,
+      s"system names must be distinct, got $names")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    require(BigInt(k) * BigInt(lcmK) * ((BigInt(1) << gMax) - 1) <
+        BigInt(Long.MaxValue),
+      s"k=$k, gMax=$gMax overflows the Long error-free window")
+    val rel = relevance
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("grade")).cast("int").as("grade"))
+      .filter(col("grade") >= 1)
+      .select(col("query_id"), col("doc_id"),
+        expr(s"shiftleft(1L, least(grade, $gMax)) - 1L").as("n"))
+    // Ideal DCG: top-k judged gains per query, descending (doc_id breaks
+    // ties deterministically; the SUM is tie-order-invariant). The fold
+    // carries the 1-based position for the lcm-cleared discount.
+    val ideal = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_graded"),
+        sort_array(TopK.topKStructs(struct(
+          (-col("n")).as("nn"), col("doc_id").as("id")), k)).as("tk"))
+      .select(col("query_id"), col("n_graded"),
+        expr(
+          s"""aggregate(tk, named_struct('s', 0L, 'i', 1L),
+             |  (a, x) -> named_struct(
+             |    's', a.s + (${lcmK}L div a.i) * (-x.nn),
+             |    'i', a.i + 1L),
+             |  a -> a.s)""".stripMargin).as("idcg_num"))
+    val tagged = systems.map { case (name, df) =>
+      df.filter(col("rank") <= k)
+        .select(lit(name).as("system"), col("query_id"),
+          col("rank").cast("int").as("rank"), col("doc_id"))
+    }.reduce(_ union _)
+    val dcg = tagged.join(broadcast(rel), Seq("query_id", "doc_id"))
+      .groupBy(col("system"), col("query_id"))
+      .agg(sum(expr(s"${lcmK}L div rank") * col("n")).as("dcg_num"))
+    val sysNames = systems.head._2.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+          names.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("system",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+    ideal.crossJoin(broadcast(sysNames))
+      .join(dcg, Seq("system", "query_id"), "left")
+      .select(col("system"), col("query_id"), col("n_graded"),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"), col("idcg_num"))
+      .orderBy(col("system"), col("query_id"))
+  }
+
+  /**
    * Rank agreement between two retrieval arms (Kendall's tau), EXACT:
    * over the documents BOTH arms rank in their top k for a query, the
    * pair counts

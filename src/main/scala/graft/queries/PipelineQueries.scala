@@ -1486,6 +1486,37 @@ object PipelineQueries {
         k = 10, gMax = 2)
     }),
 
+    // nDCG@10 over the same arms and graded fixture — the normalized
+    // graded read ERR's cascade can't give (ERR saturates after one
+    // high-grade hit; nDCG credits the whole ranked list against the
+    // per-query ideal). Exponential gain 2^g−1, reciprocal discount
+    // with lcm(1..10)-cleared denominators (log2(r+1) is irrational —
+    // no exact integer form), IDCG per query off the bounded top-k
+    // aggregate; nDCG = dcg_num/idcg_num, both BIGINT.
+    "q239_retrieval_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries.select(col("doc_id").as("query_id"),
+            col("lang"), col("source").as("q_source"))),
+          Seq("lang"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("source") === col("q_source"), lit(2))
+            .otherwise(lit(1)).as("grade"))
+      graft.operators.Retrieval.ndcgAtK(
+        Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel,
+        k = 10, gMax = 2)
+    }),
+
     // Readability audit per source (difficulty-curriculum feature): word /
     // vowel-group-syllable / sentence counts from the one-pass
     // ReadabilityStats kernel; the Flesch–Kincaid grade has rational
@@ -4417,6 +4448,41 @@ object PipelineQueries {
          |SELECT system, query_id, n_graded, acc AS err_num,
          |  (2520::BIGINT << 20) AS err_den
          |FROM err WHERE r = 10 ORDER BY 1, 2""".stripMargin,
+    // Same arms and graded fixture as q217; gain 2^g−1, reciprocal
+    // discount (2520 // rank), IDCG from the judged gains ranked
+    // descending and truncated at 10 — nDCG = dcg_num/idcg_num.
+    "q239_retrieval_ndcg" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |relg AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |    CASE WHEN q.source = c.source THEN 3::BIGINT
+         |         ELSE 1::BIGINT END AS n
+         |  FROM documents q JOIN documents c ON q.lang = c.lang
+         |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+         |),
+         |judgedg AS (
+         |  SELECT query_id, count(*)::BIGINT AS n_graded FROM relg GROUP BY 1
+         |),
+         |idcg AS (
+         |  SELECT query_id, sum((2520 // rn) * n)::BIGINT AS idcg_num FROM (
+         |    SELECT query_id, n, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY n DESC, doc_id ASC) AS rn
+         |    FROM relg)
+         |  WHERE rn <= 10 GROUP BY 1
+         |),
+         |names(system) AS (SELECT * FROM (VALUES ('fused'), ('lex'), ('sem'))),
+         |pq AS (
+         |  SELECT s.system, s.query_id,
+         |    sum((2520 // s.rank) * g.n)::BIGINT AS dcg_num
+         |  FROM sys s JOIN relg g
+         |    ON g.query_id = s.query_id AND g.doc_id = s.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT n.system, j.query_id, j.n_graded,
+         |  coalesce(p.dcg_num, 0)::BIGINT AS dcg_num, i.idcg_num
+         |FROM judgedg j JOIN idcg i USING (query_id) CROSS JOIN names n
+         |LEFT JOIN pq p ON p.system = n.system AND p.query_id = j.query_id
+         |ORDER BY 1, 2""".stripMargin,
     // Same tokenizer; syllables = per-token max(1, [aeiouy]+ runs) on the
     // lowercased token, sentences = max(1, [.!?]+ runs); the FK grade and
     // the per-doc hard flag re-derive as the same integer arithmetic.
@@ -4488,8 +4554,8 @@ object PipelineQueries {
          |)
          |SELECT rk, ck, o, r_tot, c_tot, n,
          |  ((n::HUGEINT * o - r_tot::HUGEINT * c_tot) *
-         |   (n::HUGEINT * o - r_tot::HUGEINT * c_tot)) AS chi_num,
-         |  (n::HUGEINT * r_tot * c_tot) AS chi_den
+         |   (n::HUGEINT * o - r_tot::HUGEINT * c_tot))::VARCHAR AS chi_num,
+         |  (n::HUGEINT * r_tot * c_tot)::VARCHAR AS chi_den
          |FROM grid ORDER BY 1, 2""".stripMargin,
     // Same two rules, same 2x2 and (b-c)^2/(b+c) integers.
     "q221_mcnemar" ->
@@ -4653,8 +4719,8 @@ object PipelineQueries {
          |  FROM per CROSS JOIN obs
          |)
          |SELECT n, na AS n_in, s AS sum_total, sa AS sum_in,
-         |  abs(sa::HUGEINT * n - s::HUGEINT * na) AS stat_num,
-         |  (na::HUGEINT * (n - na)) AS stat_den,
+         |  abs(sa::HUGEINT * n - s::HUGEINT * na)::VARCHAR AS stat_num,
+         |  (na::HUGEINT * (n - na))::VARCHAR AS stat_den,
          |  200::BIGINT AS n_perms, n_exceed,
          |  (n_exceed + 1)::BIGINT AS p_num, 201::BIGINT AS p_den
          |FROM obs CROSS JOIN ex""".stripMargin,
@@ -4713,7 +4779,8 @@ object PipelineQueries {
          |  SELECT max(CASE WHEN (n_exceed + 1) * m * 20 <= bh_rank * 65 * 1
          |    THEN bh_rank END) AS cutoff FROM ranked
          |)
-         |SELECT g, n_g, sum_g, stat_num, stat_den, n_exceed,
+         |SELECT g, n_g, sum_g, stat_num::VARCHAR AS stat_num,
+         |  stat_den::VARCHAR AS stat_den, n_exceed,
          |  (n_exceed + 1)::BIGINT AS p_num, 65::BIGINT AS p_den, bh_rank,
          |  (bh_rank <= coalesce(cutoff, 0)) AS rejected
          |FROM ranked CROSS JOIN cut
@@ -4755,15 +4822,16 @@ object PipelineQueries {
          |pick AS (
          |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
          |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
-         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 5 THEN q END)::BIGINT AS lo_scaled,
          |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
          |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
-         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |    max(CASE WHEN r = 196 THEN q END)::BIGINT AS hi_scaled
          |  FROM ranked
          |)
          |SELECT n, s AS sum_total,
-         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
-         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS mean_scaled,
+         |  (CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END)::BIGINT
+         |    AS mean_scaled,
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
@@ -4811,15 +4879,16 @@ object PipelineQueries {
          |pick AS (
          |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
          |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
-         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 5 THEN q END)::BIGINT AS lo_scaled,
          |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
          |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
-         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |    max(CASE WHEN r = 196 THEN q END)::BIGINT AS hi_scaled
          |  FROM ranked
          |)
          |SELECT n_units, n AS den_total, s AS num_total,
-         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
-         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS ratio_scaled,
+         |  (CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END)::BIGINT
+         |    AS ratio_scaled,
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
@@ -4977,10 +5046,13 @@ object PipelineQueries {
          |  FROM ranked
          |)
          |SELECT n_a, n_b, sum_a, sum_b,
-         |  (sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a) AS diff_num,
-         |  (n_a::HUGEINT * n_b) AS diff_den,
+         |  (sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a)::VARCHAR
+         |    AS diff_num,
+         |  (n_a::HUGEINT * n_b)::VARCHAR AS diff_den,
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
-         |  196::BIGINT AS hi_rank, lo_num, lo_den, hi_num, hi_den
+         |  196::BIGINT AS hi_rank, lo_num::VARCHAR AS lo_num,
+         |  lo_den::VARCHAR AS lo_den, hi_num::VARCHAR AS hi_num,
+         |  hi_den::VARCHAR AS hi_den
          |FROM obs CROSS JOIN pick""".stripMargin,
     // Same shift-banded ordinal tiers, same (i-j)^2 pricing over the
     // marginal cross.
@@ -5043,15 +5115,16 @@ object PipelineQueries {
          |  SELECT g,
          |    max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
          |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
-         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 5 THEN q END)::BIGINT AS lo_scaled,
          |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
          |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
-         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |    max(CASE WHEN r = 196 THEN q END)::BIGINT AS hi_scaled
          |  FROM ranked GROUP BY 1
          |)
          |SELECT o.g, o.n, o.s AS sum_total,
-         |  CASE WHEN o.n = 0 THEN (-1)::HUGEINT
-         |    ELSE (o.s::HUGEINT * 1000000000000000) // o.n END AS mean_scaled,
+         |  (CASE WHEN o.n = 0 THEN (-1)::HUGEINT
+         |    ELSE (o.s::HUGEINT * 1000000000000000) // o.n END)::BIGINT
+         |    AS mean_scaled,
          |  200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
@@ -5100,15 +5173,16 @@ object PipelineQueries {
          |pick AS (
          |  SELECT max(CASE WHEN r = 5 THEN sb END)::BIGINT AS lo_num,
          |    max(CASE WHEN r = 5 THEN nb END)::BIGINT AS lo_den,
-         |    max(CASE WHEN r = 5 THEN q END) AS lo_scaled,
+         |    max(CASE WHEN r = 5 THEN q END)::BIGINT AS lo_scaled,
          |    max(CASE WHEN r = 196 THEN sb END)::BIGINT AS hi_num,
          |    max(CASE WHEN r = 196 THEN nb END)::BIGINT AS hi_den,
-         |    max(CASE WHEN r = 196 THEN q END) AS hi_scaled
+         |    max(CASE WHEN r = 196 THEN q END)::BIGINT AS hi_scaled
          |  FROM ranked
          |)
          |SELECT n, s AS sum_total,
-         |  CASE WHEN n = 0 THEN (-1)::HUGEINT
-         |    ELSE (s::HUGEINT * 1000000000000000) // n END AS mean_scaled,
+         |  (CASE WHEN n = 0 THEN (-1)::HUGEINT
+         |    ELSE (s::HUGEINT * 1000000000000000) // n END)::BIGINT
+         |    AS mean_scaled,
          |  n_units, 200::BIGINT AS n_reps, 5::BIGINT AS lo_rank,
          |  196::BIGINT AS hi_rank, lo_num, lo_den, lo_scaled,
          |  hi_num, hi_den, hi_scaled
@@ -5495,7 +5569,8 @@ object PipelineQueries {
         |  max(d.d)::BIGINT AS max_dev
         |FROM d JOIN m2 USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_padding_audit" ->
-      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents),
+      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents
+         |  WHERE text IS NOT NULL),
          |h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
          |c AS (SELECT l, cnt, sum(cnt) OVER (ORDER BY l)::BIGINT AS cum FROM h),
          |a AS (
@@ -5521,7 +5596,8 @@ object PipelineQueries {
     // Same length histogram, same candidate list, same integer
     // millionths convention.
     "q230_truncation_frontier" ->
-      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents),
+      s"""WITH d AS (SELECT len($tokensSql)::BIGINT AS l FROM documents
+         |  WHERE text IS NOT NULL),
          |h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
          |ls AS (SELECT unnest([16, 32, 48, 64, 96, 128])::BIGINT AS context_len),
          |a AS (

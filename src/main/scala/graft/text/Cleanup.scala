@@ -172,10 +172,19 @@ object Cleanup {
    * three classes avoid engine-divergent features). */
   private[graft] val ReplacementCharPattern = "�"
   private[graft] val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
-  /** The classic UTF-8-bytes-decoded-as-Latin-1 signature: 'Ã' followed
-   * by a continuation-byte mapping (Latin-1 0x80-0xBF block characters
-   * commonly seen in mangled text). */
-  private[graft] val MojibakePattern = "Ã[\\x80-\\xBF]"
+  /** The classic UTF-8-bytes-decoded-as-Latin-1/cp1252 signature: a
+   * mis-decoded LEAD byte ('Ã' = 0xC3 for U+00C0–FF originals, 'Â' =
+   * 0xC2 for U+0080–BF originals like NBSP, 'â' = 0xE2 for the U+2000
+   * punctuation block — curly quotes, dashes, ellipsis) followed by a
+   * mis-decoded CONTINUATION byte. Continuations cover BOTH decodings
+   * of 0x80–0xBF: Latin-1 maps them to U+0080–U+00BF (the `\x80-\xBF`
+   * range) and cp1252 maps 27 of them to punctuation specials (€‚ƒ„…
+   * †‡ˆ‰Š‹ŒŽ''""•–—˜™š›œžŸ — listed as LITERAL characters so the same
+   * constant parses identically in Java regex and RE2). Without the
+   * Â/â leads the audit certified corpora "clean" while carrying the
+   * most frequent damage of all: NBSP → 'Â ' and U+2019 → 'â€™'. */
+  private[graft] val MojibakePattern =
+    "[ÂÃâ][\\x80-\\xBF€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ]"
 
   /**
    * Encoding-damage audit per group: documents and occurrence counts of

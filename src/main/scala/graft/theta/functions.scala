@@ -104,7 +104,7 @@ object ThetaFunctionRegistry extends FunctionRegistration {
     val registry = GraftSqlBridge.functionRegistry(spark)
     entries.foreach { case (name, usageText, builder) =>
       val n = sqlName(name)
-      registry.registerFunction(FunctionIdentifier(n), info(n, usageText), builder)
+      registerIfAbsent(registry, n, info(n, usageText), builder)
     }
   }
 

@@ -1049,5 +1049,9 @@ class DedupSpec extends AnyFunSuite {
       Dedup.thresholdFrontier(d, Seq((5, 4))) }
     intercept[IllegalArgumentException] {
       Dedup.thresholdFrontier(d, Seq((1, 2), (2, 4))) }
+    // The duplicate guard compares EXACT rationals: two candidates
+    // within 1e-6 of each other (identical under the old truncated
+    // key 999999) are genuinely distinct and must be accepted.
+    Dedup.thresholdFrontier(d, Seq((999999, 1000000), (1999999, 2000000)))
   }
 }

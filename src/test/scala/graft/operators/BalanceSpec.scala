@@ -52,7 +52,8 @@ class BalanceSpec extends AnyFunSuite {
     Balance.chiSquareIndependence(rows.toDF("r", "c"), col("r"), col("c"))
       .collect().map(x => ((x.getString(0), x.getString(1)),
         (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
-          x.getDecimal(6).longValueExact(), x.getDecimal(7).longValueExact())))
+          // chi rationals ship as strings (FIXTURES.md contract)
+          x.getString(6).toLong, x.getString(7).toLong)))
       .toMap
   }
 

@@ -65,8 +65,9 @@ class ResampleSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === 120L)
     assert(r.getAs[Long]("n_in") === na)
     assert(r.getAs[Long]("sum_in") === sa)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("stat_num").toBigInteger) === onum)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("stat_den").toBigInteger) === oden)
+    // Wide rationals ship as strings (the FIXTURES.md output contract).
+    assert(BigInt(r.getAs[String]("stat_num")) === onum)
+    assert(BigInt(r.getAs[String]("stat_den")) === oden)
     assert(r.getAs[Long]("n_exceed") === exceed)
     assert(r.getAs[Long]("p_num") === exceed + 1)
     assert(r.getAs[Long]("p_den") === 51L)
@@ -270,12 +271,11 @@ class ResampleSpec extends AnyFunSuite {
     assert(out.getAs[Long]("hi_rank") === 79L)
     assert(out.getAs[Long]("lo_num") === lo._1)
     assert(out.getAs[Long]("lo_den") === lo._2)
-    assert(BigInt(out.getAs[java.math.BigDecimal]("lo_scaled")
-      .toBigInteger) === lo._3)
+    // *_scaled ship as BIGINT (the FIXTURES.md output contract).
+    assert(BigInt(out.getAs[Long]("lo_scaled")) === lo._3)
     assert(out.getAs[Long]("hi_num") === hi._1)
     assert(out.getAs[Long]("hi_den") === hi._2)
-    assert(BigInt(out.getAs[java.math.BigDecimal]("hi_scaled")
-      .toBigInteger) === hi._3)
+    assert(BigInt(out.getAs[Long]("hi_scaled")) === hi._3)
     // The CI must bracket the observed mean: lo ≤ mean ≤ hi as exact
     // cross-multiplied rationals.
     assert(BigInt(lo._1) * n <= BigInt(s) * lo._2)
@@ -398,8 +398,9 @@ class ResampleSpec extends AnyFunSuite {
     val hi = ranked(78) // rank 79
     assert(out.getAs[Long]("n_a") === 85L)
     assert(out.getAs[Long]("n_b") === 85L)
+    // Diff/bound rationals ship as strings (FIXTURES.md contract).
     def bd(r: org.apache.spark.sql.Row, f: String): BigInt =
-      BigInt(r.getAs[java.math.BigDecimal](f).toBigInteger)
+      BigInt(r.getAs[String](f))
     assert(lo._3 && hi._3, "picked replicates degenerate in fixture")
     assert(bd(out, "lo_num") === lo._1)
     assert(bd(out, "lo_den") === lo._2)
@@ -418,8 +419,7 @@ class ResampleSpec extends AnyFunSuite {
     val out = Resample.bootstrapMeanDiffCI(df, col("k"), col("v"),
       col("a"), col("bb"), reps = 40, seed = "zz", tailDen = 40)
       .collect().head
-    def bd(f: String): BigInt =
-      BigInt(out.getAs[java.math.BigDecimal](f).toBigInteger)
+    def bd(f: String): BigInt = BigInt(out.getAs[String](f))
     // Paired weights make every replicate diff EXACTLY zero when the
     // two releases are the same row set — the pairing property itself.
     assert(bd("diff_num") === BigInt(0))

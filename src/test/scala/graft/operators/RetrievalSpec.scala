@@ -220,6 +220,88 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  /** Definitional nDCG pieces: dcg over retrieved (rank, n) hits, idcg
+   * over the judged gains sorted descending, both with the 1/r discount
+   * cleared by lcm(1..k). */
+  private def ndcgRef(hits: Seq[(Int, Long)], judged: Seq[Long],
+      k: Int): (Long, Long) = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val dcg = hits.filter(_._1 <= k).map { case (r, n) => (lcm / r) * n }.sum
+    val idcg = judged.sorted.reverse.take(k).zipWithIndex
+      .map { case (n, i) => (lcm / (i + 1)) * n }.sum
+    (dcg, idcg)
+  }
+
+  test("ndcgAtK: matches the definitional sums; zero-hit queries present") {
+    // Query 0: grades 2, 1 judged; s1 hits grade-2 at rank 1 and
+    // grade-1 at rank 3; s2 hits only the grade-1 doc at rank 2.
+    // Query 1 judged (grade 1), never hit by either system.
+    val relevance = relg((0L, 10L, 2), (0L, 12L, 1), (1L, 20L, 1))
+    val s1 = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+    val s2 = arm((0L, 1, 13L), (0L, 2, 12L))
+    val out = Retrieval.ndcgAtK(Seq("s1" -> s1, "s2" -> s2), relevance,
+        k = 10, gMax = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (d1, i0) = ndcgRef(Seq(1 -> 3L, 3 -> 1L), Seq(3L, 1L), k = 10)
+    val (d2, _) = ndcgRef(Seq(2 -> 1L), Seq(3L, 1L), k = 10)
+    val (_, i1) = ndcgRef(Seq.empty, Seq(1L), k = 10)
+    assert(out.toSeq === Seq(
+      ("s1", 0L, 2L, d1, i0), ("s1", 1L, 1L, 0L, i1),
+      ("s2", 0L, 2L, d2, i0), ("s2", 1L, 1L, 0L, i1)))
+  }
+
+  test("ndcgAtK: the ideal ranking scores exactly 1; a worse order scores < 1") {
+    val relevance = relg((0L, 10L, 2), (0L, 11L, 1), (0L, 12L, 1))
+    // Ideal: grade-2 doc first, then the grade-1 docs.
+    val ideal = arm((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+    val worse = arm((0L, 1, 11L), (0L, 2, 12L), (0L, 3, 10L))
+    val Seq((_, _, _, dn1, id1)) =
+      Retrieval.ndcgAtK(Seq("s" -> ideal), relevance, k = 10, gMax = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(dn1 === id1, "ideal ordering must score nDCG = 1 exactly")
+    val Seq((_, _, _, dn2, id2)) =
+      Retrieval.ndcgAtK(Seq("s" -> worse), relevance, k = 10, gMax = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(id2 === id1 && dn2 < id2,
+      "misordering the grade-2 doc must cost gain")
+  }
+
+  test("ndcgAtK: duplicate judgments keep max grade, clamp at gMax; IDCG truncates at k") {
+    // 12 judged grade-1 docs: IDCG uses only the top 10 positions.
+    val judged = (0 until 12).map(i => (0L, 100L + i, 1))
+    val relevance = relg(((0L, 10L, 1) +: (0L, 10L, 7) +: judged): _*)
+    val s = arm((0L, 1, 10L))
+    val Seq((_, _, ng, dn, id)) =
+      Retrieval.ndcgAtK(Seq("s" -> s), relevance, k = 10, gMax = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(ng === 13L)
+    val (expD, expI) = ndcgRef(Seq(1 -> 3L),
+      3L +: Seq.fill(12)(1L), k = 10)
+    assert(dn === expD && id === expI)
+  }
+
+  test("ndcgAtK: overflow guard and input validation") {
+    val relevance = relg((0L, 10L, 1))
+    val s = arm((0L, 1, 10L))
+    intercept[IllegalArgumentException] {
+      Retrieval.ndcgAtK(Seq.empty, relevance, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.ndcgAtK(Seq("a" -> s, "a" -> s), relevance, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.ndcgAtK(Seq("a" -> s), relevance, k = 43)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.ndcgAtK(Seq("a" -> s), relevance, k = 42, gMax = 21)
+    }
+  }
+
   test("kendallTau: hand-checked inversions over the shared top-k") {
     // Query 0 shared docs (ra, rb): (1,3), (2,1), (3,2) in ra order ->
     // rb sequence 3,1,2 -> inversions: (3,1), (3,2) = 2; pairs = 3;

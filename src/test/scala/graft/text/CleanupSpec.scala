@@ -126,6 +126,22 @@ class CleanupSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck {
     assert(scan.getAs[Long]("hits_control") === 0L)
   }
 
+  test("encodingAudit catches Â/â-lead mojibake (NBSP and cp1252 punctuation damage)") {
+    val corpus = srcDocs(
+      // NBSP (U+00A0, UTF-8 C2 A0) decoded as Latin-1: 'Â' + U+00A0.
+      "a" -> "price:Â 100",
+      // Curly quote U+2019 (UTF-8 E2 80 99) decoded as cp1252: 'â€™'
+      // (the continuation bytes land on cp1252 punctuation, NOT the
+      // \x80-\xBF block — the class the pattern must cover literally).
+      "a" -> "itâ€™s damaged",
+      // Em dash U+2014 (E2 80 94) as cp1252: 'â€"'.
+      "a" -> "waitâ€”done")
+    val r = Cleanup.encodingAudit(corpus, col("source"), col("text"))
+      .collect().head
+    assert(r.getAs[Long]("docs_mojibake") === 3L)
+    assert(r.getAs[Long]("hits_mojibake") === 3L)
+  }
+
   test("encodingAudit: tabs, newlines, CRs, and legitimate accents never count") {
     val clean = srcDocs(
       "a" -> "tab\there newline\nhere cr\rhere",

@@ -10,6 +10,18 @@ float bitwidths but deliberately collapse representation-only differences
 (string vs large_string, dictionary encoding, timestamp unit) that the
 driver's value hash does not see.
 
+Wide-type-strict since round 15: the round-14 driver gate failed 8 queries
+(q220 family) whose final schemas matched KIND-for-kind — engine
+decimal(38,0) vs oracle HUGEINT both collapse to decimal128 through Arrow —
+because the driver's hasher reads through a non-Arrow DuckDB path where both
+render as float64 (formatting divergence, plus genuine digit loss past
+2^53). Value equality through Arrow is therefore NOT sufficient: any
+decimal/HUGEINT column in a FINAL schema is a latent driver-hash failure.
+This replica now hard-fails any query whose final schema carries a decimal
+column on either side — wide exact values must ship as BIGINT (when bounded)
+or VARCHAR (for true int128+ headroom); see the output-type contract in
+FIXTURES.md.
+
 Usage: python3 tools/check_oracle.py [sfDir] [verifyOut]
 """
 import sys, json, math
@@ -93,6 +105,16 @@ def main():
                 print(f"FAIL  {name}: TYPE mismatch")
                 for col in sorted({c for c, _ in diffs}):
                     print(f"      {col}: mine={sig_m.get(col)} oracle={sig_t.get(col)}")
+                continue
+            wide = sorted({c for c, k in
+                           list(sig_m.items()) + list(sig_t.items())
+                           if k.startswith("decimal")})
+            if wide:
+                n_fail += 1
+                print(f"FAIL  {name}: WIDE-TYPE columns {wide} — "
+                      "decimal/HUGEINT in a final schema diverges in the "
+                      "driver's non-Arrow hash path; ship BIGINT or VARCHAR "
+                      "(FIXTURES.md output-type contract)")
                 continue
             mine, theirs = mine_t.to_pandas(), theirs_t.to_pandas()
             a, b = norm_df(mine), norm_df(theirs)
