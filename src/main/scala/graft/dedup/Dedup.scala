@@ -973,14 +973,17 @@ object Dedup {
    * (a no-op is always safe — the fan-out is an optimization). */
   private[graft] val FanOutMinBytes = 2L << 20
 
-  /** @param minBytes below this total leaf size the fan-out stays a
-   *        no-op (shuffling a tiny TEXT frame can cost more than the
-   *        single task it saves — the q103 recorded negative). Callers
-   *        whose downstream work is a large PER-ROW EXPANSION of a slim
-   *        projection (the Resample families: B md5s per row) pass 0 —
-   *        for them even a sub-MB scan is worth spreading. */
-  private[graft] def fanOutSmallScan(docs: DataFrame,
-      minBytes: Long = FanOutMinBytes): DataFrame = {
+  /** Below [[FanOutMinBytes]] of total leaf size the fan-out stays a
+   * no-op: shuffling a tiny TEXT frame costs more than the single task
+   * it saves. Measured TWICE — the r11 gram-build negative (1.31 →
+   * 1.51 s), and again for the Resample families' slim-projection +
+   * B-fold-md5 shape, where spreading the sub-MB sf0.1 documents scan
+   * was hypothesized to pay and did NOT (4 CI/test rows solo at sf0.1:
+   * 4.42 s with the floor removed vs 4.11 s with it — the exchange
+   * barrier beats the parallelism even under a 200× row expansion, so
+   * the floor stays unconditional). */
+  private[graft] def fanOutSmallScan(docs: DataFrame): DataFrame = {
+    val minBytes: Long = FanOutMinBytes
     val spark = docs.sparkSession
     val defaultPar = spark.sparkContext.defaultParallelism
     val leafBytes = docs.queryExecution.optimizedPlan.collectLeaves().map {

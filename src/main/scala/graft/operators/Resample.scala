@@ -88,8 +88,7 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), inA.cast("boolean").as("a"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull),
-      minBytes = 0L)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull))
     val obs = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"),
       coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("na"),
@@ -130,6 +129,75 @@ object Resample {
           .as("stat_num"),
         expr(s"cast(na as $dec) * (cast(n as $dec) - cast(na as $dec))")
           .cast("string").as("stat_den"),
+        lit(perms.toLong).as("n_perms"), col("n_exceed"),
+        (col("n_exceed") + 1L).as("p_num"),
+        lit(perms.toLong + 1L).as("p_den"))
+  }
+
+  /**
+   * Exact paired SIGN test — "does system A beat system B on more
+   * units than chance?" over per-unit signed comparisons (+1 A wins,
+   * −1 B wins, 0 tie): the paired-comparison significance read that
+   * closes the ranking-eval loop (apAtK/ndcgAtK produce per-query
+   * metric rationals; this says whether the observed win rate is
+   * signal). Ties are EXCLUDED, as the classical sign test requires
+   * (they carry no direction). Under H0 each non-tie unit's winner is
+   * a fair coin, so the randomization null flips each sign with the
+   * md5 coin and counts replicates whose |#wins_A − #wins_B| reaches
+   * the observed margin — the exact binomial two-sided test, priced by
+   * counting instead of binomial-coefficient bignums (which outgrow
+   * any fixed width past ~60 units). Same add-one p convention as
+   * [[randomizationTest]] (Phipson & Smyth 2010).
+   *
+   * Everything shipped is a BIGINT. Scale contract: one pass over the
+   * comparison rows; the B-fold expansion collapses under the partial
+   * aggregate (B summary rows per task cross the exchange).
+   *
+   * @param sign per-unit comparison, cast to long; must be −1, 0, or 1
+   *        (anything else raises at execution)
+   * @return one row: (n, n_pos, n_neg, n_tie, stat, n_perms, n_exceed,
+   *         p_num, p_den) — n counts non-ties, stat = |n_pos − n_neg|
+   */
+  def pairedSignTest(df: DataFrame, key: Column, sign: Column,
+      perms: Int, seed: String): DataFrame = {
+    require(perms > 0, s"perms must be positive, got $perms")
+    val checked = when(sign.cast("long").isin(-1L, 0L, 1L), sign.cast("long"))
+      .otherwise(raise_error(lit("pairedSignTest: sign must be -1, 0, or 1")))
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"), checked.as("sg"))
+        .filter(col("k").isNotNull && col("sg").isNotNull))
+    val obs = base.agg(
+      coalesce(sum(when(col("sg") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("npos"),
+      coalesce(sum(when(col("sg") === -1L, 1L).otherwise(0L)), lit(0L))
+        .as("nneg"),
+      coalesce(sum(when(col("sg") === 0L, 1L).otherwise(0L)), lit(0L))
+        .as("ntie"))
+    // Replicate b re-signs each NON-TIE unit with the md5 coin; the
+    // statistic is |Σ ±1| = |2·#heads − n|, exceed on ≥ the observed.
+    val perPerm = base.filter(col("sg") =!= 0L)
+      .select(col("k"), explode(sequence(lit(1), lit(perms))).as("b"))
+      .select(col("b"), coinBit(seed, col("b"), col("k")).as("bit"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("pn"),
+        coalesce(sum(col("bit")), lit(0L)).as("ph"))
+    val exceed = perPerm.crossJoin(broadcast(obs))
+      .agg(coalesce(sum(when(
+          abs(lit(2L) * col("ph") - col("pn")) >=
+            abs(col("npos") - col("nneg")), 1L).otherwise(0L)), lit(0L))
+        .as("n_exceed"))
+    // Degenerate all-ties/empty input: there are no replicate rows to
+    // count, but every replicate's |±sum| = 0 trivially reaches the
+    // observed 0 — p must be 1, not the anti-conservative 1/(B+1) an
+    // empty count would imply.
+    broadcast(obs).crossJoin(broadcast(exceed))
+      .withColumn("n_exceed",
+        when(col("npos") + col("nneg") === 0L, lit(perms.toLong))
+          .otherwise(col("n_exceed")))
+      .select((col("npos") + col("nneg")).as("n"),
+        col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        col("ntie").as("n_tie"),
+        abs(col("npos") - col("nneg")).as("stat"),
         lit(perms.toLong).as("n_perms"), col("n_exceed"),
         (col("n_exceed") + 1L).as("p_num"),
         lit(perms.toLong + 1L).as("p_den"))
@@ -199,8 +267,7 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), group.cast("string").as("g"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull),
-      minBytes = 0L)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
     val tot = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"))
     val perGroup = base.groupBy(col("g"))
@@ -347,7 +414,7 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"))
-      .filter(col("k").isNotNull && col("v").isNotNull), minBytes = 0L)
+      .filter(col("k").isNotNull && col("v").isNotNull))
     val obs = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("v")), lit(0L)).as("s"))
     val perRep = base
@@ -438,8 +505,7 @@ object Resample {
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         value.cast("long").as("v"), group.cast("string").as("g"))
-      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull),
-      minBytes = 0L)
+      .filter(col("k").isNotNull && col("v").isNotNull && col("g").isNotNull))
     val obs = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("v")), lit(0L)).as("s"))
     val perGB = base
@@ -524,7 +590,7 @@ object Resample {
         inA.cast("boolean").as("a"), inB.cast("boolean").as("bb"))
       .filter(col("k").isNotNull && col("v").isNotNull &&
         col("a").isNotNull && col("bb").isNotNull &&
-        (col("a") || col("bb"))), minBytes = 0L)
+        (col("a") || col("bb"))))
     val obs = base.agg(
       coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
       coalesce(sum(when(col("bb"), 1L).otherwise(0L)), lit(0L)).as("n_b"),

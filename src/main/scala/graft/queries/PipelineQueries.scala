@@ -1455,6 +1455,43 @@ object PipelineQueries {
         Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
     }),
 
+    // Paired system comparison (exact sign test): does RRF fusion beat
+    // the lexical arm on MORE QUERIES than chance, or is the observed
+    // win rate noise? Per-query AP@10 rationals share their denominator
+    // within a query, so the win sign is an integer comparison; the
+    // md5-coin randomization null prices the two-sided margin exactly
+    // (no binomial-coefficient bignums). The missing significance read
+    // behind every "fusion beats each arm" claim (q209/q216).
+    "q240_system_sign_test" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries
+            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      val ap = graft.operators.Retrieval.apAtK(
+        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
+      val wide = ap.groupBy(col("query_id"))
+        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
+            lit(0L)).as("a"),
+          coalesce(max(when(col("system") === "lex", col("ap_num"))),
+            lit(0L)).as("b"))
+      graft.operators.Resample.pairedSignTest(wide, col("query_id"),
+        when(col("a") > col("b"), 1L).when(col("a") < col("b"), -1L)
+          .otherwise(0L),
+        perms = 200, seed = "st")
+    }),
+
     // Graded-relevance ranking metric (ERR@10, Chapelle 2009) — the
     // grade-AND-position-sensitive eval over the same arms: grade 2 =
     // same (lang, source) as the query doc, grade 1 = same lang only.
@@ -4448,6 +4485,76 @@ object PipelineQueries {
          |SELECT system, query_id, n_graded, acc AS err_num,
          |  (2520::BIGINT << 20) AS err_den
          |FROM err WHERE r = 10 ORDER BY 1, 2""".stripMargin,
+    // Same arms + AP derivation as q216 restricted to fused/lex, win
+    // signs from the shared-denominator ap_num comparison, then the
+    // identical md5-coin randomization count.
+    "q240_system_sign_test" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |h AS (
+         |  SELECT s.system, s.query_id, s.rank,
+         |    count(*) OVER (PARTITION BY s.system, s.query_id
+         |      ORDER BY s.rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hits_i
+         |  FROM sys s JOIN rel r
+         |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+         |  WHERE s.system IN ('fused', 'lex')
+         |),
+         |pq AS (
+         |  SELECT system, query_id,
+         |    sum(hits_i * (2520 // rank))::BIGINT AS ap_num
+         |  FROM h GROUP BY 1, 2
+         |),
+         |wide AS (
+         |  SELECT j.query_id,
+         |    coalesce(max(CASE WHEN p.system = 'fused' THEN p.ap_num END),
+         |      0)::BIGINT AS a,
+         |    coalesce(max(CASE WHEN p.system = 'lex' THEN p.ap_num END),
+         |      0)::BIGINT AS b
+         |  FROM judged j LEFT JOIN pq p ON p.query_id = j.query_id
+         |  GROUP BY 1
+         |),
+         |sg AS (
+         |  SELECT query_id::VARCHAR AS k,
+         |    (CASE WHEN a > b THEN 1 WHEN a < b THEN -1 ELSE 0 END)::BIGINT
+         |      AS sgn
+         |  FROM wide
+         |),
+         |obs AS (
+         |  SELECT
+         |    coalesce(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS npos,
+         |    coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS nneg,
+         |    coalesce(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS ntie
+         |  FROM sg
+         |),
+         |hb AS (
+         |  SELECT bs.b,
+         |    ((('0x' || substr(md5('st:' || bs.b::VARCHAR || ':' || sg.k),
+         |      1, 16))::UBIGINT & 1) = 1) AS bit
+         |  FROM sg CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |  WHERE sg.sgn <> 0
+         |),
+         |per AS (
+         |  SELECT b, count(*)::BIGINT AS pn,
+         |    sum(CASE WHEN bit THEN 1 ELSE 0 END)::BIGINT AS ph
+         |  FROM hb GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT coalesce(sum(CASE WHEN abs(2 * ph - pn) >= abs(npos - nneg)
+         |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_exceed
+         |  FROM per CROSS JOIN obs
+         |)
+         |SELECT (npos + nneg)::BIGINT AS n, npos AS n_pos, nneg AS n_neg,
+         |  ntie AS n_tie, abs(npos - nneg)::BIGINT AS stat,
+         |  200::BIGINT AS n_perms,
+         |  (CASE WHEN npos + nneg = 0 THEN 200 ELSE n_exceed END)::BIGINT
+         |    AS n_exceed,
+         |  (CASE WHEN npos + nneg = 0 THEN 200 ELSE n_exceed END
+         |    + 1)::BIGINT AS p_num,
+         |  201::BIGINT AS p_den
+         |FROM obs CROSS JOIN ex""".stripMargin,
     // Same arms and graded fixture as q217; gain 2^g−1, reciprocal
     // discount (2520 // rank), IDCG from the judged gains ranked
     // descending and truncated at 10 — nDCG = dcg_num/idcg_num.

@@ -107,6 +107,73 @@ class ResampleSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_total") === 40L)
   }
 
+  /** Plain-Scala reference for the paired sign test's exceedance count:
+   * coin-flip each non-tie unit, compare |2·heads − n| to the observed
+   * |n_pos − n_neg|. */
+  private def signRef(units: Seq[(String, Long)], perms: Int,
+      seed: String): (Long, Long, Long) = {
+    val nonTies = units.filter(_._2 != 0L)
+    val npos = nonTies.count(_._2 == 1L).toLong
+    val nneg = nonTies.count(_._2 == -1L).toLong
+    val exceed = (1 to perms).count { b =>
+      val heads = nonTies.count(u => coin(seed, b, u._1)).toLong
+      math.abs(2 * heads - nonTies.size) >= math.abs(npos - nneg)
+    }.toLong
+    (npos, nneg, exceed)
+  }
+
+  test("pairedSignTest matches the coin reference; planted dominance detected") {
+    import spark.implicits._
+    // 50 units: A wins 40, B wins 6, 4 ties — decisively one-sided.
+    val units = (0 until 50).map { i =>
+      val s = if (i % 25 == 24) 0L else if (i % 8 == 3) -1L else 1L
+      (s"q$i", s)
+    }
+    val df = units.toDF("k", "sgn").repartition(4)
+    val r = Resample.pairedSignTest(df, col("k"), col("sgn"),
+      perms = 60, seed = "sg").collect().head
+    val (npos, nneg, exceed) = signRef(units, 60, "sg")
+    assert(r.getAs[Long]("n") === npos + nneg)
+    assert(r.getAs[Long]("n_pos") === npos)
+    assert(r.getAs[Long]("n_neg") === nneg)
+    assert(r.getAs[Long]("n_tie") === units.count(_._2 == 0L).toLong)
+    assert(r.getAs[Long]("stat") === math.abs(npos - nneg))
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(r.getAs[Long]("p_num") === exceed + 1)
+    assert(r.getAs[Long]("p_den") === 61L)
+    assert(exceed < 3, s"planted dominance not detected (exceed=$exceed)")
+  }
+
+  test("pairedSignTest: exchangeable signs are insignificant; all-ties ships p = 1") {
+    import spark.implicits._
+    // Signs off an independent hash — no real direction.
+    val noise = (0 until 80).map(i =>
+      (s"n$i", if ((md5Low(s"sn:$i") & 1L) == 1L) 1L else -1L))
+    val df = noise.toDF("k", "sgn").repartition(4)
+    val r = Resample.pairedSignTest(df, col("k"), col("sgn"),
+      perms = 40, seed = "nz").collect().head
+    val (_, _, exceed) = signRef(noise, 40, "nz")
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(exceed > 5, s"null fixture looks significant (exceed=$exceed)")
+    // Degenerate all-ties input: every replicate trivially reaches the
+    // observed 0, so p = 1 exactly — not the empty-count 1/(B+1).
+    val ties = Seq(("a", 0L), ("b", 0L)).toDF("k", "sgn")
+    val t = Resample.pairedSignTest(ties, col("k"), col("sgn"),
+      perms = 40, seed = "t").collect().head
+    assert(t.getAs[Long]("n") === 0L && t.getAs[Long]("n_tie") === 2L)
+    assert(t.getAs[Long]("p_num") === 41L && t.getAs[Long]("p_den") === 41L)
+  }
+
+  test("pairedSignTest rejects signs outside {-1, 0, 1}") {
+    import spark.implicits._
+    val df = Seq(("a", 2L)).toDF("k", "sgn")
+    val e = intercept[Exception] {
+      Resample.pairedSignTest(df, col("k"), col("sgn"),
+        perms = 8, seed = "x").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   /** Plain-Scala reference for one group's sweep pieces: threshold rule,
    * per-replicate membership, exceedance. */
   private def referenceSweep(rows: Seq[(String, Long, String)], perms: Int,
