@@ -48,7 +48,13 @@ object Bench {
       // Static conf: must be set at session build.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench harness's one stdout JSON line is parsed
+    // from a BOUNDED tail capture, and Spark's benign per-query WARNs
+    // (streaming temp-checkpoint notices, AQE-disabled notes — dozens per
+    // suite) land in that same capture and can bury it (the r14 artifact's
+    // tail was mostly WARN lines). Harness-own warnings use
+    // System.err.println directly and are unaffected by the log4j level.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Preflight.check(spark, sfDir)
 
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=q62_...,q171_...
