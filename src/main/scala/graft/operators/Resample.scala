@@ -135,6 +135,108 @@ object Resample {
   }
 
   /**
+   * Two-sample randomization KS test — "did the DISTRIBUTION move, not
+   * just the mean?": [[randomizationTest]] prices a mean shift and is
+   * blind to variance/shape changes that leave the mean alone (a
+   * corpus splitting into very-short and very-long documents, say);
+   * the KS statistic sup|ECDF_A − ECDF_B| sees them. Classical KS
+   * p-values need the asymptotic Kolmogorov CDF (floats, and wrong at
+   * small n with ties); the randomization null needs only counting —
+   * and over INTEGER values with ties, the randomization test is the
+   * exact one.
+   *
+   * The statistic is the exact rational
+   *   max_v |cumA(v)·n_B − cumB(v)·n_A| / (n_A·n_B)
+   * over the distinct values v of the pooled sample. A pseudo-replicate
+   * (fair-coin re-split, one md5 per (row, b) — the [[Sampling]]
+   * recipe) exceeds iff num_b·den_obs ≥ num_obs·den_b in decimal(38,0)
+   * (exact while n⁴ < 10³⁸, i.e. n ≲ 3·10⁹ rows per test scope — the
+   * audit-window bound, stated like randomizationTest's). Degenerate
+   * replicates with an empty side count as exceeding (conservative).
+   * Same add-one p (Phipson & Smyth 2010).
+   *
+   * Scale contract: ONE corpus pass — the observed labeling rides the
+   * expansion as replicate 0 (its bit is the true label, no md5), so
+   * the value kernel evaluates once per row; row volume dies in the
+   * per-(replicate, value) cell aggregation, the exchange carries
+   * (B+1)·|distinct values| summary cells, and the cumulative windows
+   * run over those cells partitioned by replicate (the q207
+   * histogram-window convention).
+   * stat_num/stat_den ship as STRINGs (FIXTURES.md §4: the cross
+   * products are count×count, past int64 at corpus scale).
+   *
+   * @return one row: (n, n_in, stat_num, stat_den, n_perms, n_exceed,
+   *         p_num, p_den)
+   */
+  def ksRandomizationTest(df: DataFrame, key: Column, value: Column,
+      inA: Column, perms: Int, seed: String): DataFrame = {
+    require(perms > 0, s"perms must be positive, got $perms")
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
+        value.cast("long").as("v"), inA.cast("boolean").as("a"))
+      .filter(col("k").isNotNull && col("v").isNotNull && col("a").isNotNull))
+    // ONE corpus scan: the OBSERVED labeling rides the same expansion
+    // as "replicate 0" (bit = the true label instead of the coin), so
+    // base's projection — whose value kernel (e.g. a tokenizer) is the
+    // scan's dominant cost — evaluates exactly once per row, and the
+    // observed statistic falls out of the identical window/fold the
+    // replicates use. Row volume dies in the (b, v) cell aggregation:
+    // (B+1)·|distinct values| summary cells cross the exchange.
+    val cells = base
+      .select(col("k"), col("v"), col("a"),
+        explode(sequence(lit(0), lit(perms))).as("b"))
+      .select(col("v"), col("b"),
+        when(col("b") === 0, when(col("a"), 1L).otherwise(0L))
+          .otherwise(coinBit(seed, col("b"), col("k"))).as("bit"))
+      .groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("cnt"), coalesce(sum(col("bit")), lit(0L)).as("ca"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wbAll = Window.partitionBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perRep = cells
+      .select(col("b"),
+        sum(col("cnt")).over(wb).as("cum"),
+        sum(col("ca")).over(wb).as("cuma"),
+        sum(col("ca")).over(wbAll).as("nab"),
+        sum(col("cnt")).over(wbAll).as("ntot"))
+      .groupBy(col("b"), col("nab"), col("ntot"))
+      .agg(max(expr(s"abs(cast(cuma as $dec) * (cast(ntot as $dec)" +
+        s" - cast(nab as $dec)) - (cast(cum as $dec) - cast(cuma as $dec))" +
+        s" * cast(nab as $dec))")).as("pnum"))
+      .select(col("b"), col("ntot"), col("nab"), col("pnum"),
+        expr(s"cast(nab as $dec) * (cast(ntot as $dec) - cast(nab as $dec))")
+          .as("pden"))
+    // Attach replicate 0's (observed) row to every replicate via a
+    // (B+1)-row window — no self-join, so the expansion executes once.
+    val wAllRows = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withObs = perRep
+      .withColumn("onum", max(when(col("b") === 0, col("pnum"))).over(wAllRows))
+      .withColumn("oden", max(when(col("b") === 0, col("pden"))).over(wAllRows))
+    // Degenerate empty corpus: no cells at all — coalesce the summary
+    // to zeros with n_exceed = B (every replicate trivially reaches an
+    // observed 0; p = 1, the conservative direction).
+    withObs.agg(
+        coalesce(max(when(col("b") === 0, col("ntot"))), lit(0L)).as("n"),
+        coalesce(max(when(col("b") === 0, col("nab"))), lit(0L)).as("n_in"),
+        coalesce(max(when(col("b") === 0, col("pnum"))).cast("string"),
+          lit("0")).as("stat_num"),
+        coalesce(max(when(col("b") === 0, col("pden"))).cast("string"),
+          lit("0")).as("stat_den"),
+        coalesce(sum(when(col("b") > 0 && (col("pden") === 0 ||
+            expr("pnum * oden >= onum * pden")), 1L).otherwise(0L)),
+          lit(0L)).as("n_exceed_raw"),
+        count(lit(1)).as("n_rows"))
+      .select(col("n"), col("n_in"), col("stat_num"), col("stat_den"),
+        lit(perms.toLong).as("n_perms"),
+        when(col("n_rows") === 0L, lit(perms.toLong))
+          .otherwise(col("n_exceed_raw")).as("n_exceed"))
+      .withColumn("p_num", col("n_exceed") + 1L)
+      .withColumn("p_den", lit(perms.toLong + 1L))
+  }
+
+  /**
    * Exact paired SIGN test — "does system A beat system B on more
    * units than chance?" over per-unit signed comparisons (+1 A wins,
    * −1 B wins, 0 tie): the paired-comparison significance read that

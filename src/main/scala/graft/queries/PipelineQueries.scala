@@ -1455,6 +1455,22 @@ object PipelineQueries {
         Seq("fused" -> fused, "lex" -> lex, "sem" -> sem), rel, k = 10)
     }),
 
+    // Distribution-shift significance (exact randomization KS): did the
+    // en token-count DISTRIBUTION move against the rest, not just its
+    // mean (q225's question)? KS sees variance/shape changes the mean
+    // test is blind to; with integer values and ties the randomization
+    // null is the exact test (no asymptotic Kolmogorov CDF floats).
+    // 64 engine-exact re-splits; sup-deviations compared as exact
+    // cross-multiplied rationals, stat shipped as strings per the
+    // FIXTURES.md contract.
+    "q241_ks_randomization" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      graft.operators.Resample.ksRandomizationTest(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), col("lang") === "en",
+        perms = 64, seed = "ks")
+    }),
+
     // Paired system comparison (exact sign test): does RRF fusion beat
     // the lexical arm on MORE QUERIES than chance, or is the observed
     // win rate noise? Per-query AP@10 rationals share their denominator
@@ -4485,6 +4501,74 @@ object PipelineQueries {
          |SELECT system, query_id, n_graded, acc AS err_num,
          |  (2520::BIGINT << 20) AS err_den
          |FROM err WHERE r = 10 ORDER BY 1, 2""".stripMargin,
+    // Same pooled-histogram cumulative windows, same md5 coin, same
+    // cross-multiplied exceedance comparison in HUGEINT.
+    "q241_ks_randomization" ->
+      s"""WITH base AS (
+         |  SELECT doc_id::VARCHAR AS k, len($tokensSql)::BIGINT AS v,
+         |    (lang = 'en') AS a
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+         |),
+         |obs AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)::BIGINT AS na
+         |  FROM base
+         |),
+         |hist AS (
+         |  SELECT v, count(*)::BIGINT AS cnt,
+         |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca
+         |  FROM base GROUP BY 1
+         |),
+         |ocum AS (
+         |  SELECT sum(cnt) OVER w::BIGINT AS cum,
+         |    sum(ca) OVER w::BIGINT AS cuma
+         |  FROM hist
+         |  WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |osup AS (
+         |  SELECT coalesce(max(abs(cuma::HUGEINT * (n - na)
+         |    - (cum - cuma)::HUGEINT * na)), 0::HUGEINT) AS onum
+         |  FROM ocum CROSS JOIN obs
+         |),
+         |hb AS (
+         |  SELECT bs.b, base.v,
+         |    ((('0x' || substr(md5('ks:' || bs.b::VARCHAR || ':' || base.k),
+         |      1, 16))::UBIGINT & 1) = 1) AS bit
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bs
+         |),
+         |cells AS (
+         |  SELECT b, v, count(*)::BIGINT AS cnt,
+         |    sum(CASE WHEN bit THEN 1 ELSE 0 END)::BIGINT AS ca
+         |  FROM hb GROUP BY 1, 2
+         |),
+         |pcum AS (
+         |  SELECT b, sum(cnt) OVER w::BIGINT AS cum,
+         |    sum(ca) OVER w::BIGINT AS cuma,
+         |    sum(ca) OVER (PARTITION BY b)::BIGINT AS nab
+         |  FROM cells
+         |  WINDOW w AS (PARTITION BY b ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |per AS (
+         |  SELECT b, nab,
+         |    max(abs(cuma::HUGEINT * (obs.n - nab)
+         |      - (cum - cuma)::HUGEINT * nab)) AS pnum
+         |  FROM pcum CROSS JOIN obs GROUP BY 1, 2
+         |),
+         |ex AS (
+         |  SELECT coalesce(sum(CASE
+         |    WHEN nab * (obs.n - nab) = 0
+         |      OR pnum * (obs.na::HUGEINT * (obs.n - obs.na))
+         |         >= osup.onum * (nab::HUGEINT * (obs.n - nab))
+         |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_exceed
+         |  FROM per CROSS JOIN osup CROSS JOIN obs
+         |)
+         |SELECT n, na AS n_in, onum::VARCHAR AS stat_num,
+         |  (na::HUGEINT * (n - na))::VARCHAR AS stat_den,
+         |  64::BIGINT AS n_perms, n_exceed,
+         |  (n_exceed + 1)::BIGINT AS p_num, 65::BIGINT AS p_den
+         |FROM obs CROSS JOIN osup CROSS JOIN ex""".stripMargin,
     // Same arms + AP derivation as q216 restricted to fused/lex, win
     // signs from the shared-denominator ap_num comparison, then the
     // identical md5-coin randomization count.

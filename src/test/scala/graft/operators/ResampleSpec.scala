@@ -107,6 +107,78 @@ class ResampleSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_total") === 40L)
   }
 
+  /** Plain-Scala reference for the KS randomization test: sup-deviation
+   * over the pooled histogram, coin re-splits, exceedance. */
+  private def ksRef(rows: Seq[(String, Long, Boolean)], perms: Int,
+      seed: String): (BigInt, BigInt, Long) = {
+    val n = rows.size
+    def supDev(inA: ((String, Long, Boolean)) => Boolean): (BigInt, Int) = {
+      val aCount = rows.count(inA)
+      val best = rows.map(_._2).distinct.sorted.map { v =>
+        val cuma = rows.count(r => r._2 <= v && inA(r))
+        val cum = rows.count(_._2 <= v)
+        (BigInt(cuma) * (n - aCount) - BigInt(cum - cuma) * aCount).abs
+      }.foldLeft(BigInt(0))(_ max _)
+      (best, aCount)
+    }
+    val (onum, na) = supDev(_._3)
+    val oden = BigInt(na) * (n - na)
+    val exceed = (1 to perms).count { b =>
+      val (pnum, pa) = supDev(r => coin(seed, b, r._1))
+      val pden = BigInt(pa) * (n - pa)
+      pden == 0 || pnum * oden >= onum * pden
+    }.toLong
+    (onum, oden, exceed)
+  }
+
+  test("ksRandomizationTest: shape shift with EQUAL means — KS detects what the mean test cannot") {
+    import spark.implicits._
+    // Group A is bimodal {0, 40}, group B constant {20}: identical means
+    // (exactly 20 both sides), maximally different distributions.
+    val rows = (0 until 120).map { i =>
+      val a = i % 2 == 0
+      val v = if (a) { if (i % 4 == 0) 0L else 40L } else 20L
+      (s"d$i", v, a)
+    }
+    val df = rows.toDF("k", "v", "a").repartition(4)
+    val r = Resample.ksRandomizationTest(df, col("k"), col("v"), col("a"),
+      perms = 50, seed = "ks").collect().head
+    val (onum, oden, exceed) = ksRef(rows, 50, "ks")
+    assert(BigInt(r.getAs[String]("stat_num")) === onum)
+    assert(BigInt(r.getAs[String]("stat_den")) === oden)
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(r.getAs[Long]("p_num") === exceed + 1)
+    assert(r.getAs[Long]("p_den") === 51L)
+    assert(exceed < 3, s"planted shape shift not detected (exceed=$exceed)")
+    // The MOTIVATING contrast: the mean randomization test on the SAME
+    // fixture must see nothing (both means are exactly 20).
+    val m = Resample.randomizationTest(df, col("k"), col("v"), col("a"),
+      perms = 50, seed = "ks").collect().head
+    assert(BigInt(m.getAs[String]("stat_num")) === BigInt(0),
+      "fixture means must be exactly equal")
+  }
+
+  test("ksRandomizationTest: exchangeable labels are insignificant; nulls excluded") {
+    import spark.implicits._
+    val noise = (0 until 150).map(i => (s"n$i", (i % 11).toLong,
+      (md5Low(s"kl:$i") & 1L) == 1L))
+    val df = noise.toDF("k", "v", "a").repartition(4)
+    val r = Resample.ksRandomizationTest(df, col("k"), col("v"), col("a"),
+      perms = 40, seed = "kn").collect().head
+    val (_, _, exceed) = ksRef(noise, 40, "kn")
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(exceed > 5, s"null fixture looks significant (exceed=$exceed)")
+    val withNulls = Seq(
+      (Some("a"), Some(10L), Some(true)),
+      (None: Option[String], Some(10L), Some(true)),
+      (Some("b"), Some(20L), None: Option[Boolean]),
+      (Some("c"), Some(30L), Some(false))
+    ).toDF("k", "v", "a")
+    val x = Resample.ksRandomizationTest(withNulls, col("k"), col("v"),
+      col("a"), perms = 8, seed = "s").collect().head
+    assert(x.getAs[Long]("n") === 2L && x.getAs[Long]("n_in") === 1L)
+  }
+
   /** Plain-Scala reference for the paired sign test's exceedance count:
    * coin-flip each non-tie unit, compare |2·heads − n| to the observed
    * |n_pos − n_neg|. */
