@@ -158,6 +158,19 @@ class ResampleSpec extends AnyFunSuite {
       "fixture means must be exactly equal")
   }
 
+  test("ksRandomizationTest scans the corpus exactly once (plan pin)") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (s"p$i", i.toLong, i % 2 == 0))
+      .toDF("k", "v", "a")
+    // The one-scan contract (observed labeling = replicate 0) is a plan
+    // SHAPE: the whole test is a single pipeline over one leaf — no
+    // self-join, no second pass re-evaluating the value kernel.
+    val plan = Resample.ksRandomizationTest(df, col("k"), col("v"),
+      col("a"), perms = 8, seed = "x").queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 1,
+      s"expected ONE corpus scan, got:\n$plan")
+  }
+
   test("ksRandomizationTest: exchangeable labels are insignificant; nulls excluded") {
     import spark.implicits._
     val noise = (0 until 150).map(i => (s"n$i", (i % 11).toLong,
