@@ -19,8 +19,15 @@ trait FunctionRegistration {
    * reference-style entry point, reached e.g. from SQL-surface queries)
    * would otherwise emit Spark's "replaced a previously registered
    * function" WARN once per name — dozens of log lines drowning the one
-   * JSON line harnesses parse. Skipping on presence is safe because every
-   * graft registration installs the identical builder for a given name. */
+   * JSON line harnesses parse. Skipping on presence is safe for
+   * graft-vs-graft collisions because every graft registration installs
+   * the identical builder for a given name. CAVEAT (deliberate): if the
+   * session owner registered a DIFFERENT function under a graft name
+   * before calling this, their binding WINS and graft's is not
+   * installed — the session owner's registry is not silently overridden
+   * (the pre-change behavior replaced it with only a WARN). To install
+   * graft's implementation over a conflicting name, drop the existing
+   * function from the registry first. */
   protected final def registerIfAbsent(
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
       name: String, expressionInfo: ExpressionInfo,

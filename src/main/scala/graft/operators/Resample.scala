@@ -263,39 +263,61 @@ object Resample {
   def pairedSignTest(df: DataFrame, key: Column, sign: Column,
       perms: Int, seed: String): DataFrame = {
     require(perms > 0, s"perms must be positive, got $perms")
-    val checked = when(sign.cast("long").isin(-1L, 0L, 1L), sign.cast("long"))
+    // NULL signs are EXCLUDED (the family's null convention) — the
+    // isNull arm must come first, because isin over a null is null and
+    // would otherwise fall through to raise_error before the filter
+    // ever saw the row. Out-of-domain non-null signs still raise.
+    val sg0 = sign.cast("long")
+    val checked = when(sg0.isNull, sg0)
+      .when(sg0.isin(-1L, 0L, 1L), sg0)
       .otherwise(raise_error(lit("pairedSignTest: sign must be -1, 0, or 1")))
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"), checked.as("sg"))
         .filter(col("k").isNotNull && col("sg").isNotNull))
-    val obs = base.agg(
-      coalesce(sum(when(col("sg") === 1L, 1L).otherwise(0L)), lit(0L))
-        .as("npos"),
-      coalesce(sum(when(col("sg") === -1L, 1L).otherwise(0L)), lit(0L))
-        .as("nneg"),
-      coalesce(sum(when(col("sg") === 0L, 1L).otherwise(0L)), lit(0L))
-        .as("ntie"))
-    // Replicate b re-signs each NON-TIE unit with the md5 coin; the
-    // statistic is |Σ ±1| = |2·#heads − n|, exceed on ≥ the observed.
-    val perPerm = base.filter(col("sg") =!= 0L)
-      .select(col("k"), explode(sequence(lit(1), lit(perms))).as("b"))
-      .select(col("b"), coinBit(seed, col("b"), col("k")).as("bit"))
+    // ONE pass over the comparison rows (which may sit on an expensive
+    // upstream DAG — q240's retrieval arms): the OBSERVED counts ride
+    // the replicate expansion as replicate 0 (all rows, ties included,
+    // no md5 paid); replicates b ≥ 1 carry only the non-tie rows and
+    // the coin. The b = 0 row then attaches to every replicate via a
+    // (B+1)-row window — no self-join, the upstream executes once.
+    val perB = base
+      .select(col("k"), col("sg"),
+        explode(sequence(lit(0), lit(perms))).as("b"))
+      .filter(col("b") === 0 || col("sg") =!= 0L)
+      .select(col("b"), col("sg"),
+        when(col("b") === 0, lit(0L))
+          .otherwise(coinBit(seed, col("b"), col("k"))).as("bit"))
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("pn"),
+      .agg(
+        coalesce(sum(when(col("sg") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("npos"),
+        coalesce(sum(when(col("sg") === -1L, 1L).otherwise(0L)), lit(0L))
+          .as("nneg"),
+        coalesce(sum(when(col("sg") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("ntie"),
+        count(lit(1)).as("pn"),
         coalesce(sum(col("bit")), lit(0L)).as("ph"))
-    val exceed = perPerm.crossJoin(broadcast(obs))
-      .agg(coalesce(sum(when(
-          abs(lit(2L) * col("ph") - col("pn")) >=
-            abs(col("npos") - col("nneg")), 1L).otherwise(0L)), lit(0L))
-        .as("n_exceed"))
-    // Degenerate all-ties/empty input: there are no replicate rows to
-    // count, but every replicate's |±sum| = 0 trivially reaches the
-    // observed 0 — p must be 1, not the anti-conservative 1/(B+1) an
-    // empty count would imply.
-    broadcast(obs).crossJoin(broadcast(exceed))
+    val wAllRows = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withObs = perB
+      .withColumn("onpos", max(when(col("b") === 0, col("npos"))).over(wAllRows))
+      .withColumn("onneg", max(when(col("b") === 0, col("nneg"))).over(wAllRows))
+    // Replicate b's statistic is |Σ ±1| = |2·#heads − n| over the
+    // non-ties; exceed on ≥ the observed |n_pos − n_neg|. Degenerate
+    // all-ties/empty input has no replicate rows, but every replicate
+    // trivially reaches an observed 0 — p must be 1, not the
+    // anti-conservative 1/(B+1) an empty count would imply.
+    withObs.agg(
+        coalesce(max(when(col("b") === 0, col("npos"))), lit(0L)).as("npos"),
+        coalesce(max(when(col("b") === 0, col("nneg"))), lit(0L)).as("nneg"),
+        coalesce(max(when(col("b") === 0, col("ntie"))), lit(0L)).as("ntie"),
+        coalesce(sum(when(col("b") > 0 &&
+            abs(lit(2L) * col("ph") - col("pn")) >=
+              abs(col("onpos") - col("onneg")), 1L).otherwise(0L)), lit(0L))
+          .as("n_exceed_raw"))
       .withColumn("n_exceed",
         when(col("npos") + col("nneg") === 0L, lit(perms.toLong))
-          .otherwise(col("n_exceed")))
+          .otherwise(col("n_exceed_raw")))
       .select((col("npos") + col("nneg")).as("n"),
         col("npos").as("n_pos"), col("nneg").as("n_neg"),
         col("ntie").as("n_tie"),

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
  */
 object Retrieval {
 
+  /** lcm(1..k): the shared denominator the eval family clears rank
+   * fractions with (fits a Long for k ≤ 42 — callers validate). */
+  private def lcmUpTo(k: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** One-column (system: STRING) frame of the system names, for the
+   * judged × systems grid every eval metric builds (zero-hit judged
+   * queries must still ship rows). */
+  private def sysNamesDf(systems: Seq[(String, DataFrame)],
+      names: Seq[String]): DataFrame =
+    systems.head._2.sparkSession
+      .createDataFrame(java.util.Arrays.asList(
+          names.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("system",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+
   /**
    * Lexical arm: per query document, the top-k corpus documents by
    * DISTINCT-term overlap (ties → smaller doc id), self excluded — the
@@ -115,8 +134,7 @@ object Retrieval {
     val names = systems.map(_._1)
     require(names.distinct.size == names.size,
       s"system names must be distinct, got $names")
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val lcmK = lcmUpTo(k)
     val rel = relevance
       .select(col("query_id"), col("doc_id")).distinct()
     val judged = rel.groupBy(col("query_id"))
@@ -129,12 +147,7 @@ object Retrieval {
     val hits = tagged.join(broadcast(rel), Seq("query_id", "doc_id"))
       .groupBy(col("system"), col("query_id"))
       .agg(min(col("rank")).as("first_rank"), count(lit(1)).as("n_hits"))
-    val sysNames = systems.head._2.sparkSession
-      .createDataFrame(java.util.Arrays.asList(
-          names.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("system",
-            org.apache.spark.sql.types.StringType, nullable = false))))
+    val sysNames = sysNamesDf(systems, names)
     judged.crossJoin(broadcast(sysNames))
       .join(hits, Seq("system", "query_id"), "left")
       .groupBy(col("system"))
@@ -178,8 +191,7 @@ object Retrieval {
     val names = systems.map(_._1)
     require(names.distinct.size == names.size,
       s"system names must be distinct, got $names")
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val lcmK = lcmUpTo(k)
     val rel = relevance.select(col("query_id"), col("doc_id")).distinct()
     val judged = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
@@ -198,12 +210,7 @@ object Retrieval {
       .groupBy(col("system"), col("query_id"))
       .agg(count(lit(1)).as("hits_at_k"),
         sum(col("hits_i") * expr(s"${lcmK}L div rank")).as("ap_sum"))
-    val sysNames = systems.head._2.sparkSession
-      .createDataFrame(java.util.Arrays.asList(
-          names.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("system",
-            org.apache.spark.sql.types.StringType, nullable = false))))
+    val sysNames = sysNamesDf(systems, names)
     judged.crossJoin(broadcast(sysNames))
       .join(perQuery, Seq("system", "query_id"), "left")
       .select(col("system"), col("query_id"), col("n_rel"),
@@ -253,8 +260,7 @@ object Retrieval {
     val names = systems.map(_._1)
     require(names.distinct.size == names.size,
       s"system names must be distinct, got $names")
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val lcmK = lcmUpTo(k)
     require(BigInt(k) * BigInt(lcmK) * (BigInt(1) << (gMax * k)) <
         BigInt(Long.MaxValue),
       s"k=$k, gMax=$gMax overflows the Long error-free window")
@@ -285,12 +291,7 @@ object Retrieval {
              |           shiftleft(1L, $gMax * ($k - x.rank)),
              |    'p', a.p * (${m}L - x.n)),
              |  a -> a.s)""".stripMargin).as("err_num"))
-    val sysNames = systems.head._2.sparkSession
-      .createDataFrame(java.util.Arrays.asList(
-          names.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("system",
-            org.apache.spark.sql.types.StringType, nullable = false))))
+    val sysNames = sysNamesDf(systems, names)
     judged.crossJoin(broadcast(sysNames))
       .join(folded, Seq("system", "query_id"), "left")
       .select(col("system"), col("query_id"), col("n_graded"),
@@ -343,8 +344,7 @@ object Retrieval {
     val names = systems.map(_._1)
     require(names.distinct.size == names.size,
       s"system names must be distinct, got $names")
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val lcmK = lcmUpTo(k)
     require(BigInt(k) * BigInt(lcmK) * ((BigInt(1) << gMax) - 1) <
         BigInt(Long.MaxValue),
       s"k=$k, gMax=$gMax overflows the Long error-free window")
@@ -376,12 +376,7 @@ object Retrieval {
     val dcg = tagged.join(broadcast(rel), Seq("query_id", "doc_id"))
       .groupBy(col("system"), col("query_id"))
       .agg(sum(expr(s"${lcmK}L div rank") * col("n")).as("dcg_num"))
-    val sysNames = systems.head._2.sparkSession
-      .createDataFrame(java.util.Arrays.asList(
-          names.map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("system",
-            org.apache.spark.sql.types.StringType, nullable = false))))
+    val sysNames = sysNamesDf(systems, names)
     ideal.crossJoin(broadcast(sysNames))
       .join(dcg, Seq("system", "query_id"), "left")
       .select(col("system"), col("query_id"), col("n_graded"),

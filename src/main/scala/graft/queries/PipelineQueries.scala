@@ -4566,8 +4566,10 @@ object PipelineQueries {
          |)
          |SELECT n, na AS n_in, onum::VARCHAR AS stat_num,
          |  (na::HUGEINT * (n - na))::VARCHAR AS stat_den,
-         |  64::BIGINT AS n_perms, n_exceed,
-         |  (n_exceed + 1)::BIGINT AS p_num, 65::BIGINT AS p_den
+         |  64::BIGINT AS n_perms,
+         |  (CASE WHEN n = 0 THEN 64 ELSE n_exceed END)::BIGINT AS n_exceed,
+         |  (CASE WHEN n = 0 THEN 64 ELSE n_exceed END + 1)::BIGINT AS p_num,
+         |  65::BIGINT AS p_den
          |FROM obs CROSS JOIN osup CROSS JOIN ex""".stripMargin,
     // Same arms + AP derivation as q216 restricted to fused/lex, win
     // signs from the shared-denominator ap_num comparison, then the
@@ -5178,7 +5180,8 @@ object PipelineQueries {
          |FROM ts
          |LEFT JOIN np USING (t_num, t_den)
          |LEFT JOIN nd USING (t_num, t_den)
-         |ORDER BY t_num * 1000000 // t_den, t_den""".stripMargin,
+         |ORDER BY (t_num::HUGEINT * 10000000000000000000::HUGEINT)
+         |  // t_den""".stripMargin,
     // Same hoisted hash, same scaled-floor replicate ordering, same
     // exact cross-multiplied bounds.
     "q233_release_diff_ci" ->

@@ -249,7 +249,7 @@ class ResampleSpec extends AnyFunSuite {
     assert(t.getAs[Long]("p_num") === 41L && t.getAs[Long]("p_den") === 41L)
   }
 
-  test("pairedSignTest rejects signs outside {-1, 0, 1}") {
+  test("pairedSignTest rejects signs outside {-1, 0, 1}; NULL signs are excluded, not fatal") {
     import spark.implicits._
     val df = Seq(("a", 2L)).toDF("k", "sgn")
     val e = intercept[Exception] {
@@ -257,6 +257,25 @@ class ResampleSpec extends AnyFunSuite {
         perms = 8, seed = "x").collect()
     }
     assert(e.getMessage != null)
+    // A NULL sign (e.g. a metric join with a missing side) follows the
+    // family's null convention — dropped before counting, no error.
+    val withNull = Seq(("a", Some(1L)), ("b", None: Option[Long]),
+      ("c", Some(-1L))).toDF("k", "sgn")
+    val r = Resample.pairedSignTest(withNull, col("k"), col("sgn"),
+      perms = 8, seed = "x").collect().head
+    assert(r.getAs[Long]("n") === 2L && r.getAs[Long]("n_tie") === 0L)
+  }
+
+  test("pairedSignTest evaluates its input exactly once (plan pin)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", -1L), ("c", 0L)).toDF("k", "sgn")
+    // The one-pass contract (observed counts = replicate 0) is a plan
+    // SHAPE: a single pipeline over one leaf — no self-join re-running
+    // the (potentially expensive) upstream comparison DAG.
+    val plan = Resample.pairedSignTest(df, col("k"), col("sgn"),
+      perms = 8, seed = "x").queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 1,
+      s"expected ONE scan of the comparison rows, got:\n$plan")
   }
 
   /** Plain-Scala reference for one group's sweep pieces: threshold rule,

@@ -106,9 +106,12 @@ def main():
                 for col in sorted({c for c, _ in diffs}):
                     print(f"      {col}: mine={sig_m.get(col)} oracle={sig_t.get(col)}")
                 continue
+            # substring match, not startswith: a decimal NESTED in a
+            # list/struct kind ("list<decimal(38,0)>") hits the same
+            # non-Arrow float64 hash path as a top-level one
             wide = sorted({c for c, k in
                            list(sig_m.items()) + list(sig_t.items())
-                           if k.startswith("decimal")})
+                           if "decimal" in k})
             if wide:
                 n_fail += 1
                 print(f"FAIL  {name}: WIDE-TYPE columns {wide} — "
