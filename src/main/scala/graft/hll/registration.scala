@@ -35,8 +35,25 @@ trait FunctionRegistration {
     val id = FunctionIdentifier(name)
     if (!registry.functionExists(id)) {
       registry.registerFunction(id, expressionInfo, builder)
+    } else {
+      // One INFO line per skipped name: a graft-vs-graft re-registration
+      // is the benign idempotent case, but a name owned by a DIFFERENT
+      // binding (user-registered, or a future Spark builtin colliding
+      // with a graft name) would otherwise resolve to the foreign
+      // function with ZERO diagnostic (the pre-r15 replace path at least
+      // emitted Spark's WARN). INFO keeps the bench harness's parsed
+      // stdout tail clean (log level ERROR there) while leaving a trail
+      // wherever INFO is collected.
+      FunctionRegistration.log.info(
+        s"graft: skipped registering '$name' — the session registry " +
+          "already has a function with this name; the existing binding " +
+          "wins (drop it first to install graft's implementation)")
     }
   }
+}
+
+object FunctionRegistration {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[FunctionRegistration])
 }
 
 /**

@@ -151,7 +151,10 @@ object Resample {
    * (fair-coin re-split, one md5 per (row, b) — the [[Sampling]]
    * recipe) exceeds iff num_b·den_obs ≥ num_obs·den_b in decimal(38,0)
    * (exact while n⁴ < 10³⁸, i.e. n ≲ 3·10⁹ rows per test scope — the
-   * audit-window bound, stated like randomizationTest's). Degenerate
+   * audit-window bound, stated like randomizationTest's, and ENFORCED:
+   * a scope past 3·10⁹ rows raises at execution rather than letting
+   * non-ANSI decimal overflow null out replicates and silently shrink
+   * the p-value). Degenerate
    * replicates with an empty side count as exceeding (conservative).
    * Same add-one p (Phipson & Smyth 2010).
    *
@@ -204,7 +207,19 @@ object Resample {
       .agg(max(expr(s"abs(cast(cuma as $dec) * (cast(ntot as $dec)" +
         s" - cast(nab as $dec)) - (cast(cum as $dec) - cast(cuma as $dec))" +
         s" * cast(nab as $dec))")).as("pnum"))
-      .select(col("b"), col("ntot"), col("nab"), col("pnum"),
+      .select(col("b"),
+        // Exact-domain guard (the bound documented above): the
+        // exceedance compare multiplies two ~n² decimals, so past
+        // n ≈ 3·10⁹ the 38-digit product overflows — and under
+        // non-ANSI Spark an overflow is a silent NULL, which drops the
+        // replicate from the exceedance SUM, undercounts, and ships an
+        // anti-conservative (too small) p-value. Out-of-domain inputs
+        // must fail loudly instead.
+        when(col("ntot") <= lit(3000000000L), col("ntot"))
+          .otherwise(raise_error(lit("ksRandomizationTest: test scope " +
+            "exceeds the exact decimal(38,0) domain (n > 3e9 rows); " +
+            "shard the test or pre-aggregate values"))).as("ntot"),
+        col("nab"), col("pnum"),
         expr(s"cast(nab as $dec) * (cast(ntot as $dec) - cast(nab as $dec))")
           .as("pden"))
     // Attach replicate 0's (observed) row to every replicate via a
@@ -831,17 +846,33 @@ object Resample {
    * Output types (the FIXTURES.md contract): the `*_scaled` quotients
    * ship as BIGINT — exact and in-range while the mean < 2⁶³/10¹⁵ ≈
    * 9.2·10³ value units (token-count means sit far below; the exact
-   * (num, den) pairs are the unbounded columns). Ordering stays
-   * decimal(38,0) internally. */
+   * (num, den) pairs are the unbounded columns). The bound is ENFORCED:
+   * an out-of-range mean raises at execution (matching the DuckDB
+   * oracle's ::BIGINT raise) instead of non-ANSI-nulling the display
+   * columns. Ordering stays decimal(38,0) internally. */
   private def ciFromReplicates(perRep: DataFrame, obs: DataFrame,
       reps: Int, tailDen: Int): DataFrame = {
     val lo = reps / tailDen
     val hi = reps - lo + 1
     val scale = "1000000000000000" // 10^15
+    // Scaled-quotient domain guard: `div` materializes a LONG, so a
+    // replicate mean ≥ 2⁶³/10¹⁵ ≈ 9.2·10³ value units would overflow —
+    // and under non-ANSI Spark that is a silent NULL (mis-ranked as the
+    // empty sentinel here, shipped as NULL *_scaled downstream) while
+    // the DuckDB oracle's ::BIGINT RAISES, so the engines would diverge
+    // in failure mode. Out-of-range means fail loudly on BOTH sides
+    // instead; the exact (num, den) pairs remain the unbounded columns.
+    val inLongRange =
+      expr(s"cast(sb as $dec) * $scale < cast(nb as $dec) * 9223372036854775807")
     val ranked = perRep
       .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
-        .otherwise(expr(s"cast(cast(sb as $dec) * $scale div " +
-          s"cast(nb as $dec) as $dec)")))
+        .when(inLongRange,
+          expr(s"cast(cast(sb as $dec) * $scale div " +
+            s"cast(nb as $dec) as $dec)"))
+        .otherwise(raise_error(lit("ciFromReplicates: replicate mean " +
+          "exceeds the 10^15-scaled BIGINT display domain (mean >= " +
+          "~9.2e3 value units); consume the exact (num, den) pairs or " +
+          "rescale the metric"))))
       .withColumn("r", row_number().over(
         Window.orderBy(col("q").asc, col("b").asc)).cast("long"))
     val picked = ranked.agg(
@@ -854,8 +885,13 @@ object Resample {
     broadcast(obs).crossJoin(broadcast(picked))
       .withColumn("mean_scaled",
         when(col("n") === 0L, lit(-1L))
-          .otherwise(expr(s"cast(cast(s as $dec) * $scale div " +
-            s"cast(n as $dec) as long)")))
+          .when(expr(s"cast(s as $dec) * $scale < " +
+              s"cast(n as $dec) * 9223372036854775807"),
+            expr(s"cast(cast(s as $dec) * $scale div " +
+              s"cast(n as $dec) as long)"))
+          .otherwise(raise_error(lit("ciFromReplicates: observed mean " +
+            "exceeds the 10^15-scaled BIGINT display domain; consume " +
+            "the exact (num, den) pairs or rescale the metric"))))
       .withColumn("n_reps", lit(reps.toLong))
       .withColumn("lo_rank", lit(lo.toLong))
       .withColumn("hi_rank", lit(hi.toLong))

@@ -5181,7 +5181,7 @@ object PipelineQueries {
          |LEFT JOIN np USING (t_num, t_den)
          |LEFT JOIN nd USING (t_num, t_den)
          |ORDER BY (t_num::HUGEINT * 10000000000000000000::HUGEINT)
-         |  // t_den""".stripMargin,
+         |  // t_den, t_den""".stripMargin,
     // Same hoisted hash, same scaled-floor replicate ordering, same
     // exact cross-multiplied bounds.
     "q233_release_diff_ci" ->

@@ -625,6 +625,29 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("CI scaled-display domain guard raises loudly past 2^63/10^15") {
+    import spark.implicits._
+    // A mean of 10^10 value units overflows the 10^15-scaled BIGINT
+    // display columns; non-ANSI Spark would silently NULL them (and
+    // mis-rank the replicate against the empty sentinel) while the
+    // DuckDB oracle raises — the guard makes the engine raise too.
+    val big = (0 until 8).map(i => (s"k$i", 10000000000L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Resample.bootstrapMeanCI(big, col("k"), col("v"),
+        reps = 8, seed = "ovf", tailDen = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("scaled BIGINT display domain")),
+      s"expected the domain guard, got: ${messages(e).mkString(" | ")}")
+    // Means inside the domain are untouched by the guard.
+    val ok = (0 until 8).map(i => (s"k$i", 9000L)).toDF("k", "v")
+    val row = Resample.bootstrapMeanCI(ok, col("k"), col("v"),
+      reps = 8, seed = "ovf", tailDen = 4).collect().head
+    assert(row.getAs[Long]("mean_scaled") === 9000L * 1000000000000000L)
+  }
+
   test("bh ranks are dense, ordered by exceedance then group key") {
     import spark.implicits._
     val df = sweepDocs.toDF("k", "v", "g").repartition(4)
