@@ -28,10 +28,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // Output-type contract (FIXTURES.md §4), enforced at the SOURCE: a
+    // query whose final schema carries any DecimalType is refused —
+    // recorded and the whole run exits non-zero after the loop — so the
+    // class that cost 8 driver rows at r14 turns gate 3 red locally
+    // instead of surfacing as a driver hash mismatch a round later.
+    val contractViolations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val wide = graft.queries.OutputTypeContract.decimalPaths(df.schema)
+        if (wide.nonEmpty) {
+          contractViolations.add(s"$name: [${wide.mkString(", ")}]")
+          System.err.println(s"[verify] $name REFUSED: DecimalType in " +
+            s"final schema at [${wide.mkString(", ")}] (FIXTURES.md §4)")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     // SPARK_GRAFT_VERIFY_THREADS > 1 is the LOCAL-ITERATION mode: queries
@@ -71,5 +83,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!contractViolations.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println("[verify] OUTPUT-TYPE CONTRACT VIOLATIONS " +
+        s"(${contractViolations.size}):\n  " +
+        contractViolations.asScala.mkString("\n  "))
+      sys.exit(1)
+    }
   }
 }
