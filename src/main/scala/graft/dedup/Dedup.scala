@@ -1550,6 +1550,131 @@ object Dedup {
         coalesce(concat_ws(" ", col("kept")), lit("")).as("clean_text"))
   }
 
+  // ------------------------------------ cross-document ExactSubstr dedup
+
+  /**
+   * Duplicated-coverage islands: per document, the maximal contiguous
+   * runs of token positions covered by a `w`-token window whose content
+   * repeats in ≥2 distinct documents. Shared core of
+   * [[exactSubstrSpans]] / [[exactSubstrScrub]].
+   *
+   * Islands from sorted window starts without materializing positions:
+   * windows have EQUAL length, so with starts sorted per doc the
+   * coverage of window i+1 is contiguous with the running island iff
+   * start(i+1) ≤ start(i) + w (overlap, or exact adjacency — both fuse
+   * a covered run); a larger gap opens a new island. One lag + running
+   * sum over (id, start) coordinate rows — text never reaches this
+   * window, and the per-doc partition is the natural span-merge
+   * parallelism at any corpus size. Output: (id, span_start, span_end),
+   * both 1-based inclusive token positions.
+   */
+  private def exactSubstrIslands(docs: DataFrame, w: Int,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("start"))
+    repeatedSpans(docs, w, idCol, textCol)
+      .select(col(idCol).as("id"), col("start"))
+      .withColumn("gap",
+        when(col("start") - lag(col("start"), 1).over(byDoc) > lit(w), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("gap")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(w - 1)).as("span_end"))
+  }
+
+  /**
+   * Cross-document repeated-substring DETECTION (the ExactSubstr half
+   * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+   * Models Better", §4.1 — doc-level exact/near/soft dedup is the other
+   * half and ships separately): every MAXIMAL token span duplicated
+   * verbatim across documents at length ≥ `minLen`, as (doc, start,
+   * len) coordinates.
+   *
+   * Equivalence to the suffix-array formulation, at token granularity:
+   * a position p of doc d lies inside a cross-document duplicated
+   * substring of length ≥ L iff some L-token window containing p is
+   * duplicated in another document (a duplicated M ≥ L span yields
+   * M−L+1 duplicated windows covering all M positions; conversely a
+   * duplicated window IS a duplicated L-span). So the stride-1
+   * window-hash coverage set equals Lee et al.'s dedup set exactly —
+   * no suffix array needed, and the window pass distributes where a
+   * suffix array build does not. Merged islands are therefore the
+   * maximal duplicated-coverage spans (an island may splice overlapping
+   * matches against DIFFERENT partner docs into one span — the same
+   * union ExactSubstr's byte-range merge performs).
+   *
+   * Scale contract: [[repeatedSpans]]' — the Rabin–Karp rolling
+   * prefilter finds candidate windows in one O(bytes) kernel pass per
+   * doc, only the genuinely-repeated sliver pays the md5-64 identity,
+   * and nothing but (id, start, hash) coordinates ever shuffles; the
+   * span merge is a lag/sum window over those coordinates partitioned
+   * by doc. Within-doc-only repetition is excluded by construction
+   * (hash must span ≥2 DISTINCT docs — q34's filters own pure
+   * self-repetition).
+   *
+   * @return (`idCol`, span_start, span_len) — 1-based token position,
+   *         span_len ≥ `minLen`; docs with no duplicated coverage emit
+   *         no rows
+   */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    exactSubstrIslands(docs, minLen, idCol, textCol)
+      .select(col("id").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
+  }
+
+  /**
+   * Cross-document repeated-substring EXCISION — the apply step over
+   * [[exactSubstrSpans]]: delete EVERY token position covered by a
+   * cross-document duplicated span of length ≥ `minLen`, in every
+   * document (Lee et al. 2022's released ExactSubstr tool removes all
+   * duplicated ranges; contrast [[spanDedupScrub]], which keeps one
+   * corpus-wide occurrence per window hash — that is the
+   * "keep-a-canonical-copy" policy, this is the "boilerplate never
+   * survives anywhere" policy; both are real pipeline stages).
+   *
+   * Deterministic end to end: islands are a pure function of the
+   * corpus, the cleaned text is the surviving tokens joined by single
+   * spaces (feeds tokenizers, not renderers — q78's convention), and
+   * before/after token accounting ships alongside.
+   *
+   * Scale contract: coordinates shuffle, text does not — the island
+   * table collapses to one (starts-ends array, n_spans) row per
+   * AFFECTED doc, joined back to the token scan as a broadcast sliver;
+   * excision is a per-row filter over the doc's own tokens (≤ |tokens|
+   * · |spans| compares against arrays bounded by document length).
+   *
+   * @return (`idCol`, n_tokens, n_spans, n_removed, clean_text) — one
+   *         row per input doc, zeros/identity for untouched docs
+   */
+  def exactSubstrScrub(docs: DataFrame, minLen: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    val perDoc = exactSubstrIslands(docs, minLen, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").cast("int").as("s"),
+          col("span_end").cast("int").as("e"))).as("rm"),
+        count(lit(1)).as("n_spans"))
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    base.join(perDoc, Seq("id"), "left")
+      .withColumn("rmx",
+        coalesce(col("rm"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("ts"), (t, i) =>
+        !exists(col("rmx"), r =>
+          r.getField("s") <= i + 1 && i + 1 <= r.getField("e"))))
+      .select(col("id").as(idCol),
+        coalesce(size(col("ts")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(size(col("ts")) - size(col("kept")), lit(0)).cast("long")
+          .as("n_removed"),
+        coalesce(concat_ws(" ", col("kept")), lit("")).as("clean_text"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Distinct word n-gram shingle array of a token array ([[WordShingles]]). */

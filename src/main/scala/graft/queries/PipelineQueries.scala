@@ -393,6 +393,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-document repeated-SUBSTRING dedup, DETECTION half (the
+    // ExactSubstr side of Lee et al. 2022; q16/q14 et al. are the
+    // doc-level half): every MAXIMAL token span of length >= 16
+    // duplicated verbatim across documents, overlapping duplicated
+    // windows fused into islands. Window-hash coverage equals the
+    // suffix-array dedup set at token granularity (proof in the
+    // operator's scaladoc); only (doc, start, hash) coordinates ever
+    // shuffle, and the span merge is a lag/sum window over coordinates.
+    "q242_exact_substr_spans" -> ((s, dir) => {
+      Dedup.exactSubstrSpans(Tables.documents(s, dir), minLen = 16)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // The APPLY half: excise EVERY occurrence of cross-document
+    // duplicated coverage (no keeper — contrast q78's
+    // keep-one-canonical-copy policy), with before/after token
+    // accounting; only integers and the cleaned text's md5 cross the
+    // engine boundary.
+    "q243_exact_substr_scrub" -> ((s, dir) => {
+      Dedup.exactSubstrScrub(Tables.documents(s, dir), minLen = 16)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
     // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
     // keeps wholesale quotes, not topical overlap). Asymmetric by design —
@@ -3988,6 +4014,86 @@ object PipelineQueries {
          |  coalesce(a.clean_fp, md5('')) AS clean_fp
          |FROM documents d
          |JOIN tot t USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q64's windows, hash, and cross-doc rule; islands by the identical
+    // gap predicate (start - prev <= 16 continues a covered run —
+    // overlap or exact adjacency), maximal spans as (min, max + w - 1)
+    // per island.
+    "q242_exact_substr_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         |occ AS (SELECT doc_id, start FROM sp JOIN rep USING (gh)),
+         |lagd AS (
+         |  SELECT doc_id, start,
+         |    lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM occ
+         |),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev IS NULL OR start - prev <= 16 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM lagd
+         |)
+         |SELECT doc_id, min(start)::BIGINT AS span_start,
+         |  (max(start) + 16 - min(start))::BIGINT AS span_len
+         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // Same duplicated occurrences; coverage removal WITHOUT the keeper
+    // exemption (every occurrence excised — q78 keeps the corpus-wide
+    // first), plus the per-doc island count.
+    "q243_exact_substr_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+         |occ AS (SELECT doc_id, start FROM sp JOIN rep USING (gh)),
+         |lagd AS (
+         |  SELECT doc_id, start,
+         |    lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM occ
+         |),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev IS NULL OR start - prev <= 16 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM lagd
+         |),
+         |spn AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_spans
+         |        FROM isl GROUP BY 1),
+         |pos AS (
+         |  SELECT t.doc_id, p.p AS p, ts[p.p::INT] AS tok
+         |  FROM toks t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS p) p
+         |),
+         |kept AS (
+         |  SELECT doc_id, p, tok FROM pos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM occ r WHERE r.doc_id = t.doc_id
+         |                    AND t.p BETWEEN r.start AND r.start + 15)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY 1
+         |),
+         |tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks)
+         |SELECT d.doc_id, t.n_tokens,
+         |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+         |  (t.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM documents d
+         |JOIN tot t USING (doc_id)
+         |LEFT JOIN spn s USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "q63_containment_pairs" ->

@@ -704,6 +704,128 @@ class DedupSpec extends AnyFunSuite {
     assert(out === brute(rows))
   }
 
+  // ---------------------------------------------------- ExactSubstr dedup
+
+  test("exactSubstrSpans merges overlapping windows into maximal spans") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // 5 windows at w=16
+    val rows = Seq(
+      1L -> (boiler + " unique tail of document one"),
+      2L -> ("four extra head words " + boiler),
+      3L -> "totally unrelated content with no shared spans at all")
+    val out = exactSubstrSpans(docs(rows: _*), minLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // One MAXIMAL span per doc — 5 overlapping windows fused, not 5 rows.
+    assert(out === Set((1L, 1L, 20L), (2L, 5L, 20L)))
+  }
+
+  test("exactSubstrSpans keeps distant duplicated spans as separate islands") {
+    val a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val b = (1 to 16).map(i => s"c$i").mkString(" ")
+    val gap = (1 to 20).map(i => s"g$i").mkString(" ") // > w tokens between
+    val rows = Seq(
+      1L -> (a + " " + gap + " " + b),
+      2L -> (a + " completely different middle here " + b))
+    val out = exactSubstrSpans(docs(rows: _*), minLen = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 16L), (1L, 37L, 16L),
+      (2L, 1L, 16L), (2L, 21L, 16L)))
+  }
+
+  test("exactSubstrScrub removes EVERY occurrence — no keeper survives") {
+    val boiler = (1 to 17).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      1L -> (boiler + " unique tail of document one"),
+      2L -> ("different head here " + boiler),
+      3L -> "totally unrelated content with no shared spans at all")
+    val out = exactSubstrScrub(docs(rows: _*), minLen = 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // CONTRAST with spanDedupScrub: doc 1's first occurrence is excised
+    // too — the all-occurrence ExactSubstr policy.
+    assert(out(1L) === ((22L, 1L, 17L, "unique tail of document one")))
+    assert(out(2L) === ((20L, 1L, 17L, "different head here")))
+    assert(out(3L)._3 === 0L)
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("exactSubstrScrub ignores within-doc repetition and short/empty docs") {
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      1L -> (span + " middle words " + span), // repeated only within doc 1
+      2L -> "short doc",
+      3L -> "")
+    val out = exactSubstrScrub(docs(rows: _*), minLen = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((34L, 0L, 0L)))
+    assert(out(2L) === ((2L, 0L, 0L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("exactSubstr spans + scrub equal brute-force coverage on template corpora") {
+    // The definitional reference: a position is removed iff some w-window
+    // containing it has a gram shared with ANOTHER doc; spans are the
+    // maximal contiguous covered runs. Same generator regime as the
+    // spanDedupScrub property test (heavy overlap, sub-width docs,
+    // within-doc repeats, multi-partner splices all occur naturally).
+    import org.scalacheck.Gen
+    val w = 4
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(23L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(30)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val allSpans = for {
+      (id, t) <- rows; ts = toks(t)
+      s <- 1 to math.max(ts.length - w + 1, 0)
+    } yield (id, s, ts.slice(s - 1, s - 1 + w).mkString(" "))
+    val repeated = allSpans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size > 1).keySet
+    val covered: Map[Long, Set[Int]] = allSpans
+      .filter(p => repeated(p._3))
+      .groupBy(_._1)
+      .map { case (id, occ) =>
+        id -> occ.flatMap(p => p._2 until (p._2 + w)).toSet
+      }
+    def islands(ps: Set[Int]): Seq[(Int, Int)] = {
+      val sorted = ps.toSeq.sorted
+      sorted.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc :+ ((s, e)), p) if p == e + 1 => acc :+ ((s, p))
+        case (acc, p) => acc :+ ((p, p))
+      }
+    }
+    val bruteSpans = covered.toSeq.flatMap { case (id, ps) =>
+      islands(ps).map { case (s, e) => (id, s.toLong, (e - s + 1).toLong) }
+    }.toSet
+    val bruteScrub = rows.map { case (id, t) =>
+      val ts = toks(t)
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect {
+        case (tok, i0) if !cov(i0 + 1) => tok
+      }
+      id -> ((ts.length.toLong, islands(cov).size.toLong,
+        cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+
+    val spansOut = exactSubstrSpans(docs(rows: _*), minLen = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spansOut === bruteSpans)
+    val scrubOut = exactSubstrScrub(docs(rows: _*), minLen = w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(scrubOut === bruteScrub)
+  }
+
+  test("exactSubstr guards reject non-positive widths") {
+    intercept[IllegalArgumentException] { exactSubstrSpans(docs(), minLen = 0) }
+    intercept[IllegalArgumentException] { exactSubstrScrub(docs(), minLen = -1) }
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {

@@ -322,6 +322,35 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
     assert(p.contains("BroadcastHashJoin"), "removal apply join is not broadcast")
   }
 
+  test("exact-substr dedup: coordinate-only exchanges, rolling prefilter, broadcast apply") {
+    // Detection half: the span-merge window and all aggregations run
+    // over (id, start, hash) coordinates — a shuffle carrying the token
+    // arrays or raw text would be corpus-sized at 100 TB.
+    val spans = plan(graft.dedup.Dedup.exactSubstrSpans(
+      graft.sources.Tables.documents(spark, sf), minLen = 16))
+    assert(spans.contains("rolling_span_hashes"),
+      "rolling prefilter kernel missing — every window would pay md5")
+    val exS = spans.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exS.nonEmpty)
+    assert(!exS.exists(l => l.contains("ts#") || l.contains("text")),
+      s"token arrays ride a detection shuffle:\n${exS.mkString("\n")}")
+    // Apply half: same coordinate discipline, and the per-doc island
+    // slivers must reach the token scan as a broadcast, never by
+    // hashing the corpus's text across the cluster.
+    val scrub = plan(graft.dedup.Dedup.exactSubstrScrub(
+      graft.sources.Tables.documents(spark, sf), minLen = 16))
+    assert(!scrub.contains("CartesianProduct") &&
+      !scrub.contains("BroadcastNestedLoopJoin"))
+    val exC = scrub.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exC.nonEmpty)
+    assert(!exC.exists(l => l.contains("ts#") || l.contains("text")),
+      s"token arrays ride a scrub shuffle:\n${exC.mkString("\n")}")
+    assert(scrub.contains("BroadcastHashJoin"),
+      "island apply join is not broadcast")
+  }
+
   test("repeated-span detection explodes FINGERPRINTS; md5 runs only on the post-join sliver") {
     val p = plan(graft.dedup.Dedup.repeatedSpans(
       graft.sources.Tables.documents(spark, sf), w = 16))
