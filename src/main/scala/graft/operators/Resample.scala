@@ -342,6 +342,112 @@ object Resample {
         lit(perms.toLong + 1L).as("p_den"))
   }
 
+  /** Metric resolution of [[pairedDeltaTest]]'s quantization: deltas are
+   * priced at 10⁻⁶ of a metric unit. Part of the test's DEFINITION (the
+   * statistic is over quantized deltas), not an implementation detail. */
+  private val DeltaScale = "1000000" // 10^6
+
+  /**
+   * Paired RANDOMIZATION test over per-unit metric DELTAS — the
+   * magnitude-aware companion of [[pairedSignTest]] (the permutation
+   * analog of the paired t-test): under H0 each unit's delta is
+   * symmetric around zero, so replicates flip each delta's sign with
+   * the md5 coin and count how many reach the observed |Σ dᵢ|. A system
+   * that wins small on many queries but loses huge on a few is
+   * "significant" to the sign test and correctly NOT significant here —
+   * magnitude, not just direction, is priced.
+   *
+   * Deltas arrive as exact integer rationals (deltaNum signed, deltaDen
+   * positive — e.g. ap_num_A − ap_num_B over the query's shared ap_den
+   * from [[Retrieval.apAtK]], or dcg_num differences over the query's
+   * idcg_num from ndcgAtK). Exact cross-replicate comparison of
+   * rational SUMS would need an lcm over per-unit denominators
+   * (unbounded); instead each delta is QUANTIZED to d̃ = sign(num) ·
+   * ⌊|num|·10⁶ / den⌋ — floor of a NON-NEGATIVE rational, i.e.
+   * truncating integer division, which Spark's `div` and DuckDB's `//`
+   * compute identically — and the test is DEFINED over the d̃ (10⁻⁶
+   * metric resolution; a delta smaller than that is priced as zero).
+   * Everything downstream is exact integer arithmetic in decimal(38,0).
+   *
+   * Same add-one p (Phipson & Smyth 2010); degenerate all-zero-d̃ (or
+   * empty) input pins p = 1 — every replicate trivially reaches an
+   * observed 0. A quantized |d̃| past int64 raises loudly (the family's
+   * guard convention) rather than non-ANSI-nulling into undercounted
+   * exceedances. NULL key/num/den rows are excluded; den ≤ 0 raises.
+   *
+   * Scale contract: ONE pass over the comparison rows (the replicate
+   * expansion carries observed as replicate 0, zero-d̃ rows excluded
+   * from b ≥ 1 — flipping a zero does nothing); B+1 summary rows cross
+   * the exchange. `stat` ships as STRING (FIXTURES.md §4: Σ d̃ is
+   * n·10⁶-bounded, past int64 at extreme unit counts).
+   *
+   * @return one row: (n, n_zero, stat, n_perms, n_exceed, p_num, p_den)
+   *         — n counts all non-null units, n_zero those with d̃ = 0,
+   *         stat = |Σ d̃| over all units
+   */
+  def pairedDeltaTest(df: DataFrame, key: Column, deltaNum: Column,
+      deltaDen: Column, perms: Int, seed: String): DataFrame = {
+    require(perms > 0, s"perms must be positive, got $perms")
+    val den0 = deltaDen.cast("long")
+    val denChecked = when(den0.isNull, den0)
+      .when(den0 > 0L, den0)
+      .otherwise(raise_error(lit(
+        "pairedDeltaTest: delta denominator must be positive")))
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
+        deltaNum.cast("long").as("dn"), denChecked.as("dd"))
+      .filter(col("k").isNotNull && col("dn").isNotNull && col("dd").isNotNull))
+    // Quantized signed delta: |num|·10⁶ div den is floor (operands
+    // non-negative), engine-identical; the int64 range guard mirrors
+    // ciFromReplicates' (loud, both engines).
+    val inRange = expr(s"abs(cast(dn as $dec)) * $DeltaScale < " +
+      s"cast(dd as $dec) * 9223372036854775807")
+    val quant = base.select(col("k"),
+      (when(col("dn") < 0L, lit(-1L)).otherwise(lit(1L)) *
+        when(inRange, expr(s"cast(abs(cast(dn as $dec)) * $DeltaScale div " +
+            s"cast(dd as $dec) as long)"))
+          .otherwise(raise_error(lit("pairedDeltaTest: quantized |delta| " +
+            "exceeds BIGINT (|num|*10^6/den >= 2^63); rescale the " +
+            "metric rational")))).as("d"))
+    // ONE pass: observed rides as replicate 0 over ALL rows (no coin);
+    // replicates b >= 1 carry only d != 0 rows and flip signs with the
+    // md5 coin (s = 1 - 2·bit).
+    val perB = quant
+      .select(col("k"), col("d"),
+        explode(sequence(lit(0), lit(perms))).as("b"))
+      .filter(col("b") === 0 || col("d") =!= 0L)
+      .select(col("b"), col("d"),
+        when(col("b") === 0, lit(0L))
+          .otherwise(coinBit(seed, col("b"), col("k"))).as("bit"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("pn"),
+        coalesce(sum(when(col("d") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("nzero"),
+        coalesce(sum(expr(s"cast((1 - 2 * bit) * d as $dec)")),
+          expr(s"cast(0 as $dec)")).as("t"))
+    val wAllRows = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withObs = perB
+      .withColumn("ot", max(when(col("b") === 0, abs(col("t")))).over(wAllRows))
+    withObs.agg(
+        coalesce(max(when(col("b") === 0, col("pn"))), lit(0L)).as("n"),
+        coalesce(max(when(col("b") === 0, col("nzero"))), lit(0L)).as("n_zero"),
+        coalesce(max(when(col("b") === 0, abs(col("t")))).cast("string"),
+          lit("0")).as("stat"),
+        coalesce(sum(when(col("b") > 0 && abs(col("t")) >= col("ot"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_exceed_raw"))
+      // All-zero (or empty) deltas leave no b >= 1 rows, but every
+      // replicate trivially reaches an observed 0 — p must be 1, not
+      // the anti-conservative 1/(B+1).
+      .withColumn("n_exceed",
+        when(col("n") - col("n_zero") === 0L, lit(perms.toLong))
+          .otherwise(col("n_exceed_raw")))
+      .select(col("n"), col("n_zero"), col("stat"),
+        lit(perms.toLong).as("n_perms"), col("n_exceed"),
+        (col("n_exceed") + 1L).as("p_num"),
+        lit(perms.toLong + 1L).as("p_den"))
+  }
+
   /**
    * Multiple-testing-controlled drift sweep: for EVERY group g, a
    * randomization test of "does g's mean value differ from the rest of

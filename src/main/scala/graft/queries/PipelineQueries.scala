@@ -1534,6 +1534,42 @@ object PipelineQueries {
         perms = 200, seed = "st")
     }),
 
+    // Magnitude-aware paired comparison over the SAME arms (the
+    // permutation paired-t analog): q240 prices only the DIRECTION of
+    // each query's fused-vs-lex outcome; here the per-query AP@10
+    // delta rationals (ap_num_fused − ap_num_lex over the query's
+    // shared ap_den) carry their SIZE into the randomization null, so
+    // a few large losses correctly cancel many small wins. Quantized
+    // at the operator's definitional 10⁻⁶ metric resolution.
+    "q244_paired_delta_test" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries
+            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      val ap = graft.operators.Retrieval.apAtK(
+        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
+      val wide = ap.groupBy(col("query_id"))
+        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
+            lit(0L)).as("a"),
+          coalesce(max(when(col("system") === "lex", col("ap_num"))),
+            lit(0L)).as("b"),
+          max(col("ap_den")).as("dd"))
+      graft.operators.Resample.pairedDeltaTest(wide, col("query_id"),
+        col("a") - col("b"), col("dd"), perms = 200, seed = "dt")
+    }),
+
     // Graded-relevance ranking metric (ERR@10, Chapelle 2009) — the
     // grade-AND-position-sensitive eval over the same arms: grade 2 =
     // same (lang, source) as the query doc, grade 1 = same lang only.
@@ -4744,6 +4780,73 @@ object PipelineQueries {
          |  (CASE WHEN npos + nneg = 0 THEN 200 ELSE n_exceed END)::BIGINT
          |    AS n_exceed,
          |  (CASE WHEN npos + nneg = 0 THEN 200 ELSE n_exceed END
+         |    + 1)::BIGINT AS p_num,
+         |  201::BIGINT AS p_den
+         |FROM obs CROSS JOIN ex""".stripMargin,
+    // Same arms + AP rationals as q240 with the shared per-query
+    // denominator carried through; quantize (floor of a non-negative
+    // rational — `//` and Spark's `div` agree), flip signs with the
+    // identical md5 coin, count magnitude exceedances.
+    "q244_paired_delta_test" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |h AS (
+         |  SELECT s.system, s.query_id, s.rank,
+         |    count(*) OVER (PARTITION BY s.system, s.query_id
+         |      ORDER BY s.rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hits_i
+         |  FROM sys s JOIN rel r
+         |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+         |  WHERE s.system IN ('fused', 'lex')
+         |),
+         |pq AS (
+         |  SELECT system, query_id,
+         |    sum(hits_i * (2520 // rank))::BIGINT AS ap_num
+         |  FROM h GROUP BY 1, 2
+         |),
+         |wide AS (
+         |  SELECT j.query_id,
+         |    coalesce(max(CASE WHEN p.system = 'fused' THEN p.ap_num END),
+         |      0)::BIGINT AS a,
+         |    coalesce(max(CASE WHEN p.system = 'lex' THEN p.ap_num END),
+         |      0)::BIGINT AS b,
+         |    (2520 * least(max(j.n_rel), 10))::BIGINT AS dd
+         |  FROM judged j LEFT JOIN pq p ON p.query_id = j.query_id
+         |  GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT query_id::VARCHAR AS k,
+         |    (CASE WHEN a < b THEN -1 ELSE 1 END)::HUGEINT *
+         |      ((abs(a - b)::HUGEINT * 1000000) // dd) AS dq
+         |  FROM wide
+         |),
+         |obs AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    coalesce(sum(CASE WHEN dq = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS n_zero,
+         |    coalesce(abs(sum(dq)), 0)::HUGEINT AS ot
+         |  FROM d
+         |),
+         |hb AS (
+         |  SELECT bs.b, d.dq,
+         |    ((('0x' || substr(md5('dt:' || bs.b::VARCHAR || ':' || d.k),
+         |      1, 16))::UBIGINT & 1) = 1) AS bit
+         |  FROM d CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |  WHERE d.dq <> 0
+         |),
+         |per AS (
+         |  SELECT b,
+         |    abs(sum((CASE WHEN bit THEN -1 ELSE 1 END)::HUGEINT * dq)) AS t
+         |  FROM hb GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT coalesce(sum(CASE WHEN t >= obs.ot THEN 1 ELSE 0 END),
+         |    0)::BIGINT AS n_exceed
+         |  FROM per CROSS JOIN obs
+         |)
+         |SELECT n, n_zero, ot::VARCHAR AS stat, 200::BIGINT AS n_perms,
+         |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END)::BIGINT
+         |    AS n_exceed,
+         |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END
          |    + 1)::BIGINT AS p_num,
          |  201::BIGINT AS p_den
          |FROM obs CROSS JOIN ex""".stripMargin,

@@ -278,6 +278,125 @@ class ResampleSpec extends AnyFunSuite {
       s"expected ONE scan of the comparison rows, got:\n$plan")
   }
 
+  /** Plain-Scala reference for the paired delta test: quantize each
+   * rational to ⌊|num|·10⁶/den⌋ with the sign re-applied, flip signs
+   * with the replayed md5 coin, count replicates reaching |Σ d̃|. */
+  private def referenceDelta(rows: Seq[(String, Long, Long)], perms: Int,
+      seed: String): (Long, Long, BigInt, Long) = {
+    def quant(dn: Long, dd: Long): Long = {
+      val q = (BigInt(dn).abs * 1000000) / BigInt(dd)
+      (if (dn < 0) -q else q).toLong
+    }
+    val ds = rows.map { case (k, dn, dd) => (k, quant(dn, dd)) }
+    val n = ds.size.toLong
+    val nZero = ds.count(_._2 == 0L).toLong
+    val ot = ds.map(d => BigInt(d._2)).sum.abs
+    val nonzero = ds.filter(_._2 != 0L)
+    val exceed =
+      if (n - nZero == 0) perms.toLong
+      else (1 to perms).count { b =>
+        val t = nonzero.map { case (k, d) =>
+          if (coin(seed, b, k)) -BigInt(d) else BigInt(d)
+        }.sum
+        t.abs >= ot
+      }.toLong
+    (n, nZero, ot, exceed)
+  }
+
+  test("pairedDeltaTest matches the BigInt reference replicate-for-replicate") {
+    import spark.implicits._
+    // Mixed denominators (the apAtK/ndcgAtK shape), planted positive
+    // shift with a few reversals and exact zeros.
+    val rows: Seq[(String, Long, Long)] = (0 until 60).map { i =>
+      val den = Seq(2520L, 25200L, 7560L)(i % 3)
+      val num = if (i % 11 == 0) -den / 4
+        else if (i % 7 == 0) 0L
+        else den / 3 + i
+      (s"q$i", num, den)
+    }
+    val df = rows.toDF("k", "dn", "dd").repartition(4)
+    val r = Resample.pairedDeltaTest(df, col("k"), col("dn"), col("dd"),
+      perms = 64, seed = "dt").collect().head
+    val (n, nZero, ot, exceed) = referenceDelta(rows, 64, "dt")
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_zero") === nZero)
+    assert(BigInt(r.getAs[String]("stat")) === ot)
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(r.getAs[Long]("p_num") === exceed + 1)
+    assert(r.getAs[Long]("p_den") === 65L)
+    // The planted majority-positive shift must actually be detected.
+    assert(exceed < 5, s"planted delta shift not detected (exceed=$exceed)")
+  }
+
+  test("pairedDeltaTest prices magnitude where the sign test cannot") {
+    import spark.implicits._
+    // Nine +1/9 wins and one -1/1 loss: directionally lopsided (the
+    // sign test calls it significant) but the magnitudes cancel to
+    // ~zero — the delta test must call it noise. This asymmetry is the
+    // operator's reason to exist.
+    val rows = (0 until 9).map(i => (s"w$i", 1L, 9L)) :+ (("loss", -1L, 1L))
+    val df = rows.toDF("k", "dn", "dd")
+    val delta = Resample.pairedDeltaTest(df, col("k"), col("dn"),
+      col("dd"), perms = 200, seed = "mg").collect().head
+    val sign = Resample.pairedSignTest(df,
+      col("k"), when(col("dn") > 0, 1L).when(col("dn") < 0, -1L)
+        .otherwise(0L), perms = 200, seed = "mg").collect().head
+    val pDelta = delta.getAs[Long]("p_num").toDouble / delta.getAs[Long]("p_den")
+    val pSign = sign.getAs[Long]("p_num").toDouble / sign.getAs[Long]("p_den")
+    assert(pSign < 0.1, s"sign test should fire on 9-vs-1 (p=$pSign)")
+    assert(pDelta > 0.5, s"delta test must see cancelled magnitudes (p=$pDelta)")
+    // |Σ d̃| = |9·111111 - 1000000| = 1.
+    assert(BigInt(delta.getAs[String]("stat")) === BigInt(1))
+  }
+
+  test("pairedDeltaTest degenerate and null edges") {
+    import spark.implicits._
+    // All-zero deltas: p = 1, never 1/(B+1).
+    val zeros = Seq(("a", 0L, 5L), ("b", 0L, 7L)).toDF("k", "dn", "dd")
+    val z = Resample.pairedDeltaTest(zeros, col("k"), col("dn"), col("dd"),
+      perms = 16, seed = "z").collect().head
+    assert(z.getAs[Long]("n") === 2L && z.getAs[Long]("n_zero") === 2L)
+    assert(z.getAs[Long]("n_exceed") === 16L)
+    assert(z.getAs[String]("stat") === "0")
+    // Sub-resolution deltas quantize to zero (part of the definition).
+    val tiny = Seq(("a", 1L, 10000000L)).toDF("k", "dn", "dd")
+    val t = Resample.pairedDeltaTest(tiny, col("k"), col("dn"), col("dd"),
+      perms = 16, seed = "z").collect().head
+    assert(t.getAs[Long]("n_zero") === 1L && t.getAs[Long]("n_exceed") === 16L)
+    // NULL rows drop (family convention); non-positive den raises.
+    val withNull = Seq(("a", Some(1L), Some(2L)), ("b", None, Some(3L)),
+      ("c", Some(1L), None)).toDF("k", "dn", "dd")
+    val nn = Resample.pairedDeltaTest(withNull, col("k"), col("dn"),
+      col("dd"), perms = 8, seed = "z").collect().head
+    assert(nn.getAs[Long]("n") === 1L)
+    val badDen = Seq(("a", 1L, 0L)).toDF("k", "dn", "dd")
+    intercept[Exception] {
+      Resample.pairedDeltaTest(badDen, col("k"), col("dn"), col("dd"),
+        perms = 8, seed = "z").collect()
+    }
+    // Quantized |delta| past int64 raises loudly, never nulls.
+    val huge = Seq(("a", Long.MaxValue / 2, 1L)).toDF("k", "dn", "dd")
+    val e = intercept[Exception] {
+      Resample.pairedDeltaTest(huge, col("k"), col("dn"), col("dd"),
+        perms = 8, seed = "z").collect()
+    }
+    def messages(t2: Throwable): Seq[String] =
+      Option(t2).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("quantized |delta| exceeds")),
+      s"expected the quantization guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("pairedDeltaTest evaluates its input exactly once (plan pin)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 4L), ("b", -1L, 2L), ("c", 0L, 3L))
+      .toDF("k", "dn", "dd")
+    val plan = Resample.pairedDeltaTest(df, col("k"), col("dn"), col("dd"),
+      perms = 8, seed = "x").queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 1,
+      s"expected ONE scan of the comparison rows, got:\n$plan")
+  }
+
   /** Plain-Scala reference for one group's sweep pieces: threshold rule,
    * per-replicate membership, exceedance. */
   private def referenceSweep(rows: Seq[(String, Long, String)], perms: Int,
