@@ -1569,11 +1569,19 @@ object Dedup {
    * both 1-based inclusive token positions.
    */
   private def exactSubstrIslands(docs: DataFrame, w: Int,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    coverageIslands(
+      repeatedSpans(docs, w, idCol, textCol).select(col(idCol).as("id"),
+        col("start")), w)
+
+  /** The island fold over any (id, start) occurrence table: merge the
+   * w-length windows at `start` into maximal covered runs per id (the
+   * lag/sum rule documented on [[exactSubstrIslands]]). Coordinates
+   * only; the per-id window partition is the merge parallelism. */
+  private def coverageIslands(occ: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("start"))
-    repeatedSpans(docs, w, idCol, textCol)
-      .select(col(idCol).as("id"), col("start"))
+    occ
       .withColumn("gap",
         when(col("start") - lag(col("start"), 1).over(byDoc) > lit(w), 1L)
           .otherwise(0L))
@@ -1582,6 +1590,32 @@ object Dedup {
       .groupBy(col("id"), col("isl"))
       .agg(min(col("start")).as("span_start"),
         (max(col("start")) + lit(w - 1)).as("span_end"))
+  }
+
+  /** Shared excision tail: delete every token position of `base`
+   * (id, ts) covered by an island, rebuild the cleaned stream, account.
+   * The islands collapse to one (spans array, count) row per AFFECTED
+   * id and reach the token scan as a broadcast sliver; removal is a
+   * per-row filter against the doc's own spans. */
+  private def exciseIslands(base: DataFrame, islands: DataFrame,
+      idCol: String): DataFrame = {
+    val perDoc = islands
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").cast("int").as("s"),
+          col("span_end").cast("int").as("e"))).as("rm"),
+        count(lit(1)).as("n_spans"))
+    base.join(perDoc, Seq("id"), "left")
+      .withColumn("rmx",
+        coalesce(col("rm"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("ts"), (t, i) =>
+        !exists(col("rmx"), r =>
+          r.getField("s") <= i + 1 && i + 1 <= r.getField("e"))))
+      .select(col("id").as(idCol),
+        coalesce(size(col("ts")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(size(col("ts")) - size(col("kept")), lit(0)).cast("long")
+          .as("n_removed"),
+        coalesce(concat_ws(" ", col("kept")), lit("")).as("clean_text"))
   }
 
   /**
@@ -1654,25 +1688,77 @@ object Dedup {
   def exactSubstrScrub(docs: DataFrame, minLen: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
-    val perDoc = exactSubstrIslands(docs, minLen, idCol, textCol)
-      .groupBy(col("id"))
-      .agg(collect_list(struct(col("span_start").cast("int").as("s"),
-          col("span_end").cast("int").as("e"))).as("rm"),
-        count(lit(1)).as("n_spans"))
+    exciseIslands(
+      docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("ts")),
+      exactSubstrIslands(docs, minLen, idCol, textCol), idCol)
+  }
+
+  /**
+   * Span-level benchmark DECONTAMINATION scrub — the APPLY step next to
+   * the detection trio (q35 gram counts, q42 bloom prune-then-verify,
+   * q63 containment pairs): excise every token span of length ≥ `n`
+   * that a corpus document shares verbatim with ANY benchmark document,
+   * keeping the rest of the document. Dropping a whole doc over one
+   * embedded eval question wastes data; excising the leaked span is the
+   * pipeline stage that keeps it — the targeted complement of
+   * doc-level decontamination filters.
+   *
+   * Same coverage semantics as [[exactSubstrScrub]] (a position is
+   * removed iff some n-window containing it appears in the benchmark —
+   * i.e. iff it lies inside a shared span of length ≥ n; maximal
+   * islands merge overlapping matches against different benchmark
+   * docs), but matched against the BENCHMARK's window set instead of
+   * cross-document repetition, and with no keeper question at all —
+   * benchmark text never survives in the corpus.
+   *
+   * Scale contract: the benchmark side is an eval set — tiny next to a
+   * training corpus — so BOTH its Rabin–Karp fingerprint set (the
+   * prefilter) and its md5-64 window identities BROADCAST; the corpus
+   * gram stream prunes map-side against the fingerprints, only the
+   * surviving sliver pays md5 (the q64-cliff discipline), and corpus
+   * text never shuffles. Islands + excision are [[exactSubstrScrub]]'s
+   * coordinate machinery. Within-corpus repetition that is NOT in the
+   * benchmark survives untouched (that is exactSubstrScrub's job).
+   *
+   * @return (`idCol`, n_tokens, n_spans, n_removed, clean_text) — one
+   *         row per CORPUS doc (benchmark docs are not output)
+   */
+  def decontaminationScrub(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, s"span width must be positive, got $n")
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
-    base.join(perDoc, Seq("id"), "left")
-      .withColumn("rmx",
-        coalesce(col("rm"), array().cast("array<struct<s:int,e:int>>")))
-      .withColumn("kept", filter(col("ts"), (t, i) =>
-        !exists(col("rmx"), r =>
-          r.getField("s") <= i + 1 && i + 1 <= r.getField("e"))))
-      .select(col("id").as(idCol),
-        coalesce(size(col("ts")), lit(0)).cast("long").as("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(size(col("ts")) - size(col("kept")), lit(0)).cast("long")
-          .as("n_removed"),
-        coalesce(concat_ws(" ", col("kept")), lit("")).as("clean_text"))
+    // Benchmark windows: rolling fingerprint AND md5 identity per
+    // window, both distinct + broadcast (eval sets are small — the
+    // corpus never pays md5 until a fingerprint collides).
+    val benchW = benchmark
+      .select(TextAnalysis.tokens(col(textCol)).as("ts"))
+      .select(col("ts"),
+        posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
+          GraftSqlBridge.expression(col("ts")), n))).as(Seq("pos0", "rh")))
+    val benchRh = benchW.select(col("rh")).distinct()
+    val benchGh = benchW
+      .select(graft.operators.Sampling.md5Hash64(
+        concat_ws(" ", slice(col("ts"), col("pos0") + 1, lit(n)))).as("gh"))
+      .distinct()
+    val rolled = base.select(col("id"),
+        posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
+          GraftSqlBridge.expression(col("ts")), n))).as(Seq("pos0", "rh")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("rh"))
+    // Candidate sliver: fingerprint match (lossless — equal strings
+    // fingerprint equal), then the md5 confirm on re-attached tokens
+    // (bound to a column FIRST — the q64 cliff).
+    val occ = rolled.join(broadcast(benchRh), "rh")
+      .select(col("id"), col("start"))
+      .join(base, "id")
+      .select(col("id"), col("start"),
+        graft.operators.Sampling.md5Hash64(
+          concat_ws(" ", slice(col("ts"), col("start"), lit(n)))).as("gh"))
+      .join(broadcast(benchGh), "gh")
+      .select(col("id"), col("start"))
+    exciseIslands(base, coverageIslands(occ, n), idCol)
   }
 
   // -------------------------------------------------------- decontamination

@@ -419,6 +419,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level decontamination APPLY — the repair next to the
+    // detection trio (q35 counts, q42 bloom prune, q63 pairs): excise
+    // every 8-token span a corpus doc shares verbatim with the src0
+    // benchmark, keeping the rest of the document (dropping the whole
+    // doc over one embedded eval question wastes data). Benchmark
+    // fingerprints + md5 identities broadcast; corpus text never
+    // shuffles; within-corpus repetition not in the benchmark survives.
+    "q245_decontamination_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminationScrub(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
     // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
     // keeps wholesale quotes, not topical overlap). Asymmetric by design —
@@ -4052,6 +4070,63 @@ object PipelineQueries {
          |JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // The q243 coverage machinery at w = 8, matched against the src0
+    // benchmark's window-hash set instead of cross-doc repetition;
+    // corpus docs only.
+    "q245_decontamination_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |corpus AS (SELECT doc_id, ts FROM toks WHERE source <> 'src0'),
+         |bench AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+         |      ts[(i.i)::INT:(i.i + 7)::INT], ' ')), 1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |  WHERE source = 'src0'
+         |),
+         |occ AS (
+         |  SELECT doc_id, i.i AS start
+         |  FROM corpus c, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) i
+         |  WHERE ('0x' || substr(md5(array_to_string(
+         |      ts[(i.i)::INT:(i.i + 7)::INT], ' ')), 1, 16))::UBIGINT
+         |    IN (SELECT gh FROM bench)
+         |),
+         |lagd AS (
+         |  SELECT doc_id, start,
+         |    lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM occ
+         |),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev IS NULL OR start - prev <= 8 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM lagd
+         |),
+         |spn AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_spans
+         |        FROM isl GROUP BY 1),
+         |pos AS (
+         |  SELECT c.doc_id, p.p AS p, ts[p.p::INT] AS tok
+         |  FROM corpus c, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS p) p
+         |),
+         |kept AS (
+         |  SELECT doc_id, p, tok FROM pos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM occ r WHERE r.doc_id = t.doc_id
+         |                    AND t.p BETWEEN r.start AND r.start + 7)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY 1
+         |),
+         |tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM corpus)
+         |SELECT c.doc_id, t.n_tokens,
+         |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+         |  (t.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM corpus c
+         |JOIN tot t USING (doc_id)
+         |LEFT JOIN spn s USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     // q64's windows, hash, and cross-doc rule; islands by the identical
     // gap predicate (start - prev <= 16 continues a covered run —
     // overlap or exact adjacency), maximal spans as (min, max + w - 1)

@@ -826,6 +826,98 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { exactSubstrScrub(docs(), minLen = -1) }
   }
 
+  // ------------------------------------------- span-level decontamination
+
+  test("decontaminationScrub excises benchmark quotes, keeps the rest") {
+    val quote = (1 to 6).map(i => s"q$i").mkString(" ") // 6 tokens, w=4
+    val bench = docs(100L -> ("eval question intro " + quote + " answer choices"))
+    val corpus = docs(
+      1L -> ("training text begins " + quote + " and then continues on"),
+      2L -> "no leak in this one at all honestly",
+      // 3-token partial overlap — BELOW the window width, must survive.
+      3L -> ("tail only q4 q5 q6 present here"))
+    val out = Dedup.decontaminationScrub(corpus, bench, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((13L, 1L, 6L, "training text begins and then continues on")))
+    assert(out(2L)._3 === 0L)
+    assert(out(3L) === ((7L, 0L, 0L, "tail only q4 q5 q6 present here")))
+    // Benchmark docs are NOT in the output.
+    assert(!out.contains(100L))
+  }
+
+  test("decontaminationScrub leaves within-corpus repetition alone") {
+    val span = (1 to 4).map(i => s"w$i").mkString(" ")
+    val bench = docs(100L -> "completely unrelated benchmark content here")
+    val corpus = docs(
+      1L -> (span + " filler " + span), // repeated across corpus docs,
+      2L -> (span + " other filler"))   // but NOT in the benchmark
+    val out = Dedup.decontaminationScrub(corpus, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+  }
+
+  test("decontaminationScrub: fully-quoted doc empties; overlap vs two bench docs merges") {
+    val a = "alpha beta gamma delta"
+    val b = "gamma delta epsilon zeta"
+    val bench = docs(100L -> a, 101L -> b)
+    // Doc 1 = a ∪ b overlapped: windows matching DIFFERENT bench docs
+    // must merge into ONE island covering everything.
+    val corpus = docs(1L -> "alpha beta gamma delta epsilon zeta")
+    val out = Dedup.decontaminationScrub(corpus, bench, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((6L, 1L, 6L, "")))
+  }
+
+  test("decontaminationScrub equals brute-force coverage on generated corpora") {
+    import org.scalacheck.Gen
+    val w = 4
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(31L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(30)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (benchRows, corpusRows) = all.partition(_._1 % 5 == 0)
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val benchGrams = benchRows.flatMap { case (_, t) =>
+      val ts = toks(t)
+      (1 to math.max(ts.length - w + 1, 0))
+        .map(s => ts.slice(s - 1, s - 1 + w).mkString(" "))
+    }.toSet
+    val brute = corpusRows.map { case (id, t) =>
+      val ts = toks(t)
+      val cov = (1 to math.max(ts.length - w + 1, 0))
+        .filter(s => benchGrams(ts.slice(s - 1, s - 1 + w).mkString(" ")))
+        .flatMap(s => s until (s + w)).toSet
+      val kept = ts.zipWithIndex.collect {
+        case (tok, i0) if !cov(i0 + 1) => tok
+      }
+      def nIslands(ps: Set[Int]): Long = {
+        val sorted = ps.toSeq.sorted
+        sorted.zip(-1 +: sorted.dropRight(1)).count { case (p, prev) => p != prev + 1 }.toLong
+      }
+      id -> ((ts.length.toLong, nIslands(cov), cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+
+    val out = Dedup.decontaminationScrub(
+      docs(corpusRows: _*), docs(benchRows: _*), n = w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out === brute)
+  }
+
+  test("decontaminationScrub rejects non-positive widths") {
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminationScrub(docs(), docs(), n = 0)
+    }
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {

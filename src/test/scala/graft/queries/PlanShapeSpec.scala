@@ -351,6 +351,26 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       "island apply join is not broadcast")
   }
 
+  test("decontamination scrub: bench windows broadcast, corpus text never shuffles") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.dedup.Dedup.decontaminationScrub(
+      docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      n = 8))
+    // The corpus gram stream must prune map-side against the broadcast
+    // benchmark fingerprint/identity sets — a shuffle of corpus grams
+    // (or worse, text) against the bench side is corpus-sized at 100 TB.
+    assert(p.contains("rolling_span_hashes"),
+      "rolling prefilter kernel missing — every corpus window would pay md5")
+    assert(p.contains("BroadcastHashJoin"), "bench-side joins not broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!ex.exists(l => l.contains("ts#") || l.contains("text")),
+      s"corpus token arrays ride a shuffle:\n${ex.mkString("\n")}")
+  }
+
   test("repeated-span detection explodes FINGERPRINTS; md5 runs only on the post-join sliver") {
     val p = plan(graft.dedup.Dedup.repeatedSpans(
       graft.sources.Tables.documents(spark, sf), w = 16))
