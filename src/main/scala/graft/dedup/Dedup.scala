@@ -1568,11 +1568,27 @@ object Dedup {
    * parallelism at any corpus size. Output: (id, span_start, span_end),
    * both 1-based inclusive token positions.
    */
-  private def exactSubstrIslands(docs: DataFrame, w: Int,
-      idCol: String, textCol: String): DataFrame =
-    coverageIslands(
-      repeatedSpans(docs, w, idCol, textCol).select(col(idCol).as("id"),
-        col("start")), w)
+  private def exactSubstrIslands(docs: DataFrame, w: Int, minDocs: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val occ =
+      if (minDocs == 2) {
+        repeatedSpans(docs, w, idCol, textCol)
+          .select(col(idCol).as("id"), col("start"))
+      } else {
+        // Same chain as repeatedSpans with the distinct-doc threshold
+        // raised: windows must appear in >= minDocs documents. The
+        // Rabin-Karp prefilter stays at >= 2 (lossless superset).
+        val base = docs.select(col(idCol).as("id"),
+          TextAnalysis.tokens(col(textCol)).as("ts"))
+        val spans = confirmedSpans(base, w)
+        val hot = spans.groupBy("gh")
+          .agg(count_distinct(col("id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select("gh")
+        spans.join(hot, "gh").select(col("id"), col("start"))
+      }
+    coverageIslands(occ, w)
+  }
 
   /** The island fold over any (id, start) occurrence table: merge the
    * w-length windows at `start` into maximal covered runs per id (the
@@ -1648,14 +1664,23 @@ object Dedup {
    * (hash must span ≥2 DISTINCT docs — q34's filters own pure
    * self-repetition).
    *
+   * `minDocs` is the duplicate-count threshold of the released tool's
+   * count knob, at WINDOW resolution: a window is duplicated iff its
+   * content appears in ≥ `minDocs` distinct documents (default 2 = any
+   * cross-doc repeat; raise it so a two-document quotation — possibly
+   * legitimate citation — survives while 100-document boilerplate does
+   * not).
+   *
    * @return (`idCol`, span_start, span_len) — 1-based token position,
    *         span_len ≥ `minLen`; docs with no duplicated coverage emit
    *         no rows
    */
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
-    exactSubstrIslands(docs, minLen, idCol, textCol)
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    exactSubstrIslands(docs, minLen, minDocs, idCol, textCol)
       .select(col("id").as(idCol),
         col("span_start").cast("long").as("span_start"),
         (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
@@ -1686,12 +1711,14 @@ object Dedup {
    *         row per input doc, zeros/identity for untouched docs
    */
   def exactSubstrScrub(docs: DataFrame, minLen: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     exciseIslands(
       docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts")),
-      exactSubstrIslands(docs, minLen, idCol, textCol), idCol)
+      exactSubstrIslands(docs, minLen, minDocs, idCol, textCol), idCol)
   }
 
   /**

@@ -826,6 +826,34 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { exactSubstrScrub(docs(), minLen = -1) }
   }
 
+  test("exactSubstr minDocs threshold: 2-doc quotes survive at minDocs = 3") {
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // in 3 docs
+    val quote = (1 to 16).map(i => s"c$i").mkString(" ")  // in 2 docs
+    val rows = Seq(
+      1L -> (boiler + " " + quote),
+      2L -> ("x " + boiler),
+      3L -> ("y " + boiler),
+      4L -> ("z " + quote))
+    // Raised threshold: only the 3-doc boilerplate is duplicated "enough";
+    // the 2-doc quotation (possibly legitimate citation) survives.
+    val at3 = exactSubstrScrub(docs(rows: _*), minLen = 16, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(at3(1L) === ((16L, quote)))
+    assert(at3(2L)._1 === 16L && at3(3L)._1 === 16L)
+    assert(at3(4L) === ((0L, "z " + quote)))
+    // Default threshold (2): both spans are duplicated, everything goes.
+    val at2 = exactSubstrScrub(docs(rows: _*), minLen = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(at2(1L) === 32L && at2(4L) === 16L)
+    // And the spans side agrees at the raised threshold.
+    val spans3 = exactSubstrSpans(docs(rows: _*), minLen = 16, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans3 === Set((1L, 1L, 16L), (2L, 2L, 16L), (3L, 2L, 16L)))
+    intercept[IllegalArgumentException] {
+      exactSubstrSpans(docs(), minLen = 16, minDocs = 1)
+    }
+  }
+
   // ------------------------------------------- span-level decontamination
 
   test("decontaminationScrub excises benchmark quotes, keeps the rest") {
