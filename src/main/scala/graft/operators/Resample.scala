@@ -449,6 +449,116 @@ object Resample {
   }
 
   /**
+   * Exact Wilcoxon SIGNED-RANK randomization test — the middle member
+   * of the paired-comparison triple ([[pairedSignTest]] prices
+   * direction only; [[pairedDeltaTest]] prices raw magnitude and lets
+   * one outlier dominate; the signed-rank statistic prices magnitude
+   * through RANKS, so it detects a consistent shift while staying
+   * robust to a single huge reversal — the classical recommendation
+   * for paired metric comparisons).
+   *
+   * Deltas arrive as the same integer rationals as [[pairedDeltaTest]]
+   * and share its definitional 10⁻⁶ quantization. Classical zero
+   * handling: d̃ = 0 units are DISCARDED before ranking (Wilcoxon's
+   * rule; they carry no direction). Ties in |d̃| take AVERAGE ranks —
+   * kept exact by DOUBLING: a tie group occupying sorted positions
+   * a..b gets doubled-rank 2a + (b−a+1) − 1 = a + b, an integer, so
+   * the statistic W₂ = Σ sign(d̃)·r₂ is exact integer arithmetic and
+   * any engine re-derives it (rank() + per-group count — no floats).
+   * Under H0 signs are symmetric: replicates flip each unit's signed
+   * doubled-rank with the md5 coin and count |W₂_b| ≥ |W₂_obs|.
+   * Same add-one p; empty/all-zero input pins p = 1.
+   *
+   * One-scan shape with a twist the delta test cannot use: ranks
+   * depend only on |d̃| — sign flips do not reorder them — so the
+   * rank window runs ONCE over the ≤ n non-zero units (|units| rows,
+   * eval-scale by the family's contract) BEFORE the replicate
+   * expansion, and the expansion carries only (key, signed r₂). B+1
+   * summary rows cross the final exchange; stat ships as STRING
+   * (FIXTURES.md §4: W₂ is n²-bounded).
+   *
+   * @return one row: (n, n_zero, stat, n_perms, n_exceed, p_num,
+   *         p_den) — n counts all non-null units, n_zero the
+   *         discarded zeros, stat = |W₂| (doubled signed-rank sum)
+   */
+  def wilcoxonSignedRank(df: DataFrame, key: Column, deltaNum: Column,
+      deltaDen: Column, perms: Int, seed: String): DataFrame = {
+    require(perms > 0, s"perms must be positive, got $perms")
+    val den0 = deltaDen.cast("long")
+    val denChecked = when(den0.isNull, den0)
+      .when(den0 > 0L, den0)
+      .otherwise(raise_error(lit(
+        "wilcoxonSignedRank: delta denominator must be positive")))
+    val base = graft.dedup.Dedup.fanOutSmallScan(
+      df.select(key.cast("string").as("k"),
+        deltaNum.cast("long").as("dn"), denChecked.as("dd"))
+      .filter(col("k").isNotNull && col("dn").isNotNull && col("dd").isNotNull))
+    val inRange = expr(s"abs(cast(dn as $dec)) * $DeltaScale < " +
+      s"cast(dd as $dec) * 9223372036854775807")
+    val quant = base.select(col("k"),
+      (when(col("dn") < 0L, lit(-1L)).otherwise(lit(1L)) *
+        when(inRange, expr(s"cast(abs(cast(dn as $dec)) * $DeltaScale div " +
+            s"cast(dd as $dec) as long)"))
+          .otherwise(raise_error(lit("wilcoxonSignedRank: quantized " +
+            "|delta| exceeds BIGINT (|num|*10^6/den >= 2^63); rescale " +
+            "the metric rational")))).as("d"))
+    // ONE rank window over ALL units (zeros included, so the upstream
+    // DAG evaluates once): with |d| ascending the z zero rows occupy
+    // positions 1..z, so a non-zero tie group at overall positions a..b
+    // has nonzero-only doubled average rank (a−z)+(b−z) = 2·rank +
+    // cnt − 1 − 2z. Zero rows ship sr = 0 (they contribute nothing and
+    // are excluded from replicates below — the classical discard).
+    val wRank = Window.orderBy(col("ad"))
+    val wTie = Window.partitionBy(col("ad"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = quant
+      .select(col("k"), col("d"), abs(col("d")).as("ad"))
+      .withColumn("z",
+        coalesce(sum(when(col("ad") === 0L, 1L).otherwise(0L)).over(wAll),
+          lit(0L)))
+      .withColumn("sr", when(col("d") === 0L, lit(0L))
+        .otherwise(
+          (when(col("d") < 0L, lit(-1L)).otherwise(lit(1L))) *
+            (lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie)
+              - 1L - lit(2L) * col("z"))))
+      .select(col("k"), col("sr"))
+    // Observed rides as replicate 0 over ALL rows (zeros counted there);
+    // replicates b >= 1 carry only the non-zero units and the coin.
+    val perB = ranked
+      .select(col("k"), col("sr"),
+        explode(sequence(lit(0), lit(perms))).as("b"))
+      .filter(col("b") === 0 || col("sr") =!= 0L)
+      .select(col("b"), col("sr"),
+        when(col("b") === 0, lit(0L))
+          .otherwise(coinBit(seed, col("b"), col("k"))).as("bit"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("pn"),
+        coalesce(sum(when(col("sr") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("nzero"),
+        coalesce(sum(expr(s"cast((1 - 2 * bit) * sr as $dec)")),
+          expr(s"cast(0 as $dec)")).as("w2"))
+    val withObs = perB
+      .withColumn("ow", max(when(col("b") === 0, abs(col("w2")))).over(wAll))
+    withObs.agg(
+        coalesce(max(when(col("b") === 0, col("pn"))), lit(0L)).as("n"),
+        coalesce(max(when(col("b") === 0, col("nzero"))), lit(0L)).as("n_zero"),
+        coalesce(max(when(col("b") === 0, abs(col("w2")))).cast("string"),
+          lit("0")).as("stat"),
+        coalesce(sum(when(col("b") > 0 && abs(col("w2")) >= col("ow"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_exceed_raw"))
+      // No non-zero units → no b >= 1 rows, but every replicate
+      // trivially reaches an observed 0 — p = 1, never 1/(B+1).
+      .withColumn("n_exceed",
+        when(col("n") - col("n_zero") === 0L, lit(perms.toLong))
+          .otherwise(col("n_exceed_raw")))
+      .select(col("n"), col("n_zero"), col("stat"),
+        lit(perms.toLong).as("n_perms"), col("n_exceed"),
+        (col("n_exceed") + 1L).as("p_num"),
+        lit(perms.toLong + 1L).as("p_den"))
+  }
+
+  /**
    * Multiple-testing-controlled drift sweep: for EVERY group g, a
    * randomization test of "does g's mean value differ from the rest of
    * the corpus?", then Benjamini–Hochberg step-up over the exact

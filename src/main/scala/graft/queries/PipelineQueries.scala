@@ -1588,6 +1588,41 @@ object PipelineQueries {
         col("a") - col("b"), col("dd"), perms = 200, seed = "dt")
     }),
 
+    // The middle member of the paired triple (q240 direction, q244 raw
+    // magnitude): Wilcoxon signed-rank over the SAME AP@10 delta
+    // rationals — magnitude through exact doubled average ranks, so a
+    // consistent small shift registers while a single huge reversal
+    // cannot dominate. Ranks are sign-invariant, so the rank window
+    // runs once over |queries| rows before the replicate expansion.
+    "q246_wilcoxon_signed_rank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val queries = docs.filter(col("doc_id") < 10)
+      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+        kConst = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(queries
+            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+          Seq("lang", "source"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      val ap = graft.operators.Retrieval.apAtK(
+        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
+      val wide = ap.groupBy(col("query_id"))
+        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
+            lit(0L)).as("a"),
+          coalesce(max(when(col("system") === "lex", col("ap_num"))),
+            lit(0L)).as("b"),
+          max(col("ap_den")).as("dd"))
+      graft.operators.Resample.wilcoxonSignedRank(wide, col("query_id"),
+        col("a") - col("b"), col("dd"), perms = 200, seed = "wx")
+    }),
+
     // Graded-relevance ranking metric (ERR@10, Chapelle 2009) — the
     // grade-AND-position-sensitive eval over the same arms: grade 2 =
     // same (lang, source) as the query doc, grade 1 = same lang only.
@@ -4919,6 +4954,76 @@ object PipelineQueries {
          |  FROM per CROSS JOIN obs
          |)
          |SELECT n, n_zero, ot::VARCHAR AS stat, 200::BIGINT AS n_perms,
+         |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END)::BIGINT
+         |    AS n_exceed,
+         |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END
+         |    + 1)::BIGINT AS p_num,
+         |  201::BIGINT AS p_den
+         |FROM obs CROSS JOIN ex""".stripMargin,
+    // q244's deltas and quantization; ranks as the exact doubled
+    // average (2·rank + tie-count − 1 over the non-zero units — the
+    // min-rank + group-count identity), then the identical coin flips
+    // on the signed ranks.
+    "q246_wilcoxon_signed_rank" ->
+      s"""WITH $retrievalEvalCtesSql,
+         |h AS (
+         |  SELECT s.system, s.query_id, s.rank,
+         |    count(*) OVER (PARTITION BY s.system, s.query_id
+         |      ORDER BY s.rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hits_i
+         |  FROM sys s JOIN rel r
+         |    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+         |  WHERE s.system IN ('fused', 'lex')
+         |),
+         |pq AS (
+         |  SELECT system, query_id,
+         |    sum(hits_i * (2520 // rank))::BIGINT AS ap_num
+         |  FROM h GROUP BY 1, 2
+         |),
+         |wide AS (
+         |  SELECT j.query_id,
+         |    coalesce(max(CASE WHEN p.system = 'fused' THEN p.ap_num END),
+         |      0)::BIGINT AS a,
+         |    coalesce(max(CASE WHEN p.system = 'lex' THEN p.ap_num END),
+         |      0)::BIGINT AS b,
+         |    (2520 * least(max(j.n_rel), 10))::BIGINT AS dd
+         |  FROM judged j LEFT JOIN pq p ON p.query_id = j.query_id
+         |  GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT query_id::VARCHAR AS k,
+         |    (CASE WHEN a < b THEN -1 ELSE 1 END)::HUGEINT *
+         |      ((abs(a - b)::HUGEINT * 1000000) // dd) AS dq
+         |  FROM wide
+         |),
+         |rk AS (
+         |  SELECT k, (CASE WHEN dq < 0 THEN -1 ELSE 1 END)::HUGEINT *
+         |    (2 * rank() OVER (ORDER BY abs(dq))
+         |     + count(*) OVER (PARTITION BY abs(dq)) - 1) AS sr
+         |  FROM d WHERE dq <> 0
+         |),
+         |obs AS (
+         |  SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+         |    (SELECT count(*) FROM d WHERE dq = 0)::BIGINT AS n_zero,
+         |    coalesce((SELECT abs(sum(sr)) FROM rk), 0)::HUGEINT AS ow
+         |),
+         |hb AS (
+         |  SELECT bs.b, rk.sr,
+         |    ((('0x' || substr(md5('wx:' || bs.b::VARCHAR || ':' || rk.k),
+         |      1, 16))::UBIGINT & 1) = 1) AS bit
+         |  FROM rk CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs
+         |),
+         |per AS (
+         |  SELECT b,
+         |    abs(sum((CASE WHEN bit THEN -1 ELSE 1 END)::HUGEINT * sr)) AS t
+         |  FROM hb GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT coalesce(sum(CASE WHEN t >= obs.ot THEN 1 ELSE 0 END),
+         |    0)::BIGINT AS n_exceed
+         |  FROM per CROSS JOIN (SELECT ow AS ot FROM obs) obs
+         |)
+         |SELECT n, n_zero, ow::VARCHAR AS stat, 200::BIGINT AS n_perms,
          |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END)::BIGINT
          |    AS n_exceed,
          |  (CASE WHEN n - n_zero = 0 THEN 200 ELSE n_exceed END

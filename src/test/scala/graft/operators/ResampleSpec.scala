@@ -387,6 +387,109 @@ class ResampleSpec extends AnyFunSuite {
       s"expected the quantization guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  /** Plain-Scala Wilcoxon reference: quantize, discard zeros, doubled
+   * average ranks of |d̃| (2·lower + cnt + 1 — an independent
+   * derivation of the engine's windowed 2·rank + cnt − 1 − 2z), coin
+   * flips replayed. */
+  private def referenceWilcoxon(rows: Seq[(String, Long, Long)], perms: Int,
+      seed: String): (Long, Long, BigInt, Long) = {
+    def quant(dn: Long, dd: Long): Long = {
+      val q = (BigInt(dn).abs * 1000000) / BigInt(dd)
+      (if (dn < 0) -q else q).toLong
+    }
+    val ds = rows.map { case (k, dn, dd) => (k, quant(dn, dd)) }
+    val nonzero = ds.filter(_._2 != 0L)
+    val absVals = nonzero.map(_._2.abs)
+    def r2(a: Long): Long =
+      2L * absVals.count(_ < a) + absVals.count(_ == a) + 1L
+    val srs = nonzero.map { case (k, d) =>
+      (k, (if (d < 0) -1L else 1L) * r2(d.abs))
+    }
+    val ow = srs.map(s => BigInt(s._2)).sum.abs
+    val nZero = ds.count(_._2 == 0L).toLong
+    val exceed =
+      if (nonzero.isEmpty) perms.toLong
+      else (1 to perms).count { b =>
+        srs.map { case (k, sr) =>
+          if (coin(seed, b, k)) -BigInt(sr) else BigInt(sr)
+        }.sum.abs >= ow
+      }.toLong
+    (ds.size.toLong, nZero, ow, exceed)
+  }
+
+  test("wilcoxonSignedRank matches the BigInt reference, ties averaged exactly") {
+    import spark.implicits._
+    // Duplicate |d̃| values force the average-rank path; zeros and
+    // reversals mixed in; majority-positive shift must be detected.
+    val rows: Seq[(String, Long, Long)] = (0 until 40).map { i =>
+      val den = 1000L
+      val num = if (i % 13 == 0) 0L
+        else if (i % 5 == 0) -200L          // tied negative group
+        else if (i % 2 == 0) 300L           // tied positive group
+        else 100L + (i % 3) * 100L          // more ties across signs
+      (s"u$i", num, den)
+    }
+    val df = rows.toDF("k", "dn", "dd").repartition(4)
+    val r = Resample.wilcoxonSignedRank(df, col("k"), col("dn"), col("dd"),
+      perms = 64, seed = "wx").collect().head
+    val (n, nZero, ow, exceed) = referenceWilcoxon(rows, 64, "wx")
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_zero") === nZero)
+    assert(BigInt(r.getAs[String]("stat")) === ow)
+    assert(r.getAs[Long]("n_exceed") === exceed)
+    assert(r.getAs[Long]("p_den") === 65L)
+    assert(exceed < 5, s"planted rank shift not detected (exceed=$exceed)")
+  }
+
+  test("the paired triple orders as sign < signed-rank < delta on an outlier") {
+    import spark.implicits._
+    // Nine +1/9 wins, one -1/1 loss: direction says significant, raw
+    // magnitude says perfectly cancelled, ranks sit between — the
+    // textbook reason all three tests exist.
+    val rows = (0 until 9).map(i => (s"w$i", 1L, 9L)) :+ (("loss", -1L, 1L))
+    val df = rows.toDF("k", "dn", "dd")
+    val pOf = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("p_num").toDouble / r.getAs[Long]("p_den")
+    val sign = pOf(Resample.pairedSignTest(df, col("k"),
+      when(col("dn") > 0, 1L).when(col("dn") < 0, -1L).otherwise(0L),
+      perms = 200, seed = "tri").collect().head)
+    val wx = Resample.wilcoxonSignedRank(df, col("k"), col("dn"),
+      col("dd"), perms = 200, seed = "tri").collect().head
+    val delta = pOf(Resample.pairedDeltaTest(df, col("k"), col("dn"),
+      col("dd"), perms = 200, seed = "tri").collect().head)
+    // W2: nine tied wins at doubled rank 10, the loss at 20 → |90−20|.
+    assert(BigInt(wx.getAs[String]("stat")) === BigInt(70))
+    assert(sign < pOf(wx), s"sign=$sign wilcoxon=${pOf(wx)}")
+    assert(pOf(wx) < delta, s"wilcoxon=${pOf(wx)} delta=$delta")
+  }
+
+  test("wilcoxonSignedRank degenerate edges and guards") {
+    import spark.implicits._
+    val zeros = Seq(("a", 0L, 5L), ("b", 0L, 7L)).toDF("k", "dn", "dd")
+    val z = Resample.wilcoxonSignedRank(zeros, col("k"), col("dn"),
+      col("dd"), perms = 16, seed = "z").collect().head
+    assert(z.getAs[Long]("n") === 2L && z.getAs[Long]("n_zero") === 2L)
+    assert(z.getAs[Long]("n_exceed") === 16L && z.getAs[String]("stat") === "0")
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "dn", "dd")
+    val e = Resample.wilcoxonSignedRank(empty, col("k"), col("dn"),
+      col("dd"), perms = 16, seed = "z").collect().head
+    assert(e.getAs[Long]("n") === 0L && e.getAs[Long]("n_exceed") === 16L)
+    intercept[Exception] {
+      Resample.wilcoxonSignedRank(Seq(("a", 1L, -3L)).toDF("k", "dn", "dd"),
+        col("k"), col("dn"), col("dd"), perms = 8, seed = "z").collect()
+    }
+  }
+
+  test("wilcoxonSignedRank evaluates its input exactly once (plan pin)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 4L), ("b", -1L, 2L), ("c", 0L, 3L))
+      .toDF("k", "dn", "dd")
+    val plan = Resample.wilcoxonSignedRank(df, col("k"), col("dn"),
+      col("dd"), perms = 8, seed = "x").queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size === 1,
+      s"expected ONE scan of the comparison rows, got:\n$plan")
+  }
+
   test("pairedDeltaTest evaluates its input exactly once (plan pin)") {
     import spark.implicits._
     val df = Seq(("a", 1L, 4L), ("b", -1L, 2L), ("c", 0L, 3L))
