@@ -42,6 +42,16 @@ object Verify {
           contractViolations.add(s"$name: [${wide.mkString(", ")}]")
           System.err.println(s"[verify] $name REFUSED: DecimalType in " +
             s"final schema at [${wide.mkString(", ")}] (FIXTURES.md §4)")
+          // Remove any artifact a PRIOR run left under this name —
+          // otherwise tooling that globs outDir (rather than keying off
+          // the exit code) would diff outdated-but-present parquet for
+          // the refused query instead of seeing it missing.
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          val stale = new java.io.File(s"$outDir/$name")
+          if (stale.exists()) rm(stale)
         } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

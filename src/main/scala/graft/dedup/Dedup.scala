@@ -1466,14 +1466,19 @@ object Dedup {
    * (id, start, gh) coordinates — q64's detection surface and the input
    * to [[spanDedupScrub]]'s keeper selection. */
   def repeatedSpans(docs: DataFrame, w: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
     val spans = confirmedSpans(base, w)
+    // minDocs raises the distinct-document threshold (the ExactSubstr
+    // count knob); the Rabin-Karp prefilter inside confirmedSpans stays
+    // at >= 2 — a lossless superset of any higher threshold.
     val repeated = spans.groupBy("gh")
       .agg(count_distinct(col("id")).as("nd"))
-      .filter(col("nd") > 1)
+      .filter(col("nd") >= minDocs)
       .select("gh")
     spans.join(repeated, "gh")
       .select(col("id").as(idCol), col("start"), col("gh"))
@@ -1569,26 +1574,10 @@ object Dedup {
    * both 1-based inclusive token positions.
    */
   private def exactSubstrIslands(docs: DataFrame, w: Int, minDocs: Int,
-      idCol: String, textCol: String): DataFrame = {
-    val occ =
-      if (minDocs == 2) {
-        repeatedSpans(docs, w, idCol, textCol)
-          .select(col(idCol).as("id"), col("start"))
-      } else {
-        // Same chain as repeatedSpans with the distinct-doc threshold
-        // raised: windows must appear in >= minDocs documents. The
-        // Rabin-Karp prefilter stays at >= 2 (lossless superset).
-        val base = docs.select(col(idCol).as("id"),
-          TextAnalysis.tokens(col(textCol)).as("ts"))
-        val spans = confirmedSpans(base, w)
-        val hot = spans.groupBy("gh")
-          .agg(count_distinct(col("id")).as("nd"))
-          .filter(col("nd") >= minDocs)
-          .select("gh")
-        spans.join(hot, "gh").select(col("id"), col("start"))
-      }
-    coverageIslands(occ, w)
-  }
+      idCol: String, textCol: String): DataFrame =
+    coverageIslands(
+      repeatedSpans(docs, w, idCol, textCol, minDocs)
+        .select(col(idCol).as("id"), col("start")), w)
 
   /** The island fold over any (id, start) occurrence table: merge the
    * w-length windows at `start` into maximal covered runs per id (the

@@ -388,31 +388,49 @@ object Resample {
   def pairedDeltaTest(df: DataFrame, key: Column, deltaNum: Column,
       deltaDen: Column, perms: Int, seed: String): DataFrame = {
     require(perms > 0, s"perms must be positive, got $perms")
+    signFlipExceedance(
+      quantizedDeltas(df, key, deltaNum, deltaDen, "pairedDeltaTest"),
+      perms, seed)
+  }
+
+  /** Shared quantization front of the delta family ([[pairedDeltaTest]],
+   * [[wilcoxonSignedRank]]): validated (k, d̃) rows with d̃ = sign(num)
+   * · ⌊|num|·10⁶/den⌋ — floor of a NON-NEGATIVE rational, i.e.
+   * truncating integer division, which Spark's `div` and DuckDB's `//`
+   * compute identically. NULL rows drop; den ≤ 0 and quantized
+   * overflow raise with the caller's name. */
+  private def quantizedDeltas(df: DataFrame, key: Column, deltaNum: Column,
+      deltaDen: Column, fn: String): DataFrame = {
     val den0 = deltaDen.cast("long")
     val denChecked = when(den0.isNull, den0)
       .when(den0 > 0L, den0)
-      .otherwise(raise_error(lit(
-        "pairedDeltaTest: delta denominator must be positive")))
+      .otherwise(raise_error(lit(s"$fn: delta denominator must be positive")))
     val base = graft.dedup.Dedup.fanOutSmallScan(
       df.select(key.cast("string").as("k"),
         deltaNum.cast("long").as("dn"), denChecked.as("dd"))
       .filter(col("k").isNotNull && col("dn").isNotNull && col("dd").isNotNull))
-    // Quantized signed delta: |num|·10⁶ div den is floor (operands
-    // non-negative), engine-identical; the int64 range guard mirrors
-    // ciFromReplicates' (loud, both engines).
+    // The int64 range guard mirrors ciFromReplicates' (loud, both
+    // engines, both directions — |num| is guarded, sign re-applied).
     val inRange = expr(s"abs(cast(dn as $dec)) * $DeltaScale < " +
       s"cast(dd as $dec) * 9223372036854775807")
-    val quant = base.select(col("k"),
+    base.select(col("k"),
       (when(col("dn") < 0L, lit(-1L)).otherwise(lit(1L)) *
         when(inRange, expr(s"cast(abs(cast(dn as $dec)) * $DeltaScale div " +
             s"cast(dd as $dec) as long)"))
-          .otherwise(raise_error(lit("pairedDeltaTest: quantized |delta| " +
+          .otherwise(raise_error(lit(s"$fn: quantized |delta| " +
             "exceeds BIGINT (|num|*10^6/den >= 2^63); rescale the " +
             "metric rational")))).as("d"))
-    // ONE pass: observed rides as replicate 0 over ALL rows (no coin);
-    // replicates b >= 1 carry only d != 0 rows and flip signs with the
-    // md5 coin (s = 1 - 2·bit).
-    val perB = quant
+  }
+
+  /** Shared randomization tail of the delta family: ONE pass over
+   * signed integer units (k, d) — observed rides as replicate 0 over
+   * ALL rows (no coin), replicates b ≥ 1 carry only d ≠ 0 rows and
+   * flip signs with the md5 coin (s = 1 − 2·bit); B+1 summary rows
+   * cross the exchange; |Σ s·d| exceedance, add-one p, all-zero input
+   * pinned to p = 1 (never the anti-conservative 1/(B+1)). */
+  private def signFlipExceedance(units: DataFrame, perms: Int,
+      seed: String): DataFrame = {
+    val perB = units
       .select(col("k"), col("d"),
         explode(sequence(lit(0), lit(perms))).as("b"))
       .filter(col("b") === 0 || col("d") =!= 0L)
@@ -436,9 +454,6 @@ object Resample {
           lit("0")).as("stat"),
         coalesce(sum(when(col("b") > 0 && abs(col("t")) >= col("ot"), 1L)
           .otherwise(0L)), lit(0L)).as("n_exceed_raw"))
-      // All-zero (or empty) deltas leave no b >= 1 rows, but every
-      // replicate trivially reaches an observed 0 — p must be 1, not
-      // the anti-conservative 1/(B+1).
       .withColumn("n_exceed",
         when(col("n") - col("n_zero") === 0L, lit(perms.toLong))
           .otherwise(col("n_exceed_raw")))
@@ -484,30 +499,16 @@ object Resample {
   def wilcoxonSignedRank(df: DataFrame, key: Column, deltaNum: Column,
       deltaDen: Column, perms: Int, seed: String): DataFrame = {
     require(perms > 0, s"perms must be positive, got $perms")
-    val den0 = deltaDen.cast("long")
-    val denChecked = when(den0.isNull, den0)
-      .when(den0 > 0L, den0)
-      .otherwise(raise_error(lit(
-        "wilcoxonSignedRank: delta denominator must be positive")))
-    val base = graft.dedup.Dedup.fanOutSmallScan(
-      df.select(key.cast("string").as("k"),
-        deltaNum.cast("long").as("dn"), denChecked.as("dd"))
-      .filter(col("k").isNotNull && col("dn").isNotNull && col("dd").isNotNull))
-    val inRange = expr(s"abs(cast(dn as $dec)) * $DeltaScale < " +
-      s"cast(dd as $dec) * 9223372036854775807")
-    val quant = base.select(col("k"),
-      (when(col("dn") < 0L, lit(-1L)).otherwise(lit(1L)) *
-        when(inRange, expr(s"cast(abs(cast(dn as $dec)) * $DeltaScale div " +
-            s"cast(dd as $dec) as long)"))
-          .otherwise(raise_error(lit("wilcoxonSignedRank: quantized " +
-            "|delta| exceeds BIGINT (|num|*10^6/den >= 2^63); rescale " +
-            "the metric rational")))).as("d"))
+    val quant = quantizedDeltas(df, key, deltaNum, deltaDen,
+      "wilcoxonSignedRank")
     // ONE rank window over ALL units (zeros included, so the upstream
     // DAG evaluates once): with |d| ascending the z zero rows occupy
     // positions 1..z, so a non-zero tie group at overall positions a..b
     // has nonzero-only doubled average rank (a−z)+(b−z) = 2·rank +
     // cnt − 1 − 2z. Zero rows ship sr = 0 (they contribute nothing and
-    // are excluded from replicates below — the classical discard).
+    // are excluded from replicates by the shared tail — the classical
+    // discard); the signed rank then rides [[signFlipExceedance]] as
+    // the unit value.
     val wRank = Window.orderBy(col("ad"))
     val wTie = Window.partitionBy(col("ad"))
     val wAll = Window.partitionBy(lit(1))
@@ -522,40 +523,8 @@ object Resample {
           (when(col("d") < 0L, lit(-1L)).otherwise(lit(1L))) *
             (lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie)
               - 1L - lit(2L) * col("z"))))
-      .select(col("k"), col("sr"))
-    // Observed rides as replicate 0 over ALL rows (zeros counted there);
-    // replicates b >= 1 carry only the non-zero units and the coin.
-    val perB = ranked
-      .select(col("k"), col("sr"),
-        explode(sequence(lit(0), lit(perms))).as("b"))
-      .filter(col("b") === 0 || col("sr") =!= 0L)
-      .select(col("b"), col("sr"),
-        when(col("b") === 0, lit(0L))
-          .otherwise(coinBit(seed, col("b"), col("k"))).as("bit"))
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("pn"),
-        coalesce(sum(when(col("sr") === 0L, 1L).otherwise(0L)), lit(0L))
-          .as("nzero"),
-        coalesce(sum(expr(s"cast((1 - 2 * bit) * sr as $dec)")),
-          expr(s"cast(0 as $dec)")).as("w2"))
-    val withObs = perB
-      .withColumn("ow", max(when(col("b") === 0, abs(col("w2")))).over(wAll))
-    withObs.agg(
-        coalesce(max(when(col("b") === 0, col("pn"))), lit(0L)).as("n"),
-        coalesce(max(when(col("b") === 0, col("nzero"))), lit(0L)).as("n_zero"),
-        coalesce(max(when(col("b") === 0, abs(col("w2")))).cast("string"),
-          lit("0")).as("stat"),
-        coalesce(sum(when(col("b") > 0 && abs(col("w2")) >= col("ow"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_exceed_raw"))
-      // No non-zero units → no b >= 1 rows, but every replicate
-      // trivially reaches an observed 0 — p = 1, never 1/(B+1).
-      .withColumn("n_exceed",
-        when(col("n") - col("n_zero") === 0L, lit(perms.toLong))
-          .otherwise(col("n_exceed_raw")))
-      .select(col("n"), col("n_zero"), col("stat"),
-        lit(perms.toLong).as("n_perms"), col("n_exceed"),
-        (col("n_exceed") + 1L).as("p_num"),
-        lit(perms.toLong + 1L).as("p_den"))
+      .select(col("k"), col("sr").as("d"))
+    signFlipExceedance(ranked, perms, seed)
   }
 
   /**
@@ -1078,8 +1047,13 @@ object Resample {
     // the DuckDB oracle's ::BIGINT RAISES, so the engines would diverge
     // in failure mode. Out-of-range means fail loudly on BOTH sides
     // instead; the exact (num, den) pairs remain the unbounded columns.
+    // abs(): the guard must cover BOTH directions — current callers
+    // feed non-negative metrics (the sentinel contract above), but a
+    // signed caller's mean below −2⁶³/10¹⁵ would otherwise still
+    // silently NULL (one-sided guards were the r16 self-review's
+    // surviving correctness finding).
     val inLongRange =
-      expr(s"cast(sb as $dec) * $scale < cast(nb as $dec) * 9223372036854775807")
+      expr(s"abs(cast(sb as $dec)) * $scale < cast(nb as $dec) * 9223372036854775807")
     val ranked = perRep
       .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
         .when(inLongRange,
@@ -1101,7 +1075,7 @@ object Resample {
     broadcast(obs).crossJoin(broadcast(picked))
       .withColumn("mean_scaled",
         when(col("n") === 0L, lit(-1L))
-          .when(expr(s"cast(s as $dec) * $scale < " +
+          .when(expr(s"abs(cast(s as $dec)) * $scale < " +
               s"cast(n as $dec) * 9223372036854775807"),
             expr(s"cast(cast(s as $dec) * $scale div " +
               s"cast(n as $dec) as long)"))

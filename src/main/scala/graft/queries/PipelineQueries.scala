@@ -1523,30 +1523,8 @@ object PipelineQueries {
     // (no binomial-coefficient bignums). The missing significance read
     // behind every "fusion beats each arm" claim (q209/q216).
     "q240_system_sign_test" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val queries = docs.filter(col("doc_id") < 10)
-      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
-      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
-        kConst = 60, topK = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(broadcast(queries
-            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
-          Seq("lang", "source"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"))
-      val ap = graft.operators.Retrieval.apAtK(
-        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
-      val wide = ap.groupBy(col("query_id"))
-        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
-            lit(0L)).as("a"),
-          coalesce(max(when(col("system") === "lex", col("ap_num"))),
-            lit(0L)).as("b"))
-      graft.operators.Resample.pairedSignTest(wide, col("query_id"),
+      graft.operators.Resample.pairedSignTest(apDeltaWide(s, dir),
+        col("query_id"),
         when(col("a") > col("b"), 1L).when(col("a") < col("b"), -1L)
           .otherwise(0L),
         perms = 200, seed = "st")
@@ -1560,32 +1538,9 @@ object PipelineQueries {
     // a few large losses correctly cancel many small wins. Quantized
     // at the operator's definitional 10⁻⁶ metric resolution.
     "q244_paired_delta_test" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val queries = docs.filter(col("doc_id") < 10)
-      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
-      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
-        kConst = 60, topK = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(broadcast(queries
-            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
-          Seq("lang", "source"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"))
-      val ap = graft.operators.Retrieval.apAtK(
-        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
-      val wide = ap.groupBy(col("query_id"))
-        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
-            lit(0L)).as("a"),
-          coalesce(max(when(col("system") === "lex", col("ap_num"))),
-            lit(0L)).as("b"),
-          max(col("ap_den")).as("dd"))
-      graft.operators.Resample.pairedDeltaTest(wide, col("query_id"),
-        col("a") - col("b"), col("dd"), perms = 200, seed = "dt")
+      graft.operators.Resample.pairedDeltaTest(apDeltaWide(s, dir),
+        col("query_id"), col("a") - col("b"), col("dd"),
+        perms = 200, seed = "dt")
     }),
 
     // The middle member of the paired triple (q240 direction, q244 raw
@@ -1595,32 +1550,9 @@ object PipelineQueries {
     // cannot dominate. Ranks are sign-invariant, so the rank window
     // runs once over |queries| rows before the replicate expansion.
     "q246_wilcoxon_signed_rank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val queries = docs.filter(col("doc_id") < 10)
-      val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
-      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
-        kConst = 60, topK = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"))
-      val rel = docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(broadcast(queries
-            .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
-          Seq("lang", "source"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"))
-      val ap = graft.operators.Retrieval.apAtK(
-        Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
-      val wide = ap.groupBy(col("query_id"))
-        .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
-            lit(0L)).as("a"),
-          coalesce(max(when(col("system") === "lex", col("ap_num"))),
-            lit(0L)).as("b"),
-          max(col("ap_den")).as("dd"))
-      graft.operators.Resample.wilcoxonSignedRank(wide, col("query_id"),
-        col("a") - col("b"), col("dd"), perms = 200, seed = "wx")
+      graft.operators.Resample.wilcoxonSignedRank(apDeltaWide(s, dir),
+        col("query_id"), col("a") - col("b"), col("dd"),
+        perms = 200, seed = "wx")
     }),
 
     // Graded-relevance ranking metric (ERR@10, Chapelle 2009) — the
@@ -3043,6 +2975,39 @@ object PipelineQueries {
    * same-(lang, source) relevance fixture + judged counts, and the
    * tagged system union) — one template so the eval oracles' rank
    * semantics cannot drift. Lazy: interpolates [[tokensSql]]. */
+  /** Shared fixture of the paired-comparison triple (q240 / q244 /
+   * q246): per-query fused-vs-lex AP@10 rationals as (query_id, a, b,
+   * dd) — a/b the two arms' ap_num over the query's SHARED ap_den
+   * (same query → same n_rel → same denominator), dd that denominator.
+   * Extracted so the three significance tests can never drift apart
+   * on the fixture (k, kConst, or the relevance rule). */
+  private def apDeltaWide(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = docs.filter(col("doc_id") < 10)
+    val lex = graft.operators.Retrieval.termOverlapTopK(queries, docs, k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem),
+      kConst = 60, topK = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val rel = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(queries
+          .select(col("doc_id").as("query_id"), col("lang"), col("source"))),
+        Seq("lang", "source"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"))
+    val ap = graft.operators.Retrieval.apAtK(
+      Seq("fused" -> fused, "lex" -> lex), rel, k = 10)
+    ap.groupBy(col("query_id"))
+      .agg(coalesce(max(when(col("system") === "fused", col("ap_num"))),
+          lit(0L)).as("a"),
+        coalesce(max(when(col("system") === "lex", col("ap_num"))),
+          lit(0L)).as("b"),
+        max(col("ap_den")).as("dd"))
+  }
+
   private lazy val retrievalEvalCtesSql: String =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS term FROM documents

@@ -868,6 +868,16 @@ class ResampleSpec extends AnyFunSuite {
     val row = Resample.bootstrapMeanCI(ok, col("k"), col("v"),
       reps = 8, seed = "ovf", tailDen = 4).collect().head
     assert(row.getAs[Long]("mean_scaled") === 9000L * 1000000000000000L)
+    // Both directions (r16 self-review): a signed metric whose mean
+    // UNDERFLOWS -2^63/10^15 must raise the same way, not NULL + sort
+    // below the empty sentinel.
+    val neg = (0 until 8).map(i => (s"k$i", -10000000000L)).toDF("k", "v")
+    val en = intercept[Exception] {
+      Resample.bootstrapMeanCI(neg, col("k"), col("v"),
+        reps = 8, seed = "ovf", tailDen = 4).collect()
+    }
+    assert(messages(en).exists(_.contains("scaled BIGINT display domain")),
+      s"negative direction unguarded: ${messages(en).mkString(" | ")}")
   }
 
   test("bh ranks are dense, ordered by exceedance then group key") {
