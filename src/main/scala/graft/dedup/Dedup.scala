@@ -1777,6 +1777,75 @@ object Dedup {
     exciseIslands(base, coverageIslands(occ, n), idCol)
   }
 
+  /**
+   * Incremental-ingest substring scrub — the SPAN-level member of the
+   * incremental family ([[incrementalNewDocs]] exact doc fingerprints,
+   * [[incrementalJaccardNearDup]] MinHash-LSH,
+   * [[incrementalSimhashNearDup]] Hamming): excise from each NEW BATCH
+   * document every token span of length ≥ `n` already present verbatim
+   * in the accumulated corpus. Doc-level incremental dedup drops whole
+   * near-copies; this catches the daily-crawl page that is new OVERALL
+   * but stitched from corpus boilerplate — its duplicated spans are
+   * deleted and the genuinely novel remainder survives.
+   *
+   * Coverage semantics are [[decontaminationScrub]]'s with roles
+   * reversed at scale: there the reference set (an eval benchmark) is
+   * tiny and broadcasts whole; here the reference is the CORPUS —
+   * arbitrarily large — and the BATCH is the small side. So the batch's
+   * distinct Rabin–Karp fingerprints broadcast, the corpus window
+   * stream prunes against them MAP-SIDE in its one pass (no corpus
+   * coordinate ever shuffles on a non-colliding window), and only the
+   * colliding sliver on each side pays the md5-64 identity (the
+   * q64-cliff discipline). The corpus-side md5 sliver — bounded by the
+   * batch's window count times collision multiplicity, not by corpus
+   * size — then broadcasts back to confirm batch coverage. Islands +
+   * excision are the shared coordinate machinery.
+   *
+   * Within-batch repetition is NOT scrubbed (a span two batch docs
+   * share but the corpus lacks survives — run [[exactSubstrScrub]] on
+   * the batch for that policy); matching is strictly batch-vs-corpus.
+   *
+   * @return (`idCol`, n_tokens, n_spans, n_removed, clean_text) — one
+   *         row per BATCH doc
+   */
+  def incrementalSubstrScrub(batch: DataFrame, corpus: DataFrame,
+      n: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, s"span width must be positive, got $n")
+    val batchBase = batch.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    // Batch windows pay md5 directly — the batch IS the small side.
+    val batchW = batchBase
+      .select(col("id"), col("ts"),
+        posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
+          GraftSqlBridge.expression(col("ts")), n))).as(Seq("pos0", "rh")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("rh"),
+        graft.operators.Sampling.md5Hash64(
+          concat_ws(" ", slice(col("ts"), col("pos0") + 1, lit(n)))).as("gh"))
+    val batchRh = batchW.select(col("rh")).distinct()
+    // ONE corpus pass: fingerprint windows, prune map-side against the
+    // broadcast batch fingerprints, md5 only the colliding sliver
+    // (token arrays re-attached by id — sliver-sized join, text never
+    // shuffles corpus-wide).
+    val corpusBase = corpus.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val corpusHit = corpusBase
+      .select(col("id"),
+        posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
+          GraftSqlBridge.expression(col("ts")), n))).as(Seq("pos0", "rh")))
+      .select(col("id"), (col("pos0") + 1).as("start"), col("rh"))
+      .join(broadcast(batchRh), "rh")
+      .select(col("id"), col("start"))
+      .join(corpusBase, "id")
+      .select(graft.operators.Sampling.md5Hash64(
+        concat_ws(" ", slice(col("ts"), col("start"), lit(n)))).as("gh"))
+      .distinct()
+    val occ = batchW
+      .join(broadcast(corpusHit), "gh")
+      .select(col("id"), col("start"))
+    exciseIslands(batchBase, coverageIslands(occ, n), idCol)
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Distinct word n-gram shingle array of a token array ([[WordShingles]]). */

@@ -437,6 +437,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level INCREMENTAL ingest hygiene — the q61/q99/q108 family
+    // completed at span resolution: excise from each new-batch doc
+    // (src11/src12, the family's batch fixture) every 16-token span
+    // already present verbatim in the accumulated corpus; the novel
+    // remainder survives. Batch fingerprints broadcast, the corpus
+    // stream prunes map-side in ONE pass, only colliding slivers pay
+    // md5 on either side.
+    "q247_incremental_substr_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalSubstrScrub(
+        docs.filter(col("source").isin("src11", "src12")),
+        docs.filter(!col("source").isin("src11", "src12")), n = 16)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-pair containment: WHICH src0 eval doc leaked into WHICH corpus
     // doc, as the fraction of the eval doc's 8-gram set present (>= 1/2
     // keeps wholesale quotes, not topical overlap). Asymmetric by design —
@@ -4070,6 +4088,64 @@ object PipelineQueries {
          |JOIN tot t USING (doc_id)
          |LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // The q243/q245 coverage machinery with batch-vs-corpus roles: a
+    // batch window is covered iff its md5 appears among the corpus's
+    // window hashes; islands at the <= 16 gap rule; batch docs only.
+    "q247_incremental_substr_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |batch AS (SELECT doc_id, ts FROM toks
+         |          WHERE source IN ('src11', 'src12')),
+         |seen AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+         |      ts[(i.i)::INT:(i.i + 15)::INT], ' ')), 1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |  WHERE source NOT IN ('src11', 'src12')
+         |),
+         |occ AS (
+         |  SELECT doc_id, i.i AS start
+         |  FROM batch b, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |  WHERE ('0x' || substr(md5(array_to_string(
+         |      ts[(i.i)::INT:(i.i + 15)::INT], ' ')), 1, 16))::UBIGINT
+         |    IN (SELECT gh FROM seen)
+         |),
+         |lagd AS (
+         |  SELECT doc_id, start,
+         |    lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM occ
+         |),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev IS NULL OR start - prev <= 16 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM lagd
+         |),
+         |spn AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_spans
+         |        FROM isl GROUP BY 1),
+         |pos AS (
+         |  SELECT b.doc_id, p.p AS p, ts[p.p::INT] AS tok
+         |  FROM batch b, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS p) p
+         |),
+         |kept AS (
+         |  SELECT doc_id, p, tok FROM pos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM occ r WHERE r.doc_id = t.doc_id
+         |                    AND t.p BETWEEN r.start AND r.start + 15)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY 1
+         |),
+         |tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM batch)
+         |SELECT b.doc_id, t.n_tokens,
+         |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+         |  (t.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM batch b
+         |JOIN tot t USING (doc_id)
+         |LEFT JOIN spn s USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     // The q243 coverage machinery at w = 8, matched against the src0
     // benchmark's window-hash set instead of cross-doc repetition;
     // corpus docs only.

@@ -946,6 +946,72 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------- incremental substring scrub
+
+  test("incrementalSubstrScrub excises corpus-seen spans; batch-internal repeats survive") {
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ") // 5 tokens, w=4
+    val fresh = (1 to 4).map(i => s"f$i").mkString(" ")
+    val corpus = docs(100L -> ("corpus page with " + boiler + " inside"))
+    val batch = docs(
+      1L -> ("new intro " + boiler + " new outro words"),
+      // The SAME fresh span in two batch docs but absent from the
+      // corpus: strictly batch-vs-corpus matching must keep it.
+      2L -> (fresh + " plus padding tokens"),
+      3L -> ("leading bits " + fresh))
+    val out = Dedup.incrementalSubstrScrub(batch, corpus, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((10L, 1L, 5L, "new intro new outro words")))
+    assert(out(2L)._3 === 0L)
+    assert(out(3L)._3 === 0L)
+    // Corpus docs are not output.
+    assert(!out.contains(100L))
+  }
+
+  test("incrementalSubstrScrub equals brute-force coverage on generated corpora") {
+    import org.scalacheck.Gen
+    val w = 4
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(41L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(30)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (batchRows, corpusRows) = all.partition(_._1 % 4 == 0)
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val corpusGrams = corpusRows.flatMap { case (_, t) =>
+      val ts = toks(t)
+      (1 to math.max(ts.length - w + 1, 0))
+        .map(s => ts.slice(s - 1, s - 1 + w).mkString(" "))
+    }.toSet
+    val brute = batchRows.map { case (id, t) =>
+      val ts = toks(t)
+      val cov = (1 to math.max(ts.length - w + 1, 0))
+        .filter(s => corpusGrams(ts.slice(s - 1, s - 1 + w).mkString(" ")))
+        .flatMap(s => s until (s + w)).toSet
+      val kept = ts.zipWithIndex.collect {
+        case (tok, i0) if !cov(i0 + 1) => tok
+      }
+      id -> ((ts.length.toLong, cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+
+    val out = Dedup.incrementalSubstrScrub(
+      docs(batchRows: _*), docs(corpusRows: _*), n = w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    assert(out === brute)
+  }
+
+  test("incrementalSubstrScrub rejects non-positive widths") {
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalSubstrScrub(docs(), docs(), n = 0)
+    }
+  }
+
   // --------------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus-seen and batch-internal dups drop, firsts survive") {

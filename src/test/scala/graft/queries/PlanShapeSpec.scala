@@ -371,6 +371,27 @@ class PlanShapeSpec extends AnyFunSuite with graft.testutil.OpenStreamLeakCheck 
       s"corpus token arrays ride a shuffle:\n${ex.mkString("\n")}")
   }
 
+  test("incremental substring scrub: batch fingerprints broadcast, corpus pruned map-side") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val src = org.apache.spark.sql.functions.col("source")
+    val p = plan(graft.dedup.Dedup.incrementalSubstrScrub(
+      docs.filter(src.isin("src11", "src12")),
+      docs.filter(!src.isin("src11", "src12")), n = 16))
+    // The corpus is the BIG side here: its window stream must prune
+    // against the broadcast batch fingerprints inside its one pass —
+    // a corpus-wide shuffle (of coordinates on non-colliding windows,
+    // or worse, of text) is the failure mode at 100 TB.
+    assert(p.contains("rolling_span_hashes"),
+      "rolling prefilter kernel missing — corpus windows would pay md5")
+    assert(p.contains("BroadcastHashJoin"), "fingerprint joins not broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!ex.exists(l => l.contains("ts#") || l.contains("text")),
+      s"token arrays ride a shuffle:\n${ex.mkString("\n")}")
+  }
+
   test("repeated-span detection explodes FINGERPRINTS; md5 runs only on the post-join sliver") {
     val p = plan(graft.dedup.Dedup.repeatedSpans(
       graft.sources.Tables.documents(spark, sf), w = 16))
