@@ -480,6 +480,43 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-family fuzz: engine ≡ BigInt references on generated corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // Random signed rationals with clustered magnitudes (forces rank
+    // ties), exact zeros, and mixed denominators — both tests must
+    // match their references replicate-for-replicate on every draw.
+    val unit = for {
+      num <- Gen.oneOf(Gen.chooseNum(-5L, 5L),
+        Gen.oneOf(-2520L, -100L, 0L, 0L, 100L, 2520L))
+      den <- Gen.oneOf(1L, 9L, 100L, 2520L, 1000000L)
+    } yield (num, den)
+    val corpus = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, unit))
+    val seeds = Iterator.iterate(org.scalacheck.rng.Seed(57L))(_.next)
+    for ((gseed, i) <- seeds.take(12).zipWithIndex) {
+      val rows = corpus.apply(Gen.Parameters.default, gseed).get
+        .zipWithIndex.map { case ((n2, d2), j) => (s"f$i-$j", n2, d2) }
+      val df = rows.toDF("k", "dn", "dd").repartition(3)
+      val coinSeed = s"fz$i"
+      val dRow = Resample.pairedDeltaTest(df, col("k"), col("dn"),
+        col("dd"), perms = 24, seed = coinSeed).collect().head
+      val (n, nZero, ot, exD) = referenceDelta(rows, 24, coinSeed)
+      assert(dRow.getAs[Long]("n") === n, s"draw $i n")
+      assert(dRow.getAs[Long]("n_zero") === nZero, s"draw $i n_zero")
+      assert(BigInt(dRow.getAs[String]("stat")) === ot, s"draw $i stat")
+      assert(dRow.getAs[Long]("n_exceed") ===
+        (if (n - nZero == 0) 24L else exD), s"draw $i exceed")
+      val wRow = Resample.wilcoxonSignedRank(df, col("k"), col("dn"),
+        col("dd"), perms = 24, seed = coinSeed).collect().head
+      val (wn, wZero, ww, exW) = referenceWilcoxon(rows, 24, coinSeed)
+      assert(wRow.getAs[Long]("n") === wn, s"draw $i w n")
+      assert(wRow.getAs[Long]("n_zero") === wZero, s"draw $i w n_zero")
+      assert(BigInt(wRow.getAs[String]("stat")) === ww, s"draw $i w stat")
+      assert(wRow.getAs[Long]("n_exceed") ===
+        (if (wn - wZero == 0) 24L else exW), s"draw $i w exceed")
+    }
+  }
+
   test("wilcoxonSignedRank evaluates its input exactly once (plan pin)") {
     import spark.implicits._
     val df = Seq(("a", 1L, 4L), ("b", -1L, 2L), ("c", 0L, 3L))
