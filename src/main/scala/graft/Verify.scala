@@ -34,6 +34,19 @@ object Verify {
     // class that cost 8 driver rows at r14 turns gate 3 red locally
     // instead of surfacing as a driver hash mismatch a round later.
     val contractViolations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Remove any artifact a PRIOR run left under a query's name when
+    // THIS run produced none (contract refusal or a throwing builder) —
+    // otherwise tooling that globs outDir (rather than keying off the
+    // exit code) would diff outdated-but-present parquet for the query
+    // instead of seeing it missing.
+    def dropStale(name: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      val stale = new java.io.File(s"$outDir/$name")
+      if (stale.exists()) rm(stale)
+    }
     def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
         val df = fn(spark, sfDir)
@@ -42,19 +55,11 @@ object Verify {
           contractViolations.add(s"$name: [${wide.mkString(", ")}]")
           System.err.println(s"[verify] $name REFUSED: DecimalType in " +
             s"final schema at [${wide.mkString(", ")}] (FIXTURES.md §4)")
-          // Remove any artifact a PRIOR run left under this name —
-          // otherwise tooling that globs outDir (rather than keying off
-          // the exit code) would diff outdated-but-present parquet for
-          // the refused query instead of seeing it missing.
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          val stale = new java.io.File(s"$outDir/$name")
-          if (stale.exists()) rm(stale)
+          dropStale(name)
         } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dropStale(name)
       }
     // SPARK_GRAFT_VERIFY_THREADS > 1 is the LOCAL-ITERATION mode: queries
     // dump concurrently on the shared session. Values are unaffected

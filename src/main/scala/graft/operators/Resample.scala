@@ -1060,7 +1060,7 @@ object Resample {
           expr(s"cast(cast(sb as $dec) * $scale div " +
             s"cast(nb as $dec) as $dec)"))
         .otherwise(raise_error(lit("ciFromReplicates: replicate mean " +
-          "exceeds the 10^15-scaled BIGINT display domain (mean >= " +
+          "exceeds the 10^15-scaled BIGINT display domain (|mean| >= " +
           "~9.2e3 value units); consume the exact (num, den) pairs or " +
           "rescale the metric"))))
       .withColumn("r", row_number().over(
@@ -1079,7 +1079,7 @@ object Resample {
               s"cast(n as $dec) * 9223372036854775807"),
             expr(s"cast(cast(s as $dec) * $scale div " +
               s"cast(n as $dec) as long)"))
-          .otherwise(raise_error(lit("ciFromReplicates: observed mean " +
+          .otherwise(raise_error(lit("ciFromReplicates: observed |mean| " +
             "exceeds the 10^15-scaled BIGINT display domain; consume " +
             "the exact (num, den) pairs or rescale the metric"))))
       .withColumn("n_reps", lit(reps.toLong))

@@ -2988,11 +2988,6 @@ object PipelineQueries {
       |)""".stripMargin
 
 
-  /** The q202/q209/q216 retrieval derivation shared CTE chain (lexical
-   * overlap ranks, semantic cosine ranks, integer RRF fusion, the
-   * same-(lang, source) relevance fixture + judged counts, and the
-   * tagged system union) — one template so the eval oracles' rank
-   * semantics cannot drift. Lazy: interpolates [[tokensSql]]. */
   /** Shared fixture of the paired-comparison triple (q240 / q244 /
    * q246): per-query fused-vs-lex AP@10 rationals as (query_id, a, b,
    * dd) — a/b the two arms' ap_num over the query's SHARED ap_den
@@ -3026,6 +3021,11 @@ object PipelineQueries {
         max(col("ap_den")).as("dd"))
   }
 
+  /** The q202/q209/q216 retrieval derivation shared CTE chain (lexical
+   * overlap ranks, semantic cosine ranks, integer RRF fusion, the
+   * same-(lang, source) relevance fixture + judged counts, and the
+   * tagged system union) — one template so the eval oracles' rank
+   * semantics cannot drift. Lazy: interpolates [[tokensSql]]. */
   private lazy val retrievalEvalCtesSql: String =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS term FROM documents
