@@ -1441,13 +1441,19 @@ object Dedup {
    * ALL occurrences of every fingerprint-candidate group (a superset of
    * every cross-doc md5 group).
    */
-  private def confirmedSpans(base: DataFrame, w: Int): DataFrame = {
+  private def confirmedSpans(base: DataFrame, w: Int,
+      crossDocOnly: Boolean = true): DataFrame = {
     val rolled = base.select(col("id"),
       posexplode(GraftSqlBridge.column(graft.text.RollingSpanHashes(
         GraftSqlBridge.expression(col("ts")), w))).as(Seq("pos0", "rh")))
       .select(col("id"), (col("pos0") + 1).as("start"), col("rh"))
+    // crossDocOnly = false widens the candidate rule to TOTAL occurrence
+    // count (a window repeated twice inside one doc is a candidate) —
+    // the prefilter must match the downstream threshold's universe or
+    // self-repeats would be silently dropped here. Still lossless.
     val candidates = rolled.groupBy("rh")
-      .agg(count_distinct(col("id")).as("nd"))
+      .agg((if (crossDocOnly) count_distinct(col("id"))
+        else count(lit(1))).as("nd"))
       .filter(col("nd") > 1)
       .select("rh")
     // Re-attach the token arrays for candidate windows only, then compute
@@ -1462,22 +1468,31 @@ object Dedup {
           concat_ws(" ", slice(col("ts"), col("start"), lit(w)))).as("gh"))
   }
 
-  /** All occurrences of every CROSS-DOCUMENT repeated `w`-token span, as
-   * (id, start, gh) coordinates — q64's detection surface and the input
-   * to [[spanDedupScrub]]'s keeper selection. */
+  /** All occurrences of every repeated `w`-token span, as (id, start,
+   * gh) coordinates — q64's detection surface and the input to
+   * [[spanDedupScrub]]'s keeper selection. By default a span counts as
+   * repeated iff it appears in ≥ `minDocs` DISTINCT documents
+   * (cross-document duplication); `selfRepeats = true` switches the
+   * threshold to ≥ `minDocs` TOTAL occurrences corpus-wide, so a span
+   * repeated twice inside ONE document also qualifies — Lee et al.
+   * 2022's exact ExactSubstr universe (their suffix array counts
+   * occurrences, not documents). */
   def repeatedSpans(docs: DataFrame, w: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, selfRepeats: Boolean = false): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")
-    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
-    val spans = confirmedSpans(base, w)
-    // minDocs raises the distinct-document threshold (the ExactSubstr
-    // count knob); the Rabin-Karp prefilter inside confirmedSpans stays
-    // at >= 2 — a lossless superset of any higher threshold.
+    val spans = confirmedSpans(base, w, crossDocOnly = !selfRepeats)
+    // minDocs raises the duplicate-count threshold (the ExactSubstr
+    // count knob; documents or total occurrences per `selfRepeats`);
+    // the Rabin-Karp prefilter inside confirmedSpans stays at >= 2 over
+    // the matching universe — a lossless superset of any higher
+    // threshold.
     val repeated = spans.groupBy("gh")
-      .agg(count_distinct(col("id")).as("nd"))
+      .agg((if (selfRepeats) count(lit(1))
+        else count_distinct(col("id"))).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gh")
     spans.join(repeated, "gh")
@@ -1574,9 +1589,9 @@ object Dedup {
    * both 1-based inclusive token positions.
    */
   private def exactSubstrIslands(docs: DataFrame, w: Int, minDocs: Int,
-      idCol: String, textCol: String): DataFrame =
+      selfRepeats: Boolean, idCol: String, textCol: String): DataFrame =
     coverageIslands(
-      repeatedSpans(docs, w, idCol, textCol, minDocs)
+      repeatedSpans(docs, w, idCol, textCol, minDocs, selfRepeats)
         .select(col(idCol).as("id"), col("start")), w)
 
   /** The island fold over any (id, start) occurrence table: merge the
@@ -1658,7 +1673,10 @@ object Dedup {
    * content appears in ≥ `minDocs` distinct documents (default 2 = any
    * cross-doc repeat; raise it so a two-document quotation — possibly
    * legitimate citation — survives while 100-document boilerplate does
-   * not).
+   * not). `selfRepeats = true` switches the count to TOTAL occurrences
+   * so within-document repetition qualifies too — Lee et al.'s exact
+   * occurrence-counting universe (the default stays cross-document,
+   * leaving pure self-repetition to q34's filters).
    *
    * @return (`idCol`, span_start, span_len) — 1-based token position,
    *         span_len ≥ `minLen`; docs with no duplicated coverage emit
@@ -1666,10 +1684,10 @@ object Dedup {
    */
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, selfRepeats: Boolean = false): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
-    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
-    exactSubstrIslands(docs, minLen, minDocs, idCol, textCol)
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    exactSubstrIslands(docs, minLen, minDocs, selfRepeats, idCol, textCol)
       .select(col("id").as(idCol),
         col("span_start").cast("long").as("span_start"),
         (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
@@ -1701,13 +1719,14 @@ object Dedup {
    */
   def exactSubstrScrub(docs: DataFrame, minLen: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, selfRepeats: Boolean = false): DataFrame = {
     require(minLen > 0, s"minLen must be positive, got $minLen")
-    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     exciseIslands(
       docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts")),
-      exactSubstrIslands(docs, minLen, minDocs, idCol, textCol), idCol)
+      exactSubstrIslands(docs, minLen, minDocs, selfRepeats,
+        idCol, textCol), idCol)
   }
 
   /**

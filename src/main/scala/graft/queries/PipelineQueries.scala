@@ -419,6 +419,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // q243 in Lee et al.'s exact occurrence-counting universe
+    // (selfRepeats): a span repeated twice inside ONE document also
+    // qualifies — their suffix array counts occurrences, not documents
+    // — so within-doc boilerplate (repeated headers, chorus lines) is
+    // excised too. Same coordinate machinery; the candidate prefilter
+    // widens to total counts.
+    "q248_exact_substr_self" -> ((s, dir) => {
+      Dedup.exactSubstrScrub(Tables.documents(s, dir), minLen = 16,
+          selfRepeats = true)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Span-level decontamination APPLY — the repair next to the
     // detection trio (q35 counts, q42 bloom prune, q63 pairs): excise
     // every 8-token span a corpus doc shares verbatim with the src0
@@ -4232,6 +4247,56 @@ object PipelineQueries {
          |SELECT doc_id, min(start)::BIGINT AS span_start,
          |  (max(start) + 16 - min(start))::BIGINT AS span_len
          |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // q243's chain with the repeat rule widened to TOTAL occurrences
+    // (HAVING count(*) > 1): within-doc repeats qualify.
+    "q248_exact_substr_self" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i.i AS start,
+         |    ('0x' || substr(md5(array_to_string(ts[(i.i)::INT:(i.i + 15)::INT], ' ')),
+         |      1, 16))::UBIGINT AS gh
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 14)) AS i) i
+         |),
+         |rep AS (SELECT gh FROM sp GROUP BY gh HAVING count(*) > 1),
+         |occ AS (SELECT doc_id, start FROM sp JOIN rep USING (gh)),
+         |lagd AS (
+         |  SELECT doc_id, start,
+         |    lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |  FROM occ
+         |),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev IS NULL OR start - prev <= 16 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM lagd
+         |),
+         |spn AS (SELECT doc_id, count(DISTINCT g)::BIGINT AS n_spans
+         |        FROM isl GROUP BY 1),
+         |pos AS (
+         |  SELECT t.doc_id, p.p AS p, ts[p.p::INT] AS tok
+         |  FROM toks t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS p) p
+         |),
+         |kept AS (
+         |  SELECT doc_id, p, tok FROM pos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM occ r WHERE r.doc_id = t.doc_id
+         |                    AND t.p BETWEEN r.start AND r.start + 15)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM kept GROUP BY 1
+         |),
+         |tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks)
+         |SELECT d.doc_id, t.n_tokens,
+         |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+         |  (t.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM documents d
+         |JOIN tot t USING (doc_id)
+         |LEFT JOIN spn s USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // Same duplicated occurrences; coverage removal WITHOUT the keeper
     // exemption (every occurrence excised — q78 keeps the corpus-wide
     // first), plus the per-doc island count.

@@ -826,6 +826,71 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { exactSubstrScrub(docs(), minLen = -1) }
   }
 
+  test("exactSubstr selfRepeats: within-doc repetition joins the universe") {
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      1L -> (span + " middle words " + span), // repeated only within doc 1
+      2L -> "totally unrelated content here")
+    // Default (cross-doc): doc 1's self-repeat survives (pinned above).
+    val cross = exactSubstrScrub(docs(rows: _*), minLen = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cross(1L) === 0L)
+    // selfRepeats: Lee et al.'s occurrence counting — BOTH copies of
+    // the span are duplicated coverage; only the connective survives.
+    val self = exactSubstrScrub(docs(rows: _*), minLen = 16,
+      selfRepeats = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(self(1L) === ((2L, 32L, "middle words")))
+    assert(self(2L)._2 === 0L)
+    // And spans agree: two islands at the two occurrences.
+    val spans = exactSubstrSpans(docs(rows: _*), minLen = 16,
+      selfRepeats = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1L, 16L), (1L, 19L, 16L)))
+  }
+
+  test("exactSubstr selfRepeats equals brute-force occurrence counting") {
+    import org.scalacheck.Gen
+    val w = 4
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val seed = org.scalacheck.rng.Seed(47L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .take(30)
+      .flatMap(s => doc.apply(Gen.Parameters.default, s))
+      .toList
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val allSpans = for {
+      (id, t) <- rows; ts = toks(t)
+      s <- 1 to math.max(ts.length - w + 1, 0)
+    } yield (id, s, ts.slice(s - 1, s - 1 + w).mkString(" "))
+    // TOTAL occurrence counting — the sole delta from the cross-doc
+    // property test above.
+    val repeated = allSpans.groupBy(_._3).filter(_._2.size > 1).keySet
+    val covered: Map[Long, Set[Int]] = allSpans
+      .filter(p => repeated(p._3))
+      .groupBy(_._1)
+      .map { case (id, occ) =>
+        id -> occ.flatMap(p => p._2 until (p._2 + w)).toSet
+      }
+    val brute = rows.map { case (id, t) =>
+      val ts = toks(t)
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect {
+        case (tok, i0) if !cov(i0 + 1) => tok
+      }
+      id -> ((ts.length.toLong, cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val out = exactSubstrScrub(docs(rows: _*), minLen = w,
+      selfRepeats = true).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    assert(out === brute)
+  }
+
   test("exactSubstr minDocs threshold: 2-doc quotes survive at minDocs = 3") {
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // in 3 docs
     val quote = (1 to 16).map(i => s"c$i").mkString(" ")  // in 2 docs
