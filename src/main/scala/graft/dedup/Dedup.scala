@@ -439,7 +439,11 @@ object Dedup {
       maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol)
     // Output order (loosest first) is the EXACT rational ascending,
     // computed driver-side over the |thresholds|-sized candidate Seq and
-    // carried as a rank — no in-plan quantization of the sort key.
+    // carried as a rank — no in-plan quantization of the sort key. The
+    // DuckDB oracle reproduces this order with a 1e19-scaled HUGEINT
+    // floor, which is exact BECAUSE the thresholds are Int-typed:
+    // distinct rationals differ by >= 1/(d1*d2) >= 1/(2^31-1)^2 >
+    // 1/1e19, so scaled floors never collide (see the q234 oracle note).
     val orderedTs = thresholds.sortWith { (a, b) =>
       BigInt(a._1) * b._2 < BigInt(b._1) * a._2 }
     val tdf = broadcast(pairs.sparkSession.range(1)

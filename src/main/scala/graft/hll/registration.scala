@@ -36,18 +36,31 @@ trait FunctionRegistration {
     if (!registry.functionExists(id)) {
       registry.registerFunction(id, expressionInfo, builder)
     } else {
-      // One INFO line per skipped name: a graft-vs-graft re-registration
-      // is the benign idempotent case, but a name owned by a DIFFERENT
-      // binding (user-registered, or a future Spark builtin colliding
-      // with a graft name) would otherwise resolve to the foreign
-      // function with ZERO diagnostic (the pre-r15 replace path at least
-      // emitted Spark's WARN). INFO keeps the bench harness's parsed
-      // stdout tail clean (log level ERROR there) while leaving a trail
-      // wherever INFO is collected.
-      FunctionRegistration.log.info(
-        s"graft: skipped registering '$name' — the session registry " +
-          "already has a function with this name; the existing binding " +
-          "wins (drop it first to install graft's implementation)")
+      // Two-level diagnostic on the skipped name. Every graft
+      // registration stamps ExpressionInfo.className with its own
+      // package (graft.hll / graft.theta / ...), so an existing binding
+      // whose className matches the one we are about to install is the
+      // benign graft-vs-graft re-registration (idempotent extensions +
+      // explicit register call) — INFO, which keeps the bench harness's
+      // parsed stdout tail clean. Anything ELSE (user-registered, or a
+      // future Spark builtin colliding with a graft name) silently wins
+      // the resolution, so it logs at WARN — visible under the primary
+      // harness's WARN level, where the pre-r17 INFO was invisible.
+      val existing = registry.lookupFunction(id)
+      val sameImpl = existing.exists(e =>
+        e.getClassName != null && e.getClassName == expressionInfo.getClassName)
+      if (sameImpl) {
+        FunctionRegistration.log.info(
+          s"graft: skipped re-registering '$name' — graft's binding is " +
+            "already installed in this session registry")
+      } else {
+        FunctionRegistration.log.warn(
+          s"graft: NOT registering '$name' — the session registry " +
+            "already has a DIFFERENT function under this name " +
+            s"(${existing.map(_.getClassName).orNull}); the existing " +
+            "binding wins (drop it first to install graft's " +
+            "implementation)")
+      }
     }
   }
 }

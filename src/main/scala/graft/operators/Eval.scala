@@ -29,22 +29,32 @@ object Eval {
    * window — a tie group ending at cumulative count c with cnt members
    * contributes midrank·2 = 2c − cnt + 1 — so row volume dies in the
    * first (score)-keyed aggregation and the cumulative window runs
-   * over |distinct scores| rows (the histogramMedian pattern). Rows
-   * with null score or null label are excluded (they have no rank).
+   * over |distinct scores| rows (the histogramMedian pattern). The
+   * bounded-universe half of that contract is ENFORCED: past
+   * [[HistogramWindow.MaxBuckets]] distinct scores the query raises
+   * (an effectively continuous score must be quantized) instead of
+   * silently single-tasking the universe. Rows with null score or
+   * null label are excluded (they have no rank).
    *
    * @return one row: (n_pos, n_neg, rank_sum_x2, auc_num, auc_den)
    */
-  def rankAuc(df: DataFrame, score: Column, positive: Column): DataFrame = {
+  def rankAuc(df: DataFrame, score: Column, positive: Column): DataFrame =
+    rankAucBounded(df, score, positive, HistogramWindow.MaxBuckets)
+
+  /** [[rankAuc]] with the bucket bound as a test seam (red-then-green
+   * guard specs shrink it; production uses the default above). */
+  private[operators] def rankAucBounded(df: DataFrame, score: Column,
+      positive: Column, maxBuckets: Long): DataFrame = {
     val base = df.select(score.cast("long").as("s"),
         positive.cast("boolean").as("p"))
       .filter(col("s").isNotNull && col("p").isNotNull)
     val hist = base.groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("p"), 1L).otherwise(0L)).as("cp"))
-    val cum = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
-      .select(col("cnt"), col("cp"), sum(col("cnt")).over(cum).as("c"))
+      .select(col("cnt"), col("cp"),
+        HistogramWindow.cumCountGuarded(col("cnt"), col("s"),
+          "rankAuc", "score buckets", maxBuckets).as("c"))
       .agg(coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
         coalesce(sum(col("cnt") - col("cp")), lit(0L)).as("n_neg"),
         coalesce(sum(col("cp") * (lit(2L) * col("c") - col("cnt") + 1L)),

@@ -168,14 +168,21 @@ object Packing {
    * order — is padded to the corpus max. So the audit is ONE
    * vocab-bounded histogram aggregation plus a cumulative window over
    * |distinct lengths| rows (the same bounded-window contract as the
-   * vocabulary coverage curve); row volume never rides a sort. All
-   * integer arithmetic; `utilization_e6` is real tokens over padded
-   * cells in millionths.
+   * vocabulary coverage curve); row volume never rides a sort. The
+   * bounded-universe half of the contract is ENFORCED past
+   * [[HistogramWindow.MaxBuckets]] distinct lengths (see rankAuc's
+   * guard — same discipline). All integer arithmetic;
+   * `utilization_e6` is real tokens over padded cells in millionths.
    *
    * @return two rows: (strategy, n_batches, n_tokens, n_padding,
    *   utilization_e6), strategies 'global_pad' and 'sorted_batches'
    */
-  def paddingAudit(df: DataFrame, lenCol: Column, batchSize: Int): DataFrame = {
+  def paddingAudit(df: DataFrame, lenCol: Column, batchSize: Int): DataFrame =
+    paddingAuditBounded(df, lenCol, batchSize, HistogramWindow.MaxBuckets)
+
+  /** [[paddingAudit]] with the bucket bound as a test seam. */
+  private[operators] def paddingAuditBounded(df: DataFrame, lenCol: Column,
+      batchSize: Int, maxBuckets: Long): DataFrame = {
     require(batchSize > 0, s"batch size must be positive, got $batchSize")
     val b = batchSize.toLong
     val neg = when(lenCol < 0, raise_error(
@@ -185,10 +192,10 @@ object Packing {
     val hist = df.select(neg.as("len")).filter(col("len").isNotNull)
       .groupBy(col("len"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("len"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val a = hist
-      .select(col("len"), col("cnt"), sum(col("cnt")).over(w).as("c"))
+      .select(col("len"), col("cnt"),
+        HistogramWindow.cumCountGuarded(col("cnt"), col("len"),
+          "paddingAudit", "sequence lengths", maxBuckets).as("c"))
       .agg(sum(col("len") * col("cnt")).as("n_tokens"),
         sum(col("cnt")).as("n"),
         max(col("len")).as("maxlen"),

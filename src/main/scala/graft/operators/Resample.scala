@@ -1021,12 +1021,16 @@ object Resample {
    * observed totals. The window is over B rows (the audit-window knob),
    * never data. Any extra columns on `obs` (e.g. n_units) pass through.
    *
-   * NON-NEGATIVE-VALUE assumption: the "empty replicate sorts first"
-   * contract uses sentinel q = −1, which only undercuts every real
+   * NON-NEGATIVE-VALUE contract, ENFORCED: the "empty replicate sorts
+   * first" trick uses sentinel q = −1, which only undercuts every real
    * replicate when the metric is non-negative (all callers feed counts
-   * or token totals). A negative-valued metric could produce a real
-   * quotient ≤ −1 and mis-rank against the sentinel — callers adding
-   * signed metrics must switch to an is_empty leading sort key.
+   * or token totals); and for a negative in-range mean Spark's `div`
+   * truncates toward zero while the DuckDB oracle's `//` floors, so a
+   * signed caller would additionally get off-by-one scaled quotients
+   * between engines. A negative replicate or observed sum therefore
+   * RAISES (loud, both directions impossible to silently diverge) —
+   * a signed caller must first switch to an is_empty leading sort key
+   * and the quantizedDeltas sign-decomposed division.
    *
    * Output types (the FIXTURES.md contract): the `*_scaled` quotients
    * ship as BIGINT — exact and in-range while the mean < 2⁶³/10¹⁵ ≈
@@ -1054,8 +1058,18 @@ object Resample {
     // surviving correctness finding).
     val inLongRange =
       expr(s"abs(cast(sb as $dec)) * $scale < cast(nb as $dec) * 9223372036854775807")
+    // The non-negativity contract (scaladoc above) is enforced HERE,
+    // not just stated: a negative sum would both mis-rank against the
+    // −1 empty sentinel and round differently between Spark's
+    // truncating `div` and the oracle's flooring `//` — two silent
+    // divergences for the price of one missing guard.
     val ranked = perRep
       .withColumn("q", when(col("nb") === 0L, expr(s"cast(-1 as $dec)"))
+        .when(col("sb") < 0L, raise_error(lit("ciFromReplicates: " +
+          "negative replicate sum — this CI tail is contractually " +
+          "non-negative (−1 empty sentinel + floor-vs-truncate div); " +
+          "signed metrics need an is_empty sort key and sign-decomposed " +
+          "division")))
         .when(inLongRange,
           expr(s"cast(cast(sb as $dec) * $scale div " +
             s"cast(nb as $dec) as $dec)"))
@@ -1075,6 +1089,9 @@ object Resample {
     broadcast(obs).crossJoin(broadcast(picked))
       .withColumn("mean_scaled",
         when(col("n") === 0L, lit(-1L))
+          .when(col("s") < 0L, raise_error(lit("ciFromReplicates: " +
+            "negative observed sum — this CI tail is contractually " +
+            "non-negative; see the replicate-side guard")))
           .when(expr(s"abs(cast(s as $dec)) * $scale < " +
               s"cast(n as $dec) * 9223372036854775807"),
             expr(s"cast(cast(s as $dec) * $scale div " +

@@ -5636,7 +5636,15 @@ object PipelineQueries {
          |ORDER BY 1, 2, 3""".stripMargin,
     // All-pairs shingle evidence (no banding — every J >= 3/4 pair, the
     // recall regime the q14/q23 oracles already pin), then the same
-    // per-threshold integer filters.
+    // per-threshold integer filters. Ordering: the 1e19-scaled HUGEINT
+    // floor is EXACT for Int-typed thresholds — two distinct rationals
+    // n1/d1 < n2/d2 differ by >= 1/(d1*d2) >= 1/(2^31-1)^2 > 1/1e19,
+    // so their scaled images differ by > 1 and their floors are
+    // strictly ordered; the t_den tiebreak never fires (it survives
+    // only as syntax for the NULL-free key). The bound is the
+    // operator's Seq[(Int, Int)] signature, so no runtime check can
+    // be outgrown. This matches thresholdFrontier's driver-side exact
+    // rational rank order.
     "q234_threshold_frontier" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleSql) AS s FROM documents

@@ -52,6 +52,29 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.getLong(4) === 0L)
   }
 
+  test("rankAuc histogram-window guard: raises past the bucket bound, identical result below it") {
+    import spark.implicits._
+    // 5 distinct scores; bound at 4 -> the bounded-universe contract
+    // (scaladoc-only before r17) now raises instead of silently
+    // single-tasking an unbounded histogram.
+    val rows = Seq((1L, true), (2L, false), (3L, true), (4L, false), (5L, true))
+    val df = rows.toDF("s", "p")
+    val e = intercept[Exception] {
+      Eval.rankAucBounded(df, col("s"), col("p"), maxBuckets = 4L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("rankAuc") &&
+      m.contains("more than 4 distinct score buckets")),
+      s"expected the histogram guard, got: ${messages(e).mkString(" | ")}")
+    // At the bound (5 buckets <= 5) the guard is inert and the result
+    // matches the unbounded default path bit-for-bit.
+    val bounded = Eval.rankAucBounded(df, col("s"), col("p"), maxBuckets = 5L).head()
+    val default = Eval.rankAuc(df, col("s"), col("p")).head()
+    assert(bounded.toSeq === default.toSeq)
+  }
+
   private def disparity(rows: Seq[(String, Long)], cutoff: Long) = {
     import spark.implicits._
     Eval.keepRateDisparity(rows.toDF("g", "v"), col("g"), col("v") >= cutoff).head()

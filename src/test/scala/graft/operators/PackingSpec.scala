@@ -135,6 +135,28 @@ class PackingSpec extends AnyFunSuite {
     assert(u1 === 250L * 1000000L / (2L * 100L)) // oversize pushes past 1e6
   }
 
+  test("paddingAudit histogram-window guard: raises past the bucket bound, identical below it") {
+    import spark.implicits._
+    val lens = Seq(3L, 7L, 7L, 2L, 9L, 1L, 5L) // 6 distinct lengths
+    val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "len")
+    val e = intercept[Exception] {
+      Packing.paddingAuditBounded(df,
+        org.apache.spark.sql.functions.col("len"), batchSize = 4,
+        maxBuckets = 5L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("paddingAudit") &&
+      m.contains("more than 5 distinct sequence lengths")),
+      s"expected the histogram guard, got: ${messages(e).mkString(" | ")}")
+    val c = org.apache.spark.sql.functions.col("len")
+    val bounded = Packing.paddingAuditBounded(df, c, 4, maxBuckets = 6L)
+      .collect().map(_.toSeq).toSet
+    val default = Packing.paddingAudit(df, c, 4).collect().map(_.toSeq).toSet
+    assert(bounded === default)
+  }
+
   test("paddingAudit matches a brute-force sorted batching, partial batch included") {
     import spark.implicits._
     // 11 lengths with duplicates -> one partial final batch at B = 4.

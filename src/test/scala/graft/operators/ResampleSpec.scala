@@ -905,16 +905,29 @@ class ResampleSpec extends AnyFunSuite {
     val row = Resample.bootstrapMeanCI(ok, col("k"), col("v"),
       reps = 8, seed = "ovf", tailDen = 4).collect().head
     assert(row.getAs[Long]("mean_scaled") === 9000L * 1000000000000000L)
-    // Both directions (r16 self-review): a signed metric whose mean
-    // UNDERFLOWS -2^63/10^15 must raise the same way, not NULL + sort
-    // below the empty sentinel.
+    // Negative direction: since r17 ANY negative sum trips the
+    // non-negativity contract guard (it would both mis-rank against the
+    // -1 empty sentinel and round differently between Spark's
+    // truncating div and the oracle's flooring //) — the raise fires
+    // whether the magnitude would overflow the display domain or not.
     val neg = (0 until 8).map(i => (s"k$i", -10000000000L)).toDF("k", "v")
     val en = intercept[Exception] {
       Resample.bootstrapMeanCI(neg, col("k"), col("v"),
         reps = 8, seed = "ovf", tailDen = 4).collect()
     }
-    assert(messages(en).exists(_.contains("scaled BIGINT display domain")),
+    assert(messages(en).exists(_.contains("non-negative")),
       s"negative direction unguarded: ${messages(en).mkString(" | ")}")
+    // The r17 ADVICE case specifically: an IN-RANGE negative mean (no
+    // overflow anywhere) used to flow through `div`'s toward-zero
+    // truncation while the DuckDB oracle floors — a silent off-by-one
+    // between engines. Now it raises loudly instead.
+    val negSmall = (0 until 8).map(i => (s"k$i", -5L)).toDF("k", "v")
+    val es = intercept[Exception] {
+      Resample.bootstrapMeanCI(negSmall, col("k"), col("v"),
+        reps = 8, seed = "ovf", tailDen = 4).collect()
+    }
+    assert(messages(es).exists(_.contains("non-negative")),
+      s"in-range negative mean unguarded: ${messages(es).mkString(" | ")}")
   }
 
   test("bh ranks are dense, ordered by exceedance then group key") {

@@ -18,7 +18,19 @@ Outputs are single parquet FILES (not directories) with small row groups,
 so both Spark (row-group splits) and tools/check_oracle.py's
 read_parquet('<dir>/<t>.parquet') views work unchanged.
 
-Usage: python3 tools/make_scale_corpus.py SRC_DIR OUT_DIR [REPLICAS=10]
+With --embeddings, the embeddings table is ALSO replicated (default:
+byte-copied, which makes embedding-family scale reads variance reads —
+the r16 verdict's q121 caveat). Replica k applies a circular shift of
+k mod dim positions to every vector, negating it for k >= dim. Both are
+orthogonal transforms, so each replica's INTERNAL geometry (pairwise
+cosines, hence near-dup structure, cluster shape, top-k ranks) is
+identical to the original's, while cross-replica cosines are those of a
+vector against an unrelated rotation — pseudo-random, not 1.0 — so the
+corpus does not collapse into reps-sized duplicate classes. Work for
+pair-producing embedding queries scales by N, matching the documents
+scheme. vec_id is re-keyed with the same stride discipline.
+
+Usage: python3 tools/make_scale_corpus.py SRC_DIR OUT_DIR [REPLICAS=10] [--embeddings]
 """
 import sys, os, shutil
 import duckdb
@@ -28,14 +40,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 DOC_STRIDE = 1_000_000
 USER_STRIDE = 1_000_000
 EVENT_STRIDE = 100_000_000
+VEC_STRIDE = 1_000_000
 
 
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--embeddings"]
+    scale_embeddings = "--embeddings" in sys.argv
+    src, out = argv[0], argv[1]
+    reps = int(argv[2]) if len(argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
+    skip = {"documents", "events"} | ({"embeddings"} if scale_embeddings else set())
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in skip:
             continue
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
 
@@ -72,7 +88,30 @@ def main():
       ) TO '{out}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)
     """)
 
-    for t in ("documents", "events"):
+    if scale_embeddings:
+        # Circular shift by k mod dim (1-indexed list slices); negate the
+        # whole vector for k >= dim so up to 2*dim replicas stay distinct
+        # transforms. k=0 keeps the original bytes. len(embedding) is read
+        # per row, so a future dim change needs no edit here.
+        con.execute(f"""
+          COPY (
+            SELECT vec_id + k * {VEC_STRIDE} AS vec_id,
+              CASE WHEN k = 0 THEN embedding ELSE
+                list_transform(
+                  embedding[(k % len(embedding)) + 1:]
+                    || embedding[1:(k % len(embedding))],
+                  x -> CASE WHEN k >= len(embedding) THEN -x ELSE x END)
+                ::FLOAT[]
+              END AS embedding,
+              label
+            FROM read_parquet('{src}/embeddings.parquet'),
+                 (SELECT unnest(range({reps})) AS k)
+            ORDER BY vec_id
+          ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)
+        """)
+
+    scaled = ["documents", "events"] + (["embeddings"] if scale_embeddings else [])
+    for t in scaled:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows ({reps}x)")
