@@ -25,10 +25,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++ graft.queries.PipelineQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.PipelineQueries.queries ++
+      graft.queries.SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles ++ graft.queries.PipelineQueries.oracles
+    graft.queries.CoreQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
+      graft.queries.SqlSurfaceQueries.oracles
 }

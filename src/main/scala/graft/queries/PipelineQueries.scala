@@ -2779,13 +2779,13 @@ object PipelineQueries {
     pmod(col("c_custkey"), lit(256)).cast("string"), lit(".0."),
     pmod(col("c_nationkey"), lit(256)).cast("string"))
 
-  private val tokensSql =
+  private[queries] val tokensSql =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
 
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  private val enHits = hitsSql(graft.text.Stopwords.English)
+  private[queries] val enHits = hitsSql(graft.text.Stopwords.English)
   private val deHits = hitsSql(graft.text.Stopwords.German)
   private val esHits = hitsSql(graft.text.Stopwords.Spanish)
   private val frHits = hitsSql(graft.text.Stopwords.French)
@@ -3390,7 +3390,7 @@ object PipelineQueries {
   /** DuckDB replica of [[Cleanup.scrub]]: same NFC normalize, same
    * conditional markup strip, same redaction patterns in the same order
    * ('g' = replace-all, matching Spark's regexp_replace default). */
-  private val scrubSql =
+  private[queries] val scrubSql =
     """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |  CASE WHEN regexp_matches(nfc_normalize(text), '<[^>]*>')
       |       THEN trim(regexp_replace(regexp_replace(nfc_normalize(text),
@@ -3432,7 +3432,7 @@ object PipelineQueries {
        |SELECT id_a, id_b, inter, uni FROM ndpairs
        |ORDER BY id_a, id_b""".stripMargin
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     """list_distinct(list_transform(
       |  range(1, greatest(length(text) - 9, 1) + 1),
       |  i -> substr(lower(text), i::INT, 10)))""".stripMargin

@@ -1,0 +1,483 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * q249 — the FULL SQL-surface matrix: every name registered into a
+ * session's FunctionRegistry (the 26 GraftFunctionRegistry kernels, the
+ * 11 hll operators, and the theta/kll/freq/bloom families) invoked
+ * through ONE `spark.sql` statement with an oracle-checked value — the
+ * reference's registration smoke test (reference:
+ * HLLFunctionsTest.scala:74-90,340-354) scaled to the whole surface.
+ * q97 samples five kernels; this row is the exhaustive
+ * PySpark/JDBC-reachability proof: registration, the explicit arity
+ * builders, literal handling, and execution are all on the hook for
+ * every name, not just the expression classes underneath (which the
+ * DSL rows already pin value-for-value).
+ *
+ * Output: one (fn, v) row per registered name, ordered by fn; `v` is a
+ * STRING so heterogeneous probes share one schema. Probe discipline:
+ *  - Where DuckDB can re-derive the value (md5-based kernels, exact
+ *    integer stats, small-cardinality sketch estimates — the regimes
+ *    the per-family driver rows already established), the oracle
+ *    recomputes it definitionally over the same slice.
+ *  - Where the value is engine-internal (xxHash-based minhash and
+ *    unary simhash, GRAFT register arrays, bloom bit layout), the
+ *    probe asserts a DEFINITIONAL invariant whose truth any engine can
+ *    state ('true' rows): set-semantics/order invariance, span-hash ≡
+ *    scalar-hash composition, no-false-negative membership, bijection
+ *    on a bounded grid. The deep value checks for those live in their
+ *    family rows (hll_graft_registers, q14, q42, q121) — this row
+ *    proves the SQL path reaches the same kernels.
+ * Every arm stays on a bounded slice (doc_id < 40, l_orderkey < 200,
+ * o_orderkey < 500, vec_id < 10) — the row is a surface check, not a
+ * throughput row; at 100 TB the same statement shape runs unchanged
+ * because every probe is a plain aggregate over pushed-down-filtered
+ * scans.
+ */
+object SqlSurfaceQueries {
+
+  private def tname(n: String): String = graft.theta.ThetaFunctionRegistry.sqlName(n)
+
+  /** (registered name, Spark SQL arm, DuckDB oracle arm). The arms are
+   * complete SELECTs producing (fn, v); label strings are shared so the
+   * two sides cannot drift. */
+  private lazy val probes: Seq[(String, String, String)] = {
+    val tokensSql = PipelineQueries.tokensSql
+    val shingleSql = PipelineQueries.shingleSql
+    val scrubSql = PipelineQueries.scrubSql
+    val enHits = PipelineQueries.enHits
+    val docs = "documents_sqlm_v"
+    val li = "lineitem_sqlm_v"
+    val ord = "orders_sqlm_v"
+    val emb = "embeddings_sqlm_v"
+    // DuckDB's signed view of the q97 md5→int64 convention.
+    def duckMd5Signed(arg: String): String =
+      s"""(CASE WHEN ('0x' || substr(md5($arg), 1, 16))::UBIGINT >= 9223372036854775808::UBIGINT
+         |  THEN ('0x' || substr(md5($arg), 1, 16))::UBIGINT::HUGEINT - 18446744073709551616::HUGEINT
+         |  ELSE ('0x' || substr(md5($arg), 1, 16))::UBIGINT::HUGEINT END)""".stripMargin
+
+    Seq(
+      // ---- GraftFunctionRegistry kernels (26) ----
+      ("char_shingles",
+        s"SELECT sum(size(char_shingles(text, 10))) FROM $docs WHERE doc_id < 40",
+        s"SELECT sum(len($shingleSql)) FROM documents WHERE doc_id < 40"),
+      ("word_shingles",
+        s"""SELECT coalesce(sum(size(word_shingles(
+           |  filter(split(lower(text), '\\\\s+'), t -> t != ''), 3))), 0)
+           |FROM $docs WHERE doc_id < 40""".stripMargin,
+        s"""SELECT coalesce(sum(len(list_distinct(list_transform(
+           |  range(1, greatest(len(tk) - 2, 0) + 1),
+           |  i -> tk[i::INT] || ' ' || tk[(i+1)::INT] || ' ' || tk[(i+2)::INT])))), 0)
+           |FROM (SELECT $tokensSql AS tk FROM documents WHERE doc_id < 40)""".stripMargin),
+      // xxHash-based: the cross-engine-statable invariant is set
+      // semantics (duplicated input leaves the signature unchanged)
+      // plus the k-length contract.
+      ("minhash_signature",
+        s"""SELECT CAST(bool_and(size(minhash_signature(sh, 8)) = 8
+           |  AND minhash_signature(sh, 8) = minhash_signature(concat(sh, sh), 8)) AS STRING)
+           |FROM (SELECT char_shingles(text, 10) AS sh FROM $docs
+           |      WHERE doc_id < 40 AND length(text) >= 10)""".stripMargin,
+        "SELECT 'true'"),
+      // Bit-vote sums are order-invariant in BOTH hashing modes; the
+      // auditable mode's exact value is q97's standing check.
+      ("simhash64",
+        s"""SELECT CAST(bool_and(simhash64(tk) = simhash64(reverse(tk))
+           |  AND simhash64(tk, true) = simhash64(reverse(tk), true)) AS STRING)
+           |FROM (SELECT filter(split(lower(text), '\\\\s+'), t -> t != '') AS tk
+           |      FROM $docs WHERE doc_id < 40)""".stripMargin,
+        "SELECT 'true'"),
+      ("text_stats",
+        s"""SELECT CAST(sum(s.n_tokens) AS STRING) || ':' ||
+           |  CAST(sum(element_at(s.stopword_hits, 1)) AS STRING)
+           |FROM (SELECT text_stats(text) AS s FROM $docs WHERE doc_id < 40)""".stripMargin,
+        s"""SELECT CAST(sum(len($tokensSql)) AS VARCHAR) || ':' ||
+           |  CAST(sum($enHits) AS VARCHAR)
+           |FROM documents WHERE doc_id < 40""".stripMargin),
+      ("repetition_stats",
+        s"""SELECT CAST(sum(r.dup_lines) AS STRING) || ':' ||
+           |  CAST(sum(r.top_bigram) AS STRING)
+           |FROM (SELECT repetition_stats(text) AS r FROM $docs WHERE doc_id < 40)""".stripMargin,
+        s"""SELECT CAST(sum(dup_lines) AS VARCHAR) || ':' || CAST(sum(top_bigram) AS VARCHAR)
+           |FROM (
+           |  WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+           |  lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+           |  lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+           |  ls AS (SELECT doc_id,
+           |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_lines FROM lc GROUP BY 1),
+           |  toks AS (SELECT doc_id, $tokensSql AS ts FROM corpus),
+           |  bg2 AS (SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT] AS b
+           |          FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+           |  bgc AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY 1, 2),
+           |  bs AS (SELECT doc_id, max(c)::INT AS top_bigram FROM bgc GROUP BY 1)
+           |  SELECT ls.dup_lines, coalesce(bs.top_bigram, 0) AS top_bigram
+           |  FROM ls LEFT JOIN bs USING (doc_id))""".stripMargin),
+      // top_ngram_chars is tie-broken by gram text (q111 pins it per
+      // doc); the slim sums here stay on the tie-free fields.
+      ("ngram_repetition_stats",
+        s"""SELECT CAST(sum(r.n_ngrams) AS STRING) || ':' || CAST(sum(r.top_ngram) AS STRING)
+           |  || ':' || CAST(sum(r.dup_ngram_chars) AS STRING)
+           |FROM (SELECT ngram_repetition_stats(text, 3) AS r FROM $docs WHERE doc_id < 40)""".stripMargin,
+        s"""SELECT CAST(sum(n_ngrams) AS VARCHAR) || ':' || CAST(sum(top_ngram) AS VARCHAR)
+           |  || ':' || CAST(sum(dup_ngram_chars) AS VARCHAR)
+           |FROM (
+           |  WITH toks AS (SELECT doc_id, $tokensSql AS ts
+           |                FROM documents WHERE doc_id < 40),
+           |  g3 AS (SELECT doc_id, ts[i.i::INT] || ' ' || ts[(i.i + 1)::INT]
+           |           || ' ' || ts[(i.i + 2)::INT] AS g
+           |         FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) i),
+           |  gc AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+           |  SELECT sum(c)::INT AS n_ngrams, max(c)::INT AS top_ngram,
+           |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)::INT AS dup_ngram_chars
+           |  FROM gc GROUP BY doc_id)""".stripMargin),
+      ("word_ngrams_explode",
+        s"""SELECT count(*) FROM (
+           |  SELECT word_ngrams_explode(text, 2) FROM $docs WHERE doc_id < 40)""".stripMargin,
+        s"""SELECT coalesce(sum(greatest(len($tokensSql) - 1, 0)), 0)
+           |FROM documents WHERE doc_id < 40""".stripMargin),
+      ("md5_hash64",
+        s"SELECT max(md5_hash64(text)) FROM $docs WHERE doc_id < 40",
+        s"SELECT max(${duckMd5Signed("text")}) FROM documents WHERE doc_id < 40"),
+      ("cosine_similarity",
+        s"""SELECT sum(CAST(floor(cosine_similarity(embedding, embedding) * 1000000 + 0.5) AS BIGINT))
+           |FROM $emb WHERE vec_id < 10""".stripMargin,
+        "SELECT count(*) * 1000000 FROM embeddings WHERE vec_id < 10"),
+      ("dot_product",
+        """SELECT CAST(dot_product(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)),
+          |  array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS BIGINT)""".stripMargin,
+        "SELECT 13"),
+      // absmax 127 → scale exactly 1.0, codes ±127: pins the symmetric
+      // absmax convention and the int8 dot in one literal round trip.
+      ("quantize_int8",
+        """SELECT CAST(int8_dot(q.q, q.q) AS STRING) || ':' || CAST(q.scale AS STRING)
+          |FROM (SELECT quantize_int8(array(CAST(127 AS FLOAT), CAST(0 AS FLOAT),
+          |  CAST(-127 AS FLOAT))) AS q)""".stripMargin,
+        "SELECT '32258' || ':' || '1.0'"),
+      ("int8_dot",
+        """SELECT int8_dot(array(CAST(3 AS TINYINT), CAST(-4 AS TINYINT)),
+          |  array(CAST(5 AS TINYINT), CAST(6 AS TINYINT)))""".stripMargin,
+        "SELECT -9"),
+      ("nfc_normalize",
+        "SELECT CAST(nfc_normalize('é') = 'é' AS STRING)",
+        "SELECT CAST(nfc_normalize('e' || chr(769)) = chr(233) AS VARCHAR)"),
+      ("strip_html",
+        "SELECT strip_html('<b>hi</b> there')",
+        "SELECT 'hi there'"),
+      ("redact_pii",
+        "SELECT redact_pii('mail a@b.com or 1.2.3.4')",
+        "SELECT 'mail <EMAIL> or <IP>'"),
+      ("scrub",
+        s"SELECT max(md5_hash64(scrub(text))) FROM $docs WHERE doc_id < 40",
+        s"SELECT max(${duckMd5Signed(scrubSql)}) FROM documents WHERE doc_id < 40"),
+      ("bpe_encode",
+        "SELECT concat_ws('|', bpe_encode('ab ab cd', array(array('a','b'))))",
+        "SELECT 'ab|ab|c|d'"),
+      ("quality_score64",
+        s"SELECT sum(quality_score64(text)) FROM $docs WHERE doc_id < 40",
+        s"""SELECT sum(coalesce(list_sum(list_transform($tokensSql,
+           |  t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+           |         & 2047::UBIGINT)::BIGINT - 1024))), 0))
+           |FROM documents WHERE doc_id < 40""".stripMargin),
+      // Literal pins the bit-interleave convention (x even bits);
+      // the distinct count pins bijectivity on a bounded grid.
+      ("zorder2",
+        s"""SELECT CAST(zorder2(3, 5) AS STRING) || ':' ||
+           |  CAST(count(DISTINCT zorder2(CAST(o_orderkey % 256 AS INT),
+           |    CAST(o_custkey % 256 AS INT))) AS STRING)
+           |FROM $ord WHERE o_orderkey < 500""".stripMargin,
+        s"""SELECT '39:' || CAST(count(DISTINCT (o_orderkey % 256, o_custkey % 256)) AS VARCHAR)
+           |FROM orders WHERE o_orderkey < 500""".stripMargin),
+      // The heap's eval order is unspecified — array_sort before
+      // reading (the k minimal structs are a SET).
+      ("topk_structs",
+        s"""SELECT concat_ws(',', transform(array_sort(
+           |  topk_structs(named_struct('q', CAST(floor(l_quantity * 100 + 0.5) AS BIGINT),
+           |    'k', l_orderkey), 3)), s -> CAST(s.k AS STRING)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        s"""SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY q, k) FROM (
+           |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q, l_orderkey AS k
+           |  FROM lineitem WHERE l_orderkey < 200 ORDER BY q, k LIMIT 3)""".stripMargin),
+      ("hilbert2",
+        s"""SELECT CAST(hilbert2(0, 0) AS STRING) || ':' ||
+           |  CAST(count(DISTINCT hilbert2(CAST(o_orderkey % 256 AS INT),
+           |    CAST(o_custkey % 256 AS INT))) AS STRING)
+           |FROM $ord WHERE o_orderkey < 500""".stripMargin,
+        s"""SELECT '0:' || CAST(count(DISTINCT (o_orderkey % 256, o_custkey % 256)) AS VARCHAR)
+           |FROM orders WHERE o_orderkey < 500""".stripMargin),
+      // 'abc' = ((97·257)+98)·257+99 — the base-257 polynomial is
+      // plain arithmetic at this length, so the oracle derives it.
+      ("rolling_hash64",
+        "SELECT rolling_hash64('abc')",
+        "SELECT 97 * 66049 + 98 * 257 + 99"),
+      ("rolling_span_hashes",
+        """SELECT CAST(rolling_span_hashes(array('a','b','c'), 2) =
+          |  array(rolling_hash64('a b'), rolling_hash64('b c')) AS STRING)""".stripMargin,
+        "SELECT 'true'"),
+      ("pair_collisions_explode",
+        """SELECT concat_ws(';', collect_list(CAST(p.a.id AS STRING) || '-' || CAST(p.b.id AS STRING)))
+          |FROM (SELECT pair_collisions_explode(array(named_struct('id', 3L),
+          |  named_struct('id', 1L), named_struct('id', 2L))) AS p)""".stripMargin,
+        "SELECT '1-3;2-3;1-2'"),
+      ("greedy_pack_explode",
+        """SELECT concat_ws(';', collect_list(CAST(p.pack_id AS STRING) || ':' || CAST(p.pack_offset AS STRING)))
+          |FROM (SELECT greedy_pack_explode(array(
+          |  named_struct('id', 1L, 'w', 3L), named_struct('id', 2L, 'w', 3L),
+          |  named_struct('id', 3L, 'w', 2L)), 5) AS p)""".stripMargin,
+        "SELECT '0:0;1:0;1:3'"),
+
+      // ---- hll operators (11): probes stay on the bounded
+      // l_linenumber universe (<= 7 distinct) — the regime where the
+      // STRM estimator is integer-exact (n^2/2m < 0.2%, the gate rows'
+      // standing bound); l_orderkey-sized universes measured an
+      // off-by-2 estimate at the 10x corpus. AccuracySpec owns the
+      // estimator's error curve; this row owns the SQL path. ----
+      ("hll_init",
+        s"""SELECT hll_cardinality(hll_merge(h)) FROM (
+           |  SELECT hll_init(l_linenumber, 0.005) AS h FROM $li WHERE l_orderkey < 200)""".stripMargin,
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      // Collection probes use a 14-value member universe: at ~750
+      // members the STRM sparse encoding's 25-bit prefix produced a
+      // measured 1-value collision (753 vs 754) — these probes pin the
+      // SQL path, not the estimator's collision curve (AccuracySpec
+      // owns that).
+      ("hll_init_collection",
+        s"""SELECT hll_cardinality(hll_merge(h)) FROM (
+           |  SELECT hll_init_collection(array(l_linenumber, l_linenumber + 100), 0.005) AS h
+           |  FROM $li WHERE l_orderkey < 200)""".stripMargin,
+        """SELECT count(DISTINCT v) FROM (
+          |  SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey < 200
+          |  UNION ALL SELECT l_linenumber + 100 FROM lineitem WHERE l_orderkey < 200)""".stripMargin),
+      ("hll_init_agg",
+        s"SELECT hll_cardinality(hll_init_agg(l_linenumber, 0.005)) FROM $li WHERE l_orderkey < 200",
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      ("hll_init_collection_agg",
+        s"""SELECT hll_cardinality(hll_init_collection_agg(array(l_linenumber,
+           |  l_linenumber + 100), 0.005)) FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(DISTINCT v) FROM (
+          |  SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey < 200
+          |  UNION ALL SELECT l_linenumber + 100 FROM lineitem WHERE l_orderkey < 200)""".stripMargin),
+      ("hll_merge",
+        s"""SELECT hll_cardinality(hll_merge(h)) FROM (
+           |  SELECT hll_init_agg(l_linenumber, 0.005) AS h FROM $li WHERE l_orderkey < 200
+           |  GROUP BY l_orderkey % 4)""".stripMargin,
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      ("hll_row_merge",
+        s"""SELECT hll_cardinality(hll_row_merge(
+           |  hll_init_agg(CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber END, 0.005),
+           |  hll_init_agg(CASE WHEN l_orderkey % 2 <> 0 THEN l_linenumber + 10 END, 0.005)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(DISTINCT v) FROM (
+          |  SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey < 200 AND l_orderkey % 2 = 0
+          |  UNION ALL SELECT l_linenumber + 10 FROM lineitem
+          |  WHERE l_orderkey < 200 AND l_orderkey % 2 <> 0)""".stripMargin),
+      ("hll_cardinality",
+        s"SELECT hll_cardinality(hll_init_agg(l_linenumber + 20, 0.005)) FROM $li WHERE l_orderkey < 200",
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      ("hll_intersect_cardinality",
+        s"""SELECT hll_intersect_cardinality(
+           |  hll_init_agg(CASE WHEN l_linenumber <= 4 THEN l_linenumber END, 0.005),
+           |  hll_init_agg(CASE WHEN l_linenumber >= 3 THEN l_linenumber END, 0.005))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(*) FROM (
+          |  SELECT l_linenumber FROM lineitem WHERE l_orderkey < 200 AND l_linenumber <= 4
+          |  INTERSECT
+          |  SELECT l_linenumber FROM lineitem WHERE l_orderkey < 200 AND l_linenumber >= 3)""".stripMargin),
+      ("hll_convert",
+        s"""SELECT hll_cardinality(hll_convert(hll_init_agg(l_linenumber, 0.005), 'STRM', 'GRAFT'), 'GRAFT')
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      ("hll_init_hashed_agg",
+        s"""SELECT hll_cardinality(hll_init_hashed_agg(md5_hash64(CAST(l_linenumber AS STRING)), 0.005))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT count(DISTINCT l_linenumber) FROM lineitem WHERE l_orderkey < 200"),
+      // Register VALUES are pinned by hll_graft_registers; here the SQL
+      // path asserts the dense-array contract (non-empty, 6-bit range).
+      ("hll_registers",
+        s"""SELECT CAST(size(r) > 0 AND size(filter(r, x -> x < 0 OR x > 63)) = 0
+           |  AND size(filter(r, x -> x > 0)) > 0 AS STRING)
+           |FROM (SELECT hll_registers(hll_convert(hll_init_agg(l_linenumber, 0.005), 'STRM', 'GRAFT')) AS r
+           |      FROM $li WHERE l_orderkey < 200)""".stripMargin,
+        "SELECT 'true'"),
+
+      // ---- theta (5): exact mode at these cardinalities ----
+      (tname("theta_init_agg"),
+        s"""SELECT ${tname("theta_estimate")}(${tname("theta_init_agg")}(l_suppkey))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_orderkey < 200"),
+      (tname("theta_union"),
+        s"""SELECT ${tname("theta_estimate")}(${tname("theta_union")}(h)) FROM (
+           |  SELECT ${tname("theta_init_agg")}(l_suppkey) AS h FROM $li
+           |  WHERE l_orderkey < 200 GROUP BY l_linenumber)""".stripMargin,
+        "SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_orderkey < 200"),
+      (tname("theta_intersect"),
+        s"""SELECT ${tname("theta_estimate")}(${tname("theta_intersect")}(
+           |  ${tname("theta_init_agg")}(CASE WHEN l_linenumber <= 2 THEN l_suppkey END),
+           |  ${tname("theta_init_agg")}(CASE WHEN l_linenumber >= 2 THEN l_suppkey END)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(*) FROM (
+          |  SELECT l_suppkey FROM lineitem WHERE l_orderkey < 200 AND l_linenumber <= 2
+          |  INTERSECT
+          |  SELECT l_suppkey FROM lineitem WHERE l_orderkey < 200 AND l_linenumber >= 2)""".stripMargin),
+      (tname("theta_a_not_b"),
+        s"""SELECT ${tname("theta_estimate")}(${tname("theta_a_not_b")}(
+           |  ${tname("theta_init_agg")}(CASE WHEN l_linenumber <= 2 THEN l_suppkey END),
+           |  ${tname("theta_init_agg")}(CASE WHEN l_linenumber >= 2 THEN l_suppkey END)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(*) FROM (
+          |  SELECT l_suppkey FROM lineitem WHERE l_orderkey < 200 AND l_linenumber <= 2
+          |  EXCEPT
+          |  SELECT l_suppkey FROM lineitem WHERE l_orderkey < 200 AND l_linenumber >= 2)""".stripMargin),
+      (tname("theta_estimate"),
+        s"""SELECT ${tname("theta_estimate")}(${tname("theta_init_agg")}(l_orderkey))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey < 200"),
+
+      // ---- kll (7): k=16384 keeps the sketch exact here (q24's
+      // operating point); quantile ≡ quantile_disc, rank/cdf/pmf are
+      // inclusive integer-count ratios in ONE IEEE division (q176/q46
+      // conventions), scaled to e9 integers for the string compare ----
+      ("kll_init_agg",
+        s"""SELECT CAST(kll_quantile(kll_init_agg(l_quantity, 16384), CAST(0.5 AS DOUBLE)) AS BIGINT)
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT CAST(quantile_disc(l_quantity, 0.5) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("kll_merge",
+        s"""SELECT CAST(kll_quantile(kll_merge(sk), CAST(0.5 AS DOUBLE)) AS BIGINT) FROM (
+           |  SELECT kll_init_agg(l_quantity, 16384) AS sk FROM $li
+           |  WHERE l_orderkey < 200 GROUP BY l_linenumber)""".stripMargin,
+        """SELECT CAST(quantile_disc(l_quantity, 0.5) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("kll_quantile",
+        s"""SELECT CAST(kll_quantile(kll_init_agg(l_quantity, 16384), CAST(0.9 AS DOUBLE)) AS BIGINT)
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT CAST(quantile_disc(l_quantity, 0.9) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("kll_rank",
+        s"""SELECT CAST(floor(kll_rank(kll_init_agg(l_quantity, 16384), CAST(25.0 AS DOUBLE))
+           |  * 1000000000 + 0.5) AS BIGINT)
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT CAST(floor((count(*) FILTER (WHERE l_quantity <= 25.0))::DOUBLE
+          |  / count(l_quantity) * 1000000000 + 0.5) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("kll_n",
+        s"SELECT kll_n(kll_init_agg(l_quantity, 16384)) FROM $li WHERE l_orderkey < 200",
+        "SELECT count(l_quantity) FROM lineitem WHERE l_orderkey < 200"),
+      ("kll_cdf",
+        s"""SELECT CAST(floor(element_at(kll_cdf(kll_init_agg(l_quantity, 16384),
+           |  array(CAST(10.0 AS DOUBLE), CAST(30.0 AS DOUBLE))), 2) * 1000000000 + 0.5) AS BIGINT)
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT CAST(floor((count(*) FILTER (WHERE l_quantity <= 30.0))::DOUBLE
+          |  / count(l_quantity) * 1000000000 + 0.5) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("kll_pmf",
+        s"""SELECT CAST(floor(element_at(kll_pmf(kll_init_agg(l_quantity, 16384),
+           |  array(CAST(10.0 AS DOUBLE), CAST(30.0 AS DOUBLE))), 2) * 1000000000 + 0.5) AS BIGINT)
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT CAST(floor(((count(*) FILTER (WHERE l_quantity <= 30.0))
+          |  - (count(*) FILTER (WHERE l_quantity <= 10.0)))::DOUBLE
+          |  / count(l_quantity) * 1000000000 + 0.5) AS BIGINT)
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+
+      // ---- freq (7): 3-value universe << maxMapSize → exact ----
+      ("freq_init_agg",
+        s"""SELECT freq_estimate(freq_init_agg(l_returnflag, 64), 'A')
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(*) FILTER (WHERE l_returnflag = 'A')
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("freq_merge",
+        s"""SELECT freq_estimate(freq_merge(f), 'A') FROM (
+           |  SELECT freq_init_agg(l_returnflag, 64) AS f FROM $li
+           |  WHERE l_orderkey < 200 GROUP BY l_linenumber)""".stripMargin,
+        """SELECT count(*) FILTER (WHERE l_returnflag = 'A')
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("freq_estimate",
+        s"""SELECT freq_estimate(freq_init_agg(l_returnflag, 64), 'N')
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT count(*) FILTER (WHERE l_returnflag = 'N')
+          |FROM lineitem WHERE l_orderkey < 200""".stripMargin),
+      ("freq_items",
+        s"""SELECT concat_ws(';', transform(freq_items(freq_init_agg(l_returnflag, 64), 1L),
+           |  x -> x.item || ':' || CAST(x.cnt AS STRING)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT string_agg(l_returnflag || ':' || CAST(c AS VARCHAR), ';' ORDER BY c DESC, l_returnflag)
+          |FROM (SELECT l_returnflag, count(*) AS c FROM lineitem
+          |      WHERE l_orderkey < 200 GROUP BY 1)""".stripMargin),
+      ("freq_items_by_support",
+        s"""SELECT concat_ws(';', transform(freq_items_by_support(freq_init_agg(l_returnflag, 64), 300000L),
+           |  x -> x.item || ':' || CAST(x.cnt AS STRING)))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        """SELECT string_agg(l_returnflag || ':' || CAST(c AS VARCHAR), ';' ORDER BY c DESC, l_returnflag)
+          |FROM (SELECT l_returnflag, count(*) AS c, sum(count(*)) OVER () AS n
+          |      FROM lineitem WHERE l_orderkey < 200 GROUP BY 1)
+          |WHERE c >= (n * 300000 + 999999) // 1000000""".stripMargin),
+      ("freq_stream_length",
+        s"""SELECT freq_stream_length(freq_init_agg(l_returnflag, 64))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT count(l_returnflag) FROM lineitem WHERE l_orderkey < 200"),
+      ("freq_max_error",
+        s"""SELECT freq_max_error(freq_init_agg(l_returnflag, 64))
+           |FROM $li WHERE l_orderkey < 200""".stripMargin,
+        "SELECT 0"),
+
+      // ---- bloom (4): no-false-negative membership is the
+      // definitional cross-engine invariant; the value-level
+      // decontamination check is q42's standing row ----
+      ("bloom_init_agg",
+        """SELECT CAST(bloom_might_contain(f, 'k2') AS STRING)
+          |FROM (SELECT bloom_init_agg(v) AS f FROM (
+          |  SELECT explode(array('k1', 'k2', 'k3')) AS v))""".stripMargin,
+        "SELECT 'true'"),
+      ("bloom_merge",
+        """SELECT CAST(bloom_might_contain(m, 'a1') AS STRING) || ':' ||
+          |  CAST(bloom_might_contain(m, 'b1') AS STRING)
+          |FROM (SELECT bloom_merge(f) AS m FROM (
+          |  SELECT g, bloom_init_agg(v) AS f FROM (
+          |    SELECT 1 AS g, explode(array('a1', 'a2')) AS v
+          |    UNION ALL SELECT 2, explode(array('b1', 'b2')) AS v) GROUP BY g))""".stripMargin,
+        "SELECT 'true:true'"),
+      ("bloom_might_contain",
+        """SELECT CAST(bool_and(bloom_might_contain(f, v)) AS STRING)
+          |FROM (SELECT bloom_init_agg(v) AS f FROM (
+          |  SELECT explode(array('x1', 'x2', 'x3', 'x4')) AS v)),
+          |  (SELECT explode(array('x1', 'x2', 'x3', 'x4')) AS v)""".stripMargin,
+        "SELECT 'true'"),
+      ("bloom_fill_fraction",
+        """SELECT CAST(bloom_fill_fraction(f) > CAST(0.0 AS DOUBLE)
+          |  AND bloom_fill_fraction(f) < CAST(1.0 AS DOUBLE) AS STRING)
+          |FROM (SELECT bloom_init_agg(v) AS f FROM (
+          |  SELECT explode(array('y1', 'y2', 'y3')) AS v))""".stripMargin,
+        "SELECT 'true'")
+    )
+  }
+
+  /** The engine statement: every arm wrapped to the shared (fn, v)
+   * schema, one ORDER BY fn at the end. */
+  private lazy val engineSql: String =
+    probes.map { case (name, arm, _) =>
+      s"SELECT '$name' AS fn, CAST(($arm) AS STRING) AS v"
+    }.mkString("SELECT fn, v FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fn")
+
+  private lazy val duckSql: String =
+    probes.map { case (name, _, arm) =>
+      s"SELECT '$name' AS fn, CAST(($arm) AS VARCHAR) AS v"
+    }.mkString("SELECT fn, v FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fn")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_sql_surface_matrix" -> ((s, dir) => {
+      graft.GraftFunctionRegistry.registerFunctions(s)
+      graft.hll.HllFunctionRegistry.registerFunctions(s)
+      graft.theta.ThetaFunctionRegistry.registerFunctions(s)
+      graft.kll.KllFunctionRegistry.registerFunctions(s)
+      graft.freq.FreqFunctionRegistry.registerFunctions(s)
+      graft.bloom.BloomFunctionRegistry.registerFunctions(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_sqlm_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sqlm_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sqlm_v")
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_sqlm_v")
+      s.sql(engineSql)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q249_sql_surface_matrix" -> duckSql)
+}
