@@ -898,8 +898,15 @@ object PipelineQueries {
     // predicate in DuckDB and checks the approximate path's exact output —
     // misses and all.
     "q54_lsh_neardup" -> ((s, dir) => {
+      // bucketGrid = 8: at 2 bits per band every bucket holds ~n/4 of the
+      // corpus (this row sits deliberately below LSH's sound operating
+      // point — see the operator scaladoc), so the bucket self-join's
+      // C(n_b, 2) enumeration is quadratic AND, ungridded, serialized
+      // into one task per (band, bucket). The r17 sf10 sweep measured the
+      // ungridded row at 465+ s single-task at 10× data; the grid splits
+      // each bucket's pair space across 36 cells.
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.45,
-        lshBits = 16, rowsPerBand = 2)
+        lshBits = 16, rowsPerBand = 2, bucketGrid = 8)
     }),
 
     // EXACT word-3-gram Jaccard near-dup pairs via the lossless prefix +
@@ -2228,8 +2235,12 @@ object PipelineQueries {
     // >= threshold against it. One row per vector (id, cid, keep): the
     // keep-list a training pipeline semi-joins against before tokenizing.
     "q84_semantic_dedup" -> ((s, dir) => {
+      // grid = 8: with k = 8 cells the within-cell pair join has at most
+      // 8 distinct keys — 8-task parallelism for Σ|cell|² cosine work
+      // regardless of cluster size. The grid spreads each cell across 36
+      // sub-cells (volume itself is k's knob — q86 is the pre-flight).
       Similarity.semanticDedup(Tables.embeddings(s, dir),
-        threshold = 0.45, k = 8, iters = 2)
+        threshold = 0.45, k = 8, iters = 2, grid = 8)
         .orderBy("id")
     }),
 

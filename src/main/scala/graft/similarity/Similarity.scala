@@ -347,11 +347,26 @@ object Similarity {
    * (nBlocks+1)/2 ≈ nBlocks/2 times — shuffle grows linearly with nBlocks
    * while per-task work shrinks quadratically, so size nBlocks to
    * ~sqrt(2·cores·waves).
+   *
+   * `bucketGrid` (LSH path only) is the hot-bucket insurance: a bucket of
+   * n members costs C(n, 2) candidate enumerations, and that work is
+   * INDIVISIBLE under plain (band, bucket)-keyed execution — AQE skew
+   * splitting cannot help (a self-join explosion needs BOTH sides of the
+   * bucket whole) and salting cannot either (a salted bucket would miss
+   * cross-salt pairs). With `bucketGrid = g > 1` each bucket's members
+   * sub-block by id hash and the g·(g+1)/2 grid cells become independent
+   * join keys ([[groupedIdPairs]] — the same cell scheme as the exact
+   * path's nBlocks grid, applied inside each bucket), so one mega-bucket
+   * parallelizes across ~g²/2 tasks instead of serializing into one.
+   * Band rows ship ~g/2 times more, so leave the default 1 when banding
+   * is sound (many small buckets) and raise it when the bucket histogram
+   * is hot — e.g. aggressive recall configs with few bits per band, or a
+   * corpus with a giant near-duplicate class.
    */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
       lshBits: Int = 0, rowsPerBand: Int = 2, dims: Int = 64, nBlocks: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      materializeBands: Boolean = true): DataFrame = {
+      materializeBands: Boolean = true, bucketGrid: Int = 1): DataFrame = {
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val candidates =
       if (lshBits <= 0) {
@@ -411,10 +426,7 @@ object Similarity {
           if (materializeBands)
             bandedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else bandedLazy
-        val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-        val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-        val pairs = l.join(r, Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
+        val pairs = groupedIdPairs(banded, Seq("band", "bucket"), bucketGrid)
           .select(col("id_a"), col("id_b"))
           .dropDuplicates("id_a", "id_b")
         pairs
@@ -439,6 +451,77 @@ object Similarity {
     val sig = base.withColumn("sig", hyperplaneSignature(col("vec"), lshBits, dims))
     sig.select(col("id"),
       posexplode(bandHashes(col("sig"), lshBits, rowsPerBand)).as(Seq("band", "bucket")))
+  }
+
+  /** Unordered within-group id pairs, normalized to `id_a < id_b`: every
+   * {x, y} with x ≠ y in the same `keys` group appears exactly once
+   * (per group — a pair meeting in several groups appears once per group;
+   * callers dedup across groups when that matters, as the LSH band join
+   * does).
+   *
+   * With `grid = 1` this is the plain keyed self-join: one group = one
+   * join-key value, so a group of n rows pays its C(n, 2) enumeration in
+   * whatever single task holds that key — fine when groups are bounded,
+   * a serialization point when one is hot. With `grid = g > 1`, ids
+   * sub-block by hash and the pair space splits into g·(g+1)/2 grid
+   * cells ((sub_a, sub_b), sub_a <= sub_b — the exact-path nBlocks
+   * scheme, scoped per group): each cell is an independent join key, so
+   * a hot group's quadratic work spreads across ~g²/2 tasks. A pair with
+   * sub-blocks (sx <= sy) meets in exactly cell sx·g+sy; same-cell pairs
+   * (sx = sy) see both orientations and dedup via id order, cross-cell
+   * pairs see exactly one, so outputs are normalized with least/greatest.
+   * Each row ships (g−sub) ≈ g/2 extra copies — linear cost for
+   * quadratic per-task relief.
+   *
+   * The gridded path also repartitions the left side by the full join
+   * key: when the grouped rows are small enough to broadcast, the join
+   * otherwise streams the OTHER side at its scan partitioning — a
+   * single-file scan (or a coalesced upstream) would run the whole
+   * explosion in one task no matter how many grid cells exist. The
+   * exchange carries slim key+id rows only, and pins an EXPLICIT
+   * partition count (the session's shuffle parallelism): the whole point
+   * of the exchange is the parallelism of the explosion DOWNSTREAM of
+   * it, which AQE cannot see — left implicit, AQE reads the slim map
+   * output (kilobytes for a hot group about to explode into millions of
+   * pairs) and coalesces the exchange back into the one task the grid
+   * exists to avoid (measured: semanticDedup at 10× data, grid 8, was
+   * serialized right back to its ungridded 15 s until the count was
+   * pinned).
+   *
+   * `rows` must expose `keys` and an `id` column; output is
+   * (keys..., id_a, id_b). */
+  private[graft] def groupedIdPairs(rows: DataFrame, keys: Seq[String],
+      grid: Int): DataFrame = {
+    require(grid >= 1, s"groupedIdPairs: grid must be >= 1, got $grid")
+    val keyCols = keys.map(col)
+    if (grid == 1) {
+      val l = rows.select(keyCols :+ col("id").as("id_a"): _*)
+      val r = rows.select(keyCols :+ col("id").as("id_b"): _*)
+      l.join(r, keys)
+        .filter(col("id_a") < col("id_b"))
+        .select(keyCols :+ col("id_a") :+ col("id_b"): _*)
+    } else {
+      val sub = pmod(xxhash64(col("id")), lit(grid)).cast("int")
+      val l = rows
+        .select(keyCols :+ col("id").as("id_a") :+ sub.as("sa"): _*)
+        .withColumn("cell",
+          explode(transform(sequence(col("sa"), lit(grid - 1)),
+            j => col("sa") * grid + j)))
+      val r = rows
+        .select(keyCols :+ col("id").as("id_b") :+ sub.as("sb"): _*)
+        .withColumn("cell",
+          explode(transform(sequence(lit(0), col("sb")),
+            i => i * grid + col("sb"))))
+      val joinKeys = keys :+ "cell"
+      val parallelism =
+        rows.sparkSession.sessionState.conf.numShufflePartitions
+      l.repartition(parallelism, joinKeys.map(col): _*)
+        .join(r, joinKeys)
+        .filter(col("sa") < col("sb") || col("id_a") < col("id_b"))
+        .select(keyCols :+
+          least(col("id_a"), col("id_b")).as("id_a") :+
+          greatest(col("id_a"), col("id_b")).as("id_b"): _*)
+    }
   }
 
   /**
@@ -974,17 +1057,22 @@ object Similarity {
    * @param centroids optional (cid, cvec) plug-in, same seam as
    *   [[ivfTopK]] — tests pass fixed centroids to pin assignment and the
    *   keeper rule independently of Lloyd's loop.
+   * @param grid sub-block factor for the within-cell pair enumeration
+   *   ([[groupedIdPairs]]): with the default 1 a cell's C(n, 2) pair work
+   *   lives in one task per cid; `grid = g` splits it across ~g²/2 grid
+   *   cells. Quadratic-volume relief belongs to `k` (more, smaller cells
+   *   — read [[semanticCellStats]] first); `grid` is the PARALLELISM
+   *   knob for whatever cell sizes remain, and the insurance against the
+   *   cid-join serializing when k is small relative to the cluster.
    */
   def semanticDedup(corpus: DataFrame, threshold: Double, k: Int = 16,
       iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: DataFrame = null): DataFrame = {
+      centroids: DataFrame = null, grid: Int = 1): DataFrame = {
     val (base, assigned) =
       cellAssignment(corpus, k, iters, idCol, vecCol, centroids)
     // Slim within-cluster pairs; vectors join back from base by id.
     val slim = assigned.select(col("cid"), col("id"))
-    val dropped = slim.select(col("cid"), col("id").as("id_a"))
-      .join(slim.select(col("cid"), col("id").as("id_b")), Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
+    val dropped = groupedIdPairs(slim, Seq("cid"), grid)
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)

@@ -339,6 +339,74 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucketGrid covers every candidate pair exactly once, any grid") {
+    // Pseudo-random corpus; 2-bit bands make every bucket hold ~1/4 of
+    // the corpus, so each grid cell of every (band, bucket) is populated.
+    val rows = (0L until 100L).map { i =>
+      i -> (0 until 64).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    // bucketGrid = 1 is the plain bucket self-join — the ground truth;
+    // gridded runs must produce the identical verified pair set (a missed
+    // grid cell loses pairs, a double-covered one duplicates candidates
+    // that dropDuplicates would mask — so assert distinctness too).
+    def run(g: Int) = cosineNearDupPairs(df, threshold = 0.3,
+      lshBits = 16, rowsPerBand = 2, bucketGrid = g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baseline = run(1)
+    assert(baseline.nonEmpty)
+    for (g <- Seq(4, 7)) {
+      val grid = run(g)
+      assert(grid.length === grid.distinct.length, s"duplicate pairs at bucketGrid=$g")
+      assert(grid.toSet === baseline.toSet, s"pair set mismatch at bucketGrid=$g")
+    }
+    intercept[IllegalArgumentException] {
+      run(0)
+    }
+  }
+
+  test("groupedIdPairs: gridded enumeration equals the plain self-join per group") {
+    import spark.implicits._
+    // Groups of very different sizes, including singletons (no pairs) and
+    // ids far larger than the grid, so sub-block hashing actually scatters.
+    val members = Map(
+      "hot" -> Seq.tabulate(40)(i => 1000L + i * 37L),
+      "cold" -> Seq(1L, 2L),
+      "solo" -> Seq(99L))
+    val rows = members.toSeq.flatMap { case (g, ids) => ids.map((g, _)) }
+      .toDF("grp", "id")
+    def run(g: Int) = Similarity.groupedIdPairs(rows, Seq("grp"), g)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val baseline = run(1)
+    // Plain-Scala ground truth: every unordered pair within each group.
+    val want = members.toSeq.flatMap { case (grp, ids) =>
+      for (a <- ids; b <- ids if a < b) yield (grp, a, b)
+    }.toSet
+    assert(baseline.toSet === want)
+    for (g <- Seq(2, 5, 64)) {
+      val grid = run(g)
+      assert(grid.length === grid.distinct.length, s"duplicate pairs at grid=$g")
+      assert(grid.toSet === want, s"pair set mismatch at grid=$g")
+    }
+  }
+
+  test("semanticDedup: gridded within-cell pruning equals the ungridded result") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+        (1, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val rows = (0L until 120L).map { i =>
+      i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
+    }
+    val df = vecs(rows: _*)
+    def run(g: Int) = semanticDedup(df, threshold = 0.3, centroids = cents, grid = g)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val baseline = run(1)
+    assert(baseline.exists(!_._3), "toy corpus dropped nothing — test is vacuous")
+    for (g <- Seq(3, 8)) assert(run(g) === baseline, s"keep set mismatch at grid=$g")
+  }
+
   test("semanticContamination flags exactly the vectors a brute force flags") {
     val rows = (0L until 120L).map { i =>
       i -> (0 until 8).map(d => (Similarity.hyperplaneWeight(i.toInt, d) * 2 - 1).toFloat)
