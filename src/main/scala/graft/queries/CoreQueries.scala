@@ -473,7 +473,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q67_mem")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -500,7 +501,8 @@ object CoreQueries {
           col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 10000d + 0.5d).cast("long")).as("total_value_e4"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q123_mem")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -526,7 +528,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q73_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -548,7 +551,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(freq_init_agg(col("event_type"), 64).as("f"))
         .select(col("w.start").cast("date").as("day"), col("f"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q80_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -571,7 +575,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(kll_init_agg(col("value")).as("sk"))
         .select(col("w.start").cast("date").as("day"), col("sk"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q81_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -594,7 +599,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"))
         .agg(hll_init_agg(col("event_type"), 0.069).as("h"))
         .select(col("w.start").cast("date").as("day"), col("h"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q82_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -624,7 +630,8 @@ object CoreQueries {
         try {
           s.conf.set(key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-          graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+          graft.streaming.StreamingOps.withStatePartitions(s,
+              graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
             agg.writeStream.format("memory").queryName("q116_mem")
               .outputMode("append").trigger(Trigger.AvailableNow()).start())
         } finally saved match {
@@ -650,7 +657,8 @@ object CoreQueries {
         .as[graft.streaming.UserEvent]
       val summaries = graft.streaming.TransformWithStateOps.sessionSummariesTws(s, ev)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
           summaries.toDF().writeStream.format("memory").queryName("q135_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -676,7 +684,8 @@ object CoreQueries {
         .as[graft.streaming.TransformWithStateOps.TypedEvent]
       val counts = graft.streaming.TransformWithStateOps.distinctTypesTws(s, ev)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
           counts.toDF().writeStream.format("memory").queryName("q141_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -705,7 +714,8 @@ object CoreQueries {
       val rsv = graft.streaming.TransformWithStateOps
         .reservoirSampleTws(s, docs, k = 5)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "documents"))(
           rsv.toDF().writeStream.format("memory").queryName("q190_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -735,7 +745,8 @@ object CoreQueries {
       val gated = graft.streaming.TransformWithStateOps
         .kAnonymityGateTws(s, ev, k = 8)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
           gated.toDF().writeStream.format("memory").queryName("q199_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -756,7 +767,8 @@ object CoreQueries {
         .as[graft.streaming.TransformWithStateOps.RecentEvent]
       val recents = graft.streaming.TransformWithStateOps.recentKTws(s, ev, k = 3)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
           recents.toDF().writeStream.format("memory").queryName("q144_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -804,7 +816,8 @@ object CoreQueries {
         .as[graft.streaming.CdcChange]
       val st = graft.streaming.TransformWithStateOps.cdcCurrentStateTws(s, streamed, snapshot)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "orders"))(
           st.toDF().writeStream.format("memory").queryName("q147_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -824,7 +837,8 @@ object CoreQueries {
         .as[graft.streaming.UserEvent]
       val alerts = graft.streaming.TransformWithStateOps.silenceAlertsTws(s, ev)
       val q = graft.streaming.TransformWithStateOps.withRocksDbStateStore(s)(
-        graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+        graft.streaming.StreamingOps.withStatePartitions(s,
+            graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
           alerts.toDF().writeStream.format("memory").queryName("q152_mem")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()))
       q.awaitTermination()
@@ -850,7 +864,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").cast("date").as("win_start"), col("event_type"), col("n"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q153_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -871,7 +886,8 @@ object CoreQueries {
         .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
         .agg(hll_cardinality(hll_init_agg(col("event_type"), 0.069)).as("n_types"))
         .select(col("w.start").cast("date").as("win_start"), col("n_types"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q181_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -980,7 +996,8 @@ object CoreQueries {
         signups, purchases, key = "user_id",
         leftTs = "signup_ts", rightTs = "purchase_ts",
         within = "1 day", watermark = "36 hours", joinType = "left_outer")
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         joined.writeStream.format("memory").queryName("q129_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -1011,7 +1028,8 @@ object CoreQueries {
         signups, purchases, key = "user_id",
         leftTs = "signup_ts", rightTs = "purchase_ts",
         within = "1 day", watermark = "36 hours")
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         joined.writeStream.format("memory").queryName("q89_mem")
           .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -1038,7 +1056,8 @@ object CoreQueries {
         .select(col("user_id"), col("ts"))
         .as[graft.streaming.UserEvent]
       val summaries = graft.streaming.StreamingOps.sessionSummaries(s, ev)
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         summaries.toDF().writeStream.format("memory").queryName("q94_mem")
           .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -1071,7 +1090,8 @@ object CoreQueries {
         col("o_orderpriority").as("segment"))
         .as[graft.streaming.CdcChange]
       val st = graft.streaming.StreamingOps.cdcCurrentState(s, ch)
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "orders"))(
         st.toDF().writeStream.format("memory").queryName("q113_mem")
           .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -1095,7 +1115,8 @@ object CoreQueries {
       val agg = Tables.eventsStream(s, dir)
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"))
         .agg(hll_cardinality(hll_init_agg(col("event_type"), 0.069)).as("n_types"))
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "events"))(
         agg.writeStream.format("memory").queryName("q68_mem")
           .outputMode("complete").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()

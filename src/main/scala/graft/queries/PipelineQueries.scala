@@ -143,7 +143,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("fp"))
         .as[graft.streaming.IngestDoc]
       val kept = graft.streaming.StreamingOps.keepFirstByFingerprint(s, cleaned)
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "documents"))(
         kept.toDF().writeStream.format("memory").queryName("q118_mem")
           .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
@@ -1086,7 +1087,8 @@ object PipelineQueries {
       val docs = Tables.documentsStream(s, dir)
         .withColumn("ts", expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
       val deduped = graft.streaming.StreamingOps.dedupDocStream(docs, watermark = "30 days")
-      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8)(
+      val q = graft.streaming.StreamingOps.withStatePartitions(s,
+          graft.streaming.StreamingOps.statePartitionsFor(s, dir, "documents"))(
         deduped.select(col("fp")).writeStream.format("memory")
           .queryName("q90_mem").outputMode("append")
           .trigger(Trigger.AvailableNow()).start())

@@ -452,10 +452,19 @@ object SqlSurfaceQueries {
   }
 
   /** The engine statement: every arm wrapped to the shared (fn, v)
-   * schema, one ORDER BY fn at the end. */
+   * schema, one ORDER BY fn at the end.
+   *
+   * Each arm is an INLINE VIEW (`FROM (arm) AS t(c)`), not a scalar
+   * subquery (`CAST((arm) AS STRING)`): scalar subqueries execute as
+   * sequential driver-blocking jobs BEFORE the enclosing query (the r17
+   * ledger measured this row's floor at ~40 warm sequential jobs, one per
+   * arm), while union legs are independent subtrees whose shuffle stages
+   * AQE materializes concurrently. Same single spark.sql statement, same
+   * per-arm SQL, same (fn, v) rows — only the execution shape changes
+   * (one job, parallel legs, instead of an arm-count job chain). */
   private lazy val engineSql: String =
-    probes.map { case (name, arm, _) =>
-      s"SELECT '$name' AS fn, CAST(($arm) AS STRING) AS v"
+    probes.zipWithIndex.map { case ((name, arm, _), i) =>
+      s"SELECT '$name' AS fn, CAST(c AS STRING) AS v FROM (\n$arm\n) AS t_$i(c)"
     }.mkString("SELECT fn, v FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fn")
 
   private lazy val duckSql: String =

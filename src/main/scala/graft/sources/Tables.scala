@@ -23,8 +23,25 @@ import org.apache.spark.sql.types._
  */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path cache of each fixture table's parquet schema — one footer
+   * inference per path per JVM instead of one per DataFrame construction.
+   * Every query function rebuilds its DataFrames from `spark.read`, and a
+   * schema-less `spark.read.parquet` pays driver-side file listing PLUS a
+   * footer read to infer the schema on EVERY construction; across a
+   * ~257-query bench pass (and at 100 TB, where inference over a large
+   * file set is a real driver job) that is pure fixed overhead. The
+   * explicit-schema read skips inference entirely; the schema is the one
+   * Spark itself inferred for the path, so plans and results are
+   * bit-identical (asserted by SchemaCacheSpec). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

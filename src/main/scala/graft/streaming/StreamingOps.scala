@@ -289,6 +289,44 @@ object StreamingOps {
   }
 
   /**
+   * State-partition count DERIVED from the stream's input volume — the
+   * scale-adaptive form of the [[withStatePartitions]] sizing rule
+   * (optimization guide §2: partitioning must derive from the data, not
+   * from the machine or a constant).
+   *
+   * Every state-store partition costs open/commit/snapshot I/O per
+   * micro-batch on EVERY stateful operator (×4 stores for a stream-stream
+   * join), whether or not it holds state, so the count should track the
+   * state volume. The honest pre-run proxy for state volume is the bytes
+   * of the source being streamed: one partition per `bytesPerPartition`
+   * (64 MB — a comfortable HDFS/RocksDB store size), floor 8, cap 2048
+   * (past that, per-batch store-commit fan-out dominates again; a
+   * deployment with >128 GB of live state shards the QUERY, not just the
+   * store). The floor is MEASURED, not machine-derived: 32 → 8 halved the
+   * sf0.1 stream-stream join (r13, store-commit bound), while dropping
+   * further to 2 REGRESSED q147's RocksDB initial-state load 2.9 → 6.9 s
+   * (r17 ProbeStream: the whole drain is one addBatch, and two state
+   * partitions serialize a compute-bound snapshot apply) — 8 is where the
+   * two failure modes cross at the harness's fixed per-query floor. At
+   * the harness scale factors this derives the floor; past ~512 MB of
+   * input it grows; at 100 TB it caps — same code, no retune.
+   * Results are partition-count-invariant for every operator in this
+   * file: aggregations/joins are set-semantics, the custom-state
+   * operators emit per-key values that the declared queries reduce with
+   * key-level aggregation before comparison.
+   */
+  def statePartitionsFor(spark: SparkSession, dir: String, table: String,
+      bytesPerPartition: Long = 64L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val derived = math.ceil(bytes.toDouble / bytesPerPartition).toInt
+    math.max(8, math.min(derived, 2048))
+  }
+
+  /**
    * Streaming keep-first exact dedup with duplicate accounting: one state
    * row per content fingerprint holding (smallest doc id so far, arrivals
    * so far); every touched fingerprint re-emits its current state per

@@ -529,14 +529,28 @@ object TransformWithStateOps {
    * `transformWithState`), restoring the previous provider after. */
   def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val saved = spark.conf.getOption(key)
+    val savedCl = spark.conf.getOption(clKey)
     try {
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit uploads the batch's delta instead
+      // of a full RocksDB snapshot — the production setting for
+      // commit-latency-sensitive stateful streams (snapshots still happen,
+      // asynchronously in the maintenance thread). Pure durability-format
+      // choice; values are unaffected.
+      spark.conf.set(clKey, "true")
       body
-    } finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      savedCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 }

@@ -43,16 +43,30 @@ object PerceptronTrainer {
   def trainHashedBow(docs: DataFrame, text: Column, label: Column,
       epochs: Int = 3): Array[Long] = {
     require(epochs > 0, "epochs must be positive")
-    val base = docs.select(text.as("text"), label.cast("long").as("y"))
+    // Tokenize + feature-hash ONCE, persist the per-doc bucket ARRAYS:
+    // every epoch's scoring pass and update aggregation read integer
+    // bucket ids instead of re-running the regex tokenizer and the md5
+    // feature hash over the corpus text (optimization guide §1.2 "per-task
+    // work": the tokenize+hash was ~the whole per-epoch map cost, paid
+    // `epochs` times). The margin below is linearQualityScore's exact
+    // arithmetic applied to the precomputed buckets — same fold, same
+    // element_at lookup, bit-identical weights (PerceptronTrainerSpec pins
+    // the scorer-equivalence property; the persisted rows are also
+    // SMALLER than the text they replace: one long per token occurrence).
+    val base = docs.select(
+        transform(TextAnalysis.tokens(text),
+          t => TextAnalysis.tokenBucket(t)).as("bs"),
+        label.cast("long").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Array.fill(TextAnalysis.QualityBuckets)(0L)
     var epoch = 0
     while (epoch < epochs) {
-      val margin = TextAnalysis.linearQualityScore(col("text"), w.toSeq)
+      val warr = typedLit(w.toSeq)
+      val margin = aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(warr, (b + lit(1L)).cast("int")))
       val delta = base
         .filter(col("y") * margin <= 0)
-        .select(col("y"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-        .select(col("y"), TextAnalysis.tokenBucket(col("t")).as("b"))
+        .select(col("y"), explode(col("bs")).as("b"))
         .groupBy(col("b")).agg(sum(col("y")).as("d"))
         .collect()
       delta.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))

@@ -577,4 +577,24 @@ class StreamingOpsSpec extends AnyFunSuite {
       c.getMessage.contains("already written by earlier batch")), s"got: $err")
     assert(spark.read.parquet(out).as[(Long, String)].collect().toSet === Set((1L, "a")))
   }
+
+  test("statePartitionsFor derives from input bytes with floor 8 and cap 2048") {
+    // The harness fixtures are all far below one 64 MB partition → floor.
+    assert(StreamingOps.statePartitionsFor(spark, "/root/testdata/sf0.001",
+      "events") === 8)
+    // Missing path degrades to the floor, never throws (preflight owns
+    // existence checking).
+    assert(StreamingOps.statePartitionsFor(spark, "/no/such/dir", "events") === 8)
+    // Derivation arithmetic: bytesPerPartition=1 makes every fixture byte
+    // its own partition — the cap must clamp it.
+    assert(StreamingOps.statePartitionsFor(spark, "/root/testdata/sf0.001",
+      "events", bytesPerPartition = 1L) === 2048)
+    // Mid-range: target one partition per 1/10 of the file → ~10, inside
+    // (floor, cap), proving the derived value actually tracks bytes.
+    val p = new org.apache.hadoop.fs.Path("/root/testdata/sf0.001/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    assert(StreamingOps.statePartitionsFor(spark, "/root/testdata/sf0.001",
+      "events", bytesPerPartition = math.max(1L, bytes / 10)) >= 10)
+  }
 }
