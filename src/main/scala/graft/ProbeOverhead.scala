@@ -40,16 +40,23 @@ object ProbeOverhead {
       df.write.format("noop").mode("overwrite").save()
     for (n <- names) {
       val fn = SparkEntry.queries(n)
-      // warmup
+      // Warmup — TIMED and printed as `cold=`: for operators with a
+      // session result memo (jaccardNearDupPairs and friends) this is the
+      // only memo-MISS execution the probe sees, i.e. the honest
+      // scale-certification number; the three runs below are the warm
+      // (memo-hit / JIT-hot) floor.
+      val c0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch { case t: Throwable =>
         System.err.println(s"WARN warmup $n failed: $t") }
+      val cold = (System.nanoTime() - c0) / 1e9
       clear()
       val rows = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
         val j0 = jobs.get()
-        exec(df)
+        try exec(df) catch { case t: Throwable =>
+          System.err.println(s"WARN timed run $n failed: $t") }
         val t2 = System.nanoTime()
         val nj = jobs.get() - j0
         clear()
@@ -58,7 +65,7 @@ object ProbeOverhead {
       val con = rows.map(_._1).sorted.apply(1)
       val ex = rows.map(_._2).sorted.apply(1)
       val nj = rows.map(_._3).max
-      println(f"PROBE $n%s construct=$con%.3f exec=$ex%.3f jobs=$nj%d " +
+      println(f"PROBE $n%s cold=$cold%.3f construct=$con%.3f exec=$ex%.3f jobs=$nj%d " +
         rows.map(r => f"(${r._1}%.3f,${r._2}%.3f,${r._3}%d)").mkString(" "))
     }
     spark.stop()

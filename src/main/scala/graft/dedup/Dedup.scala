@@ -239,9 +239,22 @@ object Dedup {
     val candShingled = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), sort_array(shingles(col("txt"), shingleWidth)).as("sh"))
+    // SHUFFLE_HASH on the shingle side (optimization guide §3.1): the
+    // default sort-merge join SORTS both inputs, and here the sorted rows
+    // carry the shingle ARRAYS — at dense-candidate scale that sort
+    // buffers pair×array rows and spills catastrophically (the r17 sf10
+    // sweep measured 45+ GB of UnsafeExternalSorter spill on exactly this
+    // stage before filling the disk). A shuffled hash join builds the
+    // per-partition doc→shingles table (bounded by the candidate-doc
+    // sliver, the smaller side by construction) and STREAMS the pair rows
+    // straight into the intersect-count kernel — the heavy arrays cross
+    // the exchange once and never enter a sorter. Same inner equi-join,
+    // same rows.
     candidates
-      .join(candShingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(candShingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candShingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(candShingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         GraftSqlBridge.column(SortedStringIntersectCount(
           GraftSqlBridge.expression(col("sh_a")),

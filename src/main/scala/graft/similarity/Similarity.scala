@@ -430,8 +430,14 @@ object Similarity {
           .select(col("id_a"), col("id_b"))
           .dropDuplicates("id_a", "id_b")
         pairs
-          .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-          .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+          // SHUFFLE_HASH on the vector side, same rationale as
+          // semanticDedup's attach joins: candidate pairs can be
+          // quadratic in bucket sizes while base is |corpus|-bounded —
+          // never sort the pair stream, build the id→vec hash table.
+          .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+            .hint("shuffle_hash"), "id_b")
           .select(col("id_a"), col("vec_a"), col("id_b"), col("vec_b"))
       }
     candidates
@@ -1046,13 +1052,23 @@ object Similarity {
    *
    * Scale contract: clustering is [[kmeansCentroids]] (broadcast
    * centroids, map-side assignment via partially-aggregating min_by —
-   * never a row × k fan-out past an exchange). Pair generation follows the
-   * library's payload-free contract: the cluster self-join shuffles slim
-   * (cid, id) rows only, vectors join back by id afterwards, so embedding
-   * bytes never ride the cid exchange. Within-cluster candidate volume is
-   * Σ|cell|² — size k so cells stay bounded (SemDeDup uses ~100k cells at
-   * web scale); the cid-keyed join distributes across executors either
-   * way.
+   * never a row × k fan-out past an exchange). Pair generation carries
+   * each row's VECTOR through the cell self-join (guide §8: decide which
+   * side of an exchange is linear and which is quadratic, and ship the
+   * payload on the linear side): the join INPUTS are |corpus| × ~grid/2
+   * rows — vector bytes cross the exchange a bounded number of times —
+   * while the join OUTPUT (Σ|cell|², the quadratic part) is born with
+   * both vectors in place and streams straight into the cosine filter
+   * without ever crossing an exchange. The previous payload-free
+   * formulation (slim (cid, id) pairs, vectors joined back by id) was
+   * exactly backwards at scale: it kept vectors off the LINEAR cell
+   * exchange but then shuffled the QUADRATIC pair stream twice to attach
+   * them — the r17 sf10 sweep measured that shape filling a 252 GB disk
+   * (sort-merge: sorter spill; shuffled-hash: the id_b exchange carrying
+   * vec_a). Cells partition the corpus, so unlike the LSH band join no
+   * cross-group pair dedup exists to force the slim-pair detour.
+   * Within-cluster candidate volume is Σ|cell|² — size k so cells stay
+   * bounded (SemDeDup uses ~100k cells at web scale).
    *
    * @param centroids optional (cid, cvec) plug-in, same seam as
    *   [[ivfTopK]] — tests pass fixed centroids to pin assignment and the
@@ -1068,15 +1084,50 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double, k: Int = 16,
       iters: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: DataFrame = null, grid: Int = 1): DataFrame = {
+    require(grid >= 1, s"semanticDedup: grid must be >= 1, got $grid")
     val (base, assigned) =
       cellAssignment(corpus, k, iters, idCol, vecCol, centroids)
-    // Slim within-cluster pairs; vectors join back from base by id.
-    val slim = assigned.select(col("cid"), col("id"))
-    val dropped = groupedIdPairs(slim, Seq("cid"), grid)
-      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+    // (cid, id, vec) — one linear attach of the vector BEFORE the cell
+    // self-join; see the scaladoc for why the payload rides the linear
+    // side of the exchange. The cosine filter consumes the join output
+    // in place; a pair {x, y} meets in exactly one (cid, cell) slot
+    // (same grid-cell arithmetic as groupedIdPairs), cosine is
+    // symmetric, and only the LARGER id is emitted, so no id
+    // normalization is needed.
+    val withVec = assigned.join(base, "id")
+    val dropped = (if (grid == 1) {
+      val l = withVec.select(col("cid"), col("id").as("id_a"),
+        col("vec").as("vec_a"))
+      val r = withVec.select(col("cid"), col("id").as("id_b"),
+        col("vec").as("vec_b"))
+      l.join(r, Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+    } else {
+      val sub = pmod(xxhash64(col("id")), lit(grid)).cast("int")
+      val l = withVec
+        .select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"),
+          sub.as("sa"))
+        .withColumn("cell",
+          explode(transform(sequence(col("sa"), lit(grid - 1)),
+            j => col("sa") * grid + j)))
+      val r = withVec
+        .select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"),
+          sub.as("sb"))
+        .withColumn("cell",
+          explode(transform(sequence(lit(0), col("sb")),
+            i => i * grid + col("sb"))))
+      // Explicit-count repartition for the same reason groupedIdPairs
+      // pins one: AQE sizes the exchange from the slim pre-explosion map
+      // output and would coalesce the quadratic explosion back into one
+      // task.
+      val parallelism =
+        withVec.sparkSession.sessionState.conf.numShufflePartitions
+      l.repartition(parallelism, col("cid"), col("cell"))
+        .join(r, Seq("cid", "cell"))
+        .filter(col("sa") < col("sb") || col("id_a") < col("id_b"))
+    })
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
-      .select(col("id_b").as("id"))
+      .select(greatest(col("id_a"), col("id_b")).as("id"))
       .distinct()
     assigned
       .join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
