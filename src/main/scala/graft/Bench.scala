@@ -18,6 +18,16 @@ object Bench {
    * application; clearing between queries reproduces that isolation. Runs
    * OUTSIDE the timed window. */
   private def clearCacheState(spark: SparkSession): Unit = {
+    // Memo-honesty (r17 verdict #2): the dedup/sessions/kmeans operator
+    // memos are the library's prepared-statement cache — correct for a
+    // long-lived application, but inside the bench they turn passes 2–3 of
+    // a memoized query (q14/q23's pair graph, kmeans centroids) into memo
+    // HITS, i.e. the median times a cache lookup instead of the query.
+    // Dropping every memo between queries makes each timed pass pay the
+    // real execution. This RAISES the suite total versus rounds 13–17
+    // (q14's genuine sf0.1 cost is seconds, its memo-hit row was 0.02 s) —
+    // re-baselined in OPTIMIZATION_r18.md.
+    graft.clearAllMemos(spark)
     spark.sharedState.cacheManager.clearCache()
     // Blocking: a lazy unpersist leaves the blocks resident until some
     // later query's allocation forces eviction — i.e. it bills THIS
@@ -162,7 +172,14 @@ object Bench {
     // final line: seconds rounded to 3 decimals, no shuffle_bytes (~6 KB).
     // 1 ms resolution loses nothing a cross-round diff can use on a box
     // with ±0.4 s run-to-run noise.
-    for (path <- Seq("/tmp/bench_out.json", "bench_out.json")) {
+    // Per-config artifact names (r17 verdict #3): the driver's 8-core
+    // scaling run used to OVERWRITE the 32-core run's bench_out.json,
+    // destroying the per-query map the judge needs. Each (sf, cpus)
+    // combination now keeps its own file; the legacy bench_out.json name
+    // stays as a copy of the most recent run for tooling that expects it.
+    val sfTag = new java.io.File(sfDir).getName
+    val perConfig = s"bench_out_${sfTag}_c$cpus.json"
+    for (path <- Seq("/tmp/bench_out.json", "bench_out.json", perConfig)) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
         try w.println(json) finally w.close()
@@ -184,7 +201,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""agg":"median_of_3","pass_totals":$passTotals3,""" +
       s""""n_queries":${results.size},"streaming_count":${streamingNames.size},""" +
-      s""""sf":"$sfDir","artifact":"bench_out.json"}"""
+      s""""sf":"$sfDir","artifact":"$perConfig"}"""
     // Print AFTER spark.stop(): with build.sbt suppressing sbt's
     // "[success]" trailer (Global / showSuccess := false) and Spark's own
     // logging on stderr, this line is genuinely the last stdout the

@@ -40,6 +40,8 @@ object PlanDump {
     graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     def clear(): Unit = {
+      // Matches Bench.clearCacheState (r18): timed runs are memo misses.
+      graft.clearAllMemos(spark)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()

@@ -32,6 +32,11 @@ object ProbeOverhead {
         jobs.incrementAndGet()
     })
     def clear(): Unit = {
+      // Matches Bench.clearCacheState (r18): memos dropped between runs,
+      // so the 3 timed runs below are JIT-hot memo MISSES — the same cost
+      // the memo-honest bench now times. `cold=` keeps its meaning (first
+      // execution, session warm-in included).
+      graft.clearAllMemos(spark)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()

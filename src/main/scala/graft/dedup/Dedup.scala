@@ -249,7 +249,14 @@ object Dedup {
     // sliver, the smaller side by construction) and STREAMS the pair rows
     // straight into the intersect-count kernel — the heavy arrays cross
     // the exchange once and never enter a sorter. Same inner equi-join,
-    // same rows.
+    // same rows. Tradeoff (r17 ADVICE): the hash build side cannot spill
+    // — if one partition's slice of the candidate-doc shingle table
+    // outgrows executor memory, this OOMs where sort-merge would have
+    // spilled. Accepted on measurement: the build side is the candidate
+    // DOC sliver (linear in docs, not quadratic in pairs) and is spread
+    // by id hash, so a partition only outgrows memory if the doc table
+    // itself is mis-sized for the executors — at which point the sorted
+    // alternative was already the measured disk-filling failure.
     candidates
       .join(candShingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
         .hint("shuffle_hash"), "id_a")

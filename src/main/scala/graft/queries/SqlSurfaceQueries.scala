@@ -42,7 +42,16 @@ object SqlSurfaceQueries {
 
   /** (registered name, Spark SQL arm, DuckDB oracle arm). The arms are
    * complete SELECTs producing (fn, v); label strings are shared so the
-   * two sides cannot drift. */
+   * two sides cannot drift.
+   *
+   * CONTRACT (r17 ADVICE): every arm must be a GLOBAL AGGREGATE — exactly
+   * one row, even over an empty slice. The engine wraps arms as
+   * inline-view union legs, where a ZERO-row arm would drop its fn row
+   * entirely, while the oracle's scalar-subquery form would keep a NULL
+   * row — a non-aggregate arm would silently desynchronize the two sides.
+   * The oracle gate enforces this structurally (row count = probes.size
+   * on both sides), so a violating arm fails the round gate rather than
+   * shipping. */
   private lazy val probes: Seq[(String, String, String)] = {
     val tokensSql = PipelineQueries.tokensSql
     val shingleSql = PipelineQueries.shingleSql

@@ -434,6 +434,12 @@ object Similarity {
           // semanticDedup's attach joins: candidate pairs can be
           // quadratic in bucket sizes while base is |corpus|-bounded —
           // never sort the pair stream, build the id→vec hash table.
+          // Tradeoff (r17 ADVICE): the hash build side cannot spill; a
+          // partition's id→vec slice outgrowing executor memory OOMs
+          // where sort-merge would have spilled. Accepted because the
+          // build side is the LINEAR corpus-sized table spread by id
+          // hash — the side the sorted plan measurably died on is the
+          // quadratic pair stream, not this one.
           .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"))
             .hint("shuffle_hash"), "id_a")
           .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"))

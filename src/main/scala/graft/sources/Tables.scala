@@ -36,6 +36,20 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Invalidation hook for the per-path schema caches (r17 ADVICE): the
+   * caches assume IMMUTABLE inputs — a parquet file rewritten in place at
+   * an unchanged path with a DIFFERENT schema would otherwise keep being
+   * read with the stale cached schema (wrong/null columns) where a plain
+   * `spark.read.parquet` would re-infer. Same assumption as Spark's own
+   * table cache and the operator memos ([[graft.clearAllMemos]] — which
+   * deliberately does NOT clear this: schemas are metadata, not results,
+   * and pipelines that rewrite fixtures in place must call this hook
+   * too). Harness fixtures are immutable per run, so nothing calls it on
+   * the bench path. */
+  def clearSchemaCache(): Unit = { schemaCache.clear(); tsTypeCache.clear() }
+
+  /** Schema-cached parquet read. Assumes the file set at `path` is
+   * immutable for the JVM's lifetime (see [[clearSchemaCache]]). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,

@@ -321,7 +321,15 @@ object StreamingOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes =
       try fs.getContentSummary(p).getLength
-      catch { case scala.util.control.NonFatal(_) => 0L }
+      catch { case scala.util.control.NonFatal(t) =>
+        // r17 ADVICE: a listing failure on a VALID dir (permissions, a
+        // transient FS error) must not silently mis-size state stores at
+        // scale — surface the degradation, then fall back to the floor.
+        System.err.println(
+          s"WARN statePartitionsFor: could not size $p (${t.getMessage}); " +
+            "falling back to the floor of 8 state partitions")
+        0L
+      }
     val derived = math.ceil(bytes.toDouble / bytesPerPartition).toInt
     math.max(8, math.min(derived, 2048))
   }
